@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.Ttl
+import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
+
+/** Driver contract — one query per implemented operator of SURVEY.md §2,
+  * each with an equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Numeric-parity design: float aggregates are computed in exact decimal
+  * (`cast(decimal(18,2))`, exact `+`/`*`/`-`) and only the final scalar is
+  * cast back to double — both engines then produce bit-identical doubles,
+  * so the driver's hash compare is stable. Raw double columns are passed
+  * through untouched (same bits in, same bits out). Every query ends in a
+  * deterministic total ORDER BY.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-decimal fixed-point view of a money/quantity double. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_join5")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1-A4: grouped aggregation (TPC-H Q1 shape) -------------------
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- W1 + A1: top-k per group via row_number window ----------------
+    "q02_topk_window" -> ((s, dir) => {
+      TopK.topKPerGroup(
+          t(s, dir, "lineitem"),
+          groupCols = Seq(col("l_returnflag")),
+          valueCols = Seq(col("l_partkey")),
+          k = 5)
+        .select(col("l_returnflag"), col("l_partkey"),
+          col("count").as("cnt"), col("k").as("rnk"))
+        .orderBy(col("l_returnflag"), col("rnk"))
+    }),
+
+    // ---- J1/J2: left-semi join ----------------------------------------
+    "q03_semijoin" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").where(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- anti join (engine exposes it even though reference has none) --
+    "q04_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- J3: multi-way inner join, broadcast dims (TPC-H Q5 shape) -----
+    "q05_join5" -> ((s, dir) => {
+      val revenue = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- P3-P6: selective filter + scalar aggregate (TPC-H Q6 shape) ---
+    "q06_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"))
+    }),
+
+    // ---- J4: full-outer join of two aggregates (stats assembly shape) --
+    "q07_fullouter" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- U1/U3: union + distinct --------------------------------------
+    "q08_union_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---- O1: global sort + limit --------------------------------------
+    "q09_orderby_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- W2: arg-max row per group ------------------------------------
+    "q10_argmax" -> ((s, dir) => {
+      TopK.argMaxRow(
+          t(s, dir, "customer"),
+          groupCols = Seq(col("c_nationkey")),
+          orderCols = Seq(col("c_acctbal").desc, col("c_custkey")))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- A5: distinct -------------------------------------------------
+    "q11_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- A4: rollup via union (the reference's en-* stats rollup shape) -
+    "q12_rollup_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val per = c.groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+      val all = c.agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"))
+        .select(lit("ALL").as("segment"), col("n_cust"), col("sum_bal"))
+      per.unionByName(all).orderBy(col("segment"))
+    }),
+
+    // ---- S3: ttl line parse (native split, object may contain spaces) --
+    "q13_ttl_parse" -> ((s, dir) => {
+      val lines = t(s, dir, "nation").select(
+        concat(lit("<http://n/"), col("n_nationkey").cast("string"),
+          lit("> <http://p/name> \""), col("n_name"), lit(" x\" .")).as("value"))
+      Ttl.parse(lines).toDF().orderBy(col("s"))
+    }),
+
+    // ---- F2: deterministic blank-node ids -----------------------------
+    "q14_blank_md5" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), Columns.blank(col("c_name")).as("blank"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- F3: language-tag removal -------------------------------------
+    "q15_lang_tag" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("\""), col("source"), lit("\"@"), col("lang")).as("tagged"))
+        .withColumn("stripped", Columns.removeLangTag(col("tagged")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- D2: datatype extraction + coercion ---------------------------
+    "q16_datatype" -> ((s, dir) => {
+      val o = when(col("doc_id") % 4 === 0,
+          concat(lit("<http://ex/doc/"), col("doc_id").cast("string"), lit(">")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("\""), col("n_chars").cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("\""), col("source"), lit("\"^^<http://ex/custom>")))
+        .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), o.as("o"))
+        .withColumn("vt", DataTypes.extractDataTypeNative(col("o")))
+        .select(col("doc_id"), col("o"),
+          col("vt.v").as("v"), DataTypes.coerce(col("vt.t")).as("t"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- D3/D4: native map lookup (schema type + index inference) ------
+    "q17_typemap" -> ((s, dir) => {
+      val o = when(col("doc_id") % 4 === 0,
+          concat(lit("<http://ex/doc/"), col("doc_id").cast("string"), lit(">")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("\""), col("n_chars").cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("\""), col("source"), lit("\"^^<http://ex/custom>")))
+        .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), o.as("o"))
+        .withColumn("vt", DataTypes.extractDataTypeNative(col("o")))
+        .withColumn("t", DataTypes.coerce(col("vt.t")))
+        .select(col("doc_id"),
+          SchemaGen.dgraphDataType(col("t")).as("dtype"))
+        .withColumn("dindex", SchemaGen.dgraphIndex(col("dtype")))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  /** DuckDB oracle per query; column names and ordering match exactly. */
+  def oracleSql: Map[String, String] = {
+    val mkO =
+      """CASE
+        | WHEN doc_id % 4 = 0 THEN '<http://ex/doc/' || doc_id || '>'
+        | WHEN doc_id % 4 = 1 THEN '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        | WHEN doc_id % 4 = 2 THEN '"' || source || '"^^<http://ex/custom>'
+        | ELSE '"' || lang || '"' END""".stripMargin.replace("\n", " ")
+    val extractVT =
+      """SELECT doc_id, o,
+        | CASE WHEN o LIKE '<%' THEN o
+        |      WHEN regexp_matches(o, '\^\^[^^]*$') THEN regexp_extract(o, '^(.*)\^\^[^^]*$', 1)
+        |      ELSE o END AS v,
+        | CASE WHEN o LIKE '<%' THEN '<uri>'
+        |      WHEN regexp_matches(o, '\^\^[^^]*$') THEN regexp_extract(o, '\^\^([^^]*)$', 1)
+        |      ELSE NULL END AS t_raw
+        |FROM (SELECT doc_id, """.stripMargin.replace("\n", " ") + mkO + " AS o FROM documents)"
+    val coerceT =
+      """CASE WHEN t_raw IN ('<uri>', '<http://www.w3.org/2001/XMLSchema#date>',
+        | '<http://www.w3.org/2001/XMLSchema#double>', '<http://www.w3.org/2001/XMLSchema#integer>',
+        | '<http://www.w3.org/2001/XMLSchema#string>') THEN t_raw
+        | ELSE '<http://www.w3.org/2001/XMLSchema#string>' END""".stripMargin.replace("\n", " ")
+    Map(
+      "q01_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          | COUNT(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+      "q02_topk_window" ->
+        """SELECT l_returnflag, l_partkey, cnt, rnk FROM (
+          | SELECT l_returnflag, l_partkey, COUNT(*) AS cnt,
+          |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_partkey) AS rnk
+          | FROM lineitem GROUP BY l_returnflag, l_partkey)
+          |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin.replace("\n", " "),
+      "q03_semijoin" ->
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+          |FROM orders WHERE EXISTS (
+          | SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+      "q04_antijoin" ->
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+      "q05_join5" ->
+        """SELECT n_name,
+          | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+      "q06_filter_agg" ->
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replace("\n", " "),
+      "q07_fullouter" ->
+        """SELECT nationkey, COALESCE(n_customers, 0) AS n_customers, COALESCE(n_suppliers, 0) AS n_suppliers
+          |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+          |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+          |USING (nationkey) ORDER BY nationkey""".stripMargin.replace("\n", " "),
+      "q08_union_distinct" ->
+        """SELECT c_nationkey AS nationkey FROM customer
+          |UNION SELECT s_nationkey AS nationkey FROM supplier
+          |ORDER BY nationkey""".stripMargin.replace("\n", " "),
+      "q09_orderby_limit" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+      "q10_argmax" ->
+        """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+          | SELECT c_nationkey, c_custkey, c_acctbal,
+          |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+          | FROM customer) WHERE rn = 1 ORDER BY c_nationkey""".stripMargin.replace("\n", " "),
+      "q11_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+      "q12_rollup_union" ->
+        """SELECT segment, n_cust, sum_bal FROM (
+          | SELECT c_mktsegment AS segment, COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          | FROM customer GROUP BY 1
+          | UNION ALL
+          | SELECT 'ALL' AS segment, COUNT(*) AS n_cust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          | FROM customer) ORDER BY segment""".stripMargin.replace("\n", " "),
+      "q13_ttl_parse" ->
+        """SELECT split_part(core, ' ', 1) AS s, split_part(core, ' ', 2) AS p,
+          | regexp_extract(core, '^[^ ]+ [^ ]+ (.*)$', 1) AS o
+          |FROM (SELECT left(line, length(line) - 2) AS core FROM (
+          | SELECT '<http://n/' || n_nationkey || '> <http://p/name> "' || n_name || ' x" .' AS line
+          | FROM nation)) ORDER BY s""".stripMargin.replace("\n", " "),
+      "q14_blank_md5" ->
+        """SELECT c_custkey, '_:' || md5(c_name) AS blank FROM customer
+          |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
+      "q15_lang_tag" ->
+        """SELECT doc_id, tagged, regexp_replace(tagged, '@[a-z]+$', '') AS stripped
+          |FROM (SELECT doc_id, '"' || source || '"@' || lang AS tagged FROM documents)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q16_datatype" ->
+        s"""SELECT doc_id, o, v, $coerceT AS t FROM ($extractVT) ORDER BY doc_id""",
+      "q17_typemap" ->
+        (s"""SELECT doc_id,
+          | CASE t WHEN '<uri>' THEN '[uid]'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#date>' THEN 'datetime'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#double>' THEN 'float'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN 'int'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#string>' THEN 'string' END AS dtype,
+          | CASE t WHEN '<uri>' THEN '@reverse'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#date>' THEN '@index(day)'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#double>' THEN '@index(float)'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN '@index(int)'
+          |  WHEN '<http://www.w3.org/2001/XMLSchema#string>' THEN '@index(fulltext)' END AS dindex
+          |FROM (SELECT doc_id, $coerceT AS t FROM ($extractVT)) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+    )
+  }
 }

@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import PartitionedWrite._
+
+/** RDF text sink/source: lines `"s p o ."` in gzip'd, lang-partitioned,
+  * sorted text files.
+  *
+  * Reference behavior (DbpediaDgraphSparkApp.scala:491-542): drop predicates
+  * containing `@`/`~` (not allowed by Dgraph), range-partition by
+  * `(lang, p, s)` so each part file holds a contiguous predicate/subject
+  * range, sort files by `p, s, o`, project to the single text line, gzip.
+  * `write` returns the *read-back* of the files just written, so downstream
+  * consumers (type generation, coverage stats) read materialized data
+  * instead of recomputing the whole lineage — a deliberate
+  * common-subexpression boundary that we keep: at 100 TB, re-running the
+  * cleanup DAG for each of the 4 downstream consumers would quadruple the
+  * work, while the re-read is a cheap columnar-less text scan of the
+  * (much smaller, gzip'd) output.
+  */
+object Rdf {
+
+  /** Predicates containing '@' or '~' are invalid downstream. */
+  def validPredicates(df: DataFrame): DataFrame =
+    df.where(!col("p").contains("@") && !col("p").contains("~"))
+
+  /** Render one RDF line per triple: `s p o .` */
+  def line(df: DataFrame): DataFrame =
+    df.select(
+      concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" .")).as("value"),
+      col("lang"))
+
+  /** Write triples as RDF text; returns the read-back of the written files. */
+  def write(df: DataFrame, path: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!df.isEmpty) {
+      validPredicates(df)
+        .writePartitionedBy(
+          Seq(col("lang")),          // lang=<code> subdirectory per language
+          Seq(col("p"), col("s")),   // one file per (p, s) range
+          Seq(col("o")),             // files sorted by p, s, o
+          None,
+          Some(Seq(
+            concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" .")).as("value"),
+            col("lang"))))
+        .option("compression", "gzip")
+        .mode(SaveMode.Overwrite)
+        .text(path)
+    }
+    read(spark, path)
+  }
+
+  /** Read RDF text back into `(s, p, o, lang)`.
+    *
+    * Native-expression parse (same rationale as [[Ttl.parse]]): strip the
+    * trailing ` .`, split at the first two spaces. The reference does this
+    * with a typed map over `(String, String)` (DbpediaDgraphSparkApp.scala:535);
+    * we stay in codegen.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    if (ParquetIO.exists(spark, path)) {
+      val spo = split(col("value").substr(lit(1), length(col("value")) - 2), " ", 3)
+      spark.read.text(path)
+        .select(
+          element_at(spo, 1).as("s"),
+          element_at(spo, 2).as("p"),
+          element_at(spo, 3).as("o"),
+          col("lang"))
+    } else {
+      ParquetIO.emptyTriples(spark)
+    }
+}
