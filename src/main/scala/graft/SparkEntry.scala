@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.io.Ttl
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
+import graft.ops.ext.{Dedup, Events, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -22,6 +23,14 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS) which Spark has no
+    * native type for: read nanos as long (legacy flag) and convert to a
+    * microsecond timestamp (`div 1000` — exact integer division). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Exact 2-decimal fixed-point view of a money/quantity double. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -54,7 +63,7 @@ object SparkEntry {
           valueCols = Seq(col("l_partkey")),
           k = 5)
         .select(col("l_returnflag"), col("l_partkey"),
-          col("count").as("cnt"), col("k").as("rnk"))
+          col("count").as("cnt"), col("k").cast("long").as("rnk"))
         .orderBy(col("l_returnflag"), col("rnk"))
     }),
 
@@ -75,7 +84,8 @@ object SparkEntry {
     // ---- anti join (engine exposes it even though reference has none) --
     "q04_antijoin" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     }),
@@ -225,10 +235,100 @@ object SparkEntry {
         .withColumn("dindex", SchemaGen.dgraphIndex(col("dtype")))
         .orderBy(col("doc_id"))
     }),
+
+    // ==== training-data pipeline extension ops ==========================
+
+    // ---- exact dedup: hash-groupBy on content hash --------------------
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // ---- MinHash signatures -------------------------------------------
+    "q21_minhash" -> ((s, dir) => {
+      Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 4)
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LSH banding: candidate duplicate pairs -----------------------
+    "q22_lsh_pairs" -> ((s, dir) => {
+      val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
+      Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- SimHash fingerprints -----------------------------------------
+    "q23_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- n-gram (token-set) Jaccard near-dup pairs --------------------
+    "q24_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, Seq("source"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("toks_a"), col("toks_b")).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- brute-force cosine top-k ANN baseline ------------------------
+    "q25_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.cosineTopK(e.where(col("id") < 5), e, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ---- language-ID heuristic ----------------------------------------
+    "q26_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring ----------------------------------------------
+    "q27_quality" -> ((s, dir) => {
+      TextStats.withQuality(t(s, dir, "documents"), col("text"),
+          TextStats.langMarkers.head._2)
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stopword_ratio"), col("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprinting --------------------------------------
+    "q28_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- tumbling-window event aggregation ----------------------------
+    "q29_events_tumbling" -> ((s, dir) => {
+      Events.tumblingAgg(events(s, dir), 3600)
+        .orderBy(col("bucket"), col("event_type"))
+    }),
+
+    // ---- gap sessionization -------------------------------------------
+    "q30_sessions" -> ((s, dir) => {
+      Events.sessionize(events(s, dir), 1800)
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
   def oracleSql: Map[String, String] = {
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    def mh(seed: String): String =
+      s"list_min(list_transform($toks, w -> md5('$seed:' || w)))"
     val mkO =
       """CASE
         | WHEN doc_id % 4 = 0 THEN '<http://ex/doc/' || doc_id || '>'
@@ -272,7 +372,7 @@ object SparkEntry {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
       "q04_antijoin" ->
         """SELECT c_custkey, c_name FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
           |ORDER BY c_custkey""".stripMargin.replace("\n", " "),
       "q05_join5" ->
         """SELECT n_name,
@@ -345,6 +445,76 @@ object SparkEntry {
           |  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN '@index(int)'
           |  WHEN '<http://www.w3.org/2001/XMLSchema#string>' THEN '@index(fulltext)' END AS dindex
           |FROM (SELECT doc_id, $coerceT AS t FROM ($extractVT)) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "q20_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
+      "q21_minhash" ->
+        s"""SELECT doc_id, ${mh("0")} AS mh0, ${mh("1")} AS mh1, ${mh("2")} AS mh2, ${mh("3")} AS mh3
+          |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q22_lsh_pairs" ->
+        s"""WITH sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents)
+          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q23_simhash" ->
+        s"""WITH tok AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h
+          | FROM (SELECT doc_id, unnest($toks) AS w FROM documents)),
+          |votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          | FROM tok, (SELECT unnest(generate_series(0,31)) AS j) g GROUP BY doc_id, j)
+          |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q24_jaccard" ->
+        s"""WITH d AS (SELECT doc_id, source, list_distinct($toks) AS toks FROM documents),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) /
+          |  CAST(len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS jac
+          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q25_cosine_topk" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |  list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          | FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+          |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
+          |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      "q26_langid" ->
+        s"""WITH q AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+          |sc AS (SELECT doc_id, lang,
+          |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','is'))) AS s_en,
+          |  len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de,
+          |  len(list_filter(toks, w -> w IN ('el','la','de','y','es'))) AS s_es,
+          |  len(list_filter(toks, w -> w IN ('le','la','de','et','est'))) AS s_fr
+          | FROM q)
+          |SELECT doc_id, lang,
+          | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          |  WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+          |  WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+          |  WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+          |  ELSE 'und' END AS lang_guess
+          |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q27_quality" ->
+        s"""WITH q AS (SELECT doc_id, text, $toks AS toks,
+          |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha FROM documents)
+          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          | CAST(n_alpha AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+          | CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+          | CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+          |FROM q ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q28_fingerprint" ->
+        s"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q29_events_tumbling" ->
+        """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket, event_type,
+          | COUNT(*) AS n_events,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin.replace("\n", " "),
+      "q30_sessions" ->
+        """WITH x AS (SELECT user_id, ts,
+          |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)
+          |SELECT user_id,
+          | CAST(SUM(CASE WHEN prev IS NULL OR FLOOR(epoch(ts)) - FLOOR(epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          | COUNT(*) AS n_events
+          |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -1,0 +1,98 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * All operators are pure native-expression DataFrame code (no UDFs): the
+  * per-document signature math runs inside whole-stage codegen over the
+  * token array of each row — no explode, no per-token shuffle.
+  *
+  * Scale design (100 TB of documents):
+  *  - signatures are computed map-side; the only shuffles are the final
+  *    group-by / self-join on *short* keys (hash / band signature), never on
+  *    document text.
+  *  - LSH banding turns the quadratic all-pairs problem into a per-bucket
+  *    join: candidate pairs are generated only for documents agreeing on at
+  *    least one band. Degenerate buckets (e.g. empty documents) are the
+  *    classic skew hazard — cap or salt them (see [[lshCandidatePairs]]).
+  *  - exact dedup hashes the text (fixed-width key) instead of grouping by
+  *    the full text column, so the shuffle moves 32-byte keys, not bodies.
+  */
+object Dedup {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Exact-duplicate groups: one row per distinct content hash with the
+    * surviving (minimum) id and the duplicate count. */
+  def exactDupGroups(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(textCol).as("content_hash"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** One MinHash value: the minimum over tokens of a seeded deterministic
+    * hash. The "hash family" is md5 of `seed:token`, compared
+    * lexicographically on the hex string — deterministic across engines and
+    * platforms (no JVM hashCode). */
+  def minhash(tokensCol: Column, seed: Int): Column =
+    array_min(transform(tokensCol, w => md5(concat(lit(s"$seed:"), w))))
+
+  /** MinHash signature columns `mh0..mh{n-1}` for each document. */
+  def withMinhashSignature(df: DataFrame, textCol: Column, numHashes: Int): DataFrame = {
+    val toks = tokens(textCol)
+    (0 until numHashes).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"mh$i", minhash(toks, i))
+    }
+  }
+
+  /** LSH banding: documents whose signature agrees on a whole band (here:
+    * hashes [bandStart, bandStart+bandSize)) are candidate duplicates.
+    *
+    * The self-join shuffles only `(band_key, id)` pairs. `id1 < id2`
+    * dedups the symmetric pairs. At scale, add `.groupBy(band).count` first
+    * and filter out pathological buckets (all-identical boilerplate) before
+    * joining — the classic LSH skew guard.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String,
+      bandCols: Seq[String]): DataFrame = {
+    val key = md5(concat_ws("|", bandCols.map(col): _*))
+    val l = signatures.select(key.as("band"), col(idCol).as("id_a"))
+    val r = signatures.select(key.as("band"), col(idCol).as("id_b"))
+    l.join(r, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from token hashes: per bit position, the majority vote
+    * of all token hashes' bits, weighted +1/-1.
+    *
+    * `conv(md5-prefix, 16, 10)` gives a deterministic unsigned 32-bit token
+    * hash identical across engines. The 32 per-bit sums are all computed in
+    * one codegen pass over the token array.
+    */
+  def simhash(tokensCol: Column, bits: Int = 32): Column = {
+    val hashes = transform(tokensCol, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { j =>
+      val vote = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Token-set Jaccard similarity of two text columns: |A ∩ B| / |A ∪ B|
+    * over distinct tokens. Integer set sizes divided as doubles —
+    * bit-identical across engines. */
+  def jaccard(tokensA: Column, tokensB: Column): Column = {
+    val a = array_distinct(tokensA)
+    val b = array_distinct(tokensB)
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  }
+}

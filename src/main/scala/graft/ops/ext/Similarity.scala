@@ -1,0 +1,94 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute-force exact cosine top-k: the correctness
+  *    baseline. Query set × corpus, all math in native higher-order
+  *    functions (`zip_with` + `aggregate`) inside codegen; the final top-k
+  *    is the same `row_number` window shape as [[graft.ops.TopK]].
+  *  - [[srpBucketedTopK]] — signed-random-projection LSH: each vector gets
+  *    a deterministic bit signature; only vectors sharing a bucket are
+  *    compared. This is the 100 TB scale path: the cross product never
+  *    materializes, the join key is a short int, and bucket sizes are
+  *    tunable via the number of planes.
+  *
+  * Scale design: with Q queries and N corpus vectors, brute force shuffles
+  * Q×N rows — fine for Q ≲ 10³ (broadcast the queries, stream the corpus),
+  * impossible beyond. SRP buckets cut the candidate set by ~2^planes while
+  * keeping recall high for near-duplicate detection; recall/cost trades off
+  * by ORing multiple signature tables (repeat with different seeds).
+  */
+object Similarity {
+
+  /** Element-wise dot product of two float-array columns, accumulated in
+    * double, sequential order — deterministic and engine-portable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries  (id, vec) — small; broadcast
+    * @param corpus   (id, vec) — arbitrarily large, streamed map-side
+    */
+  def cosineTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idOut: String = "q_id", nIdOut: String = "n_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("id").as(idOut), col("vec").as("q_vec"))
+    val c = corpus.select(col("id").as(nIdOut), col("vec").as("n_vec"))
+    val w = Window.partitionBy(col(idOut)).orderBy(col("cos").desc, col(nIdOut))
+    broadcast(q).join(c, col(idOut) =!= col(nIdOut))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(idOut), col(nIdOut), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * ±1 derived from md5 — no RNG state, identical on every engine. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(conv(substring(md5(concat(lit(s"p$plane:"), dim.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 2 === 0, 1.0).otherwise(-1.0)
+
+  /** Signed-random-projection bucket id from `planes` hyperplanes: bit i =
+    * sign of <v, plane_i>. */
+  def srpBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed top-k: exact cosine ranking restricted to bucket-sharing
+    * candidates. Returns (q_id, n_id, rnk) like [[cosineTopK]]; recall < 1
+    * by construction. */
+  def srpBucketedTopK(vectors: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = vectors.select(col("id"), col("vec"), srpBucket(col("vec"), planes).as("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"))
+    val r = sig.select(col("bucket"), col("id").as("n_id"), col("vec").as("n_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    l.join(r, Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+}
