@@ -236,6 +236,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- W1+J1 composition: the reference's top-k predicate pipeline ---
+    "q18_topk_pipeline" -> ((s, dir) => {
+      val triples = t(s, dir, "lineitem").select(
+        concat(lit("<http://s/"), col("l_orderkey").cast("string"), lit(">")).as("s"),
+        concat(lit("<http://p/"), (col("l_suppkey") % 20).cast("string"), lit(">")).as("p"),
+        concat(lit("\""), col("l_quantity").cast("long").cast("string"), lit("\"")).as("o"),
+        lower(concat(col("l_returnflag"), col("l_linestatus"))).as("lang"))
+      val top = TopK.topKPredicatesPerLang(triples, 3)
+      TopK.filterToTopK(triples, top)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- D2+W2+J2 composition: datatype disambiguation pipeline --------
+    "q19_disambig" -> ((s, dir) => {
+      val triples = t(s, dir, "orders").select(
+        concat(lit("<http://s/"), col("o_orderkey").cast("string"), lit(">")).as("s"),
+        concat(lit("<http://p/"), (col("o_custkey") % 10).cast("string"), lit(">")).as("p"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("\""), col("o_orderkey").cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("\"txt"), col("o_orderkey").cast("string"), lit("\"")))
+          .otherwise(concat(lit("<http://ex/"), col("o_orderkey").cast("string"), lit(">")))
+          .as("o"),
+        lit("en").as("lang"))
+      val withTypes = DataTypes.withDataType(triples)
+      val winning = DataTypes.mostFrequentTypePerPredicate(withTypes)
+      DataTypes.disambiguate(withTypes, winning)
+        .select(col("s"), col("p"),
+          DataTypes.renderObject(col("v"), col("t")).as("o"))
+        .orderBy(col("s"), col("p"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -445,6 +479,37 @@ object SparkEntry {
           |  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN '@index(int)'
           |  WHEN '<http://www.w3.org/2001/XMLSchema#string>' THEN '@index(fulltext)' END AS dindex
           |FROM (SELECT doc_id, $coerceT AS t FROM ($extractVT)) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "q18_topk_pipeline" ->
+        """WITH tr AS (SELECT '<http://s/' || l_orderkey || '>' AS s,
+          |  '<http://p/' || (l_suppkey % 20) || '>' AS p,
+          |  lower(l_returnflag || l_linestatus) AS lang FROM lineitem),
+          |cnt AS (SELECT p, lang, COUNT(*) AS c,
+          |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, p) AS k
+          | FROM tr GROUP BY p, lang),
+          |top AS (SELECT p, lang FROM cnt WHERE k <= 3)
+          |SELECT lang, COUNT(*) AS n FROM tr
+          |WHERE EXISTS (SELECT 1 FROM top WHERE top.p = tr.p AND top.lang = tr.lang)
+          |GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+      "q19_disambig" ->
+        """WITH tr AS (SELECT '<http://s/' || o_orderkey || '>' AS s,
+          |  '<http://p/' || (o_custkey % 10) || '>' AS p,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN '"' || o_orderkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+          |   WHEN o_orderkey % 3 = 1 THEN '"txt' || o_orderkey || '"'
+          |   ELSE '<http://ex/' || o_orderkey || '>' END AS o FROM orders),
+          |wt AS (SELECT s, p,
+          |  CASE WHEN o LIKE '<%' THEN o
+          |   WHEN regexp_matches(o, '\^\^[^^]*$') THEN regexp_extract(o, '^(.*)\^\^[^^]*$', 1)
+          |   ELSE o END AS v,
+          |  CASE WHEN o LIKE '<%' THEN '<uri>'
+          |   WHEN regexp_matches(o, '\^\^[^^]*$') THEN regexp_extract(o, '\^\^([^^]*)$', 1)
+          |   ELSE '<http://www.w3.org/2001/XMLSchema#string>' END AS t FROM tr),
+          |win AS (SELECT p, t FROM (SELECT p, t, COUNT(*) AS c,
+          |  ROW_NUMBER() OVER (PARTITION BY p ORDER BY COUNT(*) DESC, t) AS k
+          |  FROM wt GROUP BY p, t) WHERE k = 1)
+          |SELECT s, p, CASE WHEN t = '<uri>' THEN v ELSE v || '^^' || t END AS o
+          |FROM wt WHERE EXISTS (SELECT 1 FROM win WHERE win.p = wt.p AND win.t = wt.t)
+          | AND NOT (t = '<http://www.w3.org/2001/XMLSchema#date>' AND v LIKE '"-%')
+          |ORDER BY s, p""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import graft.core.Implicits._
+import graft.io.{ParquetIO, Rdf, Ttl}
+import graft.io.PartitionedWrite._
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline configuration (reference: DbpediaDgraphSparkApp.scala:42-63). */
+case class RdfConfig(
+    languages: Option[Seq[String]] = None,
+    topInfoboxPropertiesPerLang: Option[Int] = Some(100),
+    externaliseUris: Boolean = false,
+    removeLanguageTags: Boolean = false,
+    writeTypes: Boolean = false,
+    printStats: Boolean = false)
+
+/** Stage 1 — ttl -> language-partitioned parquet
+  * (reference: DbpediaToParquetSparkApp.scala).
+  *
+  * One dataset at a time: per-language ttl reads, union, one range-shuffle
+  * write with sorted files. The optional `enUris` branch re-reads English
+  * ttl of a companion dataset tagged `en-<lang>` (reference :78-81).
+  */
+object TtlToParquet {
+
+  def run(
+      spark: SparkSession,
+      langPaths: Seq[(String, Seq[String])],
+      outPath: String,
+      enUrisPaths: Seq[(String, Seq[String])] = Seq.empty): Long = {
+    val frames = langPaths.map { case (lang, paths) => Ttl.readLang(spark, lang, paths) } ++
+      enUrisPaths.map { case (lang, paths) => Ttl.readLang(spark, s"en-$lang", paths) }
+    val all = frames.reduce(_.unionByName(_))
+    ParquetIO.writeTriples(all, outPath)
+    spark.read.parquet(outPath).count()
+  }
+}
+
+/** Stage 2 — parquet triples -> cleaned RDF text + Dgraph schema files
+  * (reference: DbpediaDgraphSparkApp.scala — the main engine).
+  *
+  * Faithful re-composition of the reference program on the graft ops:
+  * dataset reads with language pruning, per-dataset cleanup, schema
+  * inference, RDF writes with read-back, optional xids and type triples.
+  */
+object ParquetToRdf {
+
+  val datasetNames = Seq("labels", "interlanguage_links", "page_links",
+    "article_categories", "skos_categories", "geo_coordinates", "infobox_properties")
+
+  def run(spark: SparkSession, parquetBase: String, outBase: String, cfg: RdfConfig): Map[String, Long] = {
+    import spark.implicits._
+    val langs = cfg.languages
+
+    def read(name: String): DataFrame = ParquetIO.readDataset(spark, parquetBase, name, langs)
+
+    val labelTriples = read("labels")
+    val allInfoboxTriples = read("infobox_properties")
+    val interlangTriples = read("interlanguage_links")
+      .where(Columns.nodeLang(col("o")).isin(
+        Languages.objectLanguages(langs,
+          read("interlanguage_links").select(col("lang")).distinct().as[String]): _*))
+    val pageLinksTriples = read("page_links")
+    val categoryTriples = read("article_categories")
+    val skosTriples = read("skos_categories")
+    val geoTriples = read("geo_coordinates")
+      .where(col("p") === "<http://www.georss.org/georss/point>")
+
+    // top-k infobox predicate selection (reference :121-137)
+    val infoboxTriples = cfg.topInfoboxPropertiesPerLang match {
+      case Some(k) =>
+        TopK.filterToTopK(allInfoboxTriples, TopK.topKPredicatesPerLang(allInfoboxTriples, k))
+      case None => allInfoboxTriples
+    }
+
+    // cleanup transforms
+    val labels = Cleanup.labels(labelTriples, cfg.externaliseUris, cfg.removeLanguageTags)
+    val withTypes = DataTypes.withDataType(infoboxTriples)
+    val winning = DataTypes.mostFrequentTypePerPredicate(withTypes)
+    val infobox = Cleanup.infoboxWith(withTypes, winning, cfg.externaliseUris)
+    val interlang = Cleanup.uriPairs(interlangTriples, cfg.externaliseUris)
+    val pageLinks = Cleanup.uriPairs(pageLinksTriples, cfg.externaliseUris)
+    val categories = Cleanup.uriPairs(categoryTriples, cfg.externaliseUris)
+    val skosCategories = Cleanup.skos(skosTriples, cfg.externaliseUris, cfg.removeLanguageTags)
+    val geoCoordinates = Cleanup.geo(geoTriples, cfg.externaliseUris)
+
+    // schema relation + files (reference :263-372)
+    val langTag = if (cfg.removeLanguageTags) "" else " @lang"
+    val schema = SchemaGen.schema(spark, infoboxTriples, winning, langTag, cfg.externaliseUris)
+    writeSchema(SchemaGen.schemaLines(schema, indexed = false), s"$outBase/schema.dgraph")
+    writeSchema(SchemaGen.schemaLines(schema, indexed = true), s"$outBase/schema.indexed.dgraph")
+
+    // RDF writes with read-back (reference :401-407)
+    val written = Seq(
+      "labels" -> labels,
+      "infobox_properties" -> infobox,
+      "interlanguage_links" -> interlang,
+      "page_links" -> pageLinks,
+      "article_categories" -> categories,
+      "skos_categories" -> skosCategories,
+      "geo_coordinates" -> geoCoordinates
+    ).map { case (name, df) => name -> Rdf.write(df, s"$outBase/$name.rdf") }.toMap
+
+    if (cfg.writeTypes) {
+      val types = TypesGen.types(
+        written("labels"), written("infobox_properties"), written("interlanguage_links"),
+        written("page_links"), written("article_categories"), written("skos_categories"),
+        written("geo_coordinates"))
+      Rdf.write(types, s"$outBase/types.rdf")
+    }
+
+    if (cfg.externaliseUris) {
+      val xids = ExternalIds.xidTriples(ExternalIds.uriOccurrences(spark,
+        labelTriples, infoboxTriples, interlangTriples, pageLinksTriples,
+        categoryTriples, skosTriples, geoTriples))
+      Rdf.write(xids, s"$outBase/external_ids.rdf")
+    }
+
+    written.map { case (name, df) => name -> df.count() }
+  }
+
+  /** Schema text sink: single sorted file per (dataset, lang) partition
+    * (reference :333-372). The relation is tiny — `coalesce(1)` is correct
+    * at any scale. */
+  private def writeSchema(lines: DataFrame, path: String): Unit =
+    lines
+      .coalesce(1)
+      .writePartitionedBy(Seq(col("dataset"), col("lang")), Seq.empty, Seq(col("value")))
+      .mode(SaveMode.Overwrite)
+      .text(path)
+}

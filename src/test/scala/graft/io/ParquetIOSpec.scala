@@ -1,0 +1,45 @@
+package graft.io
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class ParquetIOSpec extends SparkSpec {
+
+  test("missing input falls back to an empty triple relation with schema") {
+    val df = ParquetIO.readTriples(spark, "/tmp/graft-does-not-exist-xyz")
+    assert(df.columns.toSeq === Seq("s", "p", "o", "lang"))
+    assert(df.count() === 0)
+  }
+
+  test("writeTriples produces lang= partition dirs with sorted rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val df = Seq(
+      ("<b>", "<p>", "<o1>", "de"), ("<a>", "<p>", "<o2>", "de"),
+      ("<c>", "<q>", "<o3>", "fr")).toDF("s", "p", "o", "lang")
+    ParquetIO.writeTriples(df, s"$dir/out")
+    val dirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("lang=de", "lang=fr"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 3)
+    // rows inside the de partition file are sorted by s
+    val de = spark.read.parquet(s"$dir/out/lang=de").select("s").as[String].collect()
+    assert(de === Array("<a>", "<b>"))
+  }
+
+  test("rdf write/read round-trip preserves triples and lang partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-rdf").toString
+    val df = Seq(
+      ("<s1>", "<p>", "\"a b\"", "de"),
+      ("<s2>", "<bad@pred>", "<o>", "de"), // dropped: invalid predicate
+      ("<s3>", "<q>", "<o>", "fr")).toDF("s", "p", "o", "lang")
+    val back = Rdf.write(df, s"$dir/out.rdf")
+    val rows = back.orderBy("s").as[(String, String, String, String)].collect()
+    assert(rows === Array(
+      ("<s1>", "<p>", "\"a b\"", "de"),
+      ("<s3>", "<q>", "<o>", "fr")))
+  }
+}

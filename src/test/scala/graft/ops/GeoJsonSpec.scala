@@ -1,0 +1,15 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GeoJsonSpec extends SparkSpec {
+
+  test("point literal becomes escaped GeoJSON with lon/lat swapped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val in = Seq(("<s>", "<http://www.georss.org/georss/point>", "\"51.5 -0.25\"", "en"))
+      .toDF("s", "p", "o", "lang")
+    val out = GeoJson.pointsToGeoJson(in).select("o").as[String].head()
+    assert(out === "\"{\\\"type\\\":\\\"Point\\\",\\\"coordinates\\\":[-0.25,51.5]}\"^^<geo:geojson>")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ops.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(docs, col("doc_id"), col("text"))
+      .select("keeper", "n_docs").as[(Long, Long)].collect().sorted
+    assert(out === Array((1L, 2L), (3L, 1L)))
+  }
+
+  test("identical texts share minhash signatures; disjoint texts differ") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "p q r")).toDF("doc_id", "text")
+    val sig = Dedup.withMinhashSignature(docs, col("text"), 3)
+      .select("doc_id", "mh0", "mh1", "mh2").as[(Long, String, String, String)]
+      .collect().sortBy(_._1)
+    assert(sig(0)._2 === sig(1)._2 && sig(0)._3 === sig(1)._3) // same token set
+    assert(sig(0)._2 !== sig(2)._2)
+  }
+
+  test("lsh candidate pairs surface same-band documents once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b a"), (3L, "z w")).toDF("doc_id", "text")
+    val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("simhash of identical token bags is equal, near for overlapping") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "q r s t")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === out(1)._2)
+    assert(out(0)._2 !== out(2)._2)
+  }
+
+  test("jaccard on token sets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(Dedup.tokens(col("x")), Dedup.tokens(col("y"))))
+      .as[Double].head()
+    assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine top-1 finds the exact duplicate vector") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val out = Similarity.cosineTopK(vecs.where(col("id") === 0), vecs, k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(out === Array((0L, 1L, 1)))
+  }
+
+  test("srp buckets put identical vectors together") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "vec")
+    val b = vecs.select(Similarity.srpBucket(col("vec"), 8)).as[Long].collect()
+    assert(b(0) === b(1))
+  }
+}
+
+class TextStatsSpec extends SparkSpec {
+
+  test("token and subword counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("hello world 42").toDF("text")
+    assert(df.select(TextStats.tokenCount(col("text"))).as[Int].head() === 3)
+    assert(df.select(TextStats.subwordCount(col("text"))).as[Int].head() === 3)
+    assert(Seq("don't stop").toDF("text")
+      .select(TextStats.subwordCount(col("text"))).as[Int].head() === 4) // don ' t stop
+  }
+
+  test("langId picks the language with most marker hits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("the cat of the house", "der hund und die katze", "xyzzy plugh")
+      .toDF("text").select(TextStats.langId(col("text"))).as[String].collect()
+    assert(out === Array("en", "de", "und"))
+  }
+
+  test("fingerprint is order-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("a b c", "c a b", "a b d").toDF("text")
+      .select(TextStats.fingerprint(col("text"))).as[String].collect()
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+  }
+}
+
+class EventsSpec extends SparkSpec {
+
+  test("sessionize counts gap-separated sessions per user") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"), // session 1
+      (1L, "2024-01-01 01:00:00"), // session 2 (50min gap > 30min)
+      (2L, "2024-01-01 00:00:00")
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Events.sessionize(events, 1800)
+      .select("user_id", "n_sessions", "n_events").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("tumblingAgg buckets on epoch boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      ("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 00:50:00", 2.0),
+      ("a", "2024-01-01 01:10:00", 4.0)
+    ).toDF("event_type", "ts_s", "value")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val out = Events.tumblingAgg(events, 3600)
+      .select("bucket", "n_events", "sum_value").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1704067200L, 2L, 3.0), (1704070800L, 1L, 4.0)))
+  }
+}
