@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: opaque `binary` content + typed metadata, with
+  * decode/feature-extraction as per-partition batch transforms.
+  *
+  * The decode step itself is a STUB — media codecs are not available in
+  * this environment — implemented as a deterministic fake
+  * ([[StubCodec.decode]]) so the Spark-side plumbing is real and testable:
+  * the schema contract, the `mapPartitions` batch boundary (the Scala
+  * analog of `mapInPandas`: one iterator per partition, amortizing codec
+  * init across rows), partitioning, and the feature-vector output shape.
+  *
+  * Scale design: media rows are large (MBs) — the operators never shuffle
+  * content bytes. Derived features/metadata project content away *before*
+  * any wide operation; repartitioning for codec parallelism uses
+  * `repartition(n)` on the id, done while the only columns are (id, uri),
+  * not after content is loaded.
+  */
+object Multimodal {
+
+  /** Canonical media row: opaque bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long, embedding: Array[Float])
+
+  /** STUB codec: deterministic fake decode. Real deployments swap this
+    * object for one backed by an actual codec library; everything else in
+    * the file is production plumbing. */
+  object StubCodec {
+    /** "Decode" = derive a fixed-length pseudo-embedding from the content
+      * bytes (md5-seeded, deterministic). */
+    def decode(content: Array[Byte], dims: Int): Array[Float] = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+      Array.tabulate(dims) { i =>
+        val b = d(i % d.length) & 0xff
+        (b - 128) / 128.0f
+      }
+    }
+  }
+
+  /** Feature extraction over media batches: the `mapPartitions` boundary
+    * initializes the (stub) codec once per partition — the batch shape a
+    * real codec needs. Content bytes never survive this projection. */
+  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init would happen here
+        rows.map { case (id, modality, content) =>
+          MediaFeatures(id, modality, content.length.toLong, StubCodec.decode(content, dims))
+        }
+      }
+  }
+
+  /** Frame sampling plan for video rows: one row per sampled frame index,
+    * derived from metadata only (content untouched until decode). */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .where(col("modality") === "video" && col("meta.duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
+
+  /** Resize request plan: pure-metadata computation of target dimensions
+    * preserving aspect ratio (decode-side work stays in the stub). */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width").cast("double")
+    val h = col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h))
+    media
+      .where(col("modality") === "image")
+      .select(col("media_id"),
+        round(w * scale).cast("int").as("target_width"),
+        round(h * scale).cast("int").as("target_height"))
+  }
+
+  /** Synthetic media table for tests/demos (documents bytes as fake
+    * content). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val modality = Seq("image", "audio", "video")(i % 3)
+      val content = s"media-payload-$i".getBytes("UTF-8")
+      (i.toLong, modality, content, ("fake", 640 + i, 480 + i, 10000L * (i + 1)))
+    }
+    rows.toDF("media_id", "modality", "content", "meta")
+      .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
+  }
+}

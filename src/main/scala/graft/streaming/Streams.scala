@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Keyed session state for [[Streams.sessionizeWithState]] (top-level so
+  * the state encoder codegen sees a plain public product type). */
+case class SessionState(nEvents: Long, start: Long, last: Long)
+
+/** Structured Streaming duals of the batch event ops
+  * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
+  * late-data handling, session windows, and custom keyed state via
+  * `flatMapGroupsWithState`.
+  *
+  * The reference has no streaming at all (SURVEY §2.10) — this is the
+  * north-star extension surface. Everything here is incremental-state
+  * hash aggregation: one shuffle on the grouping key per micro-batch,
+  * state store partitioned the same way, so a 1000-executor cluster scales
+  * by key cardinality, not stream volume.
+  */
+object Streams {
+
+  /** Event row contract for the typed stateful ops. */
+  case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  /** Per-user session summary emitted by [[sessionizeWithState]]. */
+  case class SessionSummary(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
+
+  /** Tumbling-window count/sum per event type; late events beyond the
+    * watermark are dropped instead of growing state forever. */
+  def tumblingAgg(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based session windows (built-in `session_window`): sessions close
+    * when no event arrives for `gap`; watermark bounds state. */
+  def sessionWindows(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Custom keyed state: per-user sessionization with explicit timeout —
+    * the `flatMapGroupsWithState` shape for semantics `session_window`
+    * can't express (e.g. emitting a summary exactly when a session closes).
+    */
+  def sessionizeWithState(
+      events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.nEvents, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, last = t))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, s.nEvents, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source event stream over the testdata schema — the readStream
+    * entry point mirroring the batch `spark.read.parquet`. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

@@ -1,0 +1,41 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("synthetic media conforms to the media schema") {
+    val df = Multimodal.syntheticMedia(spark, 6)
+    assert(df.schema("content").dataType.typeName === "binary")
+    assert(df.select("meta.width").head().getInt(0) === 640)
+  }
+
+  test("feature extraction is deterministic and drops content") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Multimodal.syntheticMedia(spark, 6)
+    val f1 = Multimodal.extractFeatures(media, dims = 8).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dims = 8).collect().sortBy(_.media_id)
+    assert(f1.map(_.embedding.toSeq).toSeq === f2.map(_.embedding.toSeq).toSeq)
+    assert(f1.forall(_.embedding.length === 8))
+    assert(f1.head.n_bytes === "media-payload-0".length)
+  }
+
+  test("frame sampling derives rows from metadata only") {
+    val media = Multimodal.syntheticMedia(spark, 3)
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+    // media 2 is the only video (duration 30000ms) -> frames 0,5000,...,30000
+    assert(frames.count() === 7)
+    assert(frames.agg(max("frame_ms")).head().getLong(0) === 30000L)
+  }
+
+  test("resize plan preserves aspect ratio under the max dimension") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Multimodal.syntheticMedia(spark, 1) // image 640x480
+    val out = Multimodal.resizePlan(media, maxDim = 320)
+      .as[(Long, Int, Int)].head()
+    assert(out === ((0L, 320, 240)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg emits finalized windows after watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.tumblingAgg(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark past window end
+      input.addData((ts("2024-01-01 02:00:00"), "click", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .select(col("window.start").cast("string"), col("n_events"), col("sum_value"))
+        .as[(String, Long, Double)].collect()
+      assert(out.toSeq === Seq(("2024-01-01 00:00:00", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits session summary when the gap passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    // event-time timeout requires a watermark on the input
+    val events = input.toDS().withWatermark("ts", "0 seconds").as[Streams.Event]
+    val q = Streams.sessionizeWithState(events, gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Streams.Event(1L, ts("2024-01-01 00:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // an event far in the future closes user 1's session (new session in
+      // same batch) and advances the watermark so the old state times out
+      input.addData(Streams.Event(1L, ts("2024-01-01 03:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(2L, ts("2024-01-01 06:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("start").cast("string"))
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._3))
+      assert(out.contains((1L, 2L, "2024-01-01 00:00:00")))
+    } finally q.stop()
+  }
+
+  test("session_window groups events by gap") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = Streams.sessionWindows(events, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 05:00:00"), 1L))
+      q.processAllAvailable()
+      val out = spark.table("sesswin").select("user_id", "n_events")
+        .as[(Long, Long)].collect()
+      assert(out.toSeq === Seq((1L, 2L)))
+    } finally q.stop()
+  }
+}
