@@ -301,14 +301,18 @@ object SparkEntry {
 
     // ---- n-gram (token-set) Jaccard near-dup pairs --------------------
     "q24_jaccard" -> ((s, dir) => {
+      // distinct token sets, int-hashed (primitive equality in the pair
+      // loop), computed once per document below the join
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), Dedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          array_distinct(transform(Dedup.tokens(col("text")),
+            w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))).as("toks"))
       val a = d.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
       val b = d.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
       a.join(b, Seq("source"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          Dedup.jaccard(col("toks_a"), col("toks_b")).as("jac"))
+          Dedup.jaccardPreDistinct(col("toks_a"), col("toks_b")).as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -529,7 +533,9 @@ object SparkEntry {
           |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q24_jaccard" ->
-        s"""WITH d AS (SELECT doc_id, source, list_distinct($toks) AS toks FROM documents),
+        s"""WITH d AS (SELECT doc_id, source,
+          |  list_distinct(list_transform($toks, w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS toks
+          | FROM documents),
           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) /
           |  CAST(len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS jac
