@@ -270,6 +270,96 @@ object SparkEntry {
         .orderBy(col("s"), col("p"))
     }),
 
+    // ---- F6/F8/F9: geojson synthesis (array swap, cast, to_json) -------
+    "q31_geojson" -> ((s, dir) => {
+      val triples = t(s, dir, "part").select(
+        concat(lit("<http://part/"), col("p_partkey").cast("string"), lit(">")).as("s"),
+        lit("<http://www.georss.org/georss/point>").as("p"),
+        concat(lit("\""), col("p_retailprice").cast("string"), lit(" "),
+          col("p_size").cast("string"), lit("\"")).as("o"),
+        lit("en").as("lang"))
+      graft.ops.GeoJson.pointsToGeoJson(triples)
+        .select(col("s"), col("o"))
+        .orderBy(col("s"))
+    }),
+
+    // ---- D1: node-language extraction with the dbpedia quirk -----------
+    "q32_nodelang" -> ((s, dir) => {
+      val langs = array(lit("de"), lit("fr"), lit("en"), lit("es"), lit("zh"))
+      val o = when(col("c_custkey") % 7 === 0,
+          concat(lit("<http://dbpedia.org/resource/R"), col("c_custkey").cast("string"), lit(">")))
+        .otherwise(concat(lit("<http://"),
+          element_at(langs, (col("c_custkey") % 5).cast("int") + 1),
+          lit(".dbpedia.org/resource/R"), col("c_custkey").cast("string"), lit(">")))
+      val objectLangs = graft.ops.Languages.objectLanguages(
+        Some(Seq("de", "fr", "en")), null) // de, fr, en + dbpedia quirk
+      t(s, dir, "customer")
+        .select(o.as("o"))
+        .withColumn("node_lang", Columns.nodeLang(col("o")))
+        .where(col("node_lang").isin(objectLangs: _*))
+        .groupBy(col("node_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("node_lang"))
+    }),
+
+    // ---- A6 at scale: HLL approximate distinct (no SQL oracle — HLL
+    // sketches differ per engine; driver records rows-only) --------------
+    "q33_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+    }),
+
+    // ---- S9/D3/D4 composition: full schema relation generation ---------
+    "q34_schema_gen" -> ((s, dir) => {
+      val langs = array(lit("de"), lit("en-de"), lit("fr"))
+      val triples = t(s, dir, "part").select(
+        concat(lit("<http://s/"), col("p_partkey").cast("string"), lit(">")).as("s"),
+        concat(lit("<http://p/"), (col("p_partkey") % 8).cast("string"), lit(">")).as("p"),
+        when(col("p_partkey") % 3 === 0,
+          concat(lit("\""), col("p_size").cast("string"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+          .when(col("p_partkey") % 3 === 1, concat(lit("\""), col("p_brand"), lit("\"")))
+          .otherwise(concat(lit("<http://o/"), col("p_partkey").cast("string"), lit(">")))
+          .as("o"),
+        element_at(langs, (col("p_partkey") % 3).cast("int") + 1).as("lang"))
+      val withTypes = DataTypes.withDataType(triples)
+      val winning = DataTypes.mostFrequentTypePerPredicate(withTypes)
+      SchemaGen.schema(s, triples, winning, langTag = " @lang", externaliseUris = true)
+        .orderBy(col("dataset"), col("p"), col("lang"), col("t"), col("i"))
+    }),
+
+    // ---- J4/U2/A4 composition: wide per-language stats with rollup -----
+    "q35_stats_perlang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("lang",
+          when(col("lang").isin("zh", "de"), concat(lit("en-"), col("lang")))
+            .otherwise(col("lang")))
+      val d1 = docs
+      val d2 = docs.where(col("doc_id") % 2 === 0)
+      val d3 = docs.where(col("source").isin("src0", "src1", "src2"))
+      graft.ops.Stats.withEnRollup(graft.ops.Stats.perLanguage(s,
+        Seq("all_docs" -> d1, "even_docs" -> d2, "early_src" -> d3)))
+    }),
+
+    // ---- BPE-ish subword counting --------------------------------------
+    "q36_subwords" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.subwordCount(col("text")).cast("long").as("n_subwords"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SRP LSH bucket assignment (the ANN scale path) ----------------
+    "q37_srp_buckets" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .where(col("vec_id") < 100)
+        .select(col("vec_id"),
+          Similarity.srpBucket(col("embedding"), 8).as("bucket"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -483,6 +573,93 @@ object SparkEntry {
           |  WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN '@index(int)'
           |  WHEN '<http://www.w3.org/2001/XMLSchema#string>' THEN '@index(fulltext)' END AS dindex
           |FROM (SELECT doc_id, $coerceT AS t FROM ($extractVT)) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      "q31_geojson" ->
+        """WITH g AS (SELECT '<http://part/' || p_partkey || '>' AS s,
+          |  CAST(CAST(CAST(p_retailprice AS VARCHAR) AS FLOAT) AS VARCHAR) AS lat,
+          |  CAST(CAST(CAST(p_size AS VARCHAR) AS FLOAT) AS VARCHAR) AS lon FROM part)
+          |SELECT s, '"' || replace('{"type":"Point","coordinates":[' || lon || ',' || lat || ']}', '"', '\"') || '"^^<geo:geojson>' AS o
+          |FROM g ORDER BY s""".stripMargin.replace("\n", " "),
+      "q32_nodelang" ->
+        """WITH o AS (SELECT CASE WHEN c_custkey % 7 = 0
+          |  THEN '<http://dbpedia.org/resource/R' || c_custkey || '>'
+          |  ELSE '<http://' || (['de','fr','en','es','zh'])[CAST(c_custkey % 5 AS INT) + 1] || '.dbpedia.org/resource/R' || c_custkey || '>' END AS o
+          | FROM customer),
+          |n AS (SELECT o, substr(split_part(o, '.', 1), 9) AS node_lang FROM o)
+          |SELECT node_lang, COUNT(*) AS n FROM n
+          |WHERE node_lang IN ('de','fr','en','dbpedia')
+          |GROUP BY node_lang ORDER BY node_lang""".stripMargin.replace("\n", " "),
+      "q34_schema_gen" ->
+        """WITH tr AS (SELECT '<http://p/' || (p_partkey % 8) || '>' AS p,
+          |  CASE WHEN p_partkey % 3 = 0 THEN '"' || p_size || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+          |   WHEN p_partkey % 3 = 1 THEN '"' || p_brand || '"'
+          |   ELSE '<http://o/' || p_partkey || '>' END AS o,
+          |  (['de','en-de','fr'])[CAST(p_partkey % 3 AS INT) + 1] AS lang FROM part),
+          |wt AS (SELECT p, lang,
+          |  CASE WHEN o LIKE '<%' THEN '<uri>'
+          |   WHEN regexp_matches(o, '\^\^[^^]*$') THEN
+          |    (CASE WHEN regexp_extract(o, '\^\^([^^]*)$', 1) IN ('<uri>', '<http://www.w3.org/2001/XMLSchema#date>',
+          |      '<http://www.w3.org/2001/XMLSchema#double>', '<http://www.w3.org/2001/XMLSchema#integer>',
+          |      '<http://www.w3.org/2001/XMLSchema#string>') THEN regexp_extract(o, '\^\^([^^]*)$', 1)
+          |      ELSE '<http://www.w3.org/2001/XMLSchema#string>' END)
+          |   ELSE '<http://www.w3.org/2001/XMLSchema#string>' END AS t FROM tr),
+          |win AS (SELECT p, t FROM (SELECT p, t, ROW_NUMBER() OVER (PARTITION BY p ORDER BY COUNT(*) DESC, t) AS k
+          |  FROM wt GROUP BY p, t) WHERE k = 1),
+          |inf AS (SELECT DISTINCT 'infobox_properties' AS dataset, wt.p AS p,
+          |  CASE WHEN wt.lang LIKE '%-%' THEN 'en' ELSE wt.lang END AS lang,
+          |  CASE win.t WHEN '<uri>' THEN '[uid]'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#date>' THEN 'datetime'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#double>' THEN 'float'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN 'int'
+          |   ELSE 'string' END AS t,
+          |  CASE (CASE win.t WHEN '<uri>' THEN '[uid]'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#date>' THEN 'datetime'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#double>' THEN 'float'
+          |   WHEN '<http://www.w3.org/2001/XMLSchema#integer>' THEN 'int'
+          |   ELSE 'string' END)
+          |   WHEN '[uid]' THEN '@reverse' WHEN 'datetime' THEN '@index(day)'
+          |   WHEN 'float' THEN '@index(float)' WHEN 'int' THEN '@index(int)'
+          |   ELSE '@index(fulltext)' END AS i
+          | FROM wt JOIN win ON wt.p = win.p),
+          |static AS (SELECT * FROM (VALUES
+          |  ('labels','<http://www.w3.org/2000/01/rdf-schema#label>','any','string @lang','@index(fulltext)'),
+          |  ('article_categories','<http://purl.org/dc/terms/subject>','any','[uid]','@reverse'),
+          |  ('skos_categories','<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>','any','uid','@reverse'),
+          |  ('skos_categories','<http://www.w3.org/2004/02/skos/core#prefLabel>','any','string @lang','@index(fulltext)'),
+          |  ('skos_categories','<http://www.w3.org/2004/02/skos/core#related>','any','[uid]','@reverse'),
+          |  ('skos_categories','<http://www.w3.org/2004/02/skos/core#broader>','any','[uid]','@reverse'),
+          |  ('interlanguage_links','<http://www.w3.org/2002/07/owl#sameAs>','any','[uid]','@reverse'),
+          |  ('page_links','<http://dbpedia.org/ontology/wikiPageWikiLink>','any','[uid]','@reverse'),
+          |  ('geo_coordinates','<http://www.georss.org/georss/point>','any','geo','@index(geo)')
+          | ) v(dataset, p, lang, t, i))
+          |SELECT dataset, p, lang, t, i FROM (
+          | SELECT DISTINCT * FROM (SELECT * FROM static UNION ALL SELECT * FROM inf)
+          | UNION ALL SELECT 'external_ids','<xid>','any','string','@index(exact)')
+          |ORDER BY dataset, p, lang, t, i""".stripMargin.replace("\n", " "),
+      "q35_stats_perlang" ->
+        """WITH docs AS (SELECT doc_id, source,
+          |  CASE WHEN lang IN ('zh','de') THEN 'en-' || lang ELSE lang END AS lang FROM documents),
+          |a1 AS (SELECT lang, COUNT(*) AS all_docs FROM docs GROUP BY 1),
+          |a2 AS (SELECT lang, COUNT(*) AS even_docs FROM docs WHERE doc_id % 2 = 0 GROUP BY 1),
+          |a3 AS (SELECT lang, COUNT(*) AS early_src FROM docs WHERE source IN ('src0','src1','src2') GROUP BY 1),
+          |wide AS (SELECT lang, all_docs, even_docs, early_src
+          | FROM a1 FULL OUTER JOIN a2 USING (lang) FULL OUTER JOIN a3 USING (lang))
+          |SELECT lang, all_docs, even_docs, early_src FROM wide WHERE lang NOT LIKE 'en-%'
+          |UNION ALL
+          |SELECT 'en-*' AS lang, CAST(SUM(all_docs) AS BIGINT) AS all_docs,
+          | CAST(SUM(even_docs) AS BIGINT) AS even_docs, CAST(SUM(early_src) AS BIGINT) AS early_src
+          |FROM wide WHERE lang LIKE 'en-%'
+          |ORDER BY lang""".stripMargin.replace("\n", " "),
+      "q36_subwords" ->
+        """SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+          | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q37_srp_buckets" ->
+        """SELECT vec_id, CAST(list_sum(list_transform(generate_series(0,7), p ->
+          | CASE WHEN list_sum(list_transform(CAST(embedding AS DOUBLE[]), (x,i) ->
+          |   x * CASE WHEN CAST(('0x' || substr(md5('p' || p || ':' || (i-1)),1,4)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)) >= 0
+          | THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+          |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin.replace("\n", " "),
       "q18_topk_pipeline" ->
         """WITH tr AS (SELECT '<http://s/' || l_orderkey || '>' AS s,
           |  '<http://p/' || (l_suppkey % 20) || '>' AS p,

@@ -19,11 +19,13 @@ object TextStats {
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * punctuation characters each count as one token (a cheap, deterministic
-    * approximation of byte-pair-encoded token counts for budget planning). */
+    * approximation of byte-pair-encoded token counts for budget planning).
+    * Formulated as three `regexp_extract_all` counts — lookaround-free, so
+    * the same regexes run on RE2-based engines. */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-      t => t.rlike("\\S")))
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Quality metrics: chars, tokens, avg token length, stopword ratio,
     * alphabetic ratio. Ratios are double divisions of exact ints —
