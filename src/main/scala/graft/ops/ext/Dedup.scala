@@ -58,14 +58,27 @@ object Dedup {
   def lshCandidatePairs(
       signatures: DataFrame,
       idCol: String,
-      bandCols: Seq[String]): DataFrame = {
-    val key = md5(concat_ws("|", bandCols.map(col): _*))
-    val l = signatures.select(key.as("band"), col(idCol).as("id_a"))
-    val r = signatures.select(key.as("band"), col(idCol).as("id_b"))
-    l.join(r, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+      bandCols: Seq[String]): DataFrame =
+    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols))
+
+  /** Multi-band LSH: a pair is a candidate if it agrees on ANY band. With a
+    * single band each document sits in exactly one bucket, so pairs are
+    * unique by construction and the cross-band `distinct` (a full shuffle
+    * of the pair set — the most expensive step) is skipped. */
+  def lshCandidatePairsMultiBand(
+      signatures: DataFrame,
+      idCol: String,
+      bands: Seq[Seq[String]]): DataFrame = {
+    val perBand = bands.map { bandCols =>
+      val key = md5(concat_ws("|", bandCols.map(col): _*))
+      val l = signatures.select(key.as("band"), col(idCol).as("id_a"))
+      val r = signatures.select(key.as("band"), col(idCol).as("id_b"))
+      l.join(r, Seq("band"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }
+    val all = perBand.reduce(_.unionByName(_))
+    if (bands.size > 1) all.distinct() else all
   }
 
   /** 32-bit SimHash from token hashes: per bit position, the majority vote

@@ -1,0 +1,90 @@
+package graft
+
+import graft.io.Ttl
+import graft.ops.TopK
+import graft.ops.ext.{Dedup, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants using raw scalacheck generators (the
+  * scalatest bridge artifact is not in the offline cache). Each property
+  * samples N generated cases deterministically (fixed seeds) — each case
+  * runs a Spark job, so N stays small. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val uriGen = Gen.alphaNumStr.suchThat(_.nonEmpty).map(s => s"<http://x/$s>")
+  private val litGen = Gen.alphaNumStr.map(s => "\"" + s + " tail\"")
+  private val tripleGen = for {
+    s <- uriGen; p <- uriGen; o <- Gen.oneOf(uriGen, litGen)
+  } yield (s, p, o)
+
+  test("property: ttl parse round-trips arbitrary well-formed triples") {
+    val spark2 = spark
+    import spark2.implicits._
+    samples(Gen.listOfN(5, tripleGen), 5).filter(_.nonEmpty).foreach { ts =>
+      val lines = ts.map { case (s, p, o) => s"$s $p $o ." }.toDF("value")
+      val parsed = Ttl.parse(lines).collect().map(t => (t.s, t.p, t.o)).toSeq
+      assert(parsed.sorted === ts.sorted, s"for $ts")
+    }
+  }
+
+  test("property: topKPerGroup keeps <=k rows per group, counts non-increasing in rank") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rowsGen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(1, 4)))
+    samples(rowsGen, 4).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.map { case (g, v) => (g, s"p$v") }.toDF("lang", "p")
+      val top = TopK.topKPerGroup(df, Seq(col("lang")), Seq(col("p")), k = 2)
+        .select("lang", "count", "k").as[(String, Long, Int)].collect()
+      top.groupBy(_._1).foreach { case (g, rs) =>
+        assert(rs.length <= 2, s"group $g of $rows")
+        val byRank = rs.sortBy(_._3).map(_._2)
+        assert(byRank.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+          s"counts not non-increasing in $g: ${byRank.toSeq}")
+      }
+    }
+  }
+
+  test("property: jaccard of a text with itself is 1; with disjoint text is 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+    samples(wordsGen, 5).foreach { words =>
+      val text = words.mkString(" ")
+      val (self, disjoint) = Seq((text, text, "zz ww")).toDF("x", "y", "z")
+        .select(
+          Dedup.jaccard(Dedup.tokens(col("x")), Dedup.tokens(col("y"))),
+          Dedup.jaccard(Dedup.tokens(col("x")), Dedup.tokens(col("z"))))
+        .as[(Double, Double)].head()
+      assert(self === 1.0)
+      assert(disjoint === 0.0)
+    }
+  }
+
+  test("property: subword count is in [1, n_chars] for non-blank alphanumeric text") {
+    val spark2 = spark
+    import spark2.implicits._
+    samples(Gen.alphaNumStr.suchThat(_.trim.nonEmpty), 8).foreach { text =>
+      val n = Seq(text).toDF("text")
+        .select(TextStats.subwordCount(col("text"))).as[Int].head()
+      assert(n >= 1 && n <= text.length, s"for '$text'")
+    }
+  }
+
+  test("property: minhash signature equality is permutation-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("p", "q", "r", "s", "t"))
+    samples(wordsGen, 5).foreach { words =>
+      val docs = Seq((1L, words.mkString(" ")), (2L, scala.util.Random.shuffle(words).mkString(" ")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+        .select("mh0", "mh1").as[(String, String)].collect()
+      assert(sig(0) === sig(1), s"for $words")
+    }
+  }
+}
