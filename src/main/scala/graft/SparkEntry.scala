@@ -360,6 +360,30 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- inner range join (equi key + interval predicate) --------------
+    "q38_range_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- as-of join (union + carry-forward window; one shuffle) --------
+    "q39_asof" -> ((s, dir) => {
+      val left = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val right = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("o_totalprice"))
+      graft.ops.AsOfJoin.asOf(left, right, "user_id", "ts", "o_orderdate",
+          Seq("o_totalprice"))
+        .select(col("event_id"), col("asof_o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -691,6 +715,19 @@ object SparkEntry {
           |FROM wt WHERE EXISTS (SELECT 1 FROM win WHERE win.p = wt.p AND win.t = wt.t)
           | AND NOT (t = '<http://www.w3.org/2001/XMLSchema#date>' AND v LIKE '"-%')
           |ORDER BY s, p""".stripMargin.replace("\n", " "),
+      "q38_range_join" ->
+        """SELECT o_orderstatus, COUNT(*) AS n FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          | AND l_shipdate >= o_orderdate
+          | AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin.replace("\n", " "),
+      "q39_asof" ->
+        """WITH r AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_totalprice) AS o_totalprice
+          | FROM orders GROUP BY 1, 2)
+          |SELECT e.event_id, r.o_totalprice AS asof_o_totalprice
+          |FROM events e ASOF LEFT JOIN r
+          | ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+          |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
