@@ -11,5 +11,6 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 }
