@@ -52,6 +52,7 @@ object ParquetToRdf {
 
   def run(spark: SparkSession, parquetBase: String, outBase: String, cfg: RdfConfig): Map[String, Long] = {
     import spark.implicits._
+    val metrics = graft.core.SpillMetrics.register(spark)
     val langs = cfg.languages
 
     def read(name: String): DataFrame = ParquetIO.readDataset(spark, parquetBase, name, langs)
@@ -118,7 +119,9 @@ object ParquetToRdf {
       Rdf.write(xids, s"$outBase/external_ids.rdf")
     }
 
-    written.map { case (name, df) => name -> df.count() }
+    val counts = written.map { case (name, df) => name -> df.count() }
+    println(metrics.summary) // the reference's operational perf gauge
+    counts
   }
 
   /** Schema text sink: single sorted file per (dataset, lang) partition

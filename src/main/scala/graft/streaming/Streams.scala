@@ -86,6 +86,16 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen,
+    * with watermark-bounded state (late duplicates beyond the watermark are
+    * not caught — that's the state/recall trade every streaming dedup
+    * makes). The streaming dual of
+    * [[graft.ops.ext.Dedup.exactDupGroups]]. */
+  def dedup(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   /** File-source event stream over the testdata schema — the readStream
     * entry point mirroring the batch `spark.read.parquet`. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

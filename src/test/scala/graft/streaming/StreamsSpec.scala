@@ -61,6 +61,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "event_id")
+    val q = Streams.dedup(events, "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:05:00"), 2L), (ts("2024-01-01 00:00:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2) // 1L once, 2L once
+    } finally q.stop()
+  }
+
   test("session_window groups events by gap") {
     val spark2 = spark
     import spark2.implicits._
