@@ -384,6 +384,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- embedding-cosine near-dup pairs (SRP prefilter + threshold) ---
+    "q40_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.embeddingNearDupPairs(e, planes = 4, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- character-shingle MinHash -------------------------------------
+    "q41_shingle_minhash" -> ((s, dir) => {
+      val sh = Dedup.shingles(col("text"), 5)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_min(transform(sh, x => md5(concat(lit("s0:"), x)))).as("sh0"),
+          array_min(transform(sh, x => md5(concat(lit("s1:"), x)))).as("sh1"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -728,6 +747,25 @@ object SparkEntry {
           |FROM events e ASOF LEFT JOIN r
           | ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
           |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+      "q40_embedding_neardup" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+          |  CAST(list_sum(list_transform(generate_series(0,3), p ->
+          |   CASE WHEN list_sum(list_transform(CAST(embedding AS DOUBLE[]), (x,i) ->
+          |     x * CASE WHEN CAST(('0x' || substr(md5('p' || p || ':' || (i-1)),1,4)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)) >= 0
+          |   THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+          | FROM embeddings WHERE vec_id < 200)
+          |SELECT a.id AS id_a, b.id AS id_b FROM e a JOIN e b
+          | ON a.bucket = b.bucket AND a.id < b.id
+          |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q41_shingle_minhash" ->
+        """WITH s AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)) AS sh
+          | FROM documents)
+          |SELECT doc_id,
+          | list_min(list_transform(sh, x -> md5('s0:' || x))) AS sh0,
+          | list_min(list_transform(sh, x -> md5('s1:' || x))) AS sh1
+          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),

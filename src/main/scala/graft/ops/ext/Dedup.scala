@@ -26,6 +26,12 @@ object Dedup {
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Character n-gram shingles: the classic MinHash input unit for
+    * near-dup detection that must survive tokenization differences. */
+  def shingles(text: Column, n: Int): Column =
+    transform(sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+
   /** Exact-duplicate groups: one row per distinct content hash with the
     * surviving (minimum) id and the duplicate count. */
   def exactDupGroups(df: DataFrame, idCol: Column, textCol: Column): DataFrame =

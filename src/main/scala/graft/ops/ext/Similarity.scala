@@ -75,6 +75,20 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: SRP bucket prefilter (only
+    * bucket-sharing vectors are compared) + exact cosine threshold. The
+    * scalable dedup shape: candidate generation is a short-key join, the
+    * expensive cosine runs only on candidates. */
+  def embeddingNearDupPairs(vectors: DataFrame, planes: Int, threshold: Double): DataFrame = {
+    val sig = vectors.select(col("id"), col("vec"), srpBucket(col("vec"), planes).as("bucket"))
+    val l = sig.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** LSH-bucketed top-k: exact cosine ranking restricted to bucket-sharing
     * candidates. Returns (q_id, n_id, rnk) like [[cosineTopK]]; recall < 1
     * by construction. */
