@@ -96,10 +96,33 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
-  /** File-source event stream over the testdata schema — the readStream
-    * entry point mirroring the batch `spark.read.parquet`. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+  /** Watermarked stream-stream inner join: events enriched with the other
+    * stream's rows for the same key within `window` of event time. Both
+    * sides carry watermarks so join state is bounded — the required shape
+    * for unbounded stream-stream joins. */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, watermark: String, window: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withColumnRenamed(key, s"r_$key")
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $window") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $window"))
+  }
+
+  /** File-source event stream over the testdata events table — the
+    * readStream entry point mirroring the batch `spark.read.parquet`.
+    * The table stores TIMESTAMP(NANOS), which Spark reads as a nanos long
+    * (legacy flag) — converted here to a microsecond timestamp. */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
-      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(eventsDir) // file source requires a directory of parquet files
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -79,6 +79,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches keys within the time window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val q = Streams.streamStreamJoin(
+        clicks.toDF().toDF("ts", "user_id"),
+        buys.toDF().toDF("ts", "user_id"),
+        "user_id", "1 hour", "10 MINUTES")
+      .select("user_id", "ts", "r_ts")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 2L))
+      buys.addData((ts("2024-01-01 00:05:00"), 1L)) // in window for user 1
+      buys.addData((ts("2024-01-01 00:30:00"), 2L)) // outside 10min window
+      q.processAllAvailable()
+      val out = spark.table("ssj").select("user_id").as[Long].collect()
+      assert(out.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("file-source event stream reads the testdata schema incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.readEventStream(spark, dir.toString)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("filestream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filestream").count() === 5) // 5 event types
+    } finally q.stop()
+  }
+
   test("session_window groups events by gap") {
     val spark2 = spark
     import spark2.implicits._
