@@ -393,14 +393,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- character-shingle MinHash -------------------------------------
+    // ---- character-shingle MinHash (one md5 + one fold per doc) --------
     "q41_shingle_minhash" -> ((s, dir) => {
-      val sh = Dedup.shingles(col("text"), 5)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          array_min(transform(sh, x => md5(concat(lit("s0:"), x)))).as("sh0"),
-          array_min(transform(sh, x => md5(concat(lit("s1:"), x)))).as("sh1"))
+          Dedup.minhashPair(Dedup.shingles(col("text"), 5)).as("m"))
+        .select(col("doc_id"), col("m.a").as("sh0"), col("m.b").as("sh1"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- IVF ANN: centroid-bucketed top-k ------------------------------
+    "q42_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(e, e.where(col("id") < 5), numCentroids = 8, k = 3, nprobe = 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
     }),
 
     // ==== training-data pipeline extension ops ==========================
@@ -760,12 +769,29 @@ object SparkEntry {
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q41_shingle_minhash" ->
         """WITH s AS (SELECT doc_id,
-          |  list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)) AS sh
+          |  list_transform(list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)), x -> md5(x)) AS h
           | FROM documents)
           |SELECT doc_id,
-          | list_min(list_transform(sh, x -> md5('s0:' || x))) AS sh0,
-          | list_min(list_transform(sh, x -> md5('s1:' || x))) AS sh1
+          | list_min(list_transform(h, x -> substr(x, 1, 16))) AS sh0,
+          | list_min(list_transform(h, x -> substr(x, 17, 16))) AS sh1
           |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q42_ivf_topk" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, e.v, c.cid,
+          |  list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+          | FROM e, c),
+          |asg AS (SELECT id, v, cid FROM (SELECT id, v, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
+          |qp AS (SELECT id AS q_id, v AS qv, cid FROM (SELECT id, v, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim WHERE id < 5) WHERE rn <= 2),
+          |cand AS (SELECT qp.q_id, qp.qv, asg.id AS n_id, asg.v AS nv
+          | FROM qp JOIN asg ON qp.cid = asg.cid WHERE asg.id <> qp.q_id),
+          |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          |  list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) DESC, n_id) AS rnk
+          | FROM cand)
+          |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),

@@ -45,6 +45,20 @@ object Dedup {
   def minhash(tokensCol: Column, seed: Int): Column =
     array_min(transform(tokensCol, w => md5(concat(lit(s"$seed:"), w))))
 
+  /** Two MinHash values from ONE md5 per element: the 64-bit hex halves of
+    * a single digest act as two independent hash functions, and both minima
+    * are tracked in a single fold — one interpreted pass, one md5 per
+    * element (HOFs don't codegen; see [[simhash]]). Returns
+    * `struct<a: string, b: string>`. */
+  def minhashPair(elements: Column): Column = {
+    val hashes = transform(elements, x => md5(x))
+    aggregate(hashes,
+      struct(lit("~").as("a"), lit("~").as("b")), // '~' sorts after hex digits
+      (acc, h) => struct(
+        least(acc.getField("a"), substring(h, 1, 16)).as("a"),
+        least(acc.getField("b"), substring(h, 17, 16)).as("b")))
+  }
+
   /** MinHash signature columns `mh0..mh{n-1}` for each document. */
   def withMinhashSignature(df: DataFrame, textCol: Column, numHashes: Int): DataFrame = {
     val toks = tokens(textCol)

@@ -89,6 +89,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** IVF (inverted-file) top-k: the other classic ANN scale path.
+    *
+    * Coarse quantizer: the first `numCentroids` corpus vectors act as
+    * centroids (deterministic; production swaps in trained centroids
+    * without changing the plan shape). Every corpus vector is assigned to
+    * its nearest centroid (one broadcast join against K centroids — the
+    * corpus is never shuffled); a query probes its `nprobe` nearest
+    * centroid lists and ranks exactly within them.
+    *
+    * vs [[srpBucketedTopK]]: IVF buckets adapt to the data distribution
+    * (centroids sit where vectors are dense) while SRP buckets are
+    * data-oblivious; IVF recall tunes by `nprobe` at query time without
+    * re-indexing. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = corpus.where(col("id") < numCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val byVec = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(byVec))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("id").as("n_id"), col("vec").as("n_vec"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(byVec))
+      .where(col("rn") <= nprobe)
+      .select(col("cid"), col("id").as("q_id"), col("vec").as("q_vec"))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.join(assigned, Seq("cid"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** LSH-bucketed top-k: exact cosine ranking restricted to bucket-sharing
     * candidates. Returns (q_id, n_id, rnk) like [[cosineTopK]]; recall < 1
     * by construction. */

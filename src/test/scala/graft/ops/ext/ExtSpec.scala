@@ -69,6 +69,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Array((0L, 1L, 1)))
   }
 
+  test("ivf finds the near-duplicate when it shares the probed centroid") {
+    val spark2 = spark
+    import spark2.implicits._
+    // centroids = ids 0,1 (x-axis and y-axis); 10 is a near-dup of 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.01f, 0.99f))
+    ).toDF("id", "vec")
+    val out = Similarity.ivfTopK(vecs, vecs.where(col("id") === 0),
+        numCentroids = 2, k = 1, nprobe = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(out === Array((0L, 10L, 1)))
+  }
+
   test("srp buckets put identical vectors together") {
     val spark2 = spark
     import spark2.implicits._
