@@ -26,11 +26,14 @@ object Rdf {
   def validPredicates(df: DataFrame): DataFrame =
     df.where(!col("p").contains("@") && !col("p").contains("~"))
 
+  /** The `"s p o ."` line projection — single definition shared by
+    * [[line]] and [[write]] so the format cannot diverge. */
+  private def lineColumns: Seq[org.apache.spark.sql.Column] = Seq(
+    concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" .")).as("value"),
+    col("lang"))
+
   /** Render one RDF line per triple: `s p o .` */
-  def line(df: DataFrame): DataFrame =
-    df.select(
-      concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" .")).as("value"),
-      col("lang"))
+  def line(df: DataFrame): DataFrame = df.select(lineColumns: _*)
 
   /** Write triples as RDF text; returns the read-back of the written files. */
   def write(df: DataFrame, path: String): DataFrame = {
@@ -42,9 +45,7 @@ object Rdf {
           Seq(col("p"), col("s")),   // one file per (p, s) range
           Seq(col("o")),             // files sorted by p, s, o
           None,
-          Some(Seq(
-            concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" .")).as("value"),
-            col("lang"))))
+          Some(lineColumns))
         .option("compression", "gzip")
         .mode(SaveMode.Overwrite)
         .text(path)

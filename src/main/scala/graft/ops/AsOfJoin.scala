@@ -39,32 +39,35 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String]): DataFrame = {
+    // ONE struct carries all value columns so the attached values always
+    // come from a single right row — carrying each column independently
+    // with last(ignoreNulls) would mix columns of different rows whenever
+    // a later right row holds a null in one of them
+    val rowStruct = struct(valueCols.map(col): _*)
+    val rowStructType = right.select(rowStruct).schema.head.dataType
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
-        left.columns.filterNot(_ == keyCol).map(c => col(c).as(s"__l_$c")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        left.columns.filterNot(_ == keyCol).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(rowStructType).as("__r"): _*)
     val rTagged = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col("__ts"), col("__side")) ++
         left.columns.filterNot(_ == keyCol).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        rowStruct.as("__r"): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried
+    lTagged.unionByName(rTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(Seq(col(keyCol)) ++
         left.columns.filterNot(_ == keyCol).map(c => col(s"__l_$c").as(c)) ++
-        valueCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"__r.$c").as(s"asof_$c")): _*)
   }
 }

@@ -63,12 +63,33 @@ object DataTypes {
     when(t.isin(supportedDataTypes: _*), t).otherwise(XsdString)
 
   /** `(s, p, o, lang)` -> `(s, p, v, t, lang)` with coerced datatype
-    * (reference: DbpediaDgraphSparkApp.scala:199-203). */
+    * (reference: DbpediaDgraphSparkApp.scala:199-203). Native-expression
+    * extraction — exact on real-world objects; see [[withDataTypeExact]]
+    * for the path that also reproduces the reference's pathological-input
+    * behavior. */
   def withDataType(triples: DataFrame): DataFrame =
     triples
       .withColumn("o+t", extractDataTypeNative(col("o")))
       .select(col("s"), col("p"), col("o+t.v").as("v"), col("o+t.t").as("t"), col("lang"))
       .withColumn("t", coerce(col("t")))
+
+  /** Reference-exact variant used by the parity pipeline: a Scala UDF with
+    * the reference's own split semantics (including embedded-`^` and
+    * trailing-`^^` edge cases) marked non-deterministic exactly like the
+    * reference so Catalyst evaluates it once per row (reference :195-196).
+    * Queries under the SQL-oracle gate use [[withDataType]], whose
+    * semantics the oracle replicates. */
+  def withDataTypeExact(triples: DataFrame): DataFrame = {
+    val extractUdf = org.apache.spark.sql.functions.udf(extractDataType _).asNondeterministic()
+    triples
+      .withColumn("o+t", extractUdf(col("o")))
+      // `get` (not getItem): the plain-literal case yields a 1-element
+      // array whose missing datatype slot must read as null — Spark 4's
+      // ANSI mode makes getItem(1) throw where Spark 3.0 returned null
+      .select(col("s"), col("p"),
+        get(col("o+t"), lit(0)).as("v"), get(col("o+t"), lit(1)).as("t"), col("lang"))
+      .withColumn("t", coerce(col("t")))
+  }
 
   /** Most frequent datatype per predicate (reference :206-212). */
   def mostFrequentTypePerPredicate(withTypes: DataFrame): DataFrame =

@@ -96,7 +96,8 @@ object SchemaGen {
       .distinct()
       .when(externaliseUris).call(_.unionByName(xidPredicate(spark)))
       .sort()
-      .coalesce(1)
+      .cache() // consumed by both schema writes (reference :329-330) —
+      .coalesce(1) // without it the infobox join+distinct runs twice
   }
 
   /** Render schema rows to text lines `<p>: t i .` — predicates containing

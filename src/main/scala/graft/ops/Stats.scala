@@ -51,14 +51,18 @@ object Stats {
 
   /** The `en-*` rollup view: all non-en-prefixed languages plus one summed
     * `en-*` row (reference :163-172). */
-  def withEnRollup(langStats: DataFrame): DataFrame =
-    langStats
+  def withEnRollup(langStats: DataFrame): DataFrame = {
+    // both union branches consume the (N-aggregation, N-join) input plan —
+    // cache it like the reference (:158) so it computes once
+    val cached = langStats.cache()
+    cached
       .where(!col("lang").startsWith("en-"))
       .union(
-        langStats
+        cached
           .where(col("lang").startsWith("en-"))
           .withColumn("lang", lit("en-*"))
           .groupBy(col("lang"))
           .sum())
       .orderBy(col("lang"))
+  }
 }

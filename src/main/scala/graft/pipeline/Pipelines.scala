@@ -78,7 +78,7 @@ object ParquetToRdf {
 
     // cleanup transforms
     val labels = Cleanup.labels(labelTriples, cfg.externaliseUris, cfg.removeLanguageTags)
-    val withTypes = DataTypes.withDataType(infoboxTriples)
+    val withTypes = DataTypes.withDataTypeExact(infoboxTriples)
     val winning = DataTypes.mostFrequentTypePerPredicate(withTypes)
     val infobox = Cleanup.infoboxWith(withTypes, winning, cfg.externaliseUris)
     val interlang = Cleanup.uriPairs(interlangTriples, cfg.externaliseUris)

@@ -27,6 +27,20 @@ class AsOfJoinSpec extends SparkSpec {
       ("e5", None)))
   }
 
+  test("asOf never mixes value columns across different right rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((1L, 30L, "e")).toDF("k", "ts", "name")
+    // later right row has a null price — the earlier price must NOT leak in
+    val right = Seq(
+      (1L, 10L, Some(10.0), Option.empty[Long]),
+      (1L, 20L, Option.empty[Double], Some(5L))
+    ).toDF("k", "rts", "price", "qty")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("price", "qty"))
+      .select("asof_price", "asof_qty").as[(Option[Double], Option[Long])].head()
+    assert(out === ((None, Some(5L))))
+  }
+
   test("asOf is inclusive at equal timestamps") {
     val spark2 = spark
     import spark2.implicits._
