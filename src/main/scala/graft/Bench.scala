@@ -28,6 +28,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      spark.catalog.clearCache() // isolate queries: no cross-query caches
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

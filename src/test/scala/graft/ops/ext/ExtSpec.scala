@@ -45,17 +45,18 @@ class DedupSpec extends SparkSpec {
     assert(out(0)._2 !== out(2)._2)
   }
 
-  test("shingles of short texts are empty, minhashPair of empty is null") {
+  test("shingles of short texts are empty, minhashPair of empty is the sentinel") {
     val spark2 = spark
     import spark2.implicits._
     val out = Seq("ab", "abcdef").toDF("text")
       .select(Dedup.shingles(col("text"), 5).as("sh"),
         Dedup.minhashPair(Dedup.shingles(col("text"), 5)).as("m"))
-      .select(col("sh"), col("m").isNull.as("mNull"))
-      .as[(Seq[String], Boolean)].collect()
-    assert(out(0) === ((Seq.empty[String], true)))
+      .select(col("sh"), col("m.a"))
+      .as[(Seq[String], String)].collect()
+    assert(out(0) === ((Seq.empty[String], "~"))) // callers null the sentinel out
     assert(out(1)._1 === Seq("abcde", "bcdef"))
-    assert(!out(1)._2)
+    assert(out(1)._2.length === 16)
+    assert(out(1)._2 !== "~")
   }
 
   test("jaccard on token sets") {
