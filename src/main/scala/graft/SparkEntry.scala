@@ -709,7 +709,7 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'en-*' AS lang, CAST(SUM(all_docs) AS BIGINT) AS all_docs,
           | CAST(SUM(even_docs) AS BIGINT) AS even_docs, CAST(SUM(early_src) AS BIGINT) AS early_src
-          |FROM wide WHERE lang LIKE 'en-%'
+          |FROM wide WHERE lang LIKE 'en-%' HAVING COUNT(*) > 0
           |ORDER BY lang""".stripMargin.replace("\n", " "),
       "q36_subwords" ->
         """SELECT doc_id,
@@ -853,9 +853,10 @@ object SparkEntry {
           |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q27_quality" ->
         s"""WITH q AS (SELECT doc_id, text, $toks AS toks,
-          |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha FROM documents)
+          |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+          |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws FROM documents)
           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-          | CAST(n_alpha AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+          | CAST(n_nonws AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
           | CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
           | CAST(n_alpha AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
           |FROM q ORDER BY doc_id""".stripMargin.replace("\n", " "),

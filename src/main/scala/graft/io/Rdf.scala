@@ -35,9 +35,18 @@ object Rdf {
   /** Render one RDF line per triple: `s p o .` */
   def line(df: DataFrame): DataFrame = df.select(lineColumns: _*)
 
-  /** Write triples as RDF text; returns the read-back of the written files. */
+  /** Write triples as RDF text; returns the read-back of the written files.
+    *
+    * Empty input deletes any existing output at `path` (divergence from the
+    * reference, which skips the write and would silently read back a
+    * PREVIOUS run's files from the same path). */
   def write(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
+    if (df.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     if (!df.isEmpty) {
       validPredicates(df)
         .writePartitionedBy(

@@ -62,7 +62,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec init would happen here
         rows.map { case (id, modality, content) =>
-          MediaFeatures(id, modality, content.length.toLong, StubCodec.decode(content, dims))
+          val bytes = if (content == null) Array.emptyByteArray else content // schema allows null
+          MediaFeatures(id, modality, bytes.length.toLong, StubCodec.decode(bytes, dims))
         }
       }
   }

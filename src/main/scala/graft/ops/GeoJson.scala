@@ -17,14 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   */
 object GeoJson {
 
-  /** Swap a 2-element array: `[lat, lon]` -> `[lon, lat]`. */
-  def swap(c: Column): Column = array(c(1), c(0))
+  /** Swap a 2-element array: `[lat, lon]` -> `[lon, lat]`. `get` (not
+    * `apply`): under Spark 4's default ANSI mode an out-of-bounds index
+    * would throw and kill the job on one malformed point; `get` yields
+    * null like the reference's Spark 3 behavior. */
+  def swap(c: Column): Column = array(get(c, lit(1)), get(c, lit(0)))
 
-  /** `(s, p, o, lang)` with `o = "lat lon"` -> o rewritten to GeoJSON. */
+  /** `(s, p, o, lang)` with `o = "lat lon"` -> o rewritten to GeoJSON.
+    * Non-numeric tokens survive as null coordinates (`try_cast`) instead
+    * of failing the job under ANSI. */
   def pointsToGeoJson(geoTriples: DataFrame): DataFrame =
     geoTriples
       .withColumn("point", regexp_replace(col("o"), "\"", ""))
-      .withColumn("coordinates", swap(split(col("point"), " ").cast(ArrayType(FloatType))))
+      .withColumn("coordinates", swap(split(col("point"), " ").try_cast(ArrayType(FloatType))))
       .withColumn("json", to_json(struct(lit("Point").as("type"), col("coordinates"))))
       .withColumn("o", regexp_replace(col("json"), "\"", "\\\\\""))
       .withColumn("o", concat(lit("\""), col("o"), lit("\"^^<geo:geojson>")))

@@ -95,7 +95,9 @@ object SchemaGen {
       .unionByName(inferredInfoboxPredicates(infoboxTriples, winningTypes))
       .distinct()
       .when(externaliseUris).call(_.unionByName(xidPredicate(spark)))
-      .sort()
+      // explicit columns: the reference's bare .sort() is a no-op Catalyst
+      // removes; sort for real so the relation honors the "sorted" contract
+      .sort("dataset", "p", "lang", "t", "i")
       .cache() // consumed by both schema writes (reference :329-330) —
       .coalesce(1) // without it the infobox join+distinct runs twice
   }

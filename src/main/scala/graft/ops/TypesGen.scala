@@ -17,8 +17,10 @@ object TypesGen {
       .withColumn("o", lit("\"" + typeName + "\""))
 
   /** Article/Category/Concept type triples from the per-dataset RDF frames.
-    * Each source is `.distinct()`-ed before the union (same partial-dedup
-    * rationale as [[ExternalIds]]). */
+    * The article sources and category objects are `.distinct()`-ed before
+    * the union (same partial-dedup rationale as [[ExternalIds]]); skos
+    * subjects deliberately are NOT, matching the reference exactly
+    * (DbpediaDgraphSparkApp.scala:430-433). */
   def types(
       labelsRdf: DataFrame,
       infoboxRdf: DataFrame,

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Single shared tokenizer (see [[Dedup.tokens]] for the empty-text
+    * quirk contract) — one definition so dedup and text-stats can never
+    * tokenize differently. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -36,9 +39,11 @@ object TextStats {
     val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
     val nChar = length(textCol)
     val nAlpha = length(regexp_replace(textCol, "[^A-Za-z]", ""))
+    // true mean token length: total non-whitespace chars / token count
+    val nNonWs = length(regexp_replace(textCol, "\\s", ""))
     df.withColumn("n_chars_m", nChar.cast("long"))
       .withColumn("n_tokens", nTok.cast("long"))
-      .withColumn("avg_token_len", nAlpha.cast("double") / nTok.cast("double"))
+      .withColumn("avg_token_len", nNonWs.cast("double") / nTok.cast("double"))
       .withColumn("stopword_ratio", nStop.cast("double") / nTok.cast("double"))
       .withColumn("alpha_ratio", nAlpha.cast("double") / nChar.cast("double"))
   }

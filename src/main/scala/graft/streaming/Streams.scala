@@ -79,7 +79,11 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp: a timeout below the current watermark throws and
+              // kills the query (possible when a user's late events trail
+              // the global watermark by more than the gap)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -28,6 +28,16 @@ class ParquetIOSpec extends SparkSpec {
     assert(de === Array("<a>", "<b>"))
   }
 
+  test("rdf write of an empty frame clears stale output from a previous run") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-rdf-stale").toString
+    val df = Seq(("<s1>", "<p>", "<o>", "de")).toDF("s", "p", "o", "lang")
+    assert(Rdf.write(df, s"$dir/out.rdf").count() === 1)
+    val empty = df.where($"s" === "<nope>")
+    assert(Rdf.write(empty, s"$dir/out.rdf").count() === 0) // not stale rows
+  }
+
   test("rdf write/read round-trip preserves triples and lang partitioning") {
     val spark2 = spark
     import spark2.implicits._
