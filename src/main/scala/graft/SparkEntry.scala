@@ -422,6 +422,19 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ---- skew-salted join (hot-key mitigation; result == plain join) ---
+    "q43_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_orderkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.ops.Skew.saltedJoin(l, sup, "suppkey", factor = 8,
+          entropyCols = Seq("l_orderkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("s_name"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -802,6 +815,11 @@ object SparkEntry {
           |  list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) DESC, n_id) AS rnk
           | FROM cand)
           |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      "q43_salted_join" ->
+        """SELECT s_name, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
