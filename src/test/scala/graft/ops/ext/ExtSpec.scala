@@ -35,6 +35,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("multi-band lsh unions bands and dedups cross-band pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1,2 agree on band A only; 3,4 agree on band B only; 1,2 ALSO
+    // agree on band B -> the (1,2) pair must appear once, not twice
+    val sig = Seq(
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"), (4L, "z", "q")
+    ).toDF("doc_id", "mhA", "mhB")
+    val pairs = Dedup.lshCandidatePairsMultiBand(sig, "doc_id",
+        Seq(Seq("mhA"), Seq("mhB")))
+      .as[(Long, Long)].collect().sorted
+    assert(pairs === Array((1L, 2L), (3L, 4L)))
+  }
+
   test("simhash of identical token bags is equal, near for overlapping") {
     val spark2 = spark
     import spark2.implicits._

@@ -94,4 +94,35 @@ class PipelineSpec extends SparkSpec {
     assert(types.contains(
       "<http://de.dbpedia.org/resource/A> <dgraph.type> \"Article\" ."))
   }
+
+  test("externalised-uris pipeline: blank nodes, xids, stripped lang tags") {
+    val tmp = Files.createTempDirectory("graft-e2e-ext")
+    val pq = tmp.resolve("parquet").toString
+    val out = tmp.resolve("rdf").toString
+    val label = "<http://www.w3.org/2000/01/rdf-schema#label>"
+    val a = "<http://de.dbpedia.org/resource/A>"
+
+    val d = Files.createDirectories(tmp.resolve("ttl/labels/de"))
+    val path = writeTtl(d, "labels.ttl", Seq(s"$a $label " + "\"Ah\"@de"))
+    TtlToParquet.run(spark, Seq("de" -> Seq(path)), s"$pq/labels.parquet")
+
+    ParquetToRdf.run(spark, pq, out,
+      RdfConfig(languages = Some(Seq("de")),
+        externaliseUris = true, removeLanguageTags = true))
+
+    val spark2 = spark
+    import spark2.implicits._
+    // md5("<http://de.dbpedia.org/resource/A>") pins the blank node id
+    val md5A = java.security.MessageDigest.getInstance("MD5")
+      .digest(a.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val labels = spark.read.textFile(s"$out/labels.rdf/lang=de").collect()
+    assert(labels.contains(s"_:$md5A $label " + "\"Ah\" ."), labels.toSeq)
+    val xids = spark.read.textFile(s"$out/external_ids.rdf/lang=de").collect()
+    assert(xids.contains(s"_:$md5A <xid> " + "\"http://de.dbpedia.org/resource/A\" ."),
+      xids.toSeq)
+    // schema includes the xid predicate when uris are externalised
+    val schema = spark.read.textFile(s"$out/schema.indexed.dgraph/dataset=external_ids/lang=any")
+      .collect()
+    assert(schema.contains("<xid>: string @index(exact) ."))
+  }
 }
