@@ -238,11 +238,13 @@ object SparkEntry {
 
     // ---- W1+J1 composition: the reference's top-k predicate pipeline ---
     "q18_topk_pipeline" -> ((s, dir) => {
+      // cache: the synthesized triples feed both the ranking aggregate and
+      // the semi-join fact side — one synthesis pass instead of two
       val triples = t(s, dir, "lineitem").select(
         concat(lit("<http://s/"), col("l_orderkey").cast("string"), lit(">")).as("s"),
         concat(lit("<http://p/"), (col("l_suppkey") % 20).cast("string"), lit(">")).as("p"),
         concat(lit("\""), col("l_quantity").cast("long").cast("string"), lit("\"")).as("o"),
-        lower(concat(col("l_returnflag"), col("l_linestatus"))).as("lang"))
+        lower(concat(col("l_returnflag"), col("l_linestatus"))).as("lang")).cache()
       val top = TopK.topKPredicatesPerLang(triples, 3)
       TopK.filterToTopK(triples, top)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
