@@ -44,7 +44,12 @@ object Bench {
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are -1.0 per query AND surfaced as an explicit count, so a
+    // query that starts throwing can never read as a speedup
+    val failures = results.count(_._2 < 0)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

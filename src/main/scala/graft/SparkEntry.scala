@@ -35,6 +35,19 @@ object SparkEntry {
   /** Exact 2-decimal fixed-point view of a money/quantity double. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Shared q16/q17 object synthesis (mirrors the oracle's `mkO`): four RDF
+    * object shapes keyed on doc_id — uri / int-typed / custom-typed /
+    * plain literal. */
+  private def mkObject: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<http://ex/doc/"), col("doc_id").cast("string"), lit(">")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("\""), col("n_chars").cast("string"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("\""), col("source"), lit("\"^^<http://ex/custom>")))
+      .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q05_join5")(spark, "/root/testdata/sf0.001")
@@ -200,14 +213,7 @@ object SparkEntry {
 
     // ---- D2: datatype extraction + coercion ---------------------------
     "q16_datatype" -> ((s, dir) => {
-      val o = when(col("doc_id") % 4 === 0,
-          concat(lit("<http://ex/doc/"), col("doc_id").cast("string"), lit(">")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("\""), col("n_chars").cast("string"),
-            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("\""), col("source"), lit("\"^^<http://ex/custom>")))
-        .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+      val o = mkObject
       t(s, dir, "documents")
         .select(col("doc_id"), o.as("o"))
         .withColumn("vt", DataTypes.extractDataTypeNative(col("o")))
@@ -218,14 +224,7 @@ object SparkEntry {
 
     // ---- D3/D4: native map lookup (schema type + index inference) ------
     "q17_typemap" -> ((s, dir) => {
-      val o = when(col("doc_id") % 4 === 0,
-          concat(lit("<http://ex/doc/"), col("doc_id").cast("string"), lit(">")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("\""), col("n_chars").cast("string"),
-            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("\""), col("source"), lit("\"^^<http://ex/custom>")))
-        .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+      val o = mkObject
       t(s, dir, "documents")
         .select(col("doc_id"), o.as("o"))
         .withColumn("vt", DataTypes.extractDataTypeNative(col("o")))

@@ -19,6 +19,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache() // per-query isolation (some queries cache)
+      // delete any previous output FIRST: a failing query must leave no
+      // stale result from an earlier run for the driver to compare against
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) {
+        target.listFiles().foreach(_.delete())
+        target.delete()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
