@@ -436,6 +436,46 @@ object SparkEntry {
         .orderBy(col("s_name"))
     }),
 
+    // ---- grouping sets: cube over two dims -----------------------------
+    "q44_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- pivot (dynamic columns from a known domain) -------------------
+    "q45_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- generator / explode: token frequencies ------------------------
+    "q46_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
+    // ---- set ops: intersect / except -----------------------------------
+    "q47_setops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val rich = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val both = withOrders.intersect(rich).withColumn("side", lit("both"))
+      val ordersOnly = withOrders.except(rich).withColumn("side", lit("orders_only"))
+      both.unionByName(ordersOnly).orderBy(col("side"), col("custkey"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -821,6 +861,27 @@ object SparkEntry {
           | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_name ORDER BY s_name""".stripMargin.replace("\n", " "),
+      "q44_cube" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
+      "q45_pivot" ->
+        """SELECT l_returnflag,
+          | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+          | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+      "q46_explode" ->
+        s"""SELECT word, COUNT(*) AS n
+          |FROM (SELECT unnest($toks) AS word FROM documents)
+          |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin.replace("\n", " "),
+      "q47_setops" ->
+        """WITH withorders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+          |rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+          |SELECT custkey, 'both' AS side FROM (SELECT custkey FROM withorders INTERSECT SELECT custkey FROM rich)
+          |UNION ALL
+          |SELECT custkey, 'orders_only' AS side FROM (SELECT custkey FROM withorders EXCEPT SELECT custkey FROM rich)
+          |ORDER BY side, custkey""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
