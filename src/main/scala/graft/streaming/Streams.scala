@@ -118,6 +118,28 @@ object Streams {
         col("r_ts") <= col("ts") + expr(s"INTERVAL $window"))
   }
 
+  /** Streaming sink through the batch partitioned writer: each micro-batch
+    * lands as lang/date-partitioned sorted files via `foreachBatch` — the
+    * bridge that lets every batch sink in [[graft.io]] serve streams.
+    * Append-only (mode per batch is Append; Overwrite would clobber
+    * previous batches). */
+  def writePartitionedStream(
+      events: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.io.PartitionedWrite._
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          .withColumn("event_date", to_date(col("ts")).cast("string"))
+          .writePartitionedBy(Seq(col("event_date")), Seq(col("user_id")), Seq(col("ts")))
+          .mode("append")
+          .parquet(path)
+      }
+      .start()
+  }
+
   /** File-source event stream over the testdata events table — the
     * readStream entry point mirroring the batch `spark.read.parquet`.
     * The table stores TIMESTAMP(NANOS), which Spark reads as a nanos long

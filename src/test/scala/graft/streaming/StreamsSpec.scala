@@ -115,6 +115,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch lands micro-batches as date-partitioned sorted parquet") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink")
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = Streams.writePartitionedStream(events, s"$dir/out", s"$dir/ckpt")
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-02 10:00:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      val dirs = new java.io.File(s"$dir/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs === Array("event_date=2024-01-01", "event_date=2024-01-02"))
+      assert(spark.read.parquet(s"$dir/out").count() === 3)
+    } finally q.stop()
+  }
+
   test("session_window groups events by gap") {
     val spark2 = spark
     import spark2.implicits._
