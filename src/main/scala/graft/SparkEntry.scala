@@ -476,6 +476,69 @@ object SparkEntry {
       both.unionByName(ordersOnly).orderBy(col("side"), col("custkey"))
     }),
 
+    // ---- external-id (xid) synthesis: distinct-union + md5 projection --
+    "q48_external_ids" -> ((s, dir) => {
+      def uri(prefix: String, k: Column) = concat(lit(prefix), k.cast("string"), lit(">"))
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val labels = n.select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        lit("de").as("lang"))
+      val infobox = n.where(col("n_nationkey") % 2 === 0)
+        .select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+          lit("de").as("lang"))
+      val interlang = sup.select(
+        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 10).as("s"),
+        uri("<http://fr.dbpedia.org/resource/Q", col("s_suppkey")).as("o"),
+        lit("de").as("lang"))
+      val pageLinks = sup.select(
+        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey")).as("s"),
+        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 3).as("o"),
+        lit("de").as("lang"))
+      val categories = n.where(col("n_nationkey") % 3 === 0).select(
+        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("o"),
+        lit("de").as("lang"))
+      val skos = n.select(
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("s"),
+        when(col("n_nationkey") % 2 === 0, graft.ops.ExternalIds.SkosRelated)
+          .otherwise("<http://www.w3.org/2004/02/skos/core#prefLabel>").as("p"),
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 7).as("o"),
+        lit("de").as("lang"))
+      val geo = n.where(col("n_nationkey") % 5 === 0)
+        .select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+          lit("de").as("lang"))
+      graft.ops.ExternalIds.xidTriples(
+          graft.ops.ExternalIds.uriOccurrences(s, labels, infobox, interlang,
+            pageLinks, categories, skos, geo))
+        .orderBy(col("s"), col("o"), col("lang"))
+    }),
+
+    // ---- dgraph.type triple generation ---------------------------------
+    "q49_types" -> ((s, dir) => {
+      def uri(prefix: String, k: Column) = concat(lit(prefix), k.cast("string"), lit(">"))
+      val n = t(s, dir, "nation")
+      def frame(pred: Column => Column) = n.select(
+        uri("<http://de.dbpedia.org/resource/R", pred(col("n_nationkey"))).as("s"),
+        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("o"),
+        lit("de").as("lang"))
+      val labels = frame(k => k)
+      val infobox = frame(k => k % 7)
+      val interlang = frame(k => k % 5)
+      val pageLinks = frame(k => k % 3)
+      val categories = n.select(
+        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("o"),
+        lit("de").as("lang"))
+      val skos = n.where(col("n_nationkey") % 2 === 0).select(
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("s"),
+        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 2).as("o"),
+        lit("de").as("lang"))
+      val geo = frame(k => k % 11)
+      graft.ops.TypesGen.types(labels, infobox, interlang, pageLinks,
+          categories, skos, geo)
+        .orderBy(col("s"), col("o"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -882,6 +945,38 @@ object SparkEntry {
           |UNION ALL
           |SELECT custkey, 'orders_only' AS side FROM (SELECT custkey FROM withorders EXCEPT SELECT custkey FROM rich)
           |ORDER BY side, custkey""".stripMargin.replace("\n", " "),
+      "q48_external_ids" ->
+        """WITH u AS (
+          | SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>' AS s, 'de' AS lang FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>', 'de' FROM nation WHERE n_nationkey % 2 = 0
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (s_suppkey % 10) || '>', 'de' FROM supplier
+          | UNION SELECT '<http://fr.dbpedia.org/resource/Q' || s_suppkey || '>', 'de' FROM supplier
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || s_suppkey || '>', 'de' FROM supplier
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (s_suppkey % 3) || '>', 'de' FROM supplier
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>', 'de' FROM nation WHERE n_nationkey % 3 = 0
+          | UNION SELECT '<http://de.dbpedia.org/resource/Cat' || n_nationkey || '>', 'de' FROM nation WHERE n_nationkey % 3 = 0
+          | UNION SELECT '<http://de.dbpedia.org/resource/Cat' || n_nationkey || '>', 'de' FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/Cat' || (n_nationkey % 7) || '>', 'de' FROM nation WHERE n_nationkey % 2 = 0
+          | UNION SELECT '<http://www.w3.org/2004/02/skos/core#Concept>', 'any'
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>', 'de' FROM nation WHERE n_nationkey % 5 = 0)
+          |SELECT '_:' || md5(s) AS s, '<xid>' AS p,
+          | '"' || substr(s, 2, length(s) - 2) || '"' AS o, lang
+          |FROM u ORDER BY s, o, lang""".stripMargin.replace("\n", " "),
+      "q49_types" ->
+        """WITH art AS (
+          | SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>' AS s, 'de' AS lang FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (n_nationkey % 7) || '>', 'de' FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (n_nationkey % 5) || '>', 'de' FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || n_nationkey || '>', 'de' FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (n_nationkey % 3) || '>', 'de' FROM nation
+          | UNION SELECT '<http://de.dbpedia.org/resource/R' || (n_nationkey % 11) || '>', 'de' FROM nation),
+          |types AS (
+          | SELECT s, '<dgraph.type>' AS p, '"Article"' AS o, lang FROM art
+          | UNION ALL
+          | SELECT '<http://de.dbpedia.org/resource/Cat' || (n_nationkey % 4) || '>', '<dgraph.type>', '"Category"', 'de' FROM nation
+          | UNION ALL
+          | SELECT '<http://de.dbpedia.org/resource/Cat' || (n_nationkey % 4) || '>', '<dgraph.type>', '"Concept"', 'de' FROM nation WHERE n_nationkey % 2 = 0)
+          |SELECT DISTINCT s, p, o, lang FROM types ORDER BY s, o""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
