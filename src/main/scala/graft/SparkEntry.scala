@@ -539,6 +539,23 @@ object SparkEntry {
         .orderBy(col("s"), col("o"))
     }),
 
+    // ---- skos cleanup: conditional blanking + lang-tag strip -----------
+    "q50_skos_cleanup" -> ((s, dir) => {
+      val prefLabel = graft.ops.Cleanup.SkosPrefLabel
+      val triples = t(s, dir, "nation").select(
+        concat(lit("<http://de.dbpedia.org/resource/Cat"),
+          col("n_nationkey").cast("string"), lit(">")).as("s"),
+        when(col("n_nationkey") % 2 === 0, prefLabel)
+          .otherwise("<http://www.w3.org/2004/02/skos/core#broader>").as("p"),
+        when(col("n_nationkey") % 2 === 0,
+          concat(lit("\""), col("n_name"), lit("\"@de")))
+          .otherwise(concat(lit("<http://de.dbpedia.org/resource/Cat"),
+            (col("n_nationkey") % 5).cast("string"), lit(">"))).as("o"),
+        lit("de").as("lang"))
+      graft.ops.Cleanup.skos(triples, externaliseUris = true, removeLanguageTags = true)
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -977,6 +994,19 @@ object SparkEntry {
           | UNION ALL
           | SELECT '<http://de.dbpedia.org/resource/Cat' || (n_nationkey % 4) || '>', '<dgraph.type>', '"Concept"', 'de' FROM nation WHERE n_nationkey % 2 = 0)
           |SELECT DISTINCT s, p, o, lang FROM types ORDER BY s, o""".stripMargin.replace("\n", " "),
+      "q50_skos_cleanup" ->
+        """WITH tr AS (SELECT
+          |  '<http://de.dbpedia.org/resource/Cat' || n_nationkey || '>' AS s,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN '<http://www.w3.org/2004/02/skos/core#prefLabel>'
+          |   ELSE '<http://www.w3.org/2004/02/skos/core#broader>' END AS p,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN '"' || n_name || '"@de'
+          |   ELSE '<http://de.dbpedia.org/resource/Cat' || (n_nationkey % 5) || '>' END AS o,
+          |  'de' AS lang FROM nation)
+          |SELECT '_:' || md5(s) AS s, p,
+          | CASE WHEN p = '<http://www.w3.org/2004/02/skos/core#prefLabel>'
+          |  THEN regexp_replace(o, '@[a-z]+$', '')
+          |  ELSE '_:' || md5(o) END AS o, lang
+          |FROM tr ORDER BY s, p, o""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
