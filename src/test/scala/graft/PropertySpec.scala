@@ -75,6 +75,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asOf agrees with the naive per-row maximum computation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val leftGen = Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+    val rightGen = Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+    samples(Gen.zip(leftGen, rightGen), 4).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+        .toDF("k", "ts", "row_id")
+      // dedupe right per (k, ts) like real callers must (ties are
+      // engine-arbitrary otherwise)
+      val rightRows = rs.groupBy(identity).keys.toSeq
+      val right = rightRows.map { case (k, ts) => (k, ts, ts * 10) }
+        .toDF("k", "rts", "v")
+      val got = graft.ops.AsOfJoin.asOf(left, right, "k", "ts", "rts", Seq("v"))
+        .select("row_id", "asof_v").as[(Long, Option[Long])]
+        .collect().toMap
+      ls.zipWithIndex.foreach { case ((k, ts), i) =>
+        val expected = rightRows.filter { case (rk, rts) => rk == k && rts <= ts }
+          .sortBy(_._2).lastOption.map(_._2 * 10)
+        assert(got(i.toLong) === expected, s"row $i key $k ts $ts of left=$ls right=$rightRows")
+      }
+    }
+  }
+
   test("property: minhash signature equality is permutation-invariant") {
     val spark2 = spark
     import spark2.implicits._
