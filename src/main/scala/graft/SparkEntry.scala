@@ -556,6 +556,21 @@ object SparkEntry {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // ---- analytic window frames: running sum, lag, dense_rank ----------
+    "q51_window_analytics" -> ((s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(running).cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(byCust).as("prev_orderkey"),
+          dense_rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderpriority"))).cast("long").as("prio_rank"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ==== training-data pipeline extension ops ==========================
 
     // ---- exact dedup: hash-groupBy on content hash --------------------
@@ -1007,6 +1022,13 @@ object SparkEntry {
           |  THEN regexp_replace(o, '@[a-z]+$', '')
           |  ELSE '_:' || md5(o) END AS o, lang
           |FROM tr ORDER BY s, p, o""".stripMargin.replace("\n", " "),
+      "q51_window_analytics" ->
+        """SELECT o_custkey, o_orderkey,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+          | LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+          | CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS prio_rank
+          |FROM orders WHERE o_custkey < 30
+          |ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", " "),
       "q20_dedup_exact" ->
         """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
           |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " "),
