@@ -35,6 +35,10 @@ object SparkEntry {
   /** Exact 2-decimal fixed-point view of a money/quantity double. */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** URI rendering shared by the triple-synthesis queries (q48-q50). */
+  private def uriCol(prefix: String, k: Column): Column =
+    concat(lit(prefix), k.cast("string"), lit(">"))
+
   /** Shared q16/q17 object synthesis (mirrors the oracle's `mkO`): four RDF
     * object shapes keyed on doc_id — uri / int-typed / custom-typed /
     * plain literal. */
@@ -478,34 +482,33 @@ object SparkEntry {
 
     // ---- external-id (xid) synthesis: distinct-union + md5 projection --
     "q48_external_ids" -> ((s, dir) => {
-      def uri(prefix: String, k: Column) = concat(lit(prefix), k.cast("string"), lit(">"))
       val n = t(s, dir, "nation")
       val sup = t(s, dir, "supplier")
-      val labels = n.select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+      val labels = n.select(uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
         lit("de").as("lang"))
       val infobox = n.where(col("n_nationkey") % 2 === 0)
-        .select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        .select(uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
           lit("de").as("lang"))
       val interlang = sup.select(
-        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 10).as("s"),
-        uri("<http://fr.dbpedia.org/resource/Q", col("s_suppkey")).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 10).as("s"),
+        uriCol("<http://fr.dbpedia.org/resource/Q", col("s_suppkey")).as("o"),
         lit("de").as("lang"))
       val pageLinks = sup.select(
-        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey")).as("s"),
-        uri("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 3).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("s_suppkey")).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("s_suppkey") % 3).as("o"),
         lit("de").as("lang"))
       val categories = n.where(col("n_nationkey") % 3 === 0).select(
-        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("o"),
         lit("de").as("lang"))
       val skos = n.select(
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey")).as("s"),
         when(col("n_nationkey") % 2 === 0, graft.ops.ExternalIds.SkosRelated)
-          .otherwise("<http://www.w3.org/2004/02/skos/core#prefLabel>").as("p"),
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 7).as("o"),
+          .otherwise(graft.ops.Cleanup.SkosPrefLabel).as("p"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 7).as("o"),
         lit("de").as("lang"))
       val geo = n.where(col("n_nationkey") % 5 === 0)
-        .select(uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        .select(uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
           lit("de").as("lang"))
       graft.ops.ExternalIds.xidTriples(
           graft.ops.ExternalIds.uriOccurrences(s, labels, infobox, interlang,
@@ -515,23 +518,22 @@ object SparkEntry {
 
     // ---- dgraph.type triple generation ---------------------------------
     "q49_types" -> ((s, dir) => {
-      def uri(prefix: String, k: Column) = concat(lit(prefix), k.cast("string"), lit(">"))
       val n = t(s, dir, "nation")
       def frame(pred: Column => Column) = n.select(
-        uri("<http://de.dbpedia.org/resource/R", pred(col("n_nationkey"))).as("s"),
-        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/R", pred(col("n_nationkey"))).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("o"),
         lit("de").as("lang"))
       val labels = frame(k => k)
       val infobox = frame(k => k % 7)
       val interlang = frame(k => k % 5)
       val pageLinks = frame(k => k % 3)
       val categories = n.select(
-        uri("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/R", col("n_nationkey")).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("o"),
         lit("de").as("lang"))
       val skos = n.where(col("n_nationkey") % 2 === 0).select(
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("s"),
-        uri("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 2).as("o"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 4).as("s"),
+        uriCol("<http://de.dbpedia.org/resource/Cat", col("n_nationkey") % 2).as("o"),
         lit("de").as("lang"))
       val geo = frame(k => k % 11)
       graft.ops.TypesGen.types(labels, infobox, interlang, pageLinks,
@@ -546,7 +548,7 @@ object SparkEntry {
         concat(lit("<http://de.dbpedia.org/resource/Cat"),
           col("n_nationkey").cast("string"), lit(">")).as("s"),
         when(col("n_nationkey") % 2 === 0, prefLabel)
-          .otherwise("<http://www.w3.org/2004/02/skos/core#broader>").as("p"),
+          .otherwise(graft.ops.ExternalIds.SkosBroader).as("p"),
         when(col("n_nationkey") % 2 === 0,
           concat(lit("\""), col("n_name"), lit("\"@de")))
           .otherwise(concat(lit("<http://de.dbpedia.org/resource/Cat"),

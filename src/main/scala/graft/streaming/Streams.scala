@@ -119,10 +119,13 @@ object Streams {
   }
 
   /** Streaming sink through the batch partitioned writer: each micro-batch
-    * lands as lang/date-partitioned sorted files via `foreachBatch` — the
-    * bridge that lets every batch sink in [[graft.io]] serve streams.
-    * Append-only (mode per batch is Append; Overwrite would clobber
-    * previous batches). */
+    * of the events stream lands as batch/date-partitioned sorted parquet
+    * via `foreachBatch`.
+    *
+    * Replay-idempotent: the batchId is a partition column and the write is
+    * a DYNAMIC partition overwrite, so a batch reprocessed after a failure
+    * replaces its own partition instead of appending a duplicate copy
+    * (plain append would give at-least-once duplication). */
   def writePartitionedStream(
       events: DataFrame,
       path: String,
@@ -130,11 +133,14 @@ object Streams {
     import graft.io.PartitionedWrite._
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch
+          .withColumn("batch_id", lit(batchId))
           .withColumn("event_date", to_date(col("ts")).cast("string"))
-          .writePartitionedBy(Seq(col("event_date")), Seq(col("user_id")), Seq(col("ts")))
-          .mode("append")
+          .writePartitionedBy(Seq(col("batch_id"), col("event_date")),
+            Seq(col("user_id")), Seq(col("ts")))
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
           .parquet(path)
       }
       .start()

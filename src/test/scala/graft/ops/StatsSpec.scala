@@ -21,7 +21,7 @@ class StatsSpec extends SparkSpec {
       .toDF("s", "p", "o", "lang")
     val row = Stats.summary(df, exact = false).head()
     assert(row.getLong(0) === 100L)
-    assert(math.abs(row.getLong(1) - 100L) <= 5) // ~2% default rsd
+    assert(math.abs(row.getLong(1) - 100L) <= 5) // default rsd is 5%
     assert(math.abs(row.getLong(2) - 10L) <= 1)
   }
 

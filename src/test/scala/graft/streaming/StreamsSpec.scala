@@ -128,9 +128,12 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData((ts("2024-01-01 11:00:00"), 3L))
       q.processAllAvailable()
-      val dirs = new java.io.File(s"$dir/out").listFiles()
+      val batchDirs = new java.io.File(s"$dir/out").listFiles()
         .filter(_.isDirectory).map(_.getName).sorted
-      assert(dirs === Array("event_date=2024-01-01", "event_date=2024-01-02"))
+      assert(batchDirs === Array("batch_id=0", "batch_id=1"))
+      val dateDirs = new java.io.File(s"$dir/out/batch_id=0").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dateDirs === Array("event_date=2024-01-01", "event_date=2024-01-02"))
       assert(spark.read.parquet(s"$dir/out").count() === 3)
     } finally q.stop()
   }
