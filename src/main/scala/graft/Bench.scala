@@ -40,7 +40,11 @@ object Bench {
 
     run("q05_join5") // warm-up: joins, aggregation, codegen, parquet reader
 
+    // iteration aid: SPARK_GRAFT_ONLY=q41_shingle_minhash,q24_jaccard
+    // benches a comma-separated subset (driver runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
 import graft.ops.ext.{Dedup, Events, Similarity, TextStats}
@@ -402,18 +403,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- character-shingle MinHash (one md5 + one fold per doc) --------
+    // ---- character-shingle MinHash (codegen'd Catalyst expression) -----
     "q41_shingle_minhash" -> ((s, dir) => {
-      // null-mask via concat (null-propagating), NOT when(): codegen CSE
-      // skips CaseWhen branches, so a conditional around m.a/m.b would
-      // re-evaluate the whole minhash fold per field (measured 2.4x)
-      val mask = when(length(col("text")) >= 5, lit("")).otherwise(lit(null).cast("string"))
+      // ShingleMinhashExpr computes both 64-bit minima in one generated
+      // loop over the text bytes — same semantics as the interpreted
+      // Dedup.minhashPair(Dedup.shingles(_, 5)) composition (equivalence
+      // held by ShingleMinhashExprSpec), ~2 orders of magnitude faster
+      // (the interpreted form was 88.9s of the 210s round-1 bench).
+      // Texts shorter than 5 chars yield a null struct -> null sh0/sh1.
       t(s, dir, "documents")
-        .select(col("doc_id"), mask.as("mask"),
-          Dedup.minhashPair(Dedup.shingles(col("text"), 5)).as("m"))
         .select(col("doc_id"),
-          concat(col("m.a"), col("mask")).as("sh0"),
-          concat(col("m.b"), col("mask")).as("sh1"))
+          ShingleMinhashExpr.shingle_minhash(col("text"), 5).as("m"))
+        .select(col("doc_id"), col("m.a").as("sh0"), col("m.b").as("sh1"))
         .orderBy(col("doc_id"))
     }),
 
