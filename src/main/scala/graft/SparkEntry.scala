@@ -603,21 +603,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- n-gram (token-set) Jaccard near-dup pairs --------------------
+    // ---- n-gram (token-set) Jaccard near-dup pairs, LSH-prefiltered ----
     "q24_jaccard" -> ((s, dir) => {
-      // distinct token sets, int-hashed (primitive equality in the pair
-      // loop), computed once per document below the join
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          array_distinct(transform(Dedup.tokens(col("text")),
+      // The scalable near-dup shape: exact Jaccard runs ONLY on MinHash-LSH
+      // band candidates, with the degenerate-bucket guard capping any
+      // boilerplate bucket — candidate pairs are <= n*cap/2, linear in
+      // corpus size (the previous all-pairs-per-source join grew
+      // quadratically: 10,000x more pairs at 100x the data). Distinct
+      // int-hashed token sets are computed once per document BELOW the
+      // join and carried through the single band-key shuffle.
+      val toks = Dedup.tokens(col("text"))
+      val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
+        .select(col("doc_id"), col("mh0"), col("mh1"),
+          array_distinct(transform(toks,
             w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))).as("toks"))
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-      val b = d.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
-      a.join(b, Seq("source"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.jaccardPreDistinct(col("toks_a"), col("toks_b")).as("jac"))
-        .where(col("jac") >= 0.5)
+      Dedup.lshJaccardPairs(sig, "doc_id", Seq("mh0", "mh1"), "toks",
+          threshold = 0.5, maxBucketSize = Some(1000))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LSH degenerate-bucket guard (multi-band, capped) --------------
+    "q53_lsh_guard" -> ((s, dir) => {
+      // Two single-hash bands with a low cap: the synthetic corpus has a
+      // boilerplate mega-bucket in every band, so the guard visibly drops
+      // it while the healthy buckets still produce their pairs — the
+      // behavior is oracle-gated, not just spec'd.
+      val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
+      Dedup.lshCandidatePairsMultiBand(sig, "doc_id",
+          Seq(Seq("mh0"), Seq("mh1")), maxBucketSize = Some(100))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1051,14 +1064,29 @@ object SparkEntry {
           |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q24_jaccard" ->
-        s"""WITH d AS (SELECT doc_id, source,
-          |  list_distinct(list_transform($toks, w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS toks
+        s"""WITH d AS (SELECT doc_id,
+          |  list_distinct(list_transform($toks, w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS toks,
+          |  md5(${mh("0")} || '|' || ${mh("1")}) AS band
           | FROM documents),
+          |ok AS (SELECT band FROM d GROUP BY band HAVING COUNT(*) <= 1000),
           |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) /
           |  CAST(len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE) AS jac
-          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+          | FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
+          | WHERE a.band IN (SELECT band FROM ok))
           |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q53_lsh_guard" ->
+        s"""WITH s0 AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
+          |s1 AS (SELECT doc_id, md5(${mh("1")}) AS band FROM documents),
+          |ok0 AS (SELECT band FROM s0 GROUP BY band HAVING COUNT(*) <= 100),
+          |ok1 AS (SELECT band FROM s1 GROUP BY band HAVING COUNT(*) <= 100),
+          |p AS (
+          | SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s0 a JOIN s0 b
+          |  ON a.band = b.band AND a.doc_id < b.doc_id WHERE a.band IN (SELECT band FROM ok0)
+          | UNION
+          | SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM s1 a JOIN s1 b
+          |  ON a.band = b.band AND a.doc_id < b.doc_id WHERE a.band IN (SELECT band FROM ok1))
+          |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q25_cosine_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    document text.
   *  - LSH banding turns the quadratic all-pairs problem into a per-bucket
   *    join: candidate pairs are generated only for documents agreeing on at
-  *    least one band. Degenerate buckets (e.g. empty documents) are the
-  *    classic skew hazard — cap or salt them (see [[lshCandidatePairs]]).
+  *    least one band. Degenerate buckets (e.g. empty documents, shared
+  *    boilerplate) are the classic skew hazard — the `maxBucketSize` guard
+  *    drops them before any join (see [[lshCandidatePairsMultiBand]]).
   *  - exact dedup hashes the text (fixed-width key) instead of grouping by
   *    the full text column, so the shuffle moves 32-byte keys, not bodies.
   */
@@ -89,38 +90,110 @@ object Dedup {
     * hashes [bandStart, bandStart+bandSize)) are candidate duplicates.
     *
     * The self-join shuffles only `(band_key, id)` pairs. `id1 < id2`
-    * dedups the symmetric pairs. At scale, add `.groupBy(band).count` first
-    * and filter out pathological buckets (all-identical boilerplate) before
-    * joining — the classic LSH skew guard.
+    * dedups the symmetric pairs. `maxBucketSize` engages the skew guard
+    * ([[guardBuckets]]) — recommended at scale.
     */
   def lshCandidatePairs(
       signatures: DataFrame,
       idCol: String,
-      bandCols: Seq[String]): DataFrame =
-    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols))
+      bandCols: Seq[String],
+      maxBucketSize: Option[Int] = None): DataFrame =
+    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize)
+
+  /** LSH band key over signature columns.
+    *
+    * coalesce: concat_ws silently SKIPS nulls, which would let signatures
+    * agreeing on zero positions collide into one band (band values here
+    * are fixed-width md5 hex, so the separator itself cannot collide). */
+  private def bandKey(bandCols: Seq[String]): Column =
+    md5(concat_ws("|", bandCols.map(c => coalesce(col(c), lit("\u0000"))): _*))
+
+  /** The LSH skew guard: drop pathological buckets (all-identical
+    * boilerplate — the degenerate case that makes one band bucket
+    * quadratic) before the self-join. With a cap, candidate pairs are
+    * bounded by `n * cap / 2` — LINEAR in corpus size, which is the whole
+    * point of LSH at 100 TB. Singleton buckets are pruned too (they can
+    * produce no pairs), so the join only ever sees bucket-sharing rows.
+    *
+    * Shape: map-side partial count per band (combiners collapse even a
+    * 100M-row boilerplate bucket to one (band, n) row per task), then a
+    * semi-join of the keyed rows against the surviving buckets — AQE
+    * broadcasts the survivor list when it is small. A
+    * `Window.partitionBy(band)` count would be one shuffle fewer but
+    * buffers whole buckets in the window operator — exactly the rows the
+    * guard exists to bound. */
+  private def guardBuckets(keyed: DataFrame, maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize match {
+      case Some(cap) =>
+        val ok = keyed.groupBy(col("band"))
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") >= 2 && col("_bsz") <= cap)
+          .select(col("band"))
+        keyed.join(ok, Seq("band"), "left_semi")
+      case None => keyed
+    }
 
   /** Multi-band LSH: a pair is a candidate if it agrees on ANY band. With a
     * single band each document sits in exactly one bucket, so pairs are
     * unique by construction and the cross-band `distinct` (a full shuffle
-    * of the pair set — the most expensive step) is skipped. */
+    * of the pair set — the most expensive step) is skipped.
+    *
+    * `maxBucketSize` applies the skew guard ([[guardBuckets]]) per band:
+    * buckets larger than the cap contribute no candidate pairs (their
+    * members can still pair in the other bands). */
   def lshCandidatePairsMultiBand(
       signatures: DataFrame,
       idCol: String,
-      bands: Seq[Seq[String]]): DataFrame = {
+      bands: Seq[Seq[String]],
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val perBand = bands.map { bandCols =>
-      // coalesce: concat_ws silently SKIPS nulls, which would let
-      // signatures agreeing on zero positions collide into one band
-      // (band values here are fixed-width md5 hex, so the separator
-      // itself cannot collide)
-      val key = md5(concat_ws("|", bandCols.map(c => coalesce(col(c), lit("\u0000"))): _*))
-      val l = signatures.select(key.as("band"), col(idCol).as("id_a"))
-      val r = signatures.select(key.as("band"), col(idCol).as("id_b"))
+      val keyed = guardBuckets(
+        signatures.select(bandKey(bandCols).as("band"), col(idCol).as("id")),
+        maxBucketSize)
+      val l = keyed.select(col("band"), col("id").as("id_a"))
+      val r = keyed.select(col("band"), col("id").as("id_b"))
       l.join(r, Seq("band"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
     }
     val all = perBand.reduce(_.unionByName(_))
     if (bands.size > 1) all.distinct() else all
+  }
+
+  /** LSH-prefiltered Jaccard: exact token-set Jaccard computed ONLY on
+    * band-sharing candidate pairs — the composition that replaces the
+    * quadratic all-pairs join for near-dup detection.
+    *
+    * `sig` carries, per document: the id, the signature band columns, and
+    * the pre-distinct'd token set `setCol`. The token sets ride through the
+    * single band-key shuffle (a few hundred bytes per row for int-hashed
+    * tokens) — cheaper at any scale than re-joining the pair list back to
+    * the corpus twice to fetch them.
+    *
+    * With `maxBucketSize` set (recommended), candidate pairs — and hence
+    * the per-pair intersection work — are bounded by `n * cap / 2`: linear
+    * in corpus size. Uncapped, one boilerplate bucket reintroduces the
+    * quadratic blow-up this operator exists to avoid. Recall trade: only
+    * pairs agreeing on the full band are scored, and buckets above the cap
+    * are dropped wholesale (dedup exact boilerplate with
+    * [[exactDupGroups]] upstream). */
+  def lshJaccardPairs(
+      sig: DataFrame,
+      idCol: String,
+      bandCols: Seq[String],
+      setCol: String,
+      threshold: Double,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val keyed = guardBuckets(
+      sig.select(bandKey(bandCols).as("band"), col(idCol).as("id"), col(setCol).as("set")),
+      maxBucketSize)
+    val l = keyed.select(col("band"), col("id").as("id_a"), col("set").as("set_a"))
+    val r = keyed.select(col("band"), col("id").as("id_b"), col("set").as("set_b"))
+    l.join(r, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardPreDistinct(col("set_a"), col("set_b")).as("jac"))
+      .where(col("jac") >= threshold)
   }
 
   /** 32-bit SimHash from token hashes: per bit position, the majority vote

@@ -49,6 +49,62 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Array((1L, 2L), (3L, 4L)))
   }
 
+  test("degenerate-bucket guard bounds pair counts on boilerplate skew") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 boilerplate docs share one band value (would be 45 pairs), two
+    // legit near-dups share another
+    val sig = ((1L to 10L).map(i => (i, "boiler")) ++ Seq((20L, "x"), (21L, "x")))
+      .toDF("doc_id", "mh0")
+    val unguarded = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"))
+      .as[(Long, Long)].collect()
+    val guarded = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"), maxBucketSize = Some(5))
+      .as[(Long, Long)].collect()
+    assert(unguarded.length === 45 + 1)
+    assert(guarded.toSeq === Seq((20L, 21L))) // mega-bucket dropped wholesale
+  }
+
+  test("guard applies per band: capped in one band, pairable in another") {
+    val spark2 = spark
+    import spark2.implicits._
+    // band A is degenerate (all docs agree); band B splits them cleanly
+    val sig = Seq(
+      (1L, "same", "p"), (2L, "same", "p"), (3L, "same", "q"), (4L, "same", "q"),
+      (5L, "same", "r"))
+      .toDF("doc_id", "mhA", "mhB")
+    val pairs = Dedup.lshCandidatePairsMultiBand(sig, "doc_id",
+        Seq(Seq("mhA"), Seq("mhB")), maxBucketSize = Some(3))
+      .as[(Long, Long)].collect().sorted
+    assert(pairs === Array((1L, 2L), (3L, 4L))) // band A contributed nothing
+  }
+
+  test("lsh-prefiltered jaccard pairs agree with all-pairs jaccard on candidates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), // near-dups: jac 3/5
+      (3L, "a b c d"),                  // exact dup of 1
+      (4L, "p q r s"), (5L, "t u v w")  // unrelated
+    ).toDF("doc_id", "text")
+    val toks = array_distinct(Dedup.tokens(col("text")))
+    val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      .select(col("doc_id"), col("mh0"), col("mh1"), toks.as("toks"))
+    val lsh = Dedup.lshJaccardPairs(sig, "doc_id", Seq("mh0", "mh1"), "toks",
+        threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    // the all-pairs (recall oracle) form: every pair, same threshold
+    val a = docs.select(col("doc_id").as("id_a"), toks.as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), toks.as("tb"))
+    val allPairs = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardPreDistinct(col("ta"), col("tb")).as("jac"))
+      .where(col("jac") >= 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(allPairs)) // LSH never invents pairs
+    // identical token sets always share every band -> exact dups are found
+    assert(lsh.contains((1L, 3L, 1.0)))
+    // scored pairs carry the same jac value as the exact form
+    lsh.foreach { case (x, y, j) => assert(allPairs.contains((x, y, j))) }
+  }
+
   test("simhash of identical token bags is equal, near for overlapping") {
     val spark2 = spark
     import spark2.implicits._
