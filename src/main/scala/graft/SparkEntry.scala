@@ -591,15 +591,19 @@ object SparkEntry {
 
     // ---- LSH banding: candidate duplicate pairs -----------------------
     "q22_lsh_pairs" -> ((s, dir) => {
+      // cap 1000 = the production skew guard; at verify scale (sf0.01) no
+      // bucket exceeds it, so the capped and uncapped results coincide —
+      // the oracle carries the same HAVING clause
       val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
-      Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"))
+      Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
+          maxBucketSize = Some(1000))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- SimHash fingerprints -----------------------------------------
+    // ---- SimHash fingerprints (codegen'd kernel) ----------------------
     "q23_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"), Dedup.simhashText(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -610,13 +614,14 @@ object SparkEntry {
       // boilerplate bucket — candidate pairs are <= n*cap/2, linear in
       // corpus size (the previous all-pairs-per-source join grew
       // quadratically: 10,000x more pairs at 100x the data). Distinct
-      // int-hashed token sets are computed once per document BELOW the
-      // join and carried through the single band-key shuffle.
-      val toks = Dedup.tokens(col("text"))
+      // int-hashed token sets (codegen'd TokenHashSetExpr — the plan
+      // evaluates the per-doc set once per join side, so the kernel vs
+      // interpreted difference is ~4s at sf0.1) are computed once per
+      // document BELOW the join and carried through the single band-key
+      // shuffle.
       val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
         .select(col("doc_id"), col("mh0"), col("mh1"),
-          array_distinct(transform(toks,
-            w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))).as("toks"))
+          graft.functions.TokenHashSetExpr.token_hash_set(col("text")).as("toks"))
       Dedup.lshJaccardPairs(sig, "doc_id", Seq("mh0", "mh1"), "toks",
           threshold = 0.5, maxBucketSize = Some(1000))
         .orderBy(col("id_a"), col("id_b"))
@@ -1052,9 +1057,11 @@ object SparkEntry {
         s"""SELECT doc_id, ${mh("0")} AS mh0, ${mh("1")} AS mh1, ${mh("2")} AS mh2, ${mh("3")} AS mh3
           |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q22_lsh_pairs" ->
-        s"""WITH sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents)
+        s"""WITH sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000)
           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           |FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
+          | AND a.band IN (SELECT band FROM ok)
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h

@@ -45,6 +45,15 @@ case class ShingleMinhashExpr(child: Expression, n: Int) extends UnaryExpression
     StructField("a", StringType, nullable = true),
     StructField("b", StringType, nullable = true)))
 
+  // analysis-time type error instead of a Janino compile failure at
+  // runtime — the function is exposed to arbitrary SQL
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+
   // null for null input AND for texts shorter than n characters
   override def nullable: Boolean = true
 
@@ -81,12 +90,12 @@ object ShingleMinhash {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** UTF-8 encoded length of the code point starting with this lead byte.
-    * Input is valid UTF-8 (it comes out of a UTF8String). */
-  private def charLen(lead: Byte): Int = {
-    val b = lead & 0xff
-    if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4
-  }
+  /** UTF-8 encoded length of the code point starting with this lead byte —
+    * delegated to `UTF8String.numBytesForFirstByte` so the walk agrees
+    * with Spark's own `substr` even on malformed lead bytes (a hand-rolled
+    * table previously treated continuation bytes as 2-byte leads and would
+    * silently diverge from the interpreted form on invalid UTF-8). */
+  private def charLen(lead: Byte): Int = UTF8String.numBytesForFirstByte(lead)
 
   private def beLong(bytes: Array[Byte], off: Int): Long = {
     var v = 0L

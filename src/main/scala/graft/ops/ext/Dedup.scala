@@ -78,12 +78,22 @@ object Dedup {
     // emptiness condition of their own (see q41).
   }
 
-  /** MinHash signature columns `mh0..mh{n-1}` for each document. */
+  /** MinHash signature columns `mh0..mh{n-1}` for each document.
+    *
+    * Computed by the codegen'd [[graft.functions.TokenMinhashExpr]] kernel
+    * (one generated loop over the text bytes, all seeds per token in one
+    * pass) — semantically identical to `minhash(tokens(textCol), i)` per
+    * column (equivalence held by TokenHashExprsSpec) and ~10x faster: the
+    * interpreted HOF form evaluates one md5 expression tree per
+    * (token, seed) with per-step boxing. */
   def withMinhashSignature(df: DataFrame, textCol: Column, numHashes: Int): DataFrame = {
-    val toks = tokens(textCol)
-    (0 until numHashes).foldLeft(df) { (acc, i) =>
-      acc.withColumn(s"mh$i", minhash(toks, i))
-    }
+    val sig = graft.functions.TokenMinhashExpr.token_minhash(textCol, numHashes)
+    // CollapseProject inlines the array into each element_at; whole-stage
+    // codegen subexpression elimination evaluates the kernel once per row
+    val withSig = df.withColumn("_graft_mhs", sig)
+    (0 until numHashes).foldLeft(withSig) { (acc, i) =>
+      acc.withColumn(s"mh$i", element_at(col("_graft_mhs"), i + 1))
+    }.drop("_graft_mhs")
   }
 
   /** LSH banding: documents whose signature agrees on a whole band (here:
@@ -220,6 +230,13 @@ object Dedup {
       zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** SimHash of the whitespace tokens of a text column, via the codegen'd
+    * [[graft.functions.SimhashExpr]] kernel — same semantics as
+    * `simhash(tokens(text))` (equivalence held by TokenHashExprsSpec),
+    * one tight generated loop instead of an interpreted 32-wide fold. */
+  def simhashText(text: Column, bits: Int = 32): Column =
+    graft.functions.SimhashExpr.simhash(text, bits)
 
   /** Token-set Jaccard similarity of two text columns: |A ∩ B| / |A ∪ B|
     * over distinct tokens. Integer set sizes divided as doubles —

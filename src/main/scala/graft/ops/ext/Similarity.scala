@@ -89,14 +89,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Per-row centroid ranking against a centroid array LITERAL: cosine to
+    * every centroid in one pass, then a K-element in-row sort (descending
+    * similarity, ties to the smaller cid — the `row_number` order of a
+    * window formulation, without the window's Exchange). `vnormCol` must be
+    * a plain column reference (computed once per row via `withColumn`) —
+    * inlining the norm expression here would re-evaluate it per centroid. */
+  private def rankedCentroids(vecCol: Column, vnormCol: Column, centArr: Column): Column = {
+    val sims = transform(centArr, c => struct(
+      (dot(vecCol, c.getField("cvec")) / (vnormCol * c.getField("cnorm"))).as("sim"),
+      c.getField("cid").as("cid")))
+    array_sort(sims, (l, r) =>
+      when(l.getField("sim") > r.getField("sim"), lit(-1))
+        .when(l.getField("sim") < r.getField("sim"), lit(1))
+        .when(l.getField("cid") < r.getField("cid"), lit(-1))
+        .when(l.getField("cid") > r.getField("cid"), lit(1))
+        .otherwise(lit(0)))
+  }
+
   /** IVF (inverted-file) top-k: the other classic ANN scale path.
     *
     * Coarse quantizer: the first `numCentroids` corpus vectors act as
     * centroids (deterministic; production swaps in trained centroids
-    * without changing the plan shape). Every corpus vector is assigned to
-    * its nearest centroid (one broadcast join against K centroids — the
-    * corpus is never shuffled); a query probes its `nprobe` nearest
-    * centroid lists and ranks exactly within them.
+    * without changing the plan shape). The centroid set is collected ONCE
+    * driver-side — K rows, the same driver-side bound as any trained
+    * quantizer model — and embedded in the plan as an array literal with
+    * pre-computed norms (same fold order as [[norm]], so the doubles are
+    * bit-identical). Assignment is then a map-side fold per corpus row with
+    * ZERO Exchange on the corpus; the only shuffle in the whole plan is the
+    * final per-query top-k window AFTER the (broadcast) probe join. The
+    * previous formulation — `crossJoin(broadcast(cent))` + `row_number`
+    * over `Window.partitionBy(id)` — shuffled the full N x K product just
+    * to pick an argmax.
+    *
+    * Note: building the plan collects the K centroid rows eagerly (a
+    * driver action), like any model-fitting step.
     *
     * vs [[srpBucketedTopK]]: IVF buckets adapt to the data distribution
     * (centroids sit where vectors are dense) while SRP buckets are
@@ -106,21 +133,34 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       numCentroids: Int, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = corpus.where(col("id") < numCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
-    val byVec = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(byVec))
-      .where(col("rn") === 1)
-      .select(col("cid"), col("id").as("n_id"), col("vec").as("n_vec"))
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(byVec))
-      .where(col("rn") <= nprobe)
-      .select(col("cid"), col("id").as("q_id"), col("vec").as("q_vec"))
+    val centroids = corpus.where(col("id") < numCentroids)
+      .select(col("id"), col("vec")).collect()
+      .map { r =>
+        val cid = r.getAs[Number](0).longValue
+        val cvec = r.getSeq[Float](1)
+        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        (cid, cvec, cnorm)
+      }
+      .sortBy(_._1)
+    require(centroids.nonEmpty, s"ivfTopK: no corpus rows with id < $numCentroids")
+    val centArr = array(centroids.map { case (cid, cvec, cnorm) =>
+      struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
+    }: _*)
+
+    val assigned = corpus
+      .withColumn("_vnorm", norm(col("vec")))
+      .withColumn("_best", element_at(rankedCentroids(col("vec"), col("_vnorm"), centArr), 1))
+      .select(col("_best").getField("cid").as("cid"),
+        col("id").as("n_id"), col("vec").as("n_vec"))
+    val probes = queries
+      .withColumn("_vnorm", norm(col("vec")))
+      .select(col("id").as("q_id"), col("vec").as("q_vec"),
+        explode(slice(rankedCentroids(col("vec"), col("_vnorm"), centArr),
+          1, nprobe)).as("_pc"))
+      .select(col("_pc").getField("cid").as("cid"), col("q_id"), col("q_vec"))
+
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    probes.join(assigned, Seq("cid"))
+    broadcast(probes).join(assigned, Seq("cid"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(byQuery))

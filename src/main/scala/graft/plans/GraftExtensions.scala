@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr}
+import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** SparkSessionExtensions installer: makes graft's native expressions
   * available as SQL functions.
@@ -15,6 +15,26 @@ import org.apache.spark.sql.types.IntegerType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Evaluate a foldable integral argument (any of TINYINT..BIGINT) to an
+    * Int, with clear errors for non-literals and NULL literals (a foldable
+    * `CAST(NULL AS INT)` would otherwise unbox to a misleading 0). */
+  private def intLiteral(e: Expression, what: String): Int = {
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral)
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $e")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(s"$what must not be null")
+      case v: Number =>
+        val l = v.longValue
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(s"$what out of int range: $l")
+        l.toInt
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_extract_datatype"),
@@ -24,7 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_extract_datatype",
         "graft_extract_datatype(o) - splits an RDF object into struct<v, t>",
         ""),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[Expression]) =>
         ExtractDataTypeExpr(children.head)))
 
     ext.injectFunction((
@@ -35,16 +55,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_minhash",
         "graft_shingle_minhash(text, n) - MinHash pair struct<a, b> over n-char shingles",
         ""),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.size == 2, "graft_shingle_minhash(text, n) takes 2 arguments")
-        val n = children(1) match {
-          case e if e.foldable && e.dataType == IntegerType =>
-            e.eval().asInstanceOf[Int]
-          case other =>
-            throw new IllegalArgumentException(
-              s"shingle size must be an integer literal, got $other")
-        }
-        ShingleMinhashExpr(children.head, n)
+        ShingleMinhashExpr(children.head, intLiteral(children(1), "shingle size"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_minhash"),
+      new ExpressionInfo(
+        classOf[TokenMinhashExpr].getName,
+        null,
+        "graft_token_minhash",
+        "graft_token_minhash(text, n) - array of n 32-hex MinHash values over whitespace tokens",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_token_minhash(text, n) takes 2 arguments")
+        TokenMinhashExpr(children.head, intLiteral(children(1), "numHashes"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[SimhashExpr].getName,
+        null,
+        "graft_simhash",
+        "graft_simhash(text[, bits]) - SimHash fingerprint of whitespace tokens",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "graft_simhash(text[, bits]) takes 1 or 2 arguments")
+        val bits = if (children.size == 2) intLiteral(children(1), "bits") else 32
+        SimhashExpr(children.head, bits)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_hash_set"),
+      new ExpressionInfo(
+        classOf[TokenHashSetExpr].getName,
+        null,
+        "graft_token_hash_set",
+        "graft_token_hash_set(text) - distinct unsigned-32 token hashes, first-occurrence order",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_token_hash_set(text) takes 1 argument")
+        TokenHashSetExpr(children.head)
       }))
   }
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.ext.Dedup
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+class TokenHashExprsSpec extends SparkSpec {
+
+  // tokenization edge cases: empty, whitespace-only (leading/trailing
+  // separators produce empty tokens under split-with-limit(-1) semantics),
+  // every ASCII whitespace class char, multi-byte UTF-8, emoji, repeated
+  // tokens (SimHash votes are per-occurrence, not per-distinct-token)
+  private val inputs: Seq[String] = Seq(
+    "",
+    " ",
+    "  ",
+    "\t",
+    "a",
+    "a b c",
+    "  padded on both sides  ",
+    "tab\tseparated\ttokens",
+    "mixed \t\n\f\r whitespace run",
+    "\tleading tab",
+    "trailing tab\t",
+    "héllo wörld ünïcode",
+    "日本語 の テキスト",
+    "emoji 😀 inside 🎉 text",
+    "dup dup dup distinct",
+    "nbsp is-not-ascii-whitespace",
+    null)
+
+  test("token_minhash matches the interpreted minhash per seed, nulls included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = inputs.toDF("text")
+    val interp = df.select(
+      (0 until 4).map(i => Dedup.minhash(Dedup.tokens(col("text")), i).as(s"mh$i")): _*)
+      .as[(Option[String], Option[String], Option[String], Option[String])].collect()
+    val kernel = df.select(
+      (0 until 4).map(i =>
+        element_at(TokenMinhashExpr.token_minhash(col("text"), 4), i + 1).as(s"mh$i")): _*)
+      .as[(Option[String], Option[String], Option[String], Option[String])].collect()
+    assert(kernel.toSeq === interp.toSeq)
+  }
+
+  test("simhash kernel matches the interpreted fold, nulls included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = inputs.toDF("text")
+    val interp = df.select(Dedup.simhash(Dedup.tokens(col("text"))).as("sh"))
+      .as[Option[Long]].collect()
+    val kernel = df.select(SimhashExpr.simhash(col("text")).as("sh"))
+      .as[Option[Long]].collect()
+    assert(kernel.toSeq === interp.toSeq)
+  }
+
+  test("withMinhashSignature (kernel-backed) matches per-seed interpreted minhash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = inputs.filter(_ != null).zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val viaHelper = Dedup.withMinhashSignature(df, col("text"), 3)
+      .select("doc_id", "mh0", "mh1", "mh2")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    val interp = df.select(col("doc_id"),
+        Dedup.minhash(Dedup.tokens(col("text")), 0).as("mh0"),
+        Dedup.minhash(Dedup.tokens(col("text")), 1).as("mh1"),
+        Dedup.minhash(Dedup.tokens(col("text")), 2).as("mh2"))
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    assert(viaHelper.toSeq === interp.toSeq)
+  }
+
+  test("token_hash_set matches the interpreted distinct token-hash array") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = inputs.toDF("text")
+    val interp = df.select(
+      array_distinct(transform(Dedup.tokens(col("text")),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))).as("toks"))
+      .as[Option[Seq[Long]]].collect()
+    val kernel = df.select(TokenHashSetExpr.token_hash_set(col("text")).as("toks"))
+      .as[Option[Seq[Long]]].collect()
+    assert(kernel.toSeq === interp.toSeq)
+  }
+
+  test("registered SQL functions work and reject non-string input at analysis time") {
+    val got = spark.sql(
+      "SELECT graft_token_minhash('a b', 2) AS mhs, graft_simhash('a b') AS sh")
+      .collect().head
+    assert(got.getSeq[String](0).length === 2)
+    assert(got.getSeq[String](0).forall(_.length === 32))
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_token_minhash(42, 2)").collect()
+    }
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_simhash(array(1))").collect()
+    }
+    intercept[Exception] { // NULL literal size: clear error, not a silent 0
+      spark.sql("SELECT graft_token_minhash('x', CAST(NULL AS INT))").collect()
+    }
+  }
+}

@@ -167,6 +167,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Array((0L, 10L, 1)))
   }
 
+  test("ivf centroid assignment is map-side: one shuffle in the whole plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.01f, 0.99f))
+    ).toDF("id", "vec")
+    val out = Similarity.ivfTopK(vecs, vecs.where(col("id") === 0),
+      numCentroids = 2, k = 1, nprobe = 1)
+    // the only hash-partitioned Exchange allowed is the final per-query
+    // top-k window AFTER the broadcast probe join; assignment itself must
+    // not shuffle the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles <= 1, plan)
+  }
+
   test("srp buckets put identical vectors together") {
     val spark2 = spark
     import spark2.implicits._
