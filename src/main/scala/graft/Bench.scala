@@ -43,6 +43,12 @@ object Bench {
     // iteration aid: SPARK_GRAFT_ONLY=q41_shingle_minhash,q24_jaccard
     // benches a comma-separated subset (driver runs leave it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { o => // a typo'd name would otherwise silently bench nothing
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown queries in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> run(n))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
+import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
 import graft.ops.ext.{Dedup, Events, Similarity, TextStats}
 
@@ -627,6 +628,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- multimodal metadata plans: resize targets + frame sampling ----
+    "q52_multimodal_plan" -> ((s, dir) => {
+      // resizePlan and sampleFrames are pure metadata math over the typed
+      // media schema — here driven by a deterministic media view of the
+      // documents table so DuckDB can reproduce them (content bytes stay
+      // NULL; the decode plane is exercised by MultimodalSpec)
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      val resize = Multimodal.resizePlan(media, maxDim = 512)
+        .select(col("media_id"), lit("resize").as("op"),
+          col("target_width").cast("long").as("p1"),
+          col("target_height").cast("long").as("p2"))
+      val frames = Multimodal.sampleFrames(media, everyMs = 2500)
+        .select(col("media_id"), lit("frame").as("op"),
+          col("frame_ms").as("p1"), lit(null).cast("long").as("p2"))
+      resize.unionByName(frames)
+        .orderBy(col("media_id"), col("op"), col("p1"))
+    }),
+
     // ---- LSH degenerate-bucket guard (multi-band, capped) --------------
     "q53_lsh_guard" -> ((s, dir) => {
       // Two single-hash bands with a low cap: the synthetic corpus has a
@@ -1082,6 +1101,22 @@ object SparkEntry {
           | FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
           | WHERE a.band IN (SELECT band FROM ok))
           |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q52_multimodal_plan" ->
+        """WITH m AS (SELECT doc_id AS media_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          |  320 + n_chars % 1600 AS width, 240 + (n_chars * 7) % 900 AS height,
+          |  n_chars * 40 AS duration_ms
+          | FROM documents),
+          |r AS (SELECT media_id, 'resize' AS op,
+          |  CAST(round(CAST(width AS DOUBLE) * least(1.0, 512.0 / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT) AS p1,
+          |  CAST(round(CAST(height AS DOUBLE) * least(1.0, 512.0 / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT) AS p2
+          | FROM m WHERE modality = 'image'),
+          |f AS (SELECT media_id, 'frame' AS op,
+          |  CAST(unnest(generate_series(0, duration_ms, 2500)) AS BIGINT) AS p1,
+          |  CAST(NULL AS BIGINT) AS p2
+          | FROM m WHERE modality = 'video')
+          |SELECT media_id, op, p1, p2 FROM (SELECT * FROM r UNION ALL SELECT * FROM f)
+          |ORDER BY media_id, op, p1""".stripMargin.replace("\n", " "),
       "q53_lsh_guard" ->
         s"""WITH s0 AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
           |s1 AS (SELECT doc_id, md5(${mh("1")}) AS band FROM documents),

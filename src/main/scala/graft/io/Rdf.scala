@@ -42,12 +42,12 @@ object Rdf {
     * PREVIOUS run's files from the same path). */
   def write(df: DataFrame, path: String): DataFrame = {
     val spark = df.sparkSession
-    if (df.isEmpty) {
+    val empty = df.isEmpty // one limit-1 job, not two
+    if (empty) {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-    }
-    if (!df.isEmpty) {
+    } else {
       validPredicates(df)
         .writePartitionedBy(
           Seq(col("lang")),          // lang=<code> subdirectory per language

@@ -89,6 +89,25 @@ object Multimodal {
         round(h * scale).cast("int").as("target_height"))
   }
 
+  /** Deterministic media-metadata view over a `documents` table: modality
+    * cycles image/audio/video on `doc_id`, dimensions and duration derive
+    * from `n_chars` — pure relational math reproducible in any SQL engine,
+    * which is what lets [[resizePlan]]/[[sampleFrames]] sit under the
+    * DuckDB oracle gate (q52) rather than being spec-only. Content stays
+    * NULL: these are the metadata-plane operators; decode-plane work
+    * ([[extractFeatures]]) consumes real bytes. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      lit(null).cast("binary").as("content"),
+      struct(
+        lit("synthetic").as("format"),
+        (lit(320) + pmod(col("n_chars"), lit(1600))).cast("int").as("width"),
+        (lit(240) + pmod(col("n_chars") * 7, lit(900))).cast("int").as("height"),
+        (col("n_chars") * 40).cast("long").as("duration_ms")).as("meta"))
+
   /** Synthetic media table for tests/demos (documents bytes as fake
     * content). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

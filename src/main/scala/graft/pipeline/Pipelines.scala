@@ -36,6 +36,24 @@ object TtlToParquet {
     ParquetIO.writeTriples(all, outPath)
     spark.read.parquet(outPath).count()
   }
+
+  /** [[run]] with the language list and ttl paths auto-discovered from the
+    * release directory tree ([[graft.io.Discovery]]) — the zero-config
+    * entry point a user pointing the engine at a DBpedia release gets
+    * (reference DbpediaToParquetSparkApp.scala:44-46: languages and
+    * datasets default to directory listings). `langs = None` means "every
+    * language present on disk". */
+  def runDiscovered(
+      spark: SparkSession,
+      base: String, release: String, dataset: String,
+      name: String,
+      outPath: String,
+      langs: Option[Seq[String]] = None): Long = {
+    val languages = langs.getOrElse(graft.io.Discovery.languages(spark, base, release, dataset))
+    val (main, enUris) =
+      graft.io.Discovery.langPaths(spark, base, release, dataset, name, languages)
+    run(spark, main, outPath, enUris)
+  }
 }
 
 /** Stage 2 — parquet triples -> cleaned RDF text + Dgraph schema files

@@ -47,12 +47,16 @@ object Streams {
   /** Custom keyed state: per-user sessionization with explicit timeout —
     * the `flatMapGroupsWithState` shape for semantics `session_window`
     * can't express (e.g. emitting a summary exactly when a session closes).
-    */
+    *
+    * The event-time timeout REQUIRES a watermark on `ts`, so this operator
+    * applies its own (`watermark`) instead of relying on the caller to
+    * remember — an un-watermarked input would fail at query start. */
   def sessionizeWithState(
-      events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+      events: Dataset[Event], gapMs: Long, watermark: String): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

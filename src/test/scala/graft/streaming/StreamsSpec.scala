@@ -38,9 +38,9 @@ class StreamsSpec extends SparkSpec {
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
-    // event-time timeout requires a watermark on the input
-    val events = input.toDS().withWatermark("ts", "0 seconds").as[Streams.Event]
-    val q = Streams.sessionizeWithState(events, gapMs = 30 * 60 * 1000)
+    // the operator applies its own watermark (required for the timeout)
+    val q = Streams.sessionizeWithState(input.toDS(), gapMs = 30 * 60 * 1000,
+        watermark = "0 seconds")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
