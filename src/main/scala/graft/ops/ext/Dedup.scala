@@ -107,8 +107,9 @@ object Dedup {
       signatures: DataFrame,
       idCol: String,
       bandCols: Seq[String],
-      maxBucketSize: Option[Int] = None): DataFrame =
-    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize)
+      maxBucketSize: Option[Int] = None,
+      saltOversized: Boolean = false): DataFrame =
+    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize, saltOversized)
 
   /** LSH band key over signature columns.
     *
@@ -132,8 +133,12 @@ object Dedup {
     * `Window.partitionBy(band)` count would be one shuffle fewer but
     * buffers whole buckets in the window operator — exactly the rows the
     * guard exists to bound. */
-  private def guardBuckets(keyed: DataFrame, maxBucketSize: Option[Int]): DataFrame =
+  private def guardBuckets(
+      keyed: DataFrame,
+      maxBucketSize: Option[Int],
+      saltOversized: Boolean = false): DataFrame =
     maxBucketSize match {
+      case Some(cap) if saltOversized => saltBuckets(keyed, cap)
       case Some(cap) =>
         val ok = keyed.groupBy(col("band"))
           .agg(count(lit(1)).as("_bsz"))
@@ -143,6 +148,30 @@ object Dedup {
       case None => keyed
     }
 
+  /** The salting alternative to dropping: a bucket of size `s > cap` is
+    * split into `ceil(s/cap)` deterministic sub-buckets (salt = a hash of
+    * the id modulo the split count), and pairs form only within a
+    * sub-bucket. Cost stays bounded (expected sub-bucket size ≈ cap →
+    * pairs ≤ ~n·cap/2) while recall inside a mega-bucket degrades to
+    * ≈ 1/splits instead of zero — the right trade when boilerplate
+    * buckets still contain genuine near-dups worth surfacing. Pick drop
+    * (default) when oversized buckets are known junk, salt when they are
+    * not; both keep the join linear in corpus size. */
+  private def saltBuckets(keyed: DataFrame, cap: Int): DataFrame = {
+    val sizes = keyed.groupBy(col("band"))
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") >= 2) // singleton buckets can produce no pairs
+    keyed.join(sizes, Seq("band")) // map-side partial count, then AQE-broadcastable join
+      .withColumn("_splits", ceil(col("_bsz") / lit(cap)).cast("long"))
+      .withColumn("band",
+        when(col("_splits") > 1,
+          md5(concat(col("band"), lit("#"),
+            pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"),
+              col("_splits")).cast("string"))))
+          .otherwise(col("band")))
+      .drop("_bsz", "_splits")
+  }
+
   /** Multi-band LSH: a pair is a candidate if it agrees on ANY band. With a
     * single band each document sits in exactly one bucket, so pairs are
     * unique by construction and the cross-band `distinct` (a full shuffle
@@ -150,16 +179,19 @@ object Dedup {
     *
     * `maxBucketSize` applies the skew guard ([[guardBuckets]]) per band:
     * buckets larger than the cap contribute no candidate pairs (their
-    * members can still pair in the other bands). */
+    * members can still pair in the other bands) — or, with
+    * `saltOversized`, are split into capped sub-buckets ([[saltBuckets]])
+    * for bounded cost with partial in-bucket recall. */
   def lshCandidatePairsMultiBand(
       signatures: DataFrame,
       idCol: String,
       bands: Seq[Seq[String]],
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      saltOversized: Boolean = false): DataFrame = {
     val perBand = bands.map { bandCols =>
       val keyed = guardBuckets(
         signatures.select(bandKey(bandCols).as("band"), col(idCol).as("id")),
-        maxBucketSize)
+        maxBucketSize, saltOversized)
       val l = keyed.select(col("band"), col("id").as("id_a"))
       val r = keyed.select(col("band"), col("id").as("id_b"))
       l.join(r, Seq("band"))

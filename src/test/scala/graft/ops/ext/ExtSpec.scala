@@ -64,6 +64,25 @@ class DedupSpec extends SparkSpec {
     assert(guarded.toSeq === Seq((20L, 21L))) // mega-bucket dropped wholesale
   }
 
+  test("salted guard keeps some in-bucket pairs at bounded cost") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 boilerplate docs in one bucket (66 pairs unguarded) + a clean pair
+    val sig = ((1L to 12L).map(i => (i, "boiler")) ++ Seq((20L, "x"), (21L, "x")))
+      .toDF("doc_id", "mh0")
+    val unguarded = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"))
+      .as[(Long, Long)].collect().toSet
+    val salted = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"),
+        maxBucketSize = Some(3), saltOversized = true)
+      .as[(Long, Long)].collect().toSet
+    assert(salted.subsetOf(unguarded)) // salting never invents pairs
+    assert(salted.contains((20L, 21L))) // small buckets untouched
+    val boiler = salted - ((20L, 21L))
+    // 12 docs over ceil(12/3)=4 sub-buckets: far fewer than 66 pairs but
+    // (unless the salt hash degenerates, which it doesn't here) nonzero
+    assert(boiler.nonEmpty && boiler.size < 66)
+  }
+
   test("guard applies per band: capped in one band, pairable in another") {
     val spark2 = spark
     import spark2.implicits._
