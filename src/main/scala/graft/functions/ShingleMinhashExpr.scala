@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -37,22 +35,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale: map-side only, no shuffle — cost is linear in total corpus
   * characters, the floor for any shingle-based signature.
   */
-case class ShingleMinhashExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleMinhashExpr(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  // analysis-time coercion/type error instead of a Janino compile failure
+  // at runtime — the function is exposed to arbitrary SQL
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = StructType(Seq(
     StructField("a", StringType, nullable = true),
     StructField("b", StringType, nullable = true)))
-
-  // analysis-time type error instead of a Janino compile failure at
-  // runtime — the function is exposed to arbitrary SQL
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string input, got ${child.dataType.catalogString}")
 
   // null for null input AND for texts shorter than n characters
   override def nullable: Boolean = true
@@ -81,14 +76,12 @@ object ShingleMinhashExpr {
     GraftColumnBridge.column(ShingleMinhashExpr(GraftColumnBridge.expression(c), n))
 }
 
-/** Static kernel shared by interpreted eval and generated code. */
+/** Static kernel shared by interpreted eval and generated code.
+  *
+  * Operates on RAW text bytes (no U+FFFD normalization, unlike
+  * [[TokenHash]]): the interpreted counterpart is `substr`, which walks
+  * UTF8String bytes directly via `numBytesForFirstByte`. */
 object ShingleMinhash {
-
-  private val digests = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private val hexDigits = "0123456789abcdef".toCharArray
 
   /** UTF-8 encoded length of the code point starting with this lead byte —
     * delegated to `UTF8String.numBytesForFirstByte` so the walk agrees
@@ -96,20 +89,6 @@ object ShingleMinhash {
     * table previously treated continuation bytes as 2-byte leads and would
     * silently diverge from the interpreted form on invalid UTF-8). */
   private def charLen(lead: Byte): Int = UTF8String.numBytesForFirstByte(lead)
-
-  private def beLong(bytes: Array[Byte], off: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
-    v
-  }
-
-  private def hex16(v: Long): UTF8String = {
-    val cs = new Array[Char](16)
-    var i = 0
-    while (i < 16) { cs(i) = hexDigits(((v >>> ((15 - i) * 4)) & 0xf).toInt); i += 1 }
-    UTF8String.fromString(new String(cs))
-  }
 
   /** Returns `struct<a, b>` of the two 16-hex-char minima, or null when
     * the text has fewer than `n` code points (so shingle count is zero —
@@ -131,7 +110,7 @@ object ShingleMinhash {
     offsets(count) = numBytes
     if (count < n) return null
 
-    val md = digests.get()
+    val md = Md5Kernel.md
     val digest = new Array[Byte](16)
     var minA = 0L
     var minB = 0L
@@ -141,12 +120,12 @@ object ShingleMinhash {
       val from = offsets(s)
       md.update(bytes, from, offsets(s + n) - from)
       md.digest(digest, 0, 16) // completes AND resets the digest
-      val a = beLong(digest, 0)
-      val b = beLong(digest, 8)
+      val a = Md5Kernel.beLong(digest, 0)
+      val b = Md5Kernel.beLong(digest, 8)
       if (s == 0 || java.lang.Long.compareUnsigned(a, minA) < 0) minA = a
       if (s == 0 || java.lang.Long.compareUnsigned(b, minB) < 0) minB = b
       s += 1
     }
-    new GenericInternalRow(Array[Any](hex16(minA), hex16(minB)))
+    new GenericInternalRow(Array[Any](Md5Kernel.hex16(minA), Md5Kernel.hex16(minB)))
   }
 }

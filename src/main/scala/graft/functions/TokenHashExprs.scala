@@ -1,10 +1,7 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -12,7 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions computing whitespace-token hash signatures
   * in ONE generated loop per document: the MinHash signature family
-  * ([[TokenMinhashExpr]]) and the SimHash fingerprint ([[SimhashExpr]]).
+  * ([[TokenMinhashExpr]]), the SimHash fingerprint ([[SimhashExpr]]), and
+  * the distinct token-hash set ([[TokenHashSetExpr]]).
   *
   * Semantically identical to the composable interpreted forms
   * (`Dedup.minhash(Dedup.tokens(text), seed)` /
@@ -31,21 +29,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * step. These expressions do the same math as a static JVM loop over the
   * text's UTF-8 bytes inside whole-stage codegen.
   *
+  * All three accept anything Spark implicitly casts to string
+  * (`ImplicitCastInputTypes`) — the same coercion the interpreted
+  * `split(trim(col))` forms get — and reject uncastable types at analysis
+  * time.
+  *
   * Scale: map-side only, no shuffle — cost is linear in corpus bytes
   * (x numHashes digests for the MinHash family), the floor for
   * token-signature computation.
   */
-case class TokenMinhashExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+case class TokenMinhashExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(numHashes >= 1 && numHashes <= TokenHash.MaxSeeds,
     s"numHashes must be in [1, ${TokenHash.MaxSeeds}], got $numHashes")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(StringType)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
     TokenHash.minhash(input.asInstanceOf[UTF8String], numHashes)
@@ -70,16 +71,14 @@ object TokenMinhashExpr {
 
 /** SimHash fingerprint of the whitespace tokens of a text column — the
   * codegen'd equivalent of `Dedup.simhash(Dedup.tokens(text))`. */
-case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+case class SimhashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
 
-  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
     TokenHash.simhash(input.asInstanceOf[UTF8String], bits)
@@ -108,14 +107,12 @@ object SimhashExpr {
   * in a generated loop instead of one interpreted md5 expression tree per
   * token (the interpreted form measured ~2s per scan of 5k docs at sf0.1,
   * and pair-join plans evaluate it once per join side). */
-case class TokenHashSetExpr(child: Expression) extends UnaryExpression {
+case class TokenHashSetExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     TokenHash.tokenHashSet(input.asInstanceOf[UTF8String])
@@ -148,16 +145,17 @@ object TokenHashSetExpr {
   * `[""]` quirk [[graft.ops.ext.Dedup.tokens]] documents. Whitespace
   * bytes are all < 0x80, so byte-level splitting never cuts a multi-byte
   * code point.
+  *
+  * Malformed UTF-8: Spark's `split` round-trips through a Java String,
+  * substituting invalid sequences with U+FFFD, so these kernels normalize
+  * invalid input the same way ([[normalizedBytes]]) — raw-byte hashing
+  * would silently diverge from the interpreted forms there. (The shingle
+  * kernel deliberately does NOT normalize: its interpreted counterpart is
+  * `substr`, which walks raw bytes.)
   */
 object TokenHash {
 
   val MaxSeeds = 32
-
-  private val digests = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
-  private val hexDigits = "0123456789abcdef".toCharArray
 
   /** Seed prefixes `"0:".getBytes .. "31:".getBytes` for the md5 family
     * `md5(seed + ":" + token)`. */
@@ -167,19 +165,13 @@ object TokenHash {
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
 
-  private def beLong(bytes: Array[Byte], off: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
-    v
-  }
-
-  private def hex32(hi: Long, lo: Long): UTF8String = {
-    val cs = new Array[Char](32)
-    var i = 0
-    while (i < 16) { cs(i) = hexDigits(((hi >>> ((15 - i) * 4)) & 0xf).toInt); i += 1 }
-    while (i < 32) { cs(i) = hexDigits(((lo >>> ((31 - i) * 4)) & 0xf).toInt); i += 1 }
-    UTF8String.fromString(new String(cs))
+  /** Trimmed text bytes with invalid UTF-8 already U+FFFD-substituted —
+    * the byte stream the interpreted `split(trim(text))` path hashes.
+    * `isValid` is a single cheap scan; valid input (the normal case) pays
+    * no copy. */
+  private def normalizedBytes(text: UTF8String): Array[Byte] = {
+    val t = if (text.isValid()) text else UTF8String.fromString(text.toString)
+    t.trim().getBytes
   }
 
   /** Visits each token as a `(start, end)` byte range of the trimmed text.
@@ -201,12 +193,18 @@ object TokenHash {
     f(tokenStart, n) // final token; empty when the text ended in a separator
   }
 
+  /** Unsigned-32 token hash: first 4 digest bytes, big-endian — identical
+    * to `conv(substring(md5(w), 1, 8), 16, 10)`. */
+  private def head32(digest: Array[Byte]): Long =
+    ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+
   /** MinHash signature: for each seed in 0..numHashes-1, the minimum over
     * tokens of `md5(seed + ":" + token)` as a 32-hex string. Never null —
     * even empty text has the one empty token. */
   def minhash(text: UTF8String, numHashes: Int): ArrayData = {
-    val bytes = text.trim().getBytes
-    val md = digests.get()
+    val bytes = normalizedBytes(text)
+    val md = Md5Kernel.md
     val digest = new Array[Byte](16)
     val minHi = new Array[Long](numHashes)
     val minLo = new Array[Long](numHashes)
@@ -217,8 +215,8 @@ object TokenHash {
         md.update(seedPrefixes(s))
         md.update(bytes, from, until - from)
         md.digest(digest, 0, 16) // completes AND resets the digest
-        val hi = beLong(digest, 0)
-        val lo = beLong(digest, 8)
+        val hi = Md5Kernel.beLong(digest, 0)
+        val lo = Md5Kernel.beLong(digest, 8)
         if (first ||
             java.lang.Long.compareUnsigned(hi, minHi(s)) < 0 ||
             (hi == minHi(s) && java.lang.Long.compareUnsigned(lo, minLo(s)) < 0)) {
@@ -231,23 +229,21 @@ object TokenHash {
     }
     val out = new Array[Any](numHashes)
     var s = 0
-    while (s < numHashes) { out(s) = hex32(minHi(s), minLo(s)); s += 1 }
+    while (s < numHashes) { out(s) = Md5Kernel.hex32(minHi(s), minLo(s)); s += 1 }
     new GenericArrayData(out)
   }
 
   /** SimHash: per bit position the +1/-1 majority vote over the unsigned
-    * 32-bit token hash `first-4-bytes-of-md5(token)` — identical to
-    * `conv(substring(md5(w), 1, 8), 16, 10)`. */
+    * 32-bit token hash. */
   def simhash(text: UTF8String, bits: Int): Long = {
-    val bytes = text.trim().getBytes
-    val md = digests.get()
+    val bytes = normalizedBytes(text)
+    val md = Md5Kernel.md
     val digest = new Array[Byte](16)
     val votes = new Array[Int](bits)
     forEachToken(bytes) { (from, until) =>
       md.update(bytes, from, until - from)
       md.digest(digest, 0, 16)
-      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val h = head32(digest)
       var j = 0
       while (j < bits) {
         votes(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
@@ -260,21 +256,19 @@ object TokenHash {
     sig
   }
 
-  /** Distinct token hashes (`first 4 md5 bytes` as unsigned-32-in-long),
-    * first-occurrence order — matches `array_distinct` over the
-    * interpreted per-token hash. Token counts are small (a document's
-    * whitespace tokens), so a JDK LinkedHashSet is fine here. */
+  /** Distinct token hashes, first-occurrence order — matches
+    * `array_distinct` over the interpreted per-token hash. Token counts
+    * are small (a document's whitespace tokens), so a JDK LinkedHashSet is
+    * fine here. */
   def tokenHashSet(text: UTF8String): ArrayData = {
-    val bytes = text.trim().getBytes
-    val md = digests.get()
+    val bytes = normalizedBytes(text)
+    val md = Md5Kernel.md
     val digest = new Array[Byte](16)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     forEachToken(bytes) { (from, until) =>
       md.update(bytes, from, until - from)
       md.digest(digest, 0, 16)
-      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
-      seen.add(h)
+      seen.add(head32(digest))
     }
     val out = new Array[Any](seen.size)
     var i = 0

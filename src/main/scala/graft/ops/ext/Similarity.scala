@@ -89,23 +89,37 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Per-row centroid ranking against a centroid array LITERAL: cosine to
-    * every centroid in one pass, then a K-element in-row sort (descending
-    * similarity, ties to the smaller cid — the `row_number` order of a
-    * window formulation, without the window's Exchange). `vnormCol` must be
-    * a plain column reference (computed once per row via `withColumn`) —
-    * inlining the norm expression here would re-evaluate it per centroid. */
-  private def rankedCentroids(vecCol: Column, vnormCol: Column, centArr: Column): Column = {
-    val sims = transform(centArr, c => struct(
+  /** Per-row centroid similarities against a centroid array LITERAL:
+    * `array<struct<sim, cid>>` in centroid (cid) order. `vecCol`/`vnormCol`
+    * must be plain column references (computed once per row via
+    * `withColumn`) — inlining the norm expression here would re-evaluate
+    * it per centroid. */
+  private def centroidSims(vecCol: Column, vnormCol: Column, centArr: Column): Column =
+    transform(centArr, c => struct(
       (dot(vecCol, c.getField("cvec")) / (vnormCol * c.getField("cnorm"))).as("sim"),
       c.getField("cid").as("cid")))
-    array_sort(sims, (l, r) =>
+
+  /** Full centroid ranking for the probe path: K-element in-row sort,
+    * descending similarity, ties to the smaller cid — the `row_number`
+    * order of a window formulation, without the window's Exchange. */
+  private def rankedCentroids(simsCol: Column): Column =
+    array_sort(simsCol, (l, r) =>
       when(l.getField("sim") > r.getField("sim"), lit(-1))
         .when(l.getField("sim") < r.getField("sim"), lit(1))
         .when(l.getField("cid") < r.getField("cid"), lit(-1))
         .when(l.getField("cid") > r.getField("cid"), lit(1))
         .otherwise(lit(0)))
-  }
+
+  /** Argmax for the assignment path: a single linear fold (the hot
+    * per-corpus-row loop needs only the best centroid — a full K log K
+    * sort would be wasted work at production centroid counts). Seeded with
+    * the first element and strict `>`, so ties keep the smaller cid —
+    * identical to `rankedCentroids(...)[0]`. `simsCol` must be a plain
+    * column reference: it is used twice (seed + fold input), and a column
+    * reference keeps the interpreted transform evaluated once per row. */
+  private def bestCentroid(simsCol: Column): Column =
+    aggregate(simsCol, element_at(simsCol, 1),
+      (acc, c) => when(c.getField("sim") > acc.getField("sim"), c).otherwise(acc))
 
   /** IVF (inverted-file) top-k: the other classic ANN scale path.
     *
@@ -129,9 +143,16 @@ object Similarity {
     * (centroids sit where vectors are dense) while SRP buckets are
     * data-oblivious; IVF recall tunes by `nprobe` at query time without
     * re-indexing. */
+  /** @param broadcastProbes hint the (queries × nprobe) probe side as the
+    *   broadcast build side — correct for the documented Q ≲ 10³ query-set
+    *   contract (zero shuffle before the probe join). Set false for
+    *   corpus-scale query sets (e.g. corpus-vs-corpus ANN), where a forced
+    *   broadcast would hit the broadcast size limit — AQE then picks the
+    *   join strategy from real sizes. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
-      numCentroids: Int, k: Int, nprobe: Int): DataFrame = {
+      numCentroids: Int, k: Int, nprobe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = corpus.where(col("id") < numCentroids)
       .select(col("id"), col("vec")).collect()
@@ -149,18 +170,19 @@ object Similarity {
 
     val assigned = corpus
       .withColumn("_vnorm", norm(col("vec")))
-      .withColumn("_best", element_at(rankedCentroids(col("vec"), col("_vnorm"), centArr), 1))
+      .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
+      .withColumn("_best", bestCentroid(col("_sims")))
       .select(col("_best").getField("cid").as("cid"),
         col("id").as("n_id"), col("vec").as("n_vec"))
     val probes = queries
       .withColumn("_vnorm", norm(col("vec")))
+      .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
       .select(col("id").as("q_id"), col("vec").as("q_vec"),
-        explode(slice(rankedCentroids(col("vec"), col("_vnorm"), centArr),
-          1, nprobe)).as("_pc"))
+        explode(slice(rankedCentroids(col("_sims")), 1, nprobe)).as("_pc"))
       .select(col("_pc").getField("cid").as("cid"), col("q_id"), col("q_vec"))
 
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    broadcast(probes).join(assigned, Seq("cid"))
+    (if (broadcastProbes) broadcast(probes) else probes).join(assigned, Seq("cid"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(byQuery))

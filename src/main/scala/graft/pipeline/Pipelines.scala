@@ -32,6 +32,7 @@ object TtlToParquet {
       enUrisPaths: Seq[(String, Seq[String])] = Seq.empty): Long = {
     val frames = langPaths.map { case (lang, paths) => Ttl.readLang(spark, lang, paths) } ++
       enUrisPaths.map { case (lang, paths) => Ttl.readLang(spark, s"en-$lang", paths) }
+    require(frames.nonEmpty, "TtlToParquet.run: no input ttl paths given")
     val all = frames.reduce(_.unionByName(_))
     ParquetIO.writeTriples(all, outPath)
     spark.read.parquet(outPath).count()
@@ -52,6 +53,10 @@ object TtlToParquet {
     val languages = langs.getOrElse(graft.io.Discovery.languages(spark, base, release, dataset))
     val (main, enUris) =
       graft.io.Discovery.langPaths(spark, base, release, dataset, name, languages)
+    // a typo'd dataset name would otherwise surface as a bare 'empty.reduce'
+    require(main.nonEmpty,
+      s"no ttl files found for dataset '$name' under $base/$release/$dataset " +
+        s"(languages searched: ${languages.mkString(", ")})")
     run(spark, main, outPath, enUris)
   }
 }

@@ -83,16 +83,18 @@ class TokenHashExprsSpec extends SparkSpec {
     assert(kernel.toSeq === interp.toSeq)
   }
 
-  test("registered SQL functions work and reject non-string input at analysis time") {
+  test("registered SQL functions coerce castable input, reject the rest at analysis time") {
     val got = spark.sql(
       "SELECT graft_token_minhash('a b', 2) AS mhs, graft_simhash('a b') AS sh")
       .collect().head
     assert(got.getSeq[String](0).length === 2)
     assert(got.getSeq[String](0).forall(_.length === 32))
-    intercept[AnalysisException] {
-      spark.sql("SELECT graft_token_minhash(42, 2)").collect()
-    }
-    intercept[AnalysisException] {
+    // ImplicitCastInputTypes: an int coerces to string — the same coercion
+    // the interpreted split(trim(col)) forms get
+    val coerced = spark.sql(
+      "SELECT graft_simhash(42) = graft_simhash('42') AS eq").collect().head
+    assert(coerced.getBoolean(0))
+    intercept[AnalysisException] { // no implicit array -> string cast
       spark.sql("SELECT graft_simhash(array(1))").collect()
     }
     intercept[Exception] { // NULL literal size: clear error, not a silent 0
