@@ -646,6 +646,22 @@ object SparkEntry {
         .orderBy(col("media_id"), col("op"), col("p1"))
     }),
 
+    // ---- multimodal decode plane: mapPartitions feature extraction -----
+    "q54_multimodal_features" -> ((s, dir) => {
+      // exercises the REAL batch boundary (typed Dataset -> mapPartitions
+      // with per-partition codec init) under the oracle gate: the stub
+      // codec's md5-seeded embedding is pure deterministic math DuckDB can
+      // reproduce byte-for-byte ((b-128)/128 is exact in both float and
+      // double — power-of-two denominator)
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media, dims = 16).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 2).cast("double").as("e1"),
+          element_at(col("embedding"), 3).cast("double").as("e2"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- LSH degenerate-bucket guard (multi-band, capped) --------------
     "q53_lsh_guard" -> ((s, dir) => {
       // Two single-hash bands with a low cap: the synthetic corpus has a
@@ -1117,6 +1133,14 @@ object SparkEntry {
           | FROM m WHERE modality = 'video')
           |SELECT media_id, op, p1, p2 FROM (SELECT * FROM r UNION ALL SELECT * FROM f)
           |ORDER BY media_id, op, p1""".stripMargin.replace("\n", " "),
+      "q54_multimodal_features" ->
+        """SELECT doc_id AS media_id,
+          | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e0,
+          | CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e1,
+          | CAST(CAST(('0x' || substr(md5(text), 5, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e2
+          |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
       "q53_lsh_guard" ->
         s"""WITH s0 AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
           |s1 AS (SELECT doc_id, md5(${mh("1")}) AS band FROM documents),

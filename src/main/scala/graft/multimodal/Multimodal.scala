@@ -89,19 +89,20 @@ object Multimodal {
         round(h * scale).cast("int").as("target_height"))
   }
 
-  /** Deterministic media-metadata view over a `documents` table: modality
-    * cycles image/audio/video on `doc_id`, dimensions and duration derive
-    * from `n_chars` — pure relational math reproducible in any SQL engine,
-    * which is what lets [[resizePlan]]/[[sampleFrames]] sit under the
-    * DuckDB oracle gate (q52) rather than being spec-only. Content stays
-    * NULL: these are the metadata-plane operators; decode-plane work
-    * ([[extractFeatures]]) consumes real bytes. */
+  /** Deterministic media view over a `documents` table: modality cycles
+    * image/audio/video on `doc_id`, dimensions and duration derive from
+    * `n_chars`, content is the text's UTF-8 bytes — all reproducible in
+    * any SQL engine, which is what lets [[resizePlan]]/[[sampleFrames]]
+    * (q52) AND the [[extractFeatures]] decode plane with its md5-seeded
+    * [[StubCodec]] (q54) sit under the DuckDB oracle gate rather than
+    * being spec-only. Metadata-plane queries never touch `content`
+    * (column pruning drops it at the scan). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      lit(null).cast("binary").as("content"),
+      col("text").cast("binary").as("content"),
       struct(
         lit("synthetic").as("format"),
         (lit(320) + pmod(col("n_chars"), lit(1600))).cast("int").as("width"),
