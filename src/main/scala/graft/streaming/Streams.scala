@@ -104,6 +104,27 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Streaming NEAR-duplicate dedup: drop documents whose MinHash band was
+    * already seen inside the watermark window — the streaming dual of the
+    * batch LSH candidate suppression
+    * ([[graft.ops.ext.Dedup.lshCandidatePairs]]). The band is computed
+    * map-side by the codegen'd [[graft.functions.TokenMinhashExpr]]
+    * kernel, so state is keyed by a 32-byte hash — document text never
+    * enters the state store. `dropDuplicatesWithinWatermark` evicts band
+    * state once the watermark passes, bounding it by stream rate x window
+    * (a plain `dropDuplicates` on the band would grow state forever).
+    * Recall mirrors the batch operator: only single-band collisions are
+    * suppressed. */
+  def nearDupDedup(
+      docs: DataFrame, textCol: String,
+      watermark: String, numHashes: Int = 2): DataFrame =
+    docs
+      .withColumn("_band", md5(array_join(
+        graft.functions.TokenMinhashExpr.token_minhash(col(textCol), numHashes), "|")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_band")
+      .drop("_band")
+
   /** Watermarked stream-stream inner join: events enriched with the other
     * stream's rows for the same key within `window` of event time. Both
     * sides carry watermarks so join state is bounded — the required shape

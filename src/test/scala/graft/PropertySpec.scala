@@ -99,6 +99,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: token-hash kernels match interpreted forms on random unicode text") {
+    val spark2 = spark
+    import spark2.implicits._
+    // atoms mix ASCII words, every ASCII whitespace char (incl. runs and
+    // leading/trailing placement), multi-byte code points and emoji —
+    // the tokenization quirks the kernels must reproduce exactly
+    val atomGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(4)),
+      3 -> Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  ", " \t "),
+      2 -> Gen.oneOf("é", "ü", "ß", "日本", "語", "😀", "🎉"),
+      1 -> Gen.const(""))
+    val texts = samples(Gen.listOfN(12, atomGen).map(_.mkString), 24).distinct
+    val rows = texts.toDF("text").select(
+      col("text"),
+      Dedup.minhash(Dedup.tokens(col("text")), 0).as("i0"),
+      element_at(graft.functions.TokenMinhashExpr.token_minhash(col("text"), 2), 1).as("k0"),
+      Dedup.minhash(Dedup.tokens(col("text")), 1).as("i1"),
+      element_at(graft.functions.TokenMinhashExpr.token_minhash(col("text"), 2), 2).as("k1"),
+      Dedup.simhash(Dedup.tokens(col("text"))).as("is"),
+      graft.functions.SimhashExpr.simhash(col("text")).as("ks"),
+      array_distinct(transform(Dedup.tokens(col("text")),
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))).as("it"),
+      graft.functions.TokenHashSetExpr.token_hash_set(col("text")).as("kt"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getString(1) === r.getString(2), s"minhash seed 0 for '$t'")
+      assert(r.getString(3) === r.getString(4), s"minhash seed 1 for '$t'")
+      assert(r.getLong(5) === r.getLong(6), s"simhash for '$t'")
+      assert(r.getSeq[Long](7) === r.getSeq[Long](8), s"token set for '$t'")
+    }
+  }
+
   test("property: minhash signature equality is permutation-invariant") {
     val spark2 = spark
     import spark2.implicits._

@@ -33,6 +33,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops band-colliding documents within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.nearDupDedup(docs, "text", watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "alpha beta gamma"),
+        (ts("2024-01-01 00:01:00"), 2L, "gamma beta alpha"), // same token set -> same band
+        (ts("2024-01-01 00:02:00"), 3L, "completely different words"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 3L)) // 2 suppressed as a near-dup of 1
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits session summary when the gap passes") {
     val spark2 = spark
     import spark2.implicits._
