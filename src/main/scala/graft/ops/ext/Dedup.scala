@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *    drops them before any join (see [[lshCandidatePairsMultiBand]]).
   *  - exact dedup hashes the text (fixed-width key) instead of grouping by
   *    the full text column, so the shuffle moves 32-byte keys, not bodies.
+  *  - recurring dedup runs: persist the signature table bucketed+sorted by
+  *    band ([[graft.io.Bucketing]]) — the nightly candidate self-join then
+  *    plans with ZERO Exchange (proven in BucketingSpec).
   */
 object Dedup {
 
@@ -225,10 +228,11 @@ object Dedup {
       bandCols: Seq[String],
       setCol: String,
       threshold: Double,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      saltOversized: Boolean = false): DataFrame = {
     val keyed = guardBuckets(
       sig.select(bandKey(bandCols).as("band"), col(idCol).as("id"), col(setCol).as("set")),
-      maxBucketSize)
+      maxBucketSize, saltOversized)
     val l = keyed.select(col("band"), col("id").as("id_a"), col("set").as("set_a"))
     val r = keyed.select(col("band"), col("id").as("id_b"), col("set").as("set_b"))
     l.join(r, Seq("band"))

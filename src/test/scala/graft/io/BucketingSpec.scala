@@ -2,6 +2,7 @@ package graft.io
 
 import graft.SparkSpec
 import graft.ops.Skew
+import org.apache.spark.sql.functions.col
 
 class BucketingSpec extends SparkSpec {
 
@@ -22,6 +23,32 @@ class BucketingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS graft_facts")
       spark.sql("DROP TABLE IF EXISTS graft_dims")
+    }
+  }
+
+  test("recurring LSH dedup: self-join over a bucketed signature table has no Exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // the recurring-dedup layout: persist (id, band) bucketed+sorted by
+      // band once at signature time; every later candidate-pair run then
+      // self-joins with zero shuffle — at 100 TB this removes the one
+      // remaining Exchange from the whole dedup pipeline
+      val sig = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "band")
+      Bucketing.writeBucketed(sig, "graft_sig", "band", 4)
+      val t = spark.table("graft_sig")
+      val l = t.select(col("band"), col("doc_id").as("id_a"))
+      val r = t.select(col("band"), col("doc_id").as("id_b"))
+      val pairs = l.join(r, Seq("band"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(pairs.as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_sig")
     }
   }
 
