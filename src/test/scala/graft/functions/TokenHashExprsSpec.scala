@@ -85,10 +85,12 @@ class TokenHashExprsSpec extends SparkSpec {
 
   test("registered SQL functions coerce castable input, reject the rest at analysis time") {
     val got = spark.sql(
-      "SELECT graft_token_minhash('a b', 2) AS mhs, graft_simhash('a b') AS sh")
+      "SELECT graft_token_minhash('a b', 2) AS mhs, graft_simhash('a b') AS sh, " +
+        "graft_token_hash_set('a b a') AS ths")
       .collect().head
     assert(got.getSeq[String](0).length === 2)
     assert(got.getSeq[String](0).forall(_.length === 32))
+    assert(got.getSeq[Long](2).length === 2) // 'a b a' -> {h(a), h(b)}
     // ImplicitCastInputTypes: an int coerces to string — the same coercion
     // the interpreted split(trim(col)) forms get
     val coerced = spark.sql(
