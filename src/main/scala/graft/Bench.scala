@@ -20,8 +20,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // test data is one smallish file per table; split scans so all cores
-      // participate (at cluster scale the many-files layout does this)
+      // NOTE: the test tables are one file with ONE parquet row group
+      // each, and parquet only splits at row-group boundaries — so every
+      // scan (and all map-side work before the first Exchange) runs as a
+      // single task regardless of these settings. That is a local-bench
+      // artifact, deliberately NOT worked around with artificial
+      // repartition() in the queries: cluster inputs arrive as many
+      // files/row groups and parallelize naturally. The settings are kept
+      // for inputs that DO split (multi-row-group files).
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
