@@ -91,8 +91,10 @@ object Dedup {
     * (token, seed) with per-step boxing. */
   def withMinhashSignature(df: DataFrame, textCol: Column, numHashes: Int): DataFrame = {
     val sig = graft.functions.TokenMinhashExpr.token_minhash(textCol, numHashes)
-    // CollapseProject inlines the array into each element_at; whole-stage
-    // codegen subexpression elimination evaluates the kernel once per row
+    // the kernel stays in its own Project below the per-column element_at
+    // extraction: CollapseProject refuses to inline a non-cheap expression
+    // referenced more than once, so the kernel runs exactly once per row
+    // (plan-asserted in TokenHashExprsSpec)
     val withSig = df.withColumn("_graft_mhs", sig)
     (0 until numHashes).foldLeft(withSig) { (acc, i) =>
       acc.withColumn(s"mh$i", element_at(col("_graft_mhs"), i + 1))

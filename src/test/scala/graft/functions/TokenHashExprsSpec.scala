@@ -83,6 +83,19 @@ class TokenHashExprsSpec extends SparkSpec {
     assert(kernel.toSeq === interp.toSeq)
   }
 
+  test("withMinhashSignature keeps ONE kernel instance in the optimized plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // CollapseProject must not inline the kernel into the N element_at
+    // projections (it refuses for non-cheap multi-use expressions) — else
+    // the kernel would run N times per row. spark.range source: a local
+    // Seq would be constant-folded into a LocalRelation entirely.
+    val src = spark.range(3).select(concat(lit("a b "), col("id").cast("string")).as("text"))
+    val df = Dedup.withMinhashSignature(src, col("text"), 4)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert("graft_token_minhash".r.findAllMatchIn(plan).length === 1, plan)
+  }
+
   test("registered SQL functions coerce castable input, reject the rest at analysis time") {
     val got = spark.sql(
       "SELECT graft_token_minhash('a b', 2) AS mhs, graft_simhash('a b') AS sh, " +
