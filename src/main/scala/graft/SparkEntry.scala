@@ -631,6 +631,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- LSH salted guard: oversized buckets split, not dropped --------
+    "q55_lsh_salted" -> ((s, dir) => {
+      // the salting alternative to q53's drop: the boilerplate mega-bucket
+      // splits into ceil(size/cap) deterministic sub-buckets, so cost
+      // stays bounded while in-bucket pairs partially survive
+      val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 1)
+      Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"),
+          maxBucketSize = Some(100), saltOversized = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- multimodal metadata plans: resize targets + frame sampling ----
     "q52_multimodal_plan" -> ((s, dir) => {
       // resizePlan and sampleFrames are pure metadata math over the typed
@@ -1120,6 +1131,19 @@ object SparkEntry {
           | FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
           | WHERE a.band IN (SELECT band FROM ok))
           |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q55_lsh_salted" ->
+        s"""WITH sig AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
+          |sz AS (SELECT band, COUNT(*) AS c FROM sig GROUP BY band HAVING COUNT(*) >= 2),
+          |salted AS (SELECT s.doc_id,
+          |  CASE WHEN CAST(ceil(c / 100.0) AS BIGINT) > 1
+          |   THEN md5(s.band || '#' || CAST(
+          |     CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |       % CAST(ceil(c / 100.0) AS BIGINT) AS VARCHAR))
+          |   ELSE s.band END AS band
+          | FROM sig s JOIN sz ON s.band = sz.band)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM salted a JOIN salted b ON a.band = b.band AND a.doc_id < b.doc_id
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q52_multimodal_plan" ->
         """WITH m AS (SELECT doc_id AS media_id,
           |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
