@@ -631,6 +631,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- winnowing fingerprints (MOSS local fingerprinting) ------------
+    "q56_winnow" -> ((s, dir) => {
+      // sub-projection so the kernel evaluates once per row (CollapseProject
+      // refuses to inline a non-cheap expression referenced twice)
+      t(s, dir, "documents")
+        .withColumn("_fp", TextStats.winnowFingerprint(col("text"), k = 5, w = 8))
+        .select(col("doc_id"),
+          when(col("_fp").isNotNull, size(col("_fp"))).cast("long").as("n_fp"),
+          when(col("_fp").isNotNull,
+            md5(concat_ws(",", transform(col("_fp"), x => x.cast("string"))))).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1131,6 +1144,19 @@ object SparkEntry {
           | FROM d a JOIN d b ON a.band = b.band AND a.doc_id < b.doc_id
           | WHERE a.band IN (SELECT band FROM ok))
           |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q56_winnow" ->
+        """WITH s AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(text) - 4), i ->
+          |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)) AS h
+          | FROM documents),
+          |f AS (SELECT doc_id,
+          |  CASE WHEN len(h) >= 8 THEN
+          |    list_sort(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> list_min(h[i:i+7]))))
+          |  ELSE NULL END AS fp
+          | FROM s)
+          |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+          | CASE WHEN fp IS NULL THEN NULL ELSE md5(array_to_string(fp, ',')) END AS fp_digest
+          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q55_lsh_salted" ->
         s"""WITH sig AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
           |sz AS (SELECT band, COUNT(*) AS c FROM sig GROUP BY band HAVING COUNT(*) >= 2),

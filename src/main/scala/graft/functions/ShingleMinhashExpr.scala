@@ -90,15 +90,12 @@ object ShingleMinhash {
     * silently diverge from the interpreted form on invalid UTF-8). */
   private def charLen(lead: Byte): Int = UTF8String.numBytesForFirstByte(lead)
 
-  /** Returns `struct<a, b>` of the two 16-hex-char minima, or null when
-    * the text has fewer than `n` code points (so shingle count is zero —
-    * the same rows the interpreted form null-masks). */
-  def eval(text: UTF8String, n: Int): InternalRow = {
-    val bytes = text.getBytes
+  /** Code-point start offsets of `bytes` plus an end sentinel: shingle s of
+    * width n covers the byte range [offsets(s), offsets(s+n)) — exactly the
+    * UTF-8 bytes of the n-char substring, so an md5 over the range matches
+    * `md5(substr(text, s+1, n))`. Returns (offsets, codePointCount). */
+  private[functions] def codePointOffsets(bytes: Array[Byte]): (Array[Int], Int) = {
     val numBytes = bytes.length
-    // code-point start offsets (+ end sentinel): shingle s covers the byte
-    // range [offsets(s), offsets(s+n)) — exactly the UTF-8 bytes of the
-    // n-char substring, so md5 input matches md5(substr(text, s+1, n))
     val offsets = new Array[Int](numBytes + 1)
     var count = 0
     var i = 0
@@ -108,6 +105,15 @@ object ShingleMinhash {
       i += charLen(bytes(i))
     }
     offsets(count) = numBytes
+    (offsets, count)
+  }
+
+  /** Returns `struct<a, b>` of the two 16-hex-char minima, or null when
+    * the text has fewer than `n` code points (so shingle count is zero —
+    * the same rows the interpreted form null-masks). */
+  def eval(text: UTF8String, n: Int): InternalRow = {
+    val bytes = text.getBytes
+    val (offsets, count) = codePointOffsets(bytes)
     if (count < n) return null
 
     val md = Md5Kernel.md

@@ -83,4 +83,11 @@ object TextStats {
     * address for fuzzy-dedup bookkeeping. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Winnowing fingerprint set (sorted distinct window-min shingle
+    * hashes): the substring-matching complement to [[fingerprint]] — any
+    * two documents sharing >= w+k-1 consecutive characters share a value.
+    * Codegen'd kernel; see [[graft.functions.WinnowFingerprintExpr]]. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 8): Column =
+    graft.functions.WinnowFingerprintExpr.winnow(text, k, w)
 }

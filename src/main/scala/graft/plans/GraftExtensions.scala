@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr}
+import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -99,6 +99,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_token_hash_set(text) takes 1 argument")
         TokenHashSetExpr(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(
+        classOf[WinnowFingerprintExpr].getName,
+        null,
+        "graft_winnow",
+        "graft_winnow(text, k, w) - sorted distinct winnowing fingerprint hashes",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_winnow(text, k, w) takes 3 arguments")
+        WinnowFingerprintExpr(children.head,
+          intLiteral(children(1), "shingle size k"),
+          intLiteral(children(2), "window size w"))
       }))
   }
 }
