@@ -644,6 +644,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- winnowing candidate pairs (substring-match near-dup) ----------
+    "q57_winnow_pairs" -> ((s, dir) => {
+      // cache the fingerprint table (the expensive per-doc artifact): the
+      // pair operator's census + both join sides read it four times, and
+      // unlike q24's cheap minhash the winnow kernel dominates — caching
+      // measured 4.5s -> 3.5s at sf0.1 (same pattern as q18's cached
+      // top-k relation)
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.winnowFingerprint(col("text"), k = 5, w = 8).as("_fp"))
+        .cache()
+      Dedup.winnowCandidatePairs(fps, "doc_id", col("_fp"), maxBucketSize = Some(50))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1157,6 +1172,22 @@ object SparkEntry {
           |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
           | CASE WHEN fp IS NULL THEN NULL ELSE md5(array_to_string(fp, ',')) END AS fp_digest
           |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q57_winnow_pairs" ->
+        """WITH s AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(text) - 4), i ->
+          |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)) AS h
+          | FROM documents),
+          |f AS (SELECT doc_id,
+          |  CASE WHEN len(h) >= 8 THEN
+          |    list_sort(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> list_min(h[i:i+7]))))
+          |  ELSE NULL END AS fp
+          | FROM s),
+          |e AS (SELECT doc_id, md5(CAST(unnest(fp) AS VARCHAR)) AS band FROM f WHERE fp IS NOT NULL),
+          |ok AS (SELECT band FROM e GROUP BY band HAVING COUNT(*) <= 50),
+          |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM e a JOIN e b ON a.band = b.band AND a.doc_id < b.doc_id
+          | WHERE a.band IN (SELECT band FROM ok))
+          |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q55_lsh_salted" ->
         s"""WITH sig AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
           |sz AS (SELECT band, COUNT(*) AS c FROM sig GROUP BY band HAVING COUNT(*) >= 2),

@@ -244,6 +244,34 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Candidate near-dup pairs from winnowing fingerprints: documents
+    * sharing ANY fingerprint value are candidates — the substring-match
+    * dual of [[lshCandidatePairsMultiBand]] (winnowing guarantees a shared
+    * value for any >= w+k-1-char common substring, where MinHash banding
+    * is probabilistic on set similarity).
+    *
+    * Shape: explode to one (fp-hash, id) row per fingerprint — short keys,
+    * never text — guard pathological fingerprint values (ubiquitous
+    * boilerplate substrings) with `maxBucketSize`, self-join per value,
+    * and collapse pairs that share several fingerprints with one final
+    * distinct. */
+  def winnowCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      fpCol: Column,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val keyed = guardBuckets(
+      docs.select(col(idCol).as("id"), explode(fpCol).as("v"))
+        .select(md5(col("v").cast("string")).as("band"), col("id")),
+      maxBucketSize)
+    val l = keyed.select(col("band"), col("id").as("id_a"))
+    val r = keyed.select(col("band"), col("id").as("id_b"))
+    l.join(r, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** 32-bit SimHash from token hashes: per bit position, the majority vote
     * of all token hashes' bits, weighted +1/-1.
     *

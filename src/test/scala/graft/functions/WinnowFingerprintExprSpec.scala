@@ -59,6 +59,21 @@ class WinnowFingerprintExprSpec extends SparkSpec {
     assert((fps(1L) intersect fps(3L)).isEmpty)
   }
 
+  test("winnowCandidatePairs surfaces substring-sharing documents once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val shared = "this exact passage appears verbatim in both documents"
+    val docs = Seq(
+      (1L, s"prefix one ${shared} suffix alpha"),
+      (2L, s"a completely different opening ${shared} and closing"),
+      (3L, "unrelated content with no overlap whatsoever at all here")
+    ).toDF("doc_id", "text")
+      .withColumn("_fp", WinnowFingerprintExpr.winnow(col("text"), k, w))
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", col("_fp"))
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L))) // several shared fps -> ONE pair row
+  }
+
   test("registered as SQL function graft_winnow") {
     val got = spark.sql(
       "SELECT graft_winnow('a long enough piece of text for winnowing', 5, 8) AS fp")
