@@ -1182,7 +1182,7 @@ object SparkEntry {
           |    list_sort(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> list_min(h[i:i+7]))))
           |  ELSE NULL END AS fp
           | FROM s),
-          |e AS (SELECT doc_id, md5(CAST(unnest(fp) AS VARCHAR)) AS band FROM f WHERE fp IS NOT NULL),
+          |e AS (SELECT doc_id, unnest(fp) AS band FROM f WHERE fp IS NOT NULL),
           |ok AS (SELECT band FROM e GROUP BY band HAVING COUNT(*) <= 50),
           |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           | FROM e a JOIN e b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -1220,10 +1220,10 @@ object SparkEntry {
       "q54_multimodal_features" ->
         """SELECT doc_id AS media_id,
           | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          | CAST(CAST(('0x' || substr(md5(text), 1, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e0,
-          | CAST(CAST(('0x' || substr(md5(text), 3, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e1,
-          | CAST(CAST(('0x' || substr(md5(text), 5, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e2
+          | CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+          | CAST(CAST(('0x' || substr(md5(coalesce(text, '')), 1, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e0,
+          | CAST(CAST(('0x' || substr(md5(coalesce(text, '')), 3, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e1,
+          | CAST(CAST(('0x' || substr(md5(coalesce(text, '')), 5, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e2
           |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "),
       "q53_lsh_guard" ->
         s"""WITH s0 AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),

@@ -250,19 +250,19 @@ object Dedup {
     * value for any >= w+k-1-char common substring, where MinHash banding
     * is probabilistic on set similarity).
     *
-    * Shape: explode to one (fp-hash, id) row per fingerprint — short keys,
-    * never text — guard pathological fingerprint values (ubiquitous
-    * boilerplate substrings) with `maxBucketSize`, self-join per value,
-    * and collapse pairs that share several fingerprints with one final
-    * distinct. */
+    * Shape: explode to one (fingerprint, id) row per fingerprint — the
+    * fingerprint long IS the join key (8 bytes, never text) — guard
+    * pathological fingerprint values (ubiquitous boilerplate substrings)
+    * with `maxBucketSize`, self-join per value, and collapse pairs that
+    * share several fingerprints with one final distinct. */
   def winnowCandidatePairs(
       docs: DataFrame,
       idCol: String,
       fpCol: Column,
       maxBucketSize: Option[Int] = None): DataFrame = {
     val keyed = guardBuckets(
-      docs.select(col(idCol).as("id"), explode(fpCol).as("v"))
-        .select(md5(col("v").cast("string")).as("band"), col("id")),
+      docs.select(col(idCol).as("id"), explode(fpCol).as("band"))
+        .select(col("band"), col("id")),
       maxBucketSize)
     val l = keyed.select(col("band"), col("id").as("id_a"))
     val r = keyed.select(col("band"), col("id").as("id_b"))
