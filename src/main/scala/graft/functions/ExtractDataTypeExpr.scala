@@ -23,7 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    evaluation: the generated code evaluates it exactly once per use
   *    site and subexpression elimination can dedupe across sites.
   */
-case class ExtractDataTypeExpr(child: Expression) extends UnaryExpression {
+case class ExtractDataTypeExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  // analysis-time coercion/type error instead of a runtime ClassCastException
+  // — same contract as the other graft SQL functions
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = StructType(Seq(
     StructField("v", StringType, nullable = true),
