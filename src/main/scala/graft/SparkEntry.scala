@@ -650,7 +650,10 @@ object SparkEntry {
       // pair operator's census + both join sides read it four times, and
       // unlike q24's cheap minhash the winnow kernel dominates — caching
       // measured 4.5s -> 3.5s at sf0.1 (same pattern as q18's cached
-      // top-k relation)
+      // top-k relation). Lifetime: a query builder can't unpersist after
+      // its own (later, caller-driven) materialization, so release is the
+      // harness's job — Verify/Bench clearCache() before every query, and
+      // library callers own the returned plan's caches the same way.
       val fps = t(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.winnowFingerprint(col("text"), k = 5, w = 8).as("_fp"))

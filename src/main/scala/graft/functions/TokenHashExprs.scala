@@ -41,6 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenMinhashExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // Signature width is capped by the static seed-prefix table
+  // (TokenHash.MaxSeeds = 32): a fixed table keeps the generated kernel a
+  // branch-free loop over pre-encoded prefixes. 32 hashes ≫ the 2-16 the
+  // LSH band schemes here use; if wider signatures are ever needed, derive
+  // prefixes on demand ("<seed>:" UTF-8-encoded) instead of raising the
+  // table size. Plan-build-time failure, matching the interpreted form's
+  // behavior of only defining seeds it has prefixes for.
   require(numHashes >= 1 && numHashes <= TokenHash.MaxSeeds,
     s"numHashes must be in [1, ${TokenHash.MaxSeeds}], got $numHashes")
 

@@ -22,8 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Shingle hashing matches the rest of the family:
   * `conv(substring(md5(substr(text, i, k)), 1, 8), 16, 10)` — raw-byte
   * code-point walk like [[ShingleMinhash]] (the `substr`-equivalent path).
-  * The per-window minimum runs in one generated loop; at w ≈ 8 the O(m·w)
-  * scan beats a deque for document-sized inputs.
+  * The per-window minimum is a monotonic-deque sliding minimum — O(m)
+  * total regardless of `w`, so large-window fingerprinting (sparser
+  * fingerprints per document) costs the same as w = 8.
   *
   * Scale: map-side only, linear in corpus bytes — near-dup candidate
   * generation then joins on exploded fingerprint values (short int keys),
@@ -90,14 +91,22 @@ object Winnow {
       s += 1
     }
 
+    // Sliding-window minimum via monotonic deque: O(m) for any w (each
+    // index is pushed and popped at most once), vs the naive O(m·w) rescan.
+    // Only the min VALUE enters the distinct set, so tie handling is
+    // irrelevant to the result. The deque holds indices of a strictly
+    // increasing run of hash values; front is the current window's min.
     val fp = new java.util.TreeSet[java.lang.Long]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // live entries are dq(head until tail)
     var i = 0
-    val lastWindow = m - w
-    while (i <= lastWindow) {
-      var min = h(i)
-      var j = i + 1
-      while (j < i + w) { if (h(j) < min) min = h(j); j += 1 }
-      fp.add(min)
+    while (i < m) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) fp.add(h(dq(head)))
       i += 1
     }
     val out = new Array[Any](fp.size)

@@ -96,7 +96,12 @@ object Similarity {
     * it per centroid. */
   private def centroidSims(vecCol: Column, vnormCol: Column, centArr: Column): Column =
     transform(centArr, c => struct(
-      (dot(vecCol, c.getField("cvec")) / (vnormCol * c.getField("cnorm"))).as("sim"),
+      // A zero-norm row or centroid makes the quotient 0/0 = NaN (an
+      // all-zero vector has zero dot product with everything); nanvl pins
+      // it to -1 so such rows rank below every real cosine instead of
+      // NaN-ordering arbitrarily. nanvl wraps the result — the dot fold
+      // itself stays single-evaluation, outside any CaseWhen branch.
+      nanvl(dot(vecCol, c.getField("cvec")) / (vnormCol * c.getField("cnorm")), lit(-1.0)).as("sim"),
       c.getField("cid").as("cid")))
 
   /** Full centroid ranking for the probe path: K-element in-row sort,
@@ -158,8 +163,12 @@ object Similarity {
       .select(col("id"), col("vec")).collect()
       .map { r =>
         val cid = r.getAs[Number](0).longValue
-        val cvec = r.getSeq[Float](1)
-        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        // Element-type agnostic: float or double corpora both widen to
+        // double here, which is bit-identical to what dot()'s
+        // cast("double") does to a float column — so the embedded literal
+        // produces the same sims as joining the original rows would.
+        val cvec = r.getSeq[Number](1).map(_.doubleValue)
+        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
         (cid, cvec, cnorm)
       }
       .sortBy(_._1)

@@ -114,14 +114,20 @@ object Streams {
     * state once the watermark passes, bounding it by stream rate x window
     * (a plain `dropDuplicates` on the band would grow state forever).
     * Recall mirrors the batch operator: only single-band collisions are
-    * suppressed. */
+    * suppressed.
+    *
+    * `tsCol` names the event-time column the watermark is applied to
+    * (default `"ts"`, the events-table convention). Null `textCol` rows all
+    * hash to the same null `_band`, so within one watermark window only the
+    * first null-text row survives — filter nulls upstream if they must all
+    * pass. */
   def nearDupDedup(
       docs: DataFrame, textCol: String,
-      watermark: String, numHashes: Int = 2): DataFrame =
+      watermark: String, numHashes: Int = 2, tsCol: String = "ts"): DataFrame =
     docs
       .withColumn("_band", md5(array_join(
         graft.functions.TokenMinhashExpr.token_minhash(col(textCol), numHashes), "|")))
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_band")
       .drop("_band")
 

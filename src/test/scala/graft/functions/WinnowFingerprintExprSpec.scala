@@ -13,7 +13,9 @@ class WinnowFingerprintExprSpec extends SparkSpec {
     * `conv(substring(md5(shingle), 1, 8), 16, 10)`, window minima via
     * slice + array_min, then distinct + sort; null-masked when there are
     * fewer than w shingles. */
-  private def interpretedForm = {
+  private def interpretedForm: org.apache.spark.sql.Column = interpretedForm(k, w)
+
+  private def interpretedForm(k: Int, w: Int) = {
     val h = transform(Dedup.shingles(col("text"), k),
       x => conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
     val wins = transform(sequence(lit(1), greatest(size(h) - (w - 1), lit(1))),
@@ -37,6 +39,26 @@ class WinnowFingerprintExprSpec extends SparkSpec {
     val df = inputs.toDF("text")
     val interp = df.select(interpretedForm.as("fp")).as[Option[Seq[Long]]].collect()
     val kernel = df.select(WinnowFingerprintExpr.winnow(col("text"), k, w).as("fp"))
+      .as[Option[Seq[Long]]].collect()
+    assert(kernel.toSeq === interp.toSeq)
+  }
+
+  test("large windows (w = 64) match the interpreted form — deque minimum path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random text long enough for many w=64 windows;
+    // exercises the monotonic deque across ascending/descending hash runs
+    // (the naive rescan and the deque must agree on every window's min)
+    val rnd = new scala.util.Random(42)
+    val long = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val inputs: Seq[String] = Seq(
+      long,
+      long.take(64 + k - 2), // one short of a full window -> null
+      long.take(64 + k - 1), // exactly one window
+      "z" * 200) // all-identical shingles -> single fingerprint
+    val df = inputs.toDF("text")
+    val interp = df.select(interpretedForm(k, 64).as("fp")).as[Option[Seq[Long]]].collect()
+    val kernel = df.select(WinnowFingerprintExpr.winnow(col("text"), k, 64).as("fp"))
       .as[Option[Seq[Long]]].collect()
     assert(kernel.toSeq === interp.toSeq)
   }
