@@ -1025,7 +1025,7 @@ object SparkEntry {
           | FROM embeddings WHERE vec_id < 200)
           |SELECT a.id AS id_a, b.id AS id_b FROM e a JOIN e b
           | ON a.bucket = b.bucket AND a.id < b.id
-          |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+          |WHERE COALESCE(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), -1.0) >= 0.2
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       "q41_shingle_minhash" ->
         """WITH s AS (SELECT doc_id,
@@ -1040,7 +1040,7 @@ object SparkEntry {
           |  FROM embeddings WHERE vec_id < 300),
           |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
           |sim AS (SELECT e.id, e.v, c.cid,
-          |  list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
           | FROM e, c),
           |asg AS (SELECT id, v, cid FROM (SELECT id, v, cid,
           |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
@@ -1049,7 +1049,7 @@ object SparkEntry {
           |cand AS (SELECT qp.q_id, qp.qv, asg.id AS n_id, asg.v AS nv
           | FROM qp JOIN asg ON qp.cid = asg.cid WHERE asg.id <> qp.q_id),
           |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
-          |  list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) DESC, n_id) AS rnk
+          |  COALESCE(list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), -1.0) DESC, n_id) AS rnk
           | FROM cand)
           |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
       "q43_salted_join" ->
@@ -1243,7 +1243,7 @@ object SparkEntry {
       "q25_cosine_topk" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          |  list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          |  COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) AS cos
           | FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
           |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s)
           |SELECT q_id, n_id, rnk FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),

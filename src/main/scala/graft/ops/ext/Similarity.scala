@@ -37,6 +37,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the zero-norm guard used by every ranking path: a
+    * zero-norm vector zeroes the divisor, which under Spark 4 ANSI mode
+    * THROWS DIVIDE_BY_ZERO (and with ANSI off yields NaN, which Spark
+    * orders ABOVE every real double — it would rank FIRST in a descending
+    * top-k and pass any `>= threshold` filter). `try_divide` returns NULL
+    * instead — the same thing DuckDB's divide-by-zero produces — and the
+    * coalesce pins it to -1 so such rows rank below every real cosine on
+    * both engines. */
+  def cosineSafe(a: Column, b: Column): Column =
+    coalesce(try_divide(dot(a, b), norm(a) * norm(b)), lit(-1.0))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries  (id, vec) — small; broadcast
@@ -50,7 +61,7 @@ object Similarity {
     val c = corpus.select(col("id").as(nIdOut), col("vec").as("n_vec"))
     val w = Window.partitionBy(col(idOut)).orderBy(col("cos").desc, col(nIdOut))
     broadcast(q).join(c, col(idOut) =!= col(nIdOut))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineSafe(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col(idOut), col(nIdOut), col("rnk"))
@@ -85,7 +96,7 @@ object Similarity {
     val r = sig.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .where(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .where(cosineSafe(col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -96,12 +107,12 @@ object Similarity {
     * it per centroid. */
   private def centroidSims(vecCol: Column, vnormCol: Column, centArr: Column): Column =
     transform(centArr, c => struct(
-      // A zero-norm row or centroid makes the quotient 0/0 = NaN (an
-      // all-zero vector has zero dot product with everything); nanvl pins
-      // it to -1 so such rows rank below every real cosine instead of
-      // NaN-ordering arbitrarily. nanvl wraps the result — the dot fold
-      // itself stays single-evaluation, outside any CaseWhen branch.
-      nanvl(dot(vecCol, c.getField("cvec")) / (vnormCol * c.getField("cnorm")), lit(-1.0)).as("sim"),
+      // A zero-norm row or centroid zeroes the divisor — ANSI Divide would
+      // throw DIVIDE_BY_ZERO; try_divide yields NULL (as DuckDB does) and
+      // the coalesce pins it to -1 so such rows rank below every real
+      // cosine. The guard wraps the result — the dot fold itself stays
+      // single-evaluation, outside any CaseWhen branch.
+      coalesce(try_divide(dot(vecCol, c.getField("cvec")), vnormCol * c.getField("cnorm")), lit(-1.0)).as("sim"),
       c.getField("cid").as("cid")))
 
   /** Full centroid ranking for the probe path: K-element in-row sort,
@@ -193,7 +204,7 @@ object Similarity {
     val byQuery = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     (if (broadcastProbes) broadcast(probes) else probes).join(assigned, Seq("cid"))
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineSafe(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(byQuery))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))
@@ -210,7 +221,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     l.join(r, Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosineSafe(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))

@@ -203,6 +203,31 @@ class SimilaritySpec extends SparkSpec {
     assert(shuffles <= 1, plan)
   }
 
+  test("zero-norm vectors rank last, not first, and fail near-dup thresholds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 0/0 cosine is NaN, which Spark orders ABOVE every real double — an
+    // unguarded descending top-k would rank the zero vector FIRST and an
+    // unguarded `>= threshold` would pass (NaN compares greater). cosineSafe
+    // pins it to -1: always last, always below any non-negative threshold.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val ranked = Similarity.cosineTopK(vecs.where(col("id") === 0), vecs, k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(ranked === Array((0L, 1L, 1), (0L, 2L, 2)))
+    val pairs = Similarity.embeddingNearDupPairs(vecs, planes = 2, threshold = 0.0)
+      .as[(Long, Long)].collect()
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+    // direct kernel check (bucket-independent): the guarded cosine is -1,
+    // never NaN, so `>= 0` filters it on both Spark and the DuckDB oracle
+    val safe = vecs.where(col("id") === 0).crossJoin(
+        vecs.where(col("id") === 2).select(col("vec").as("vec2")))
+      .select(Similarity.cosineSafe(col("vec"), col("vec2"))).as[Double].head()
+    assert(safe === -1.0)
+  }
+
   test("srp buckets put identical vectors together") {
     val spark2 = spark
     import spark2.implicits._
