@@ -306,7 +306,7 @@ object SparkEntry {
           element_at(langs, (col("c_custkey") % 5).cast("int") + 1),
           lit(".dbpedia.org/resource/R"), col("c_custkey").cast("string"), lit(">")))
       val objectLangs = graft.ops.Languages.objectLanguages(
-        Some(Seq("de", "fr", "en")), null) // de, fr, en + dbpedia quirk
+        Some(Seq("de", "fr", "en")), Seq.empty) // de, fr, en + dbpedia quirk
       t(s, dir, "customer")
         .select(o.as("o"))
         .withColumn("node_lang", Columns.nodeLang(col("o")))

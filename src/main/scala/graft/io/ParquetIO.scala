@@ -52,6 +52,24 @@ object ParquetIO {
       .when(languages.isDefined)
       .call(_.where(col("lang").isin(languages.get: _*)))
 
+  /** Distinct values of a hive partition column under `path`, read from
+    * the directory NAMES — an O(#values) filesystem listing with zero data
+    * scanned, vs the one-job `select(col).distinct()` alternative that
+    * reads footers and partition metadata of every file. Valid because
+    * [[writeTriples]] always lays datasets out as `path/lang=<code>/...`;
+    * language codes need no hive unescaping. Missing path -> empty. */
+  def partitionValues(spark: SparkSession, path: String, column: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(column + "="))
+      .map(_.substring(column.length + 1))
+      .sorted
+  }
+
   /** Write triples partitioned by lang, range-partitioned by `s`, sorted
     * `s,p,o` within files. One shuffle; even file sizes under language skew. */
   def writeTriples(df: DataFrame, path: String): Unit =

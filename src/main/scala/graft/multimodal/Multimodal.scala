@@ -36,10 +36,23 @@ object Multimodal {
 
   case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long, embedding: Array[Float])
 
+  /** The codec seam: a real decoder (image/audio/video library) drops in
+    * here without touching the oracled plan around it. Instances are
+    * shipped to executors ([[Serializable]]); [[MediaCodec.init]] runs
+    * once per partition before the first decode — where a real codec loads
+    * native libraries or allocates decode contexts, the cost the
+    * `mapPartitions` batch boundary exists to amortize. */
+  trait MediaCodec extends Serializable {
+    /** Once-per-partition setup (native lib loading, context allocation). */
+    def init(): Unit = ()
+    /** Decode content bytes to a fixed-length feature vector. */
+    def decode(content: Array[Byte], dims: Int): Array[Float]
+  }
+
   /** STUB codec: deterministic fake decode. Real deployments swap this
     * object for one backed by an actual codec library; everything else in
     * the file is production plumbing. */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     /** "Decode" = derive a fixed-length pseudo-embedding from the content
       * bytes (md5-seeded, deterministic). */
     def decode(content: Array[Byte], dims: Int): Array[Float] = {
@@ -52,18 +65,22 @@ object Multimodal {
   }
 
   /** Feature extraction over media batches: the `mapPartitions` boundary
-    * initializes the (stub) codec once per partition — the batch shape a
-    * real codec needs. Content bytes never survive this projection. */
-  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    * initializes the codec once per partition — the batch shape a real
+    * codec needs. Content bytes never survive this projection. The codec
+    * defaults to [[StubCodec]] (this container has no media libraries);
+    * swapping in a real [[MediaCodec]] changes nothing else in the plan. */
+  def extractFeatures(
+      media: DataFrame, dims: Int = 16,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("modality"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition codec init would happen here
+        codec.init() // once per partition, before the first decode
         rows.map { case (id, modality, content) =>
           val bytes = if (content == null) Array.emptyByteArray else content // schema allows null
-          MediaFeatures(id, modality, bytes.length.toLong, StubCodec.decode(bytes, dims))
+          MediaFeatures(id, modality, bytes.length.toLong, codec.decode(bytes, dims))
         }
       }
   }

@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * `_:md5 <xid> "uri" .` triple per URI so the original identity survives
   * URI-to-blank-node rewriting.
   *
-  * Scale: the per-source `.distinct()` before the union is deliberate and
-  * kept — it partial-aggregates each (much smaller) source before the
-  * global distinct, the same map-side-combine shape Spark uses inside a
-  * single aggregation, applied across the union. The final distinct is the
-  * one unavoidable full shuffle, on `(s, lang)` pairs only.
+  * Scale: ONE global `.distinct()` over the raw union — no per-source
+  * pre-distinct. Spark's distinct already runs a partial HashAggregate in
+  * every input task before its Exchange, so each source gets map-side
+  * deduplication for free; a per-source `.distinct()` (the shape the
+  * reference's `def uris` implies, DbpediaDgraphSparkApp.scala:374-385)
+  * would add one full Exchange + stage barrier PER SOURCE (12 extra
+  * shuffles of the same bytes) and remove nothing the single distinct's
+  * partial aggregation doesn't. The one shuffle carries `(s, lang)` pairs
+  * only. Plan-asserted single-Exchange in ExternalIdsSpec.
   */
 object ExternalIds {
 
@@ -50,7 +54,7 @@ object ExternalIds {
       skos.where(col("p").isin(SkosRelated, SkosBroader)).select(col("o").as("s"), col("lang")),
       Seq((SkosConcept, "any")).toDF("s", "lang"),
       geo.select(col("s"), col("lang")))
-    sources.map(_.distinct()).reduce(_.unionByName(_)).distinct()
+    sources.reduce(_.unionByName(_)).distinct()
   }
 
   /** Project URI occurrences to xid triples:

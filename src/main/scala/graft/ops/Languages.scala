@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.Dataset
-
 /** Language-set handling (reference: DbpediaDgraphSparkApp.scala:96-110,
   * 457-472). */
 object Languages {
@@ -23,13 +21,17 @@ object Languages {
     * (English URIs have host `dbpedia.org`, so [[Columns.nodeLang]] yields
     * `dbpedia` for them). Reference: DbpediaDgraphSparkApp.scala:96-102.
     *
-    * The `allLanguages` collect is a tiny driver-side action (≤ a few
-    * hundred language codes even on the full corpus). */
+    * `allLanguages` is by-name: only evaluated when no explicit language
+    * list was requested. The pipeline supplies it from the `lang=`
+    * partition-directory listing ([[graft.io.ParquetIO.partitionValues]])
+    * — an O(#languages) filesystem list, zero data read — where the
+    * reference runs a distinct scan over the whole dataset
+    * (DbpediaDgraphSparkApp.scala:104-110). */
   def objectLanguages(
       requested: Option[Seq[String]],
-      allLanguages: => Dataset[String]): Seq[String] =
+      allLanguages: => Seq[String]): Seq[String] =
     requested
-      .getOrElse(allLanguages.collect().toSeq)
+      .getOrElse(allLanguages)
       .pipe(l => if (l.contains("en")) l ++ Seq("dbpedia") else l)
 
   private implicit class Pipe[A](private val a: A) extends AnyVal {

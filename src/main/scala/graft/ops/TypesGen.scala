@@ -17,10 +17,15 @@ object TypesGen {
       .withColumn("o", lit("\"" + typeName + "\""))
 
   /** Article/Category/Concept type triples from the per-dataset RDF frames.
-    * The article sources and category objects are `.distinct()`-ed before
-    * the union (same partial-dedup rationale as [[ExternalIds]]); skos
-    * subjects deliberately are NOT, matching the reference exactly
-    * (DbpediaDgraphSparkApp.scala:430-433). */
+    *
+    * One global `.distinct()` dedups everything (same single-Exchange
+    * rationale as [[ExternalIds]]: the final distinct's partial
+    * HashAggregate already dedups every source map-side, so per-source
+    * pre-distincts — the reference's shape, DbpediaDgraphSparkApp.scala:
+    * 409-433 — would add 8 redundant shuffles). The type literal is
+    * attached BEFORE the distinct so an s that is both an Article source
+    * and a Category object keeps both type rows, exactly as the
+    * reference's union-of-distincts produces. */
   def types(
       labelsRdf: DataFrame,
       infoboxRdf: DataFrame,
@@ -37,10 +42,9 @@ object TypesGen {
       pageLinksRdf.select(col("s"), col("lang")),
       categoryRdf.select(col("s"), col("lang")),
       geoRdf.select(col("s"), col("lang")))
-      .map(_.distinct())
       .reduce(_.unionByName(_))
     val articleTypes = typed(articles, "Article")
-    val categoryTypes = typed(categoryRdf.select(col("o").as("s"), col("lang")).distinct(), "Category")
+    val categoryTypes = typed(categoryRdf.select(col("o").as("s"), col("lang")), "Category")
     val skosTypes = typed(skosRdf.select(col("s"), col("lang")), "Concept")
     articleTypes
       .unionByName(categoryTypes)

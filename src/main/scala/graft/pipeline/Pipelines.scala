@@ -74,7 +74,6 @@ object ParquetToRdf {
     "article_categories", "skos_categories", "geo_coordinates", "infobox_properties")
 
   def run(spark: SparkSession, parquetBase: String, outBase: String, cfg: RdfConfig): Map[String, Long] = {
-    import spark.implicits._
     val metrics = graft.core.SpillMetrics.register(spark)
     val langs = cfg.languages
 
@@ -82,10 +81,12 @@ object ParquetToRdf {
 
     val labelTriples = read("labels")
     val allInfoboxTriples = read("infobox_properties")
+    // object-language set from the lang= directory listing — no second
+    // read of the dataset (the reference re-scans it for the distinct)
     val interlangTriples = read("interlanguage_links")
       .where(Columns.nodeLang(col("o")).isin(
-        Languages.objectLanguages(langs,
-          read("interlanguage_links").select(col("lang")).distinct().as[String]): _*))
+        Languages.objectLanguages(langs, ParquetIO.partitionValues(
+          spark, s"$parquetBase/interlanguage_links.parquet", "lang")): _*))
     val pageLinksTriples = read("page_links")
     val categoryTriples = read("article_categories")
     val skosTriples = read("skos_categories")
@@ -113,10 +114,15 @@ object ParquetToRdf {
     // schema relation + files (reference :263-372)
     val langTag = if (cfg.removeLanguageTags) "" else " @lang"
     val schema = SchemaGen.schema(spark, infoboxTriples, winning, langTag, cfg.externaliseUris)
-    writeSchema(SchemaGen.schemaLines(schema, indexed = false), s"$outBase/schema.dgraph")
-    writeSchema(SchemaGen.schemaLines(schema, indexed = true), s"$outBase/schema.indexed.dgraph")
+    timed("schema files") {
+      writeSchema(SchemaGen.schemaLines(schema, indexed = false), s"$outBase/schema.dgraph")
+      writeSchema(SchemaGen.schemaLines(schema, indexed = true), s"$outBase/schema.indexed.dgraph")
+    }
 
-    // RDF writes with read-back (reference :401-407)
+    // RDF writes with read-back (reference :401-407). Lazy plans execute
+    // inside their sink's write, so the per-phase wall-clock printed here
+    // attributes transform cost to the dataset that runs it (the
+    // operational gauge the reference gets from its per-dataset stats).
     val written = Seq(
       "labels" -> labels,
       "infobox_properties" -> infobox,
@@ -125,9 +131,11 @@ object ParquetToRdf {
       "article_categories" -> categories,
       "skos_categories" -> skosCategories,
       "geo_coordinates" -> geoCoordinates
-    ).map { case (name, df) => name -> Rdf.write(df, s"$outBase/$name.rdf") }.toMap
+    ).map { case (name, df) =>
+      name -> timed(s"write $name")(Rdf.write(df, s"$outBase/$name.rdf"))
+    }.toMap
 
-    if (cfg.writeTypes) {
+    if (cfg.writeTypes) timed("write types") {
       val types = TypesGen.types(
         written("labels"), written("infobox_properties"), written("interlanguage_links"),
         written("page_links"), written("article_categories"), written("skos_categories"),
@@ -135,16 +143,28 @@ object ParquetToRdf {
       Rdf.write(types, s"$outBase/types.rdf")
     }
 
-    if (cfg.externaliseUris) {
+    if (cfg.externaliseUris) timed("write external_ids") {
       val xids = ExternalIds.xidTriples(ExternalIds.uriOccurrences(spark,
         labelTriples, infoboxTriples, interlangTriples, pageLinksTriples,
         categoryTriples, skosTriples, geoTriples))
       Rdf.write(xids, s"$outBase/external_ids.rdf")
     }
 
-    val counts = written.map { case (name, df) => name -> df.count() }
+    val counts = timed("count-back audit") {
+      written.map { case (name, df) => name -> df.count() }
+    }
     println(metrics.summary) // the reference's operational perf gauge
     counts
+  }
+
+  /** Wall-clock per pipeline phase — the stage-level perf gauge
+    * (the reference prints per-dataset stats; BASELINE.md's numbers are
+    * stage wall-clocks, so phases are what a perf regression shows up in). */
+  private def timed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[pipeline] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
   }
 
   /** Schema text sink: single sorted file per (dataset, lang) partition

@@ -28,6 +28,18 @@ class ParquetIOSpec extends SparkSpec {
     assert(de === Array("<a>", "<b>"))
   }
 
+  test("partitionValues lists lang= directory names without scanning data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-pv").toString
+    val df = Seq(
+      ("<a>", "<p>", "<o1>", "fr"), ("<b>", "<p>", "<o2>", "de"),
+      ("<c>", "<q>", "<o3>", "en")).toDF("s", "p", "o", "lang")
+    ParquetIO.writeTriples(df, s"$dir/out")
+    assert(ParquetIO.partitionValues(spark, s"$dir/out", "lang") === Seq("de", "en", "fr"))
+    assert(ParquetIO.partitionValues(spark, s"$dir/absent", "lang") === Seq.empty)
+  }
+
   test("rdf write of an empty frame clears stale output from a previous run") {
     val spark2 = spark
     import spark2.implicits._

@@ -22,6 +22,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.head.n_bytes === "media-payload-0".length)
   }
 
+  test("a second codec drops into the same mapPartitions boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    val initCount = spark.sparkContext.longAccumulator("codec-inits")
+    val decodeCount = spark.sparkContext.longAccumulator("codec-decodes")
+    // a stand-in for a real decoder: proves the seam resolves at call time
+    // (not hardwired to StubCodec) and that init runs once per partition
+    val codec = new Multimodal.MediaCodec {
+      override def init(): Unit = initCount.add(1)
+      def decode(content: Array[Byte], dims: Int): Array[Float] =
+        { decodeCount.add(1); Array.fill(dims)(content.length.toFloat) }
+    }
+    val media = Multimodal.syntheticMedia(spark, 6).repartition(2)
+    val out = Multimodal.extractFeatures(media, dims = 4, codec = codec)
+      .collect().sortBy(_.media_id)
+    assert(out.head.embedding.toSeq === Seq.fill(4)("media-payload-0".length.toFloat))
+    assert(decodeCount.value === 6)
+    assert(initCount.value === 2) // once per partition, not per row
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)

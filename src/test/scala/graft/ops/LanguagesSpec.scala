@@ -13,10 +13,12 @@ class LanguagesSpec extends SparkSpec {
   }
 
   test("objectLanguages adds the dbpedia quirk host when en is selected") {
-    val spark2 = spark
-    import spark2.implicits._
-    val all = spark.emptyDataset[String]
-    assert(Languages.objectLanguages(Some(Seq("de", "en")), all) === Seq("de", "en", "dbpedia"))
-    assert(Languages.objectLanguages(Some(Seq("de")), all) === Seq("de"))
+    assert(Languages.objectLanguages(Some(Seq("de", "en")), Seq.empty) === Seq("de", "en", "dbpedia"))
+    assert(Languages.objectLanguages(Some(Seq("de")), Seq.empty) === Seq("de"))
+    // requested languages short-circuit the observed-language listing
+    assert(Languages.objectLanguages(Some(Seq("de")),
+      sys.error("listing must not be evaluated")) === Seq("de"))
+    // no request -> observed languages (with the en quirk applied on top)
+    assert(Languages.objectLanguages(None, Seq("de", "en")) === Seq("de", "en", "dbpedia"))
   }
 }

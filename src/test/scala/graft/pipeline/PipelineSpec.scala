@@ -106,8 +106,11 @@ class PipelineSpec extends SparkSpec {
     val path = writeTtl(d, "labels.ttl", Seq(s"$a $label " + "\"Ah\"@de"))
     TtlToParquet.run(spark, Seq("de" -> Seq(path)), s"$pq/labels.parquet")
 
+    // languages = None: the zero-config path — object languages come from
+    // the lang= partition-directory listing (empty here: no interlanguage
+    // dataset on disk at all, which must not fail the run)
     ParquetToRdf.run(spark, pq, out,
-      RdfConfig(languages = Some(Seq("de")),
+      RdfConfig(languages = None,
         externaliseUris = true, removeLanguageTags = true))
 
     val spark2 = spark
