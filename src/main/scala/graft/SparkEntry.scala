@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Dedup, Events, Similarity, TextStats}
+import graft.ops.ext.{Components, Dedup, Events, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -662,6 +662,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup clusters: connected components over the pair graph ------
+    "q58_dedup_clusters" -> ((s, dir) => {
+      // pairs are not transitive: A~B, B~C must collapse {A,B,C} even when
+      // A~C was never a candidate — min-label connected components over
+      // the guarded LSH pair graph assign every doc its component's min
+      // doc_id as canonical (Components.dedupClusters); a dedup keep-list
+      // is then `WHERE doc_id = canonical_id`
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
+        maxBucketSize = Some(1000))
+      Components.dedupClusters(docs, pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1143,6 +1158,19 @@ object SparkEntry {
           |FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
           | AND a.band IN (SELECT band FROM ok)
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q58_dedup_clusters" ->
+        s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM documents
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src)
+          |SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q23_simhash" ->
         s"""WITH tok AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h
           | FROM (SELECT doc_id, unnest($toks) AS w FROM documents)),

@@ -238,6 +238,53 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ComponentsSpec extends SparkSpec {
+
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20) = {
+    val spark2 = spark
+    import spark2.implicits._
+    Components.connectedComponents(
+        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter)
+      .as[(Long, Long)].collect().sortBy(_._1)
+  }
+
+  test("pairs collapse transitively; isolated vertices keep their own id") {
+    // A~B, B~C (A~C never listed) + isolated D
+    val out = cc(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)))
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
+  test("two components stay separate") {
+    val out = cc(Seq(1L, 2L, 10L, 11L, 12L), Seq((1L, 2L), (10L, 11L), (11L, 12L)))
+    assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
+  test("a path graph converges across multiple rounds") {
+    // diameter 6: labels need several propagation rounds to reach the end
+    val path = (0L until 6L).map(i => (i, i + 1))
+    val out = cc(0L to 6L, path)
+    assert(out.forall(_._2 === 0L))
+  }
+
+  test("no edges: every vertex is its own component") {
+    val out = cc(Seq(5L, 6L), Seq.empty)
+    assert(out === Array((5L, 5L), (6L, 6L)))
+  }
+
+  test("dedupClusters yields the keep-list semantics") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val clusters = Components.dedupClusters(docs, pairs)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(clusters === Array((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L)))
+    // keep-list = docs that are their own canonical
+    val keep = clusters.filter { case (id, canon) => id == canon }.map(_._1)
+    assert(keep === Array(10L, 20L))
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
 
   test("token and subword counts") {
