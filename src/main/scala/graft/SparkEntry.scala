@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Dedup, Events, Similarity, TextStats}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, Sampling, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -677,6 +677,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- benchmark decontamination: n-gram overlap semi join -----------
+    "q59_decontaminate" -> ((s, dir) => {
+      // every 37th document plays the eval set; the corpus is the rest.
+      // The benchmark's distinct 8-gram set broadcasts; corpus n-grams
+      // explode map-side straight into the broadcast join — the corpus
+      // n-gram list is never shuffled
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val corpus = docs.where(col("doc_id") % 37 =!= 0)
+      Contamination.contaminationHits(
+          corpus, col("text"), "doc_id", bench, col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic stratified sampling (hash, not rand) ------------
+    "q60_stratified_sample" -> ((s, dir) => {
+      // per-language downsampling with an identity-keyed hash: the same
+      // doc is in or out regardless of partitioning, run, or engine —
+      // reproducible corpus curation (and exactly mirrorable in DuckDB,
+      // unlike rand())
+      Sampling.stratifiedSample(t(s, dir, "documents"),
+          key = col("doc_id"), stratum = col("lang"),
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1158,6 +1185,21 @@ object SparkEntry {
           |FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
           | AND a.band IN (SELECT band FROM ok)
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      "q59_decontaminate" ->
+        s"""WITH ng AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 37 = 0),
+          |corpus AS (SELECT doc_id, ngh FROM ng WHERE doc_id % 37 <> 0)
+          |SELECT doc_id, COUNT(DISTINCT corpus.ngh) AS n_hits
+          |FROM corpus JOIN bench ON corpus.ngh = bench.ngh
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q60_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+          | < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q58_dedup_clusters" ->
         s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
           |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),

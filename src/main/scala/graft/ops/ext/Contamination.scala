@@ -1,0 +1,72 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find documents that
+  * share any token n-gram with an evaluation/benchmark set — the standard
+  * n-gram-overlap contamination check run before training.
+  *
+  * Scale shape: the benchmark side is tiny relative to the corpus (eval
+  * sets are ~10^4-10^6 rows), so its distinct n-gram set broadcasts; the
+  * corpus side explodes its n-grams MAP-SIDE straight into the broadcast
+  * semi/inner join — the full corpus n-gram list (tokens × n rows) is
+  * never shuffled or materialized. Per-doc aggregation only runs on the
+  * (rare) matching rows.
+  */
+object Contamination {
+
+  /** Token n-grams as space-joined strings; fewer than `n` tokens yields
+    * an empty array. Tokenization shared with [[TextStats.tokens]] so
+    * contamination checks and text stats can never disagree. */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"tokenNgrams: n must be >= 1, got $n")
+    val toks = TextStats.tokens(text)
+    // guard: Spark's sequence(1, stop) counts DOWN for stop < 1
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 60-bit n-gram hash (15 md5 hex chars — positive in a signed long):
+    * the join/broadcast currency. An 8-gram string averages ~50 bytes;
+    * hashing shrinks the broadcast table and every probe comparison ~6x,
+    * and the post-join distinct shuffles longs instead of text. Collision
+    * odds at benchmark scale (~10^6 n-grams into 2^60) are negligible, and
+    * the md5 arithmetic is engine-portable, so the DuckDB oracle computes
+    * the identical hashes. */
+  private def ngramHash(ng: Column): Column =
+    conv(substring(md5(ng), 1, 15), 16, 10).cast("long")
+
+  /** Per-document contamination hits: `(idCol, n_hits)` for every corpus
+    * document sharing at least one n-gram with the benchmark, where
+    * `n_hits` counts DISTINCT shared n-grams (via [[ngramHash]]). Clean
+    * documents are absent — a decontamination pass anti-joins the corpus
+    * against this result. */
+  def contaminationHits(
+      corpus: DataFrame, corpusText: Column, idCol: String,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(tokenNgrams(benchmarkText, n)).as("ng"))
+      .select(ngramHash(col("ng")).as("ngh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(tokenNgrams(corpusText, n)).as("ng"))
+      .select(col(idCol), ngramHash(col("ng")).as("ngh"))
+      .join(broadcast(bench), Seq("ngh"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("ngh")).as("n_hits"))
+  }
+
+  /** The corpus minus contaminated documents (broadcast anti join on id). */
+  def decontaminate(
+      corpus: DataFrame, corpusText: Column, idCol: String,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 8): DataFrame = {
+    val hits = contaminationHits(corpus, corpusText, idCol, benchmark, benchmarkText, n)
+      .select(col(idCol))
+    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+}

@@ -285,6 +285,90 @@ class ComponentsSpec extends SparkSpec {
   }
 }
 
+class ContaminationSpec extends SparkSpec {
+
+  test("tokenNgrams: sliding n-grams, empty under n tokens") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(Contamination.tokenNgrams(col("text"), 3).as("ng"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+  }
+
+  test("contaminationHits finds overlapping docs, decontaminate drops them") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix the quick brown fox jumps over the lazy dog suffix"), // contains a bench 8-gram
+      (11L, "completely unrelated text with enough tokens to form eight grams easily"),
+      (12L, "the quick brown fox jumps over the lazy cat entirely")) // 8-gram "the...lazy" shared
+      .toDF("doc_id", "text")
+    val hits = Contamination.contaminationHits(
+        corpus, col("text"), "doc_id", bench, col("text"), n = 8)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(hits.map(_._1).toSeq === Seq(10L, 12L))
+    assert(hits.forall(_._2 >= 1))
+    val clean = Contamination.decontaminate(
+        corpus, col("text"), "doc_id", bench, col("text"), n = 8)
+      .select(col("doc_id")).as[Long].collect()
+    assert(clean.toSeq === Seq(11L))
+  }
+
+  test("benchmark n-gram set is broadcast; corpus n-grams never shuffle") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Contamination.contaminationHits(
+      df, col("text"), "doc_id", df, col("text"), n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    // corpus n-grams reach the broadcast join straight from their Generate
+    // (no Exchange on the stream side before the join); the hash Exchanges
+    // in the plan are the tiny bench-side distinct and the two-phase
+    // count_distinct over the (rare) matching rows only
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 3, plan)
+    val joinToGenerate = plan.substring(
+      plan.indexOf("BroadcastHashJoin"), plan.indexOf("Generate explode"))
+    assert(!joinToGenerate.contains("Exchange"), plan)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+
+  test("hash sampling is deterministic and partition-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val a = Sampling.sampleByHash(df, col("id"), 0.3).as[Long].collect().sorted
+    val b = Sampling.sampleByHash(df.repartition(7), col("id"), 0.3)
+      .as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq) // identity-keyed: layout cannot change the sample
+    // rate is approximately honored (md5 uniformity; wide tolerance)
+    assert(a.length > 200 && a.length < 400, a.length)
+    // nested sampling property: a lower rate yields a subset
+    val c = Sampling.sampleByHash(df, col("id"), 0.1).as[Long].collect().sorted
+    assert(c.toSeq.forall(a.contains))
+  }
+
+  test("stratified rates apply per stratum with a default") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 300L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, col("id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5)
+      .as[(Long, String)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") === 100) // rate 1.0 keeps every en row
+    assert(!byLang.contains("de")) // rate 0.0 keeps none
+    val fr = byLang.getOrElse("fr", 0)
+    assert(fr > 25 && fr < 75, fr) // default 0.5 on 100 rows
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
 
   test("token and subword counts") {
