@@ -704,6 +704,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- PII pattern counts (redaction/filter policy input) ------------
+    "q61_pii" -> ((s, dir) => {
+      // deterministic synthetic PII injected per doc_id so the matchers
+      // are exercised on real hits (the corpus text has none); the oracle
+      // mirrors the injection exactly. All patterns RE2-safe.
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      TextStats.piiCounts(
+          t(s, dir, "documents").withColumn("text", injected),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- repetition metrics (Gopher-style repetition filters) ----------
+    "q62_repetition" -> ((s, dir) => {
+      // per-row fold over the sorted token array — map-side and
+      // scan-bound, where the relational formulation (explode + groupBy
+      // (doc, token)) would shuffle the whole token stream; the DuckDB
+      // oracle uses exactly that relational form, making the fold's
+      // equivalence part of the gate
+      TextStats.withRepetition(t(s, dir, "documents"), col("text"))
+        .select(col("doc_id"), col("distinct_ratio"), col("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1200,6 +1231,24 @@ object SparkEntry {
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
           | < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q61_pii" ->
+        """WITH d AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents)
+          |SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+          | CAST(len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones
+          |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q62_repetition" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          |cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+          |agg AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+          |  CAST(SUM(c) AS DOUBLE) AS n, CAST(MAX(c) AS DOUBLE) AS mx
+          | FROM cnt GROUP BY doc_id)
+          |SELECT doc_id, n_distinct / n AS distinct_ratio, mx / n AS top_token_frac
+          |FROM agg ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q58_dedup_clusters" ->
         s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
           |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),

@@ -53,9 +53,9 @@ object Components {
     // symmetrize once and CACHE: every propagation round scans the edge
     // list, and its lineage (for near-dup graphs: the signature kernel +
     // LSH band join) must not re-execute per round. Symmetrization is an
-    // explode, NOT a self-union — a union's two branches each re-run the
-    // edge lineage when the cache fills (measured: the LSH pair generator
-    // executed twice, ~1.2 s doubled at sf0.1); the explode runs it once.
+    // explode, NOT a self-union — a union's branches are independent scans,
+    // so filling the cache would run the edge lineage once per branch;
+    // the explode runs it once total.
     // Cached PRE-PARTITIONED on src: InMemoryRelation preserves its
     // outputPartitioning, so when the label table is too big to broadcast
     // the per-round sort-merge join re-shuffles only the (small) label

@@ -90,4 +90,43 @@ object TextStats {
     * Codegen'd kernel; see [[graft.functions.WinnowFingerprintExpr]]. */
   def winnowFingerprint(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.functions.WinnowFingerprintExpr.winnow(text, k, w)
+
+  /** PII pattern counts for redaction/filter decisions. All patterns are
+    * lookaround-free (RE2-compatible), so the same regexes run on any
+    * engine. Counts, not spans — corpus policy usually thresholds
+    * ("drop documents with > k emails"), and counting keeps the pass
+    * scan-bound. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9 -]{7,}[0-9]"
+
+  def piiCounts(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol,
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  /** Repetition metrics (the Gopher-style repetition filters): fraction of
+    * non-distinct tokens and the most frequent token's share. Both are
+    * per-row folds over the sorted token array — map-side, scan-bound, no
+    * shuffle (the relational alternative, explode + groupBy(doc, token),
+    * shuffles the full token stream). Single fold, wide accumulator (HOFs
+    * are interpreted — never fold twice). */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val n = size(toks)
+    // runs of equal tokens in the sorted array; track current + best run
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / n.cast("double"))
+      .withColumn("top_token_frac", best.cast("double") / n.cast("double"))
+  }
 }

@@ -397,6 +397,29 @@ class TextStatsSpec extends SparkSpec {
     assert(out(0) === out(1))
     assert(out(0) !== out(2))
   }
+
+  test("pii counts match emails, ipv4, phones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, host 10.0.0.1, call +1 555 010 0199"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextStats.piiCounts(df, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2L, 1L, 1L)))
+    assert(out(1) === ((2L, 0L, 0L, 0L)))
+  }
+
+  test("repetition metrics: distinct ratio and top-token fraction") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = TextStats.withRepetition(
+        Seq("a a a b", "a b c d").toDF("text"), col("text"))
+      .select(col("distinct_ratio"), col("top_token_frac"))
+      .as[(Double, Double)].collect()
+    assert(out(0) === ((0.5, 0.75))) // {a,b}/4 tokens; "a" x3 of 4
+    assert(out(1) === ((1.0, 0.25)))
+  }
 }
 
 class EventsSpec extends SparkSpec {
