@@ -36,8 +36,13 @@ object Contamination {
     * odds at benchmark scale (~10^6 n-grams into 2^60) are negligible, and
     * the md5 arithmetic is engine-portable, so the DuckDB oracle computes
     * the identical hashes. */
-  private def ngramHash(ng: Column): Column =
+  private[graft] def ngramHash(ng: Column): Column =
     conv(substring(md5(ng), 1, 15), 16, 10).cast("long")
+
+  /** Per-row n-gram hash array — the map-side per-document form used by
+    * the streaming dual ([[graft.streaming.Streams.decontaminate]]). */
+  private[graft] def ngramHashes(text: Column, n: Int): Column =
+    transform(tokenNgrams(text, n), ng => ngramHash(ng))
 
   /** Per-document contamination hits: `(idCol, n_hits)` for every corpus
     * document sharing at least one n-gram with the benchmark, where

@@ -131,6 +131,32 @@ object Streams {
       .dropDuplicatesWithinWatermark("_band")
       .drop("_band")
 
+  /** Streaming benchmark decontamination: drop stream documents sharing
+    * any token n-gram with a STATIC benchmark set — the streaming dual of
+    * [[graft.ops.ext.Contamination.decontaminate]].
+    *
+    * Shape: each stream row carries its n-gram hash ARRAY (computed
+    * map-side, same 60-bit currency as the batch op); a stream-static
+    * LEFT ANTI join on `array_contains` keeps document granularity with
+    * zero streaming state — no watermark needed against a static side.
+    * The contains-join broadcasts the benchmark and probes per (row,
+    * benchmark n-gram), which is the right trade for eval-set-sized
+    * benchmarks (~10^4-10^6 n-grams); it is NOT for corpus-vs-corpus
+    * decontamination (run the batch op for that). */
+  def decontaminate(
+      docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchmarkTextCol: String, n: Int = 8): DataFrame = {
+    import graft.ops.ext.Contamination
+    val bench = benchmark
+      .select(explode(Contamination.tokenNgrams(col(benchmarkTextCol), n)).as("ng"))
+      .select(Contamination.ngramHash(col("ng")).as("ngh"))
+      .distinct()
+    docs
+      .withColumn("_nghs", Contamination.ngramHashes(col(textCol), n))
+      .join(broadcast(bench), array_contains(col("_nghs"), col("ngh")), "left_anti")
+      .drop("_nghs")
+  }
+
   /** Watermarked stream-stream inner join: events enriched with the other
     * stream's rows for the same key within `window` of event time. Both
     * sides carry watermarks so join state is bounded — the required shape

@@ -99,6 +99,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops benchmark-overlapping documents statelessly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.decontaminate(docs, "text", bench, "text", n = 8)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "prefix the quick brown fox jumps over the lazy dog suffix"), // contaminated
+        (2L, "clean text with enough tokens to clear the eight gram bar easily"))
+      q.processAllAvailable()
+      val out = spark.table("decontam").select(col("doc_id")).as[Long].collect()
+      assert(out.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys within the time window") {
     val spark2 = spark
     import spark2.implicits._
