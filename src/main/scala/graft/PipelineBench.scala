@@ -130,6 +130,44 @@ object PipelineBench {
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
+  val Release = "release-bench"
+
+  /** Generate the release-layout ttl tree
+    * (`ttlBase/<Release>/core/<lang>/<name>_<lang>.ttl`) of roughly
+    * `ttlMb` megabytes from `sfDir`'s lineitem table. Returns actual
+    * bytes written (measured from the filesystem). */
+  def generate(spark: SparkSession, sfDir: String, ttlBase: String,
+      ttlMb: Int, parallelism: Int): Long = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("sid"),
+        col("l_partkey").cast("long").as("partkey"),
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_quantity").cast("int").as("qty"),
+        // label-ish text payload derived from row fields (the testdata
+        // lineitem has no comment column); quote/backslash-free by
+        // construction so it is safe inside a ttl string literal
+        concat_ws(" ", lit("entity"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string"),
+          substring(md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))), 1, 12))
+          .as("words"))
+      .repartition(parallelism)
+      .cache()
+    val baseRows = li.count()
+    val totalBytes = ttlMb.toLong * 1024 * 1024
+    val avgLine = 115L // rough; actual bytes are measured from the FS below
+    val langTotal = langs.map(_._2).sum
+    for ((name, share) <- datasetShares; (lang, w) <- langs) {
+      val sliceBytes = (totalBytes * share * w / langTotal).toLong
+      val rows = math.max(1L, sliceBytes / avgLine)
+      ttlLines(name, lang, replicate(li, baseRows, rows))
+        .write.mode(SaveMode.Overwrite)
+        .text(s"$ttlBase/$Release/core/$lang/${name}_$lang.ttl")
+    }
+    li.unpersist()
+    dirBytes(spark, ttlBase)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -144,40 +182,13 @@ object PipelineBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val release = "release-bench"
+    val release = Release
     val ttlBase = s"$work/ttl"
     val pq = s"$work/parquet"
     val out = s"$work/rdf"
 
     // ---- generation (untimed) -------------------------------------------
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("sid"),
-        col("l_partkey").cast("long").as("partkey"),
-        col("l_suppkey").cast("long").as("suppkey"),
-        col("l_quantity").cast("int").as("qty"),
-        // label-ish text payload derived from row fields (the testdata
-        // lineitem has no comment column); quote/backslash-free by
-        // construction so it is safe inside a ttl string literal
-        concat_ws(" ", lit("entity"), col("l_returnflag"), col("l_linestatus"),
-          col("l_shipdate").cast("string"),
-          substring(md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))), 1, 12))
-          .as("words"))
-      .repartition(cpus.toInt)
-      .cache()
-    val baseRows = li.count()
-    val totalBytes = ttlMb.toLong * 1024 * 1024
-    val avgLine = 115L // rough; actual bytes are measured from the FS below
-    val langTotal = langs.map(_._2).sum
-    for ((name, share) <- datasetShares; (lang, w) <- langs) {
-      val sliceBytes = (totalBytes * share * w / langTotal).toLong
-      val rows = math.max(1L, sliceBytes / avgLine)
-      ttlLines(name, lang, replicate(li, baseRows, rows))
-        .write.mode(SaveMode.Overwrite)
-        .text(s"$ttlBase/$release/core/$lang/${name}_$lang.ttl")
-    }
-    li.unpersist()
-    val ttlBytes = dirBytes(spark, ttlBase)
+    val ttlBytes = generate(spark, sfDir, ttlBase, ttlMb, cpus.toInt)
 
     // ---- stage 1: ttl -> parquet (timed, includes discovery + count-back)
     val t1 = System.nanoTime()

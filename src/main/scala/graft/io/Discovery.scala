@@ -38,18 +38,21 @@ object Discovery {
       .filter(n => n.length == 2 || n.length == 3)
       .sorted
 
-  /** Dataset names: `<name>_<lang>.ttl` files inside the language
+  /** Dataset names: `<name>_<lang>.ttl` entries inside the language
     * directories with the `_<lang>` suffix stripped, distinct and sorted.
     * `*_en_uris` companions are excluded (reference :121-135 — they are
     * loaded alongside their parent dataset, language-tagged `en-<lang>`,
-    * not as datasets of their own). */
+    * not as datasets of their own). An entry may be a plain file (the
+    * reference's download layout) OR a directory of part files — the shape
+    * any Spark text sink produces, which `spark.read.text` consumes
+    * transparently; the reference's `isFile` check would silently skip an
+    * entire Spark-written release. */
   def datasets(spark: SparkSession, base: String, release: String, dataset: String): Seq[String] =
     list(spark, new Path(new Path(base, release), dataset))
       .filter(s => s.isDirectory && {
         val n = s.getPath.getName; n.length == 2 || n.length == 3
       })
       .flatMap(d => list(spark, d.getPath))
-      .filter(_.isFile)
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".ttl") && n.contains("_"))
       .map(n => n.substring(0, n.lastIndexOf("_")))
