@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, Sampling, Similarity, TextStats}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, Packing, Sampling, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -735,6 +735,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- token-budget sharding: exact distributed prefix sum -----------
+    "q63_token_shards" -> ((s, dir) => {
+      // pack docs into ~50k-token shards per language in (lang, doc_id)
+      // order — computed by the two-phase distributed scan (Packing), NOT
+      // a Window.partitionBy(lang) cumsum that would funnel each language
+      // through one task; the oracle is that window formulation in SQL,
+      // making the equivalence part of the gate
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.tokenShards(docs, "doc_id", "lang", "n_tok", budget = 50000)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("n").as("n_tok"), col("running"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1249,6 +1265,14 @@ object SparkEntry {
           | FROM cnt GROUP BY doc_id)
           |SELECT doc_id, n_distinct / n AS distinct_ratio, mx / n AS top_token_frac
           |FROM agg ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q63_token_shards" ->
+        s"""WITH d AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+          |r AS (SELECT doc_id, lang, n_tok,
+          |  SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS running
+          | FROM d)
+          |SELECT doc_id, lang, n_tok, running, CAST(running // 50000 AS BIGINT) AS shard
+          |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q58_dedup_clusters" ->
         s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
           |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),

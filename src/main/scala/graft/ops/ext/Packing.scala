@@ -1,0 +1,124 @@
+package graft.ops.ext
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Token-budget sharding: pack documents, in a deterministic order, into
+  * consecutive shards of ~`budget` tokens each (per stratum — e.g. per
+  * language) — the step that turns a curated corpus into fixed-size
+  * training shards.
+  *
+  * The naive formulation is a running sum over
+  * `Window.partitionBy(stratum).orderBy(id)` — which funnels EVERY row of
+  * a stratum through ONE task (a window partition is sorted and evaluated
+  * on a single task). For a 100 TB corpus where one language is half the
+  * data, that is the textbook scale-killer.
+  *
+  * This implementation computes the exact same prefix sum distributed,
+  * with the classic two-phase scan:
+  *
+  *  1. range-repartition by `(stratum, id)` and sort within partitions —
+  *     partition i holds a contiguous slice of the total order, and every
+  *     partition is bounded by `partitions`, not by stratum size;
+  *  2. one pass collects per-(partition, stratum) token totals — at most
+  *     `partitions + #strata` rows, a driver-side bound like any
+  *     aggregate-of-partitions;
+  *  3. the driver prefixes those totals into per-(partition, stratum)
+  *     offsets (tiny), broadcast back;
+  *  4. a second pass over the SAME cached partitioning emits each row's
+  *     exclusive running total = partition offset + local cumsum.
+  *
+  * The result is independent of the partitioning (a prefix sum over a
+  * total order is well-defined), so the nondeterministic range-sampling
+  * boundaries never show in the output — only `(stratum, id)` order does.
+  */
+object Packing {
+
+  /** `(id, stratum, n, running, shard)` for every input row: `running` =
+    * exclusive per-stratum prefix sum of `n` in `(stratum, id)` order,
+    * `shard` = `running / budget` — rows sharing a shard id form one
+    * ~budget-token training shard. */
+  def tokenShards(
+      df: DataFrame,
+      idCol: String, stratumCol: String, nCol: String,
+      budget: Long,
+      partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"tokenShards: budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val typed = df.select(
+      col(idCol).cast("long").as("id"),
+      col(stratumCol).cast("string").as("stratum"),
+      col(nCol).cast("long").as("n"))
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // cache the partitioned form: both passes MUST see the identical
+    // range boundaries (range sampling is not deterministic across
+    // separate executions of the same plan)
+    val parts = typed
+      .repartitionByRange(p, col("stratum"), col("id"))
+      .sortWithinPartitions(col("stratum"), col("id"))
+      .as[(Long, String, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: per-(partition, stratum) totals, in in-partition order
+    val partTotals: Array[(Int, Seq[(String, Long)])] = parts
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (_, stratum, n) =>
+          acc.update(stratum, acc.getOrElse(stratum, 0L) + n)
+        }
+        Iterator.single((pid, acc.toSeq))
+      }
+      .collect()
+
+    // driver: prefix totals per stratum across partitions (partition ids
+    // follow range order, so pid order == (stratum, id) order)
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      partTotals.sortBy(_._1).flatMap { case (pid, strata) =>
+        strata.map { case (stratum, total) =>
+          val before = running.getOrElse(stratum, 0L)
+          running.update(stratum, before + total)
+          ((pid, stratum), before)
+        }
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: local exclusive cumsum + broadcast offset
+    parts
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val local = scala.collection.mutable.Map.empty[String, Long]
+        it.map { case (id, stratum, n) =>
+          val before = local.getOrElse(stratum, 0L)
+          local.update(stratum, before + n)
+          val running = bcOffsets.value.getOrElse((pid, stratum), 0L) + before
+          (id, stratum, n, running)
+        }
+      }
+      .toDF("id", "stratum", "n", "running")
+      .withColumn("shard", (col("running") / budget).cast("long"))
+  }
+
+  /** Reference formulation (window cumsum): identical output, but each
+    * stratum funnels through a single task — test/oracle use only. */
+  private[graft] def tokenShardsWindow(
+      df: DataFrame, idCol: String, stratumCol: String, nCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(idCol).cast("long").as("id"),
+        col(stratumCol).cast("string").as("stratum"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("running", sum(col("n")).over(w) - col("n"))
+      .withColumn("shard", (col("running") / budget).cast("long"))
+  }
+}

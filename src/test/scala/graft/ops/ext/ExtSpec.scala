@@ -285,6 +285,38 @@ class ComponentsSpec extends SparkSpec {
   }
 }
 
+class PackingSpec extends SparkSpec {
+
+  test("distributed prefix sum equals the window formulation, any partition count") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random sizes over 3 strata
+    val df = (0L until 500L).map { i =>
+      (i, Seq("en", "de", "fr")((i % 3).toInt), (i * 37 % 91) + 1)
+    }.toDF("doc_id", "lang", "n_tok").repartition(11) // scrambled input layout
+    val expected = Packing.tokenShardsWindow(df, "doc_id", "lang", "n_tok", budget = 400)
+      .select("id", "stratum", "n", "running", "shard")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    for (p <- Seq(1, 4, 32)) {
+      val got = Packing.tokenShards(df, "doc_id", "lang", "n_tok", budget = 400, partitions = p)
+        .select("id", "stratum", "n", "running", "shard")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === expected.toSeq, s"partitions=$p")
+    }
+  }
+
+  test("shards respect the budget: every shard's tokens fit, except single oversized docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "en", 300L), (2L, "en", 300L), (3L, "en", 300L), (4L, "en", 900L))
+      .toDF("doc_id", "lang", "n_tok")
+    val out = Packing.tokenShards(df, "doc_id", "lang", "n_tok", budget = 500)
+      .select("id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    // running: 0, 300, 600, 900 -> shards 0, 0, 1, 1
+    assert(out.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+  }
+}
+
 class ContaminationSpec extends SparkSpec {
 
   test("tokenNgrams: sliding n-grams, empty under n tokens") {
