@@ -144,4 +144,49 @@ class PropertySpec extends SparkSpec {
       assert(sig(0) === sig(1), s"for $words")
     }
   }
+
+  test("property: connected components agree with driver-side union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 20
+    val edgesGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgesGen, 4).foreach { edges =>
+      // oracle: plain union-find over the same edges
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(i => (i.toLong, find(i).toLong))
+      val got = graft.ops.ext.Components.connectedComponents(
+          (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      // min-label CC converges to the min vertex id per component —
+      // identical to union-find with min-root merging
+      assert(got.toSeq === expected, s"for edges $edges")
+    }
+  }
+
+  test("property: distributed token shards equal the window cumsum on random data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("en", "de"), Gen.choose(1L, 50L)))
+    samples(rowsGen, 3).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((lang, tok), i) => (i.toLong, lang, tok) }
+        .toDF("doc_id", "lang", "n_tok")
+      val expect = graft.ops.ext.Packing
+        .tokenShardsWindow(df, "doc_id", "lang", "n_tok", budget = 60)
+        .select("id", "running", "shard").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      val got = graft.ops.ext.Packing
+        .tokenShards(df, "doc_id", "lang", "n_tok", budget = 60, partitions = 5)
+        .select("id", "running", "shard").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(got.toSeq === expect.toSeq, s"for $rows")
+    }
+  }
 }
