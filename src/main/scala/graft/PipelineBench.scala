@@ -192,11 +192,22 @@ object PipelineBench {
 
     // ---- stage 1: ttl -> parquet (timed, includes discovery + count-back)
     val t1 = System.nanoTime()
-    val triples = datasetShares.map { case (name, _) =>
-      name -> TtlToParquet.runDiscovered(
+    val stage1 = datasetShares.map { case (name, _) =>
+      val td = System.nanoTime()
+      val count = TtlToParquet.runDiscovered(
         spark, ttlBase, release, "core", name, s"$pq/$name.parquet")
-    }.toMap
+      (name, count, (System.nanoTime() - td) / 1e9)
+    }
     val stage1Sec = (System.nanoTime() - t1) / 1e9
+    // per-dataset input bytes listed OUTSIDE the timed region (a recursive
+    // FS walk has no place inside the headline stage metric)
+    stage1.foreach { case (name, count, sec) =>
+      val mb = langs.map { case (lang, _) =>
+        dirBytes(spark, s"$ttlBase/$release/core/$lang/${name}_$lang.ttl")
+      }.sum / (1024.0 * 1024.0)
+      println(f"[pipeline] stage1 $name%-22s $sec%6.1f s $mb%8.1f MB $count%,12d triples")
+    }
+    val triples = stage1.map { case (name, count, _) => name -> count }.toMap
     val parquetBytes = dirBytes(spark, pq)
 
     // ---- stage 2: parquet -> RDF + schema (timed, heaviest config) ------

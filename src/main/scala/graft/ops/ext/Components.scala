@@ -96,11 +96,22 @@ object Components {
         least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       iter += 1
     }
-    // the returned frame reads the (materialized) final round, not sym
+    if (changed > 0)
+      // `changed` counts the updates the FINAL round then applied, so the
+      // result may in fact be converged (a diameter-of-exactly-maxIter
+      // graph finishes on that round) — but it was not verified
+      System.err.println(s"[components] WARNING: convergence not verified after " +
+        s"$maxIter rounds ($changed labels changed in the last round) — results may " +
+        "be under-merged; raise maxIter for graphs with diameter beyond it")
+    // pin the (endpoint-sized) final labels and release every cached
+    // round + the edge cache: nothing of the loop's storage outlives the
+    // call except the checkpointed result the returned frame reads
+    val finalLabels = labels.localCheckpoint(true)
+    previous.unpersist()
     sym.unpersist()
     // singletons re-enter with their own id as component
     vertices.select(col(idCol).as("id"))
-      .join(labels, Seq("id"), "left")
+      .join(finalLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 

@@ -18,15 +18,19 @@ object Contamination {
 
   /** Token n-grams as space-joined strings; fewer than `n` tokens yields
     * an empty array. Tokenization shared with [[TextStats.tokens]] so
-    * contamination checks and text stats can never disagree. */
+    * contamination checks and text stats can never disagree. Guarded with
+    * `slice`/`greatest` instead of a `when` branch, same as
+    * [[Dedup.shingles]]: `sequence(1, stop)` counts DOWN for stop < 1,
+    * and a CaseWhen wrapper would exclude the array from codegen
+    * subexpression elimination when a plan references it twice. */
   def tokenNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"tokenNgrams: n must be >= 1, got $n")
     val toks = TextStats.tokens(text)
-    // guard: Spark's sequence(1, stop) counts DOWN for stop < 1
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val count = size(toks) - (n - 1)
+    slice(
+      transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))),
+      lit(1), greatest(count, lit(0)))
   }
 
   /** 60-bit n-gram hash (15 md5 hex chars — positive in a signed long):

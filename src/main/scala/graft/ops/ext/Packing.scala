@@ -90,8 +90,16 @@ object Packing {
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: local exclusive cumsum + broadcast offset
-    parts
+    // pass 2: local exclusive cumsum + broadcast offset. The result is
+    // EAGERLY local-checkpointed before the partitioned cache is released:
+    // the offsets are only valid for the exact partitioning pass 1 saw, so
+    // the output must never be recomputed from a re-sampled
+    // repartitionByRange — the checkpoint pins the values (and turns a
+    // lost-block worst case into a loud failure instead of silently wrong
+    // offsets). It also releases the big input cache immediately: only the
+    // (much smaller) result stays in storage, freed by the context cleaner
+    // when the frame is garbage collected.
+    val result = parts
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val local = scala.collection.mutable.Map.empty[String, Long]
@@ -104,6 +112,9 @@ object Packing {
       }
       .toDF("id", "stratum", "n", "running")
       .withColumn("shard", (col("running") / budget).cast("long"))
+      .localCheckpoint(true)
+    parts.unpersist()
+    result
   }
 
   /** Reference formulation (window cumsum): identical output, but each

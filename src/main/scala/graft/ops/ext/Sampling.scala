@@ -28,6 +28,27 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.where(hashFraction(key) < rate)
 
+  /** Deterministic train/val/test split: label each row by where its key
+    * hash falls in the cumulative `fractions` ranges (fractions must sum
+    * to <= 1; any remainder goes to the LAST label). Identity-keyed like
+    * [[sampleByHash]], so membership is stable across runs, engines, and
+    * repartitions — and two tables split on the same join key land their
+    * matching rows in the same split. */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"hashSplit: fractions must be non-empty and sum to <= 1, got $fractions")
+    val h = hashFraction(key)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = fractions.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((label, cut), els) =>
+        when(h < cut, label).otherwise(els)
+      }
+    df.withColumn("split", labeled)
+  }
+
   /** Stratified sample: per-stratum rates (e.g. per language/source),
     * with `defaultRate` for strata not in the map — the downsample-the-
     * overrepresented-language step of corpus curation. */

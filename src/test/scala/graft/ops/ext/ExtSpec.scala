@@ -385,6 +385,22 @@ class SamplingSpec extends SparkSpec {
     assert(c.toSeq.forall(a.contains))
   }
 
+  test("hashSplit labels are exhaustive, disjoint, and consistent with sampleByHash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val split = Sampling.hashSplit(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect()
+    assert(split.length === 1000) // every row labeled exactly once
+    val byLabel = split.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train").size > 700 && byLabel("train").size < 900)
+    // the train split IS the 0.8 hash sample: same identity-keyed fate
+    val sampled = Sampling.sampleByHash(df, col("id"), 0.8).as[Long].collect().toSet
+    assert(byLabel("train") === sampled)
+  }
+
   test("stratified rates apply per stratum with a default") {
     val spark2 = spark
     import spark2.implicits._
