@@ -751,6 +751,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup clusters via large-star/small-star contraction ----------
+    "q64_cc_star" -> ((s, dir) => {
+      // the diameter-independent CC path (Kiveris et al. 2014) over the
+      // SALTED single-band pair graph (q55's edge set — sub-bucket cliques
+      // chained through shared docs make a deeper graph than q58's): star
+      // contraction converges in O(log² n) rounds where hash-to-min pays
+      // one round per unit of diameter. Same recursive-CTE oracle shape as
+      // q58 proves both algorithms compute the same min-label components
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 1)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"),
+        maxBucketSize = Some(100), saltOversized = true)
+      Components.dedupClusters(docs, pairs, algorithm = "star")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH salted guard: oversized buckets split, not dropped --------
     "q55_lsh_salted" -> ((s, dir) => {
       // the salting alternative to q53's drop: the boilerplate mega-bucket
@@ -1279,6 +1295,25 @@ object SparkEntry {
           |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           | FROM sig a JOIN sig b USING (band)
           | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM documents
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src)
+          |SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q64_cc_star" ->
+        s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")}) AS band FROM documents),
+          |sz AS (SELECT band, COUNT(*) AS c FROM sig GROUP BY band HAVING COUNT(*) >= 2),
+          |salted AS (SELECT s.doc_id,
+          |  CASE WHEN CAST(ceil(c / 100.0) AS BIGINT) > 1
+          |   THEN md5(s.band || '#' || CAST(
+          |     CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |       % CAST(ceil(c / 100.0) AS BIGINT) AS VARCHAR))
+          |   ELSE s.band END AS band
+          | FROM sig s JOIN sz ON s.band = sz.band),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM salted a JOIN salted b ON a.band = b.band AND a.doc_id < b.doc_id),
           |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
           |reach AS (
           | SELECT doc_id AS id, doc_id AS lab FROM documents

@@ -115,14 +115,128 @@ object Components {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Large-star step (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): every vertex connects its strictly-LARGER
+    * neighbors to the minimum of its closed neighborhood. Input and output
+    * edges are canonically oriented larger→smaller (`u` > `v`); the
+    * emitted target `m = min(N(u) ∪ u)` is below every emitted source, so
+    * orientation is preserved without a re-sort. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("x"))
+      .select(col("x.a").as("a"), col("x.b").as("b"))
+    val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    sym.where(col("b") > col("a"))
+      .join(mins, "a")
+      .select(col("b").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star step: every vertex connects its smaller-or-equal
+    * neighborhood (which, under the canonical orientation, is exactly its
+    * outgoing edge targets) plus itself to that set's minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .select(col("v").as("s"), col("m").as("t"))
+      .where(col("s") =!= col("t"))
+      .union(mins.select(col("u").as("s"), col("m").as("t")))
+      .distinct()
+      .select(col("s").as("u"), col("t").as("v"))
+  }
+
+  /** (id, comp) via alternating large-star/small-star rounds — the
+    * DIAMETER-INDEPENDENT alternative to [[connectedComponents]]'s
+    * min-label propagation. Hash-to-min pays one round per unit of graph
+    * diameter; star contraction converges in O(log² n) rounds regardless
+    * of diameter (Kiveris et al. 2014, Thm 2), which is the scale path for
+    * adversarial graphs — long chains of overlapping LSH buckets, link
+    * graphs — where diameter is not a small constant. Identical output
+    * contract: `comp` = minimum reachable vertex id (the fixpoint of
+    * alternation is a star per component rooted at its min).
+    *
+    * Scale shape per round: two `groupBy(min)` + join passes over the edge
+    * list (both partial-aggregate map-side; edge rows carry two longs) and
+    * one distinct. Edges never grow beyond the symmetrized input (both
+    * steps emit ≤ one edge per input edge), and every round strictly
+    * shrinks star-internal structure. Convergence is a set-equality check:
+    * equal counts plus an empty anti join — both on the (bounded) edge
+    * list. Each round is `localCheckpoint`ed, not merely persisted: the
+    * two star steps reference their input several times each, so a plan
+    * built on the previous round's PLAN (even a cached one) multiplies
+    * node count ~10× per round — exponential in rounds when rendered (the
+    * SQL listener renders every action's plan) and unbounded recovery
+    * lineage. Checkpointing truncates each round to a materialized leaf:
+    * plan size and recovery cost stay constant per round.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame,
+      edges: DataFrame,
+      idCol: String = "id",
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    // eager localCheckpoint per round (see Scaladoc): materializes to
+    // block storage AND truncates the plan to a leaf. Superseded rounds'
+    // blocks are released by the ContextCleaner when the frame goes out of
+    // scope — bounded by the ≤ maxIter round count.
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var count = e.count()
+    var converged = count == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      // distinct sets of equal size are equal iff next \ e is empty; the
+      // anti probe is limit-1 — one short job, not a full materialization
+      converged = nextCount == count &&
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      e = next
+      count = nextCount
+      iter += 1
+    }
+    if (!converged)
+      System.err.println(s"[components] WARNING: star contraction not verified " +
+        s"converged after $maxIter rounds — results may be under-merged")
+    // at the fixpoint every non-root vertex holds exactly one edge to its
+    // component min; min(v) per u also covers the (warned) non-converged
+    // case deterministically
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+      .localCheckpoint(true)
+    vertices.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Canonical-document assignment from near-dup pairs: every document
     * mapped to the minimum doc id of its near-dup component (documents
     * with no near-dup map to themselves). The cluster-collapse step of a
-    * dedup pipeline: keep `WHERE id = comp`, drop the rest. */
+    * dedup pipeline: keep `WHERE id = comp`, drop the rest.
+    *
+    * `algorithm`: `"hashToMin"` (default — rounds = diameter, fewer jobs
+    * per round, right for shallow near-dup graphs) or `"star"`
+    * (diameter-independent O(log² n) rounds, right for deep graphs). */
   def dedupClusters(
       docs: DataFrame,
       pairs: DataFrame,
-      idCol: String = "doc_id"): DataFrame =
-    connectedComponents(docs.select(col(idCol)), pairs, idCol)
-      .select(col("id").as(idCol), col("comp").as("canonical_id"))
+      idCol: String = "doc_id",
+      algorithm: String = "hashToMin"): DataFrame = {
+    val cc = algorithm match {
+      case "hashToMin" => connectedComponents(docs.select(col(idCol)), pairs, idCol)
+      case "star" => connectedComponentsStar(docs.select(col(idCol)), pairs, idCol)
+      case other => throw new IllegalArgumentException(
+        s"dedupClusters: unknown algorithm '$other' (expected hashToMin or star)")
+    }
+    cc.select(col("id").as(idCol), col("comp").as("canonical_id"))
+  }
 }

@@ -169,6 +169,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: star contraction agrees with hash-to-min CC on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 20
+    val edgesGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgesGen, 4).foreach { edges =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(i => (i.toLong, find(i).toLong))
+      val got = graft.ops.ext.Components.connectedComponentsStar(
+          (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === expected, s"for edges $edges")
+    }
+  }
+
   test("property: distributed token shards equal the window cumsum on random data") {
     val spark2 = spark
     import spark2.implicits._

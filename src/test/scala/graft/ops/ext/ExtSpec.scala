@@ -271,6 +271,38 @@ class ComponentsSpec extends SparkSpec {
     assert(out === Array((5L, 5L), (6L, 6L)))
   }
 
+  private def ccStar(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25) = {
+    val spark2 = spark
+    import spark2.implicits._
+    Components.connectedComponentsStar(
+        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter)
+      .as[(Long, Long)].collect().sortBy(_._1)
+  }
+
+  test("star contraction matches hash-to-min on transitive pairs + isolates") {
+    val out = ccStar(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)))
+    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
+  test("star contraction converges on a deep path within O(log² n) rounds") {
+    // diameter 40: hash-to-min would need 40 rounds; star contraction is
+    // diameter-independent — maxIter 10 suffices where hash-to-min's
+    // per-diameter bound would be exceeded
+    val path = (0L until 40L).map(i => (i, i + 1))
+    val out = ccStar(0L to 40L, path, maxIter = 10)
+    assert(out.forall(_._2 === 0L))
+  }
+
+  test("star contraction: duplicate and reversed edges, multiple components") {
+    val out = ccStar(Seq(1L, 2L, 10L, 11L, 12L),
+      Seq((1L, 2L), (2L, 1L), (10L, 11L), (12L, 11L), (11L, 12L)))
+    assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
+  test("star contraction: no edges is a no-op") {
+    assert(ccStar(Seq(5L, 6L), Seq.empty) === Array((5L, 5L), (6L, 6L)))
+  }
+
   test("dedupClusters yields the keep-list semantics") {
     val spark2 = spark
     import spark2.implicits._
