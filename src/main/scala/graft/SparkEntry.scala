@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, Packing, Sampling, Similarity, TextStats}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Packing, Sampling, Similarity, TextStats}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -691,6 +691,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact duplicate-substring spans (Lee et al. 2022) -------------
+    "q65_exact_substr" -> ((s, dir) => {
+      // maximal token spans covered by 16-token windows whose exact
+      // content occurs >= 2 times corpus-wide (incl. within one doc) —
+      // the relational ExactSubstr dedup: pass 1 counts window hashes
+      // (map-side partial agg on longs), pass 2 joins positions back and
+      // merges islands per doc. No suffix array, no index build
+      ExactSubstr.duplicatedSpans(t(s, dir, "documents"), col("text"), k = 16)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // ---- deterministic stratified sampling (hash, not rand) ------------
     "q60_stratified_sample" -> ((s, dir) => {
       // per-language downsampling with an identity-keyed hash: the same
@@ -1258,6 +1269,24 @@ object SparkEntry {
           |SELECT doc_id, COUNT(DISTINCT corpus.ngh) AS n_hits
           |FROM corpus JOIN bench ON corpus.ngh = bench.ngh
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q65_exact_substr" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          |ph AS (SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t FROM tk),
+          |dh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |  CAST(('0x' || substr(md5(array_to_string(list_slice(t, pos, pos + 15), ' ')), 1, 15)) AS BIGINT) AS ngh
+          | FROM ph),
+          |dup AS (SELECT ngh FROM dh GROUP BY ngh HAVING COUNT(*) >= 2),
+          |dp AS (SELECT doc_id, pos FROM dh JOIN dup USING (ngh)),
+          |fl AS (SELECT doc_id, pos,
+          |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 16
+          |   THEN 0 ELSE 1 END AS ns
+          | FROM dp),
+          |sp AS (SELECT doc_id, pos,
+          |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          | FROM fl)
+          |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end
+          |FROM sp GROUP BY doc_id, island
+          |ORDER BY doc_id, span_start""".stripMargin.replace("\n", " "),
       "q60_stratified_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0

@@ -1,0 +1,106 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact duplicate-substring detection for training corpora: find, per
+  * document, the maximal token spans every position of which is covered by
+  * a `k`-token window whose exact content occurs at least `minCount` times
+  * in the WHOLE corpus (including repeats within the same document). The
+  * relational re-expression of the suffix-array "ExactSubstr" dedup of
+  * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+  * (ACL 2022): a suffix array is a single-machine index, so at corpus
+  * scale the same contract — every duplicated run of ≥ k tokens is found,
+  * shorter overlaps are not — comes from sliding-window hashing, which is
+  * embarrassingly parallel and needs no index build.
+  *
+  * Scale shape — the window-hash kernel (the dominant cost: O(tokens·k)
+  * interpreted string building + md5 per document) runs EXACTLY ONCE: the
+  * per-doc hash arrays are cached, then both passes explode from the
+  * cache. Pass 1 explodes hashes straight into a partial-aggregated
+  * `groupBy(hash).count` (the shuffle carries one long per DISTINCT hash
+  * per map partition, and the boilerplate mega-hash collapses map-side
+  * exactly where it is most frequent); pass 2 explodes positions and
+  * joins against the duplicated-hash set on 8-byte keys. The cache is a
+  * ~1× corpus temporary (8 bytes/token, the same order as the text
+  * itself) and is released before the call returns — the result is
+  * eagerly checkpointed first, same discipline as [[Packing.tokenShards]]
+  * (the cache fill is an explicit action: the two passes are otherwise
+  * INDEPENDENT stages that the scheduler may run concurrently, each
+  * racing to compute the kernel itself). The final span merge is one
+  * window per document, bounded by document length. Window content is
+  * hashed with the engine-portable 60-bit md5 ([[Contamination.ngramHash]]),
+  * so a SQL oracle computes identical hashes; collisions at 2^60 only
+  * ever MERGE a span they would at worst slightly widen.
+  */
+object ExactSubstr {
+
+  /** Maximal duplicated token spans: `(idCol, span_start, span_end)`,
+    * 1-based inclusive token indices, ordered within a document. A span is
+    * a maximal run of positions covered by duplicated `k`-windows; two
+    * windows merge when their coverage overlaps or touches (start
+    * distance ≤ k). Documents with no duplicated window are absent —
+    * callers mask or drop the spans, or aggregate them into per-doc
+    * duplication metrics. EAGER: the result is computed and checkpointed
+    * at call time so the hash cache can be released before returning.
+    *
+    * All windows share length `k` and arrive sorted by start, so span
+    * ends are monotone and the classic gaps-and-islands lag/cumsum merge
+    * needs no running-max. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      text: Column,
+      idCol: String = "doc_id",
+      k: Int = 16,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
+    require(minCount >= 2L, s"duplicatedSpans: minCount must be >= 2, got $minCount")
+    // one kernel evaluation per document, materialized before either pass
+    // reads it (see object Scaladoc for the concurrency rationale)
+    val hashed = docs
+      .select(col(idCol), Contamination.ngramHashes(text, k).as("nghs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
+    // pass 1: corpus-wide occurrence count per window hash — no ids, no
+    // positions: the narrowest possible shuffle, fully map-side partial
+    val dupHashes = hashed
+      .select(explode(col("nghs")).as("ngh"))
+      .groupBy(col("ngh")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("ngh"))
+    // pass 2: positions of duplicated windows, then per-doc island merge
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = hashed
+      .select(col(idCol), posexplode(col("nghs")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"), col("col").as("ngh"))
+      .join(dupHashes, Seq("ngh"))
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("pos") - col("prev") > k, 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    spans
+  }
+
+  /** Per-document duplication summary over [[duplicatedSpans]]:
+    * `(idCol, n_spans, dup_tokens)` — span count and total tokens covered
+    * by duplicated spans. The filter currency of an ExactSubstr dedup
+    * pass: drop or trim documents whose `dup_tokens` share is high. */
+  def duplicationStats(
+      docs: DataFrame,
+      text: Column,
+      idCol: String = "doc_id",
+      k: Int = 16,
+      minCount: Long = 2L): DataFrame =
+    duplicatedSpans(docs, text, idCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+}

@@ -190,6 +190,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: exact-substring spans match the brute-force oracle") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 3
+    // tiny vocabulary forces genuine duplicated k-grams
+    val docGen = Gen.listOfN(4,
+      Gen.choose(3, 10).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+    samples(docGen, 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      // brute force: count every k-window string corpus-wide, keep
+      // positions of repeated ones, merge islands with start gap <= k
+      val windows = docs.flatMap { case (id, text) =>
+        val t = text.trim.split("\\s+")
+        (0 to t.length - k).map(i => (id, i + 1L, t.slice(i, i + k).mkString(" ")))
+      }
+      val counts = windows.groupBy(_._3).map { case (w, os) => (w, os.size) }
+      val expected = windows.filter(w => counts(w._3) >= 2)
+        .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+          val sorted = ws.map(_._2).sorted
+          val islands = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, p) =>
+            if (p - acc.head.head <= k) (p :: acc.head) :: acc.tail
+            else List(p) :: acc
+          }
+          islands.map(is => (id, is.min, is.max + (k - 1)))
+        }.sorted
+      val got = graft.ops.ext.ExactSubstr.duplicatedSpans(
+          docs.toDF("doc_id", "text"), col("text"), k = k)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(got === expected, s"for docs $docs")
+    }
+  }
+
   test("property: distributed token shards equal the window cumsum on random data") {
     val spark2 = spark
     import spark2.implicits._

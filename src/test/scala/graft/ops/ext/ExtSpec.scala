@@ -532,3 +532,51 @@ class EventsSpec extends SparkSpec {
     assert(out === Array((1704067200L, 2L, 3.0), (1704070800L, 1L, 4.0)))
   }
 }
+
+class ExactSubstrSpec extends SparkSpec {
+
+  private def spans(docs: Seq[(Long, String)], k: Int) = {
+    val spark2 = spark
+    import spark2.implicits._
+    ExactSubstr.duplicatedSpans(docs.toDF("doc_id", "text"), col("text"), k = k)
+      .as[(Long, Long, Long)].collect().sortBy(s => (s._1, s._2))
+  }
+
+  test("cross-document duplicated window yields the shared span") {
+    // "b c d" (k=3) occurs in both docs at different offsets; nothing else repeats
+    val out = spans(Seq(
+      (1L, "a b c d e"),
+      (2L, "x b c d")), k = 3)
+    assert(out === Array((1L, 2L, 4L), (2L, 2L, 4L)))
+  }
+
+  test("within-document repetition counts toward the corpus threshold") {
+    // "p q" occurs twice inside one document — ExactSubstr counts corpus
+    // occurrences, not distinct documents
+    val out = spans(Seq((1L, "p q x x p q"), (2L, "m n o")), k = 2)
+    // dup windows at pos 1 and 5 (gap 4 > k=2: two islands); "x x" occurs once
+    assert(out === Array((1L, 1L, 2L), (1L, 5L, 6L)))
+  }
+
+  test("overlapping and touching windows merge into one maximal span") {
+    // both docs contain the 4-token run "a b c d": k=2 windows at pos
+    // 1,2,3 overlap pairwise -> single span covering tokens 1..4
+    val out = spans(Seq((1L, "a b c d"), (2L, "a b c d")), k = 2)
+    assert(out === Array((1L, 1L, 4L), (2L, 1L, 4L)))
+  }
+
+  test("documents shorter than k and unique documents are absent") {
+    val out = spans(Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "q"), (4L, "r s t u")), k = 3)
+    assert(out.map(_._1).distinct === Array(1L, 2L))
+  }
+
+  test("duplicationStats sums covered tokens per document") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "p q x y z p q"), (2L, "p q")).toDF("doc_id", "text")
+    // "p q" at (1,1), (1,6), (2,1): doc 1 has two islands of 2 tokens each
+    val out = ExactSubstr.duplicationStats(docs, col("text"), k = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((1L, 2L, 4L), (2L, 1L, 2L)))
+  }
+}
