@@ -111,7 +111,10 @@ object Packing {
         }
       }
       .toDF("id", "stratum", "n", "running")
-      .withColumn("shard", (col("running") / budget).cast("long"))
+      // integral division, not double `/` + cast: running exceeds 2^53 on
+      // a 100 TB corpus and the double quotient goes inexact right at the
+      // shard boundaries
+      .withColumn("shard", expr(s"running div ${budget}L"))
       .localCheckpoint(true)
     parts.unpersist()
     result
@@ -130,6 +133,6 @@ object Packing {
         col(stratumCol).cast("string").as("stratum"),
         col(nCol).cast("long").as("n"))
       .withColumn("running", sum(col("n")).over(w) - col("n"))
-      .withColumn("shard", (col("running") / budget).cast("long"))
+      .withColumn("shard", expr(s"running div ${budget}L"))
   }
 }
