@@ -878,6 +878,68 @@ object SparkEntry {
       Events.sessionize(events(s, dir), 1800)
         .orderBy(col("user_id"))
     }),
+
+    // ---- semantic dedup: cosine near-dup clusters, min-id canonical ----
+    "q66_semdedup" -> ((s, dir) => {
+      // SemDedup over embeddings: q40's SRP-prefiltered cosine pairs
+      // closed into clusters (near-dup is not transitive), each cluster
+      // keeping its min-id vector — kept=1 rows are the dedup keep-list
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.semanticDedup(e, planes = 4, threshold = 0.2)
+        .orderBy(col("id"))
+    }),
+
+    // ---- tf-idf top terms per document --------------------------------
+    "q67_tfidf" -> ((s, dir) => {
+      // integer-scaled idf (score = tf * ((1e6 * N) div df), all BIGINT):
+      // rank-equivalent to ln-idf at fixed tf, and exactly reproducible
+      // cross-engine where float ln's last-ulp differences flip near-ties
+      TextStats.tfIdfTopTerms(t(s, dir, "documents"), col("text"), "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // ---- bloom-prefiltered decontamination -----------------------------
+    "q68_bloom_decontaminate" -> ((s, dir) => {
+      // map-side Bloom bit-test (pure Column ops — codegen'd, no UDF)
+      // gates the exact n-gram confirm join; no false negatives, so the
+      // result is IDENTICAL to exact decontamination and the oracle is the
+      // exact SQL. Every 23rd doc plays the benchmark.
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 23 === 0)
+      val corpus = docs.where(col("doc_id") % 23 =!= 0)
+      Contamination.decontaminateBloom(
+          corpus, col("text"), "doc_id", bench, col("text"), n = 6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source quality gate (C4-style domain filtering) -----------
+    "q69_source_gate" -> ((s, dir) => {
+      // documents are kept by their SOURCE's aggregate quality (ratio of
+      // sums in integer basis points), not their own text — the gate that
+      // drops boilerplate domains wholesale
+      TextStats.sourceQualityFilter(t(s, dir, "documents"), col("text"),
+          "doc_id", "source", minDocs = 20, minAlphaBp = 8210)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental cross-corpus dedup --------------------------------
+    "q70_dedup_incremental" -> ((s, dir) => {
+      // ingestion-time dedup: new-batch docs (every 11th) whose minhash
+      // band keys match the standing corpus in ANY band are dropped; the
+      // corpus contributes only distinct tagged band keys, never text.
+      // One 4-hash band — selective enough on this boilerplate-heavy
+      // corpus that a non-trivial survivor set exercises both outcomes
+      val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 4)
+      val newBatch = sig.where(col("doc_id") % 11 === 0)
+      val corpus = sig.where(col("doc_id") % 11 =!= 0)
+      Dedup.dedupAgainstCorpus(newBatch, corpus, "doc_id",
+          Seq(Seq("mh0", "mh1", "mh2", "mh3")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1493,6 +1555,63 @@ object SparkEntry {
           | CAST(SUM(CASE WHEN prev IS NULL OR FLOOR(epoch(ts)) - FLOOR(epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           | COUNT(*) AS n_events
           |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "),
+      // q40's SRP + cosine pair SQL closed into components by q58's
+      // recursive-CTE shape; kept = 1 iff the row is its cluster's min id
+      "q66_semdedup" ->
+        """WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+          |  CAST(list_sum(list_transform(generate_series(0,3), p ->
+          |   CASE WHEN list_sum(list_transform(CAST(embedding AS DOUBLE[]), (x,i) ->
+          |     x * CASE WHEN CAST(('0x' || substr(md5('p' || p || ':' || (i-1)),1,4)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)) >= 0
+          |   THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+          | FROM embeddings WHERE vec_id < 200),
+          |pr AS (SELECT a.id AS id_a, b.id AS id_b FROM e a JOIN e b
+          | ON a.bucket = b.bucket AND a.id < b.id
+          | WHERE COALESCE(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), -1.0) >= 0.2),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach AS (
+          | SELECT id, id AS lab FROM e
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src)
+          |SELECT id, MIN(lab) AS canonical_id, CAST(id = MIN(lab) AS BIGINT) AS kept
+          |FROM reach GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "),
+      "q67_tfidf" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+          |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          |s AS (SELECT doc_id, term, tf, df, tf * ((1000000 * n_docs) // df) AS score
+          | FROM tf JOIN df USING (term), n),
+          |r AS (SELECT doc_id, term, tf, df, score,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk FROM s)
+          |SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+          |ORDER BY doc_id, rnk""".stripMargin.replace("\n", " "),
+      // the Bloom prefilter has no false negatives, so the oracle is the
+      // EXACT decontamination SQL (q59's shape, n=6, mod-23 split)
+      "q68_bloom_decontaminate" ->
+        s"""WITH ng AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 5),
+          |    i -> array_to_string(list_slice($toks, i, i + 5), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 23 = 0),
+          |hits AS (SELECT DISTINCT doc_id FROM ng
+          | WHERE doc_id % 23 <> 0 AND ngh IN (SELECT ngh FROM bench))
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 23 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q69_source_gate" ->
+        """WITH g AS (SELECT source FROM documents GROUP BY source
+          | HAVING COUNT(*) >= 20
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8210)
+          |SELECT doc_id, source FROM documents WHERE source IN (SELECT source FROM g)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q70_dedup_incremental" ->
+        s"""WITH sig AS (SELECT doc_id,
+          |  '0#' || md5(${mh("0")} || '|' || ${mh("1")} || '|' || ${mh("2")} || '|' || ${mh("3")}) AS k
+          | FROM documents),
+          |ck AS (SELECT DISTINCT k FROM sig WHERE doc_id % 11 <> 0)
+          |SELECT doc_id FROM sig
+          |WHERE doc_id % 11 = 0 AND k NOT IN (SELECT k FROM ck)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -78,4 +78,75 @@ object Contamination {
       .select(col(idCol))
     corpus.join(broadcast(hits), Seq(idCol), "left_anti")
   }
+
+  /** A Bloom filter over the benchmark's n-gram hashes as a PLAIN COLUMN
+    * predicate — packed `Array[Long]` bit words shipped as a literal, bit
+    * tests via `element_at` + bitwiseAND against a 64-entry power-of-two
+    * mask literal. No UDF: the test stays inside whole-stage codegen.
+    * Two probe positions per hash (k=2), drawn from disjoint bit ranges of
+    * the 60-bit [[ngramHash]] (low bits and bits 29+), so `mBits` may be
+    * any power of two up to 2^29.
+    *
+    * @param hashes distinct benchmark n-gram hash values ([[ngramHash]])
+    * @param mBits  filter size in bits (power of two)
+    */
+  private[graft] def bloomBuild(hashes: Array[Long], mBits: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 29),
+      s"bloomBuild: mBits must be a power of two in [64, 2^29], got $mBits")
+    val words = new Array[Long](mBits / 64)
+    val mask = (mBits - 1).toLong
+    for (h <- hashes; idx <- Seq(h & mask, (h >>> 29) & mask))
+      words((idx / 64).toInt) |= 1L << (idx % 64)
+    words
+  }
+
+  private[graft] def bloomMightContain(h: Column, words: Array[Long], mBits: Int): Column = {
+    val wordsLit = typedLit(words)
+    val pow2 = typedLit(Array.tabulate(64)(i => 1L << i))
+    def bitSet(idx: Column): Column = {
+      val word = element_at(wordsLit, (idx / 64L).cast("int") + 1)
+      val mask = element_at(pow2, pmod(idx, lit(64L)).cast("int") + 1)
+      word.bitwiseAND(mask) =!= 0L
+    }
+    val m = (mBits - 1).toLong
+    bitSet(h.bitwiseAND(lit(m))) && bitSet(shiftright(h, 29).bitwiseAND(lit(m)))
+  }
+
+  /** [[decontaminate]] with a map-side Bloom prefilter — the shape for a
+    * 100 TB corpus: the exact path explodes EVERY corpus document's
+    * n-grams into the broadcast hash join, ~n·tokens probe rows per
+    * document; here each document first runs a per-row codegen'd
+    * `exists(ngram hashes, bloom test)` against a bit array ~16x smaller
+    * than the exact broadcast hash set, and only the (rare) Bloom-POSITIVE
+    * documents re-explode into the exact confirm join. A Bloom filter has
+    * no false negatives, so the result is IDENTICAL to [[decontaminate]] —
+    * false positives merely do the exact check they would have done anyway
+    * (~0.4% of clean docs at the default sizing of ~32 bits/element, k=2).
+    *
+    * The benchmark hash set is collected once on the driver to build the
+    * bit array — the same bounded driver action the exact path's broadcast
+    * performs, on the same (small by contract) benchmark side. */
+  def decontaminateBloom(
+      corpus: DataFrame, corpusText: Column, idCol: String,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(tokenNgrams(benchmarkText, n)).as("ng"))
+      .select(ngramHash(col("ng")).as("ngh"))
+      .distinct()
+    val hashes = bench.collect().map(_.getLong(0))
+    // next power of two >= 32 bits/element, clamped to [64, 2^29]
+    val target = math.min(1L << 29, math.max(64L, hashes.length.toLong * 32))
+    val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt
+    val words = bloomBuild(hashes, mBits)
+    val maybe = corpus.where(
+      exists(ngramHashes(corpusText, n), h => bloomMightContain(h, words, mBits)))
+    val hits = maybe
+      .select(col(idCol), explode(tokenNgrams(corpusText, n)).as("ng"))
+      .select(col(idCol), ngramHash(col("ng")).as("ngh"))
+      .join(broadcast(bench), Seq("ngh"))
+      .select(col(idCol))
+      .distinct()
+    corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
 }

@@ -318,4 +318,44 @@ object Dedup {
     val inter = size(array_intersect(setA, setB))
     inter.cast("double") / (size(setA) + size(setB) - inter).cast("double")
   }
+
+  /** Incremental (cross-corpus) dedup: the rows of a NEW batch that are
+    * NOT LSH band-matches of any document in the existing CORPUS — the
+    * ingestion-time pass that admits only novel documents, without ever
+    * re-pairing the corpus against itself.
+    *
+    * A new document is a duplicate when ANY of its band keys equals the
+    * corpus's key for the SAME band; keys are tagged with their band index
+    * before the join so band `i` can only match band `i`. Both sides must
+    * carry the signature columns named in `bands` (from
+    * [[withMinhashSignature]]).
+    *
+    * Scale shape: the corpus contributes only its DISTINCT tagged band
+    * keys (33-byte md5-derived strings — partial-agged map-side, never
+    * document text), the new batch explodes to |bands| keyed rows per doc,
+    * and the match is a semi join on those short keys followed by an anti
+    * join on ids — the corpus documents themselves are never shuffled. On
+    * a standing corpus the band-key table is exactly what
+    * [[graft.io.Bucketing]]'s bucketed signature tables persist, making
+    * the nightly run's semi join Exchange-free on the corpus side. */
+  def dedupAgainstCorpus(
+      newSigs: DataFrame,
+      corpusSigs: DataFrame,
+      idCol: String,
+      bands: Seq[Seq[String]]): DataFrame = {
+    require(bands.nonEmpty, "dedupAgainstCorpus: at least one band required")
+    def tagged(df: DataFrame): Seq[Column] =
+      bands.zipWithIndex.map { case (b, i) =>
+        concat_ws("#", lit(i.toString), bandKey(b))
+      }
+    val corpusKeys = corpusSigs
+      .select(explode(array(tagged(corpusSigs): _*)).as("_band"))
+      .distinct()
+    val dupIds = newSigs
+      .select(col(idCol), explode(array(tagged(newSigs): _*)).as("_band"))
+      .join(corpusKeys, Seq("_band"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    newSigs.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -226,4 +226,29 @@ object Similarity {
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
+
+  /** SemDedup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): embedding-cosine near-duplicate PAIRS
+    * ([[embeddingNearDupPairs]] — SRP bucket prefilter + exact cosine
+    * threshold) are closed into CLUSTERS (cosine-near-dup is not
+    * transitive; [[Components.connectedComponents]]), and each cluster
+    * keeps its minimum-id member as the canonical representative.
+    *
+    * Returns `(id, canonical_id, kept)` for EVERY input vector —
+    * `kept = 1` iff the row is its cluster's representative (singletons
+    * keep themselves) — so the result doubles as a keep-list
+    * (`WHERE kept = 1`) and a duplicate map (`id -> canonical_id`).
+    *
+    * Scale shape: candidate generation is the SRP short-key bucket join
+    * (never all-pairs), the cosine runs only on bucket-sharing candidates,
+    * and the component closure propagates over edge ENDPOINTS only —
+    * the (dominant) singleton population joins back exactly once.
+    * `vectors` must have columns `id` and `vec`. */
+  def semanticDedup(vectors: DataFrame, planes: Int, threshold: Double): DataFrame = {
+    val pairs = embeddingNearDupPairs(vectors, planes, threshold)
+    Components.connectedComponents(vectors.select(col("id")), pairs)
+      .select(col("id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).cast("long").as("kept"))
+  }
 }

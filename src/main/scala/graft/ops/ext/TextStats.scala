@@ -129,4 +129,70 @@ object TextStats {
         size(array_distinct(toks)).cast("double") / n.cast("double"))
       .withColumn("top_token_frac", best.cast("double") / n.cast("double"))
   }
+
+  /** Top-k characteristic terms per document by tf-idf — the keyword-
+    * extraction / topic-tagging pass of a curation pipeline.
+    *
+    * The idf factor is INTEGER-SCALED: `score = tf * ((scale * N) div df)`
+    * (all BIGINT) rather than `tf * ln(N/df)`. Rank order is identical for
+    * fixed tf whenever df differs, and the integer arithmetic is exactly
+    * reproducible on every engine — a float `ln` differs in the last ulp
+    * across math libraries, which flips near-tie rankings and breaks
+    * cross-engine verification. Ties rank by term ascending.
+    *
+    * Scale shape: tf is one partial-agged shuffle of (doc, term) pairs; df
+    * reduces the (already distinct-per-doc) tf rows per term — both
+    * map-side combined. N comes from a one-row aggregate joined in as a
+    * broadcast (kept in-plan; no driver action). The final top-k window
+    * repartitions by doc; Spark's WindowGroupLimit prunes rank > k
+    * map-side before that shuffle.
+    *
+    * Returns `(idCol, term, tf, df, score, rnk)`, `rnk <= k`. */
+  def tfIdfTopTerms(
+      docs: DataFrame, textCol: Column, idCol: String,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr(s"($scale * n_docs) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** Source-level quality gating (the C4/Gopher "drop bad domains" pass):
+    * keep documents whose SOURCE passes corpus-level quality thresholds —
+    * at least `minDocs` documents and an aggregate alphabetic ratio of at
+    * least `minAlphaPct` percent. Individual documents are judged by their
+    * provenance, not their own text: a boilerplate-heavy domain is dropped
+    * wholesale even when single pages look clean.
+    *
+    * The ratio test is RATIO-OF-SUMS compared in integers
+    * (`sum(alpha) * 10000 >= sum(chars) * minAlphaBp`, basis points) — no
+    * float division anywhere, so the gate is exactly reproducible
+    * cross-engine and safe from per-doc zero-token edge cases.
+    *
+    * Scale shape: one partial-agged per-source aggregation (sources are
+    * few relative to documents), then the surviving source list — bounded
+    * by the source cardinality — broadcasts into a semi join: the corpus
+    * is never shuffled. Returns `(idCol, sourceCol)` of surviving docs. */
+  def sourceQualityFilter(
+      docs: DataFrame, textCol: Column, idCol: String, sourceCol: String,
+      minDocs: Long, minAlphaBp: Int): DataFrame = {
+    val perDoc = docs.select(col(sourceCol),
+      length(textCol).cast("long").as("nc"),
+      length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("na"))
+    val good = perDoc.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("na")).as("sa"), sum(col("nc")).as("sc"))
+      .where(col("n_docs") >= minDocs &&
+        col("sa") * 10000 >= col("sc") * minAlphaBp)
+      .select(col(sourceCol))
+    docs.join(broadcast(good), Seq(sourceCol), "left_semi")
+      .select(col(idCol), col(sourceCol))
+  }
 }

@@ -25,6 +25,23 @@ class DedupSpec extends SparkSpec {
     assert(sig(0)._2 !== sig(2)._2)
   }
 
+  test("dedupAgainstCorpus drops band matches, band index is respected") {
+    val spark2 = spark
+    import spark2.implicits._
+    // synthetic signature columns: the function only reads the band cols.
+    // n1 matches the corpus in band 0, n2 in band 1, n3 nowhere; n4's
+    // band-0 value equals the corpus's band-1 value — the index tag must
+    // keep that from matching
+    val corpus = Seq((100L, "AA", "BB")).toDF("doc_id", "s0", "s1")
+    val fresh = Seq(
+      (1L, "AA", "xx"), (2L, "yy", "BB"), (3L, "zz", "ww"), (4L, "BB", "qq")
+    ).toDF("doc_id", "s0", "s1")
+    val out = Dedup.dedupAgainstCorpus(fresh, corpus, "doc_id",
+        Seq(Seq("s0"), Seq("s1")))
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out === Array(3L, 4L))
+  }
+
   test("lsh candidate pairs surface same-band documents once") {
     val spark2 = spark
     import spark2.implicits._
@@ -236,6 +253,24 @@ class SimilaritySpec extends SparkSpec {
     val b = vecs.select(Similarity.srpBucket(col("vec"), 8)).as[Long].collect()
     assert(b(0) === b(1))
   }
+
+  test("semanticDedup closes near-dup pairs into clusters, keeps min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cos(0,1) and cos(1,2) pass the 0.99 threshold but cos(0,2) = 0.98
+    // does NOT — {0,1,2} must still collapse into ONE cluster through the
+    // transitive closure; 3 is orthogonal, a singleton keeping itself
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.995f, 0.0998f)),
+      (2L, Array(0.98f, 0.199f)), (3L, Array(-0.1f, 1.0f))
+    ).toDF("id", "vec")
+    val direct = Similarity.embeddingNearDupPairs(vecs, planes = 2, threshold = 0.99)
+      .as[(Long, Long)].collect()
+    assert(!direct.contains((0L, 2L)), direct.toSeq) // only the closure links 0 and 2
+    val out = Similarity.semanticDedup(vecs, planes = 2, threshold = 0.99)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 3L, 1L)))
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
@@ -398,6 +433,43 @@ class ContaminationSpec extends SparkSpec {
       plan.indexOf("BroadcastHashJoin"), plan.indexOf("Generate explode"))
     assert(!joinToGenerate.contains("Exchange"), plan)
   }
+
+  test("bloom filter: no false negatives; fpr is small; test is a Column op") {
+    val spark2 = spark
+    import spark2.implicits._
+    val hashes = Array.tabulate(1000)(i => (i.toLong * 2654435761L) & ((1L << 60) - 1))
+    val mBits = 1 << 15 // 32 bits/element for 1000 elements
+    val words = Contamination.bloomBuild(hashes, mBits)
+    val probes = (hashes.map((_, true)) ++
+      Array.tabulate(10000)(i => (((i.toLong + 7) * 40503954739L + 13) & ((1L << 60) - 1), false)))
+      .toSeq.toDF("h", "member")
+    val hit = probes
+      .select(col("member"), Contamination.bloomMightContain(col("h"), words, mBits).as("maybe"))
+      .as[(Boolean, Boolean)].collect()
+    assert(hit.filter(_._1).forall(_._2)) // every inserted hash tests positive
+    val fp = hit.count(r => !r._1 && r._2).toDouble / hit.count(!_._1)
+    assert(fp < 0.05, s"false positive rate $fp") // ~0.4% expected at 32 bits/elem
+  }
+
+  test("decontaminateBloom equals exact decontamination") {
+    val spark2 = spark
+    import spark2.implicits._
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix the quick brown fox jumps over the lazy dog suffix"),
+      (11L, "completely unrelated text with enough tokens to form eight grams easily"),
+      (12L, "the quick brown fox jumps over the lazy cat entirely"),
+      (13L, "short")
+    ).toDF("doc_id", "text")
+    val exact = Contamination.decontaminate(
+        corpus, col("text"), "doc_id", bench, col("text"), n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    val bloom = Contamination.decontaminateBloom(
+        corpus, col("text"), "doc_id", bench, col("text"), n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(bloom === exact)
+    assert(exact.toSeq === Seq(11L, 13L))
+  }
 }
 
 class SamplingSpec extends SparkSpec {
@@ -499,6 +571,42 @@ class TextStatsSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     assert(out(0) === ((0.5, 0.75))) // {a,b}/4 tokens; "a" x3 of 4
     assert(out(1) === ((1.0, 0.25)))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones at equal tf") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "common rare common"), // tf(common)=2 df=3; tf(rare)=1 df=1
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfIdfTopTerms(docs, col("text"), "doc_id", k = 2)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._6))
+    // doc 1: rare scores 1 * (3e6 div 1) = 3e6; common scores 2 * (3e6 div 3) = 2e6
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._5, r._6)).toSeq ===
+      Seq(("rare", 3000000L, 1L), ("common", 2000000L, 2L)))
+    // docs 2/3: other (df=2) beats common (df=3) despite equal tf
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq === Seq("other", "common"))
+    // rnk caps at k
+    assert(out.forall(_._6 <= 2L))
+  }
+
+  test("sourceQualityFilter gates whole sources by ratio-of-sums and min count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "cleanalpha texthere", "good"), // alpha 18 of 19 chars -> ~94%
+      (2L, "also very cleantext", "good"),
+      (3L, "1234 5678 90!! ####", "noisy"), // alpha 0
+      (4L, "9999 ---- ++++ @@@@", "noisy"),
+      (5L, "clean but alone here", "tiny") // fails minDocs
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.sourceQualityFilter(
+        docs, col("text"), "doc_id", "source", minDocs = 2, minAlphaBp = 7000)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out === Array((1L, "good"), (2L, "good")))
   }
 }
 
