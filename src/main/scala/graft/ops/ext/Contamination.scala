@@ -112,16 +112,22 @@ object Contamination {
     bitSet(h.bitwiseAND(lit(m))) && bitSet(shiftright(h, 29).bitwiseAND(lit(m)))
   }
 
-  /** [[decontaminate]] with a map-side Bloom prefilter — the shape for a
-    * 100 TB corpus: the exact path explodes EVERY corpus document's
-    * n-grams into the broadcast hash join, ~n·tokens probe rows per
-    * document; here each document first runs a per-row codegen'd
-    * `exists(ngram hashes, bloom test)` against a bit array ~16x smaller
-    * than the exact broadcast hash set, and only the (rare) Bloom-POSITIVE
-    * documents re-explode into the exact confirm join. A Bloom filter has
-    * no false negatives, so the result is IDENTICAL to [[decontaminate]] —
-    * false positives merely do the exact check they would have done anyway
-    * (~0.4% of clean docs at the default sizing of ~32 bits/element, k=2).
+  /** [[decontaminate]] with a map-side Bloom prefilter between the corpus
+    * n-gram Generate and the exact confirm join: the bit test is a plain
+    * codegen'd Filter in the same whole-stage pass as the explode+md5, and
+    * it drops ~all clean n-gram rows BEFORE any join machinery — so the
+    * confirm join, the distinct, and the per-doc aggregation only ever see
+    * Bloom positives (true hits + ~0.4% false positives at the default
+    * ~32 bits/element, k=2). A Bloom filter has no false negatives, so the
+    * result is IDENTICAL to [[decontaminate]].
+    *
+    * Why this matters at 100 TB: the exact path feeds EVERY corpus n-gram
+    * (~tokens-per-doc rows per document) into the join, which is only
+    * tenable while the benchmark's exact hash set fits in a broadcast.
+    * With the prefilter, the join input is linear in the HIT rate, so the
+    * confirm can be a shuffle join against a benchmark too large to
+    * broadcast — the bit array (16x smaller than the exact set, and
+    * independent of n-gram string length) is what ships to every task.
     *
     * The benchmark hash set is collected once on the driver to build the
     * bit array — the same bounded driver action the exact path's broadcast
@@ -139,11 +145,10 @@ object Contamination {
     val target = math.min(1L << 29, math.max(64L, hashes.length.toLong * 32))
     val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt
     val words = bloomBuild(hashes, mBits)
-    val maybe = corpus.where(
-      exists(ngramHashes(corpusText, n), h => bloomMightContain(h, words, mBits)))
-    val hits = maybe
+    val hits = corpus
       .select(col(idCol), explode(tokenNgrams(corpusText, n)).as("ng"))
       .select(col(idCol), ngramHash(col("ng")).as("ngh"))
+      .where(bloomMightContain(col("ngh"), words, mBits))
       .join(broadcast(bench), Seq("ngh"))
       .select(col(idCol))
       .distinct()
