@@ -940,6 +940,30 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- int8 scalar quantization report -------------------------------
+    "q71_quantize" -> ((s, dir) => {
+      // power-of-two scale makes codes and clip counts integer-exact in
+      // double arithmetic; max_abs_err is an order-independent max, so the
+      // whole report is engine-portable. Map-side only, scan-bound.
+      Similarity.quantizeInt8(
+          t(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          scale = 256)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- boilerplate n-gram ranking ------------------------------------
+    "q72_boilerplate_ngrams" -> ((s, dir) => {
+      // top repeated 3-grams corpus-wide (blocklist source material; the
+      // synthetic corpus has no verbatim 8-gram boilerplate, so trigrams
+      // carry the signal): partial-agged count on 8-byte hashes,
+      // TakeOrdered top-k
+      Contamination.topNgrams(t(s, dir, "documents"), col("text"),
+          n = 3, minCount = 5, k = 20)
+        .orderBy(col("n_occ").desc, col("ngh"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1612,6 +1636,23 @@ object SparkEntry {
           |SELECT doc_id FROM sig
           |WHERE doc_id % 11 = 0 AND k NOT IN (SELECT k FROM ck)
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      "q71_quantize" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id, v,
+          |  list_transform(v, x -> GREATEST(-128, LEAST(127, CAST(floor(x*256 + 0.5) AS BIGINT)))) AS qa
+          | FROM e)
+          |SELECT vec_id, qa[1] AS q0, qa[2] AS q1, qa[3] AS q2,
+          | CAST(len(list_filter(v, x -> floor(x*256 + 0.5) < -128 OR floor(x*256 + 0.5) > 127)) AS BIGINT) AS n_clipped,
+          | CAST(list_sum(qa) AS BIGINT) AS sum_q,
+          | list_max(list_transform(v, x -> abs(x - GREATEST(-128, LEAST(127, CAST(floor(x*256 + 0.5) AS BIGINT))) / 256.0))) AS max_abs_err
+          |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
+      "q72_boilerplate_ngrams" ->
+        s"""WITH ng AS (SELECT
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 2),
+          |    i -> array_to_string(list_slice($toks, i, i + 2), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |c AS (SELECT ngh, COUNT(*) AS n_occ FROM ng GROUP BY ngh HAVING COUNT(*) >= 5)
+          |SELECT ngh, n_occ FROM c ORDER BY n_occ DESC, ngh LIMIT 20""".stripMargin.replace("\n", " "),
     )
   }
 }

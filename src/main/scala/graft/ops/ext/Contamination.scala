@@ -154,4 +154,26 @@ object Contamination {
       .distinct()
     corpus.join(broadcast(hits), Seq(idCol), "left_anti")
   }
+
+  /** The corpus's most-repeated n-grams — the report a curation pipeline
+    * turns into a boilerplate blocklist (headers, navigation chrome,
+    * license banners repeat verbatim across millions of pages). Returns
+    * the top `k` by occurrence count (ties to the smaller hash), counting
+    * only n-grams seen at least `minCount` times.
+    *
+    * Scale shape: the explode feeds a map-side partial count on 8-byte
+    * hashes — the single shuffle carries one (hash, partial) row per
+    * distinct n-gram per task, and the boilerplate hashes (the skew) are
+    * exactly the ones partial aggregation collapses best. The final top-k
+    * is a TakeOrdered, not a sort of the full count table. */
+  def topNgrams(
+      docs: DataFrame, textCol: Column,
+      n: Int, minCount: Long, k: Int): DataFrame =
+    docs
+      .select(explode(tokenNgrams(textCol, n)).as("ng"))
+      .select(ngramHash(col("ng")).as("ngh"))
+      .groupBy(col("ngh")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= minCount)
+      .orderBy(col("n_occ").desc, col("ngh"))
+      .limit(k)
 }

@@ -251,4 +251,35 @@ object Similarity {
       .select(col("id"), col("comp").as("canonical_id"),
         (col("id") === col("comp")).cast("long").as("kept"))
   }
+
+  /** Scalar int8 quantization report — the embedding-compression pass of a
+    * large-scale ANN index build (4x smaller vectors; IVF probing and
+    * Hamming-style prefilters run on the quantized form). `scale` MUST be
+    * a power of two: `x * scale` is then EXACT in double arithmetic, so
+    * quantized codes — `clamp(floor(x * scale + 0.5), -128, 127)` — and
+    * the clipping counts are integer-exact and engine-portable; only
+    * `max_abs_err` is a double, and it's a per-element max (order
+    * independent, no summation-order hazard).
+    *
+    * Returns per vector: the first three codes (`q0..q2`), `n_clipped`,
+    * the integer code sum `sum_q` (a cheap drift check), and
+    * `max_abs_err`. Map-side only, scan-bound — no shuffle. `vectors`
+    * must have columns `id` and `vec` (float array). */
+  def quantizeInt8(vectors: DataFrame, scale: Int = 256): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"quantizeInt8: scale must be a power of two, got $scale")
+    val v = transform(col("vec"), x => x.cast("double"))
+    def raw(x: Column): Column = floor(x * scale + lit(0.5))
+    def code(x: Column): Column = greatest(lit(-128L), least(lit(127L), raw(x)))
+    val qa = transform(v, code(_))
+    vectors.select(
+      col("id"),
+      element_at(qa, 1).as("q0"),
+      element_at(qa, 2).as("q1"),
+      element_at(qa, 3).as("q2"),
+      size(filter(v, x => raw(x) < -128 || raw(x) > 127)).cast("long").as("n_clipped"),
+      aggregate(qa, lit(0L), (acc, q) => acc + q).as("sum_q"),
+      array_max(transform(v, x => abs(x - code(x) / lit(scale.toDouble))))
+        .as("max_abs_err"))
+  }
 }

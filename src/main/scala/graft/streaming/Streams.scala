@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -130,6 +130,28 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_band")
       .drop("_band")
+
+  /** Streaming incremental dedup against a STANDING corpus: drop stream
+    * documents whose MinHash band key matches the static corpus's key set
+    * — the streaming dual of [[graft.ops.ext.Dedup.dedupAgainstCorpus]]
+    * (ingestion-time novelty gate). The stream-static anti join is
+    * STATELESS — no state store, no watermark needed; the corpus side
+    * contributes only its DISTINCT band keys (at scale: read straight
+    * from the bucketed signature tables, [[graft.io.Bucketing]]), never
+    * text. Compose with [[nearDupDedup]] upstream to also suppress
+    * within-stream duplicates. */
+  def dedupAgainstCorpusStream(
+      docs: DataFrame, textCol: String,
+      corpus: DataFrame, corpusTextCol: String,
+      numHashes: Int = 2): DataFrame = {
+    def band(c: Column): Column = md5(array_join(
+      graft.functions.TokenMinhashExpr.token_minhash(c, numHashes), "|"))
+    val keys = corpus.select(band(col(corpusTextCol)).as("_band")).distinct()
+    docs
+      .withColumn("_band", band(col(textCol)))
+      .join(broadcast(keys), Seq("_band"), "left_anti")
+      .drop("_band")
+  }
 
   /** Streaming benchmark decontamination: drop stream documents sharing
     * any token n-gram with a STATIC benchmark set — the streaming dual of

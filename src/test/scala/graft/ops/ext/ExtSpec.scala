@@ -271,6 +271,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out === Array((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 3L, 1L)))
   }
+
+  test("quantizeInt8: codes, clipping, and exact error bounds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.1f))).toDF("id", "vec")
+    val out = Similarity.quantizeInt8(vecs, scale = 256)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    val (_, q0, q1, q2, nClipped, sumQ, maxErr) = out(0)
+    assert(q0 === 127L) // 0.5*256+0.5 = 128.5 -> 128, clipped to 127
+    assert(q1 === -128L) // -256 clipped to -128
+    assert(q2 === 26L) // 0.1f*256 = 25.6000004 -> floor(26.1) = 26
+    assert(nClipped === 2L)
+    assert(sumQ === 127L - 128L + 26L)
+    assert(maxErr === 0.5) // the -1.0 element reconstructs to -0.5
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
@@ -469,6 +484,19 @@ class ContaminationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     assert(bloom === exact)
     assert(exact.toSeq === Seq(11L, 13L))
+  }
+
+  test("topNgrams ranks repeated n-grams, thresholds, and caps at k") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq("a b c", "a b d", "a b e", "b c x", "b c y").toDF("text")
+    // bigrams: "a b" x3, "b c" x3 (once in doc 1, twice as prefix of docs
+    // 4-5), others once
+    val out = Contamination.topNgrams(docs, col("text"), n = 2, minCount = 2, k = 5)
+      .as[(Long, Long)].collect()
+    assert(out.length === 2)
+    assert(out.forall(_._2 === 3L))
+    assert(out.map(_._1).sorted === out.map(_._1)) // ties ordered by hash asc
   }
 }
 

@@ -120,6 +120,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup drops corpus band matches statelessly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same token set as corpus doc (minhash bands match under reordering);
+    // novel doc passes
+    val corpus = Seq("alpha beta gamma delta").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.dedupAgainstCorpusStream(docs, "text", corpus, "text")
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "delta gamma beta alpha"), // dup of the corpus doc's token set
+        (2L, "entirely novel content here"))
+      q.processAllAvailable()
+      val out = spark.table("incdedup").select(col("doc_id")).as[Long].collect()
+      assert(out.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys within the time window") {
     val spark2 = spark
     import spark2.implicits._
