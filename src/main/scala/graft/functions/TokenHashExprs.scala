@@ -114,6 +114,44 @@ object SimhashExpr {
   * in a generated loop instead of one interpreted md5 expression tree per
   * token (the interpreted form measured ~2s per scan of 5k docs at sf0.1,
   * and pair-join plans evaluate it once per join side). */
+/** 60-bit hashes of the whitespace-token n-grams of a text column — the
+  * codegen'd equivalent of `transform(Contamination.tokenNgrams(text, n),
+  * ng -> conv(substring(md5(ng), 1, 15), 16, 10).cast("long"))`, the
+  * per-document currency of the decontamination and boilerplate-ranking
+  * passes. The interpreted form materializes every n-gram as a space-
+  * joined `UTF8String` and evaluates an interpreted md5 tree per n-gram;
+  * the kernel feeds the digest straight from the token byte ranges with
+  * single-space separators — no n-gram string is ever built. Fewer than
+  * `n` tokens yields an empty array (the `tokenNgrams` contract). */
+case class TokenNgramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.ngramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_ngram_hashes"
+}
+
+object TokenNgramHashExpr {
+  /** Column-level entry point: `token_ngram_hashes($"text", 8)`. Also
+    * registered as SQL function `graft_token_ngram_hashes` by
+    * [[graft.plans.GraftExtensions]]. */
+  def token_ngram_hashes(c: Column, n: Int): Column =
+    GraftColumnBridge.column(TokenNgramHashExpr(GraftColumnBridge.expression(c), n))
+}
+
 case class TokenHashSetExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -261,6 +299,48 @@ object TokenHash {
     var j = 0
     while (j < bits) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
     sig
+  }
+
+  /** 60-bit n-gram hashes in n-gram order: for each window of `n`
+    * consecutive tokens, the first 15 hex chars of
+    * `md5(tokens joined by single spaces)` as an (always positive) long —
+    * identical to `conv(substring(md5(ng), 1, 15), 16, 10)` over the
+    * interpreted `tokenNgrams` strings (15 hex chars = the digest's top
+    * 60 bits = first big-endian long >>> 4). The digest is fed from the
+    * token byte ranges plus literal ' ' separators, so no n-gram string
+    * is materialized. Fewer than `n` tokens yields an empty array. */
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = normalizedBytes(text)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var count = 0
+    forEachToken(bytes) { (from, until) =>
+      if (count == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, count * 2)
+        ends = java.util.Arrays.copyOf(ends, count * 2)
+      }
+      starts(count) = from
+      ends(count) = until
+      count += 1
+    }
+    val m = count - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = Md5Kernel.md
+    val digest = new Array[Byte](16)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, starts(i + j), ends(i + j) - starts(i + j))
+        j += 1
+      }
+      md.digest(digest, 0, 16)
+      out(i) = Md5Kernel.beLong(digest, 0) >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Distinct token hashes, first-occurrence order — matches

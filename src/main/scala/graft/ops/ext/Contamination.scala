@@ -43,10 +43,18 @@ object Contamination {
   private[graft] def ngramHash(ng: Column): Column =
     conv(substring(md5(ng), 1, 15), 16, 10).cast("long")
 
-  /** Per-row n-gram hash array — the map-side per-document form used by
-    * the streaming dual ([[graft.streaming.Streams.decontaminate]]). */
+  /** Per-row n-gram hash array — the map-side per-document form every
+    * pass below explodes. Computed by the codegen'd
+    * [[graft.functions.TokenNgramHashExpr]] kernel (digest fed straight
+    * from token byte ranges, no n-gram string materialized) —
+    * semantically identical to
+    * `transform(tokenNgrams(text, n), ng => ngramHash(ng))` (equivalence
+    * held by TokenHashExprsSpec) except on NULL text, where the kernel
+    * null-propagates while the interpreted composition yields an empty
+    * array — indistinguishable after the `explode` every caller applies
+    * (both produce zero rows). */
   private[graft] def ngramHashes(text: Column, n: Int): Column =
-    transform(tokenNgrams(text, n), ng => ngramHash(ng))
+    graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, n)
 
   /** Per-document contamination hits: `(idCol, n_hits)` for every corpus
     * document sharing at least one n-gram with the benchmark, where
@@ -58,12 +66,10 @@ object Contamination {
       benchmark: DataFrame, benchmarkText: Column,
       n: Int = 8): DataFrame = {
     val bench = benchmark
-      .select(explode(tokenNgrams(benchmarkText, n)).as("ng"))
-      .select(ngramHash(col("ng")).as("ngh"))
+      .select(explode(ngramHashes(benchmarkText, n)).as("ngh"))
       .distinct()
     corpus
-      .select(col(idCol), explode(tokenNgrams(corpusText, n)).as("ng"))
-      .select(col(idCol), ngramHash(col("ng")).as("ngh"))
+      .select(col(idCol), explode(ngramHashes(corpusText, n)).as("ngh"))
       .join(broadcast(bench), Seq("ngh"))
       .groupBy(col(idCol))
       .agg(count_distinct(col("ngh")).as("n_hits"))
@@ -137,8 +143,7 @@ object Contamination {
       benchmark: DataFrame, benchmarkText: Column,
       n: Int = 8): DataFrame = {
     val bench = benchmark
-      .select(explode(tokenNgrams(benchmarkText, n)).as("ng"))
-      .select(ngramHash(col("ng")).as("ngh"))
+      .select(explode(ngramHashes(benchmarkText, n)).as("ngh"))
       .distinct()
     val hashes = bench.collect().map(_.getLong(0))
     // next power of two >= 32 bits/element, clamped to [64, 2^29]
@@ -146,8 +151,7 @@ object Contamination {
     val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt
     val words = bloomBuild(hashes, mBits)
     val hits = corpus
-      .select(col(idCol), explode(tokenNgrams(corpusText, n)).as("ng"))
-      .select(col(idCol), ngramHash(col("ng")).as("ngh"))
+      .select(col(idCol), explode(ngramHashes(corpusText, n)).as("ngh"))
       .where(bloomMightContain(col("ngh"), words, mBits))
       .join(broadcast(bench), Seq("ngh"))
       .select(col(idCol))
@@ -170,8 +174,7 @@ object Contamination {
       docs: DataFrame, textCol: Column,
       n: Int, minCount: Long, k: Int): DataFrame =
     docs
-      .select(explode(tokenNgrams(textCol, n)).as("ng"))
-      .select(ngramHash(col("ng")).as("ngh"))
+      .select(explode(ngramHashes(textCol, n)).as("ngh"))
       .groupBy(col("ngh")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= minCount)
       .orderBy(col("n_occ").desc, col("ngh"))

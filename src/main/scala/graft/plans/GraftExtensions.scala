@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr, WinnowFingerprintExpr}
+import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -99,6 +99,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_token_hash_set(text) takes 1 argument")
         TokenHashSetExpr(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_ngram_hashes"),
+      new ExpressionInfo(
+        classOf[TokenNgramHashExpr].getName,
+        null,
+        "graft_token_ngram_hashes",
+        "graft_token_ngram_hashes(text, n) - 60-bit hashes of whitespace-token n-grams",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_token_ngram_hashes(text, n) takes 2 arguments")
+        TokenNgramHashExpr(children.head, intLiteral(children(1), "n"))
       }))
 
     ext.injectFunction((

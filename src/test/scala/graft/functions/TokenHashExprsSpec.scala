@@ -83,6 +83,34 @@ class TokenHashExprsSpec extends SparkSpec {
     assert(kernel.toSeq === interp.toSeq)
   }
 
+  test("token_ngram_hashes matches the interpreted tokenNgrams+hash composition") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.Contamination
+    // NULL text differs by design: the kernel null-propagates (standard
+    // UnaryExpression convention, like every other kernel here) while the
+    // interpreted slice/greatest composition collapses NULL to an empty
+    // array — indistinguishable after the explode() every caller applies
+    // (both produce zero rows). Compare the non-null inputs exactly and
+    // pin both null behaviors explicitly.
+    val df = inputs.filter(_ != null).toDF("text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val interp = df.select(
+        transform(Contamination.tokenNgrams(col("text"), n),
+          ng => conv(substring(md5(ng), 1, 15), 16, 10).cast("long")).as("h"))
+        .as[Seq[Long]].collect()
+      val kernel = df.select(
+        TokenNgramHashExpr.token_ngram_hashes(col("text"), n).as("h"))
+        .as[Seq[Long]].collect()
+      assert(kernel.toSeq === interp.toSeq, s"n=$n")
+    }
+    val nulls = Seq(Option.empty[String]).toDF("text")
+    assert(nulls.select(TokenNgramHashExpr.token_ngram_hashes(col("text"), 2).as("h"))
+      .as[Option[Seq[Long]]].head() === None)
+    assert(nulls.select(Contamination.tokenNgrams(col("text"), 2).as("g"))
+      .as[Option[Seq[String]]].head() === Some(Seq()))
+  }
+
   test("withMinhashSignature keeps ONE kernel instance in the optimized plan") {
     val spark2 = spark
     import spark2.implicits._
