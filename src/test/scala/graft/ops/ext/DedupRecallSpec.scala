@@ -133,4 +133,60 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall(capped, megaTruth) < 0.2)
     assert(capped.subsetOf(uncapped))
   }
+
+  test("SRP-prefiltered semantic dedup: precision 1, measured recall vs exact cosine") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic embedding fixture (64 dims): 10 families x 5 members
+    // (member k = one-hot base direction for family f plus a 0.01 bump on
+    // coordinate f+1+k -> intra-family cosine ~0.99995), 50 singletons on
+    // distinct two-coordinate directions (mutual |cosine| <= 0.5, far
+    // below the 0.999 threshold)
+    val dims = 64
+    def family(f: Int, k: Int): Array[Float] = {
+      val v = Array.fill(dims)(0.0f)
+      v(f) = 1.0f
+      v(f + 1 + k) += 0.01f
+      v
+    }
+    val fams = for (f <- 0 until 10; k <- 0 until 5)
+      yield ((f * 5 + k).toLong, family(f, k))
+    val singles = for (i <- 0 until 50) yield {
+      val v = Array.fill(dims)(0.0f)
+      v(i % dims) = 1.0f
+      v((i * 7 + 3) % dims) = -1.0f
+      (1000L + i, v)
+    }
+    val vecs = (fams ++ singles).toDF("id", "vec")
+    val threshold = 0.999
+
+    // exact all-pairs truth (100 vectors -> affordable cross join)
+    val l = vecs.select(col("id").as("id_a"), col("vec").as("va"))
+    val r = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
+    val truthPairs = l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .where(Similarity.cosineSafe(col("va"), col("vb")) >= threshold)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(truthPairs.size === 10 * (5 * 4 / 2), truthPairs.size) // families only
+
+    for (planes <- Seq(2, 4, 8)) {
+      val cand = collectPairs(
+        Similarity.embeddingNearDupPairs(vecs, planes, threshold))
+      // the cosine filter is exact, so the SRP prefilter can only LOSE
+      // pairs, never invent them: precision is structurally 1.0
+      assert(cand.subsetOf(truthPairs), s"planes=$planes")
+      info(f"srp planes=$planes%d candidates=${cand.size}%4d recall=${recall(cand, truthPairs)}%.3f")
+    }
+    // at the q66 setting (4 planes) the near-parallel family members
+    // almost always share buckets — and dedup clusters recover the rest:
+    // one straddling member links the bucket-split halves transitively
+    val out = Similarity.semanticDedup(vecs, planes = 4, threshold = threshold)
+      .as[(Long, Long, Long)].collect()
+    val byCluster = out.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val truthClusters = (0 until 10).map(f => (f * 5 until f * 5 + 5).map(_.toLong).toSet).toSet ++
+      singles.map(s => Set(s._1)).toSet
+    val agree = byCluster.intersect(truthClusters).size.toDouble / truthClusters.size
+    info(f"semanticDedup cluster agreement with exact-cosine clusters: $agree%.3f")
+    assert(agree >= 0.9, s"agreement $agree; clusters=${byCluster.size}")
+    assert(out.count(_._3 == 1L) === byCluster.size) // one keeper per cluster
+  }
 }
