@@ -109,9 +109,12 @@ object Contamination {
   private[graft] def bloomMightContain(h: Column, words: Array[Long], mBits: Int): Column = {
     val wordsLit = typedLit(words)
     val pow2 = typedLit(Array.tabulate(64)(i => 1L << i))
+    // pure integer bit math: word index = idx >> 6, bit mask via a 64-entry
+    // power-of-two literal (dynamic shiftleft would need expr()); `/` on
+    // Columns is DOUBLE division — avoid it in a per-n-gram hot filter
     def bitSet(idx: Column): Column = {
-      val word = element_at(wordsLit, (idx / 64L).cast("int") + 1)
-      val mask = element_at(pow2, pmod(idx, lit(64L)).cast("int") + 1)
+      val word = element_at(wordsLit, shiftright(idx, 6).cast("int") + 1)
+      val mask = element_at(pow2, idx.bitwiseAND(lit(63L)).cast("int") + 1)
       word.bitwiseAND(mask) =!= 0L
     }
     val m = (mBits - 1).toLong

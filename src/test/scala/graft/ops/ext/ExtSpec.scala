@@ -486,6 +486,27 @@ class ContaminationSpec extends SparkSpec {
     assert(exact.toSeq === Seq(11L, 13L))
   }
 
+  test("bloom prefilter sits between the Generate and the confirm join, codegen'd") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Contamination.decontaminateBloom(
+        df, col("text"), "doc_id", df, col("text"), n = 8)
+      .queryExecution.executedPlan.toString
+    // the corpus n-gram stream reaches the CONFIRM join (the inner join,
+    // rendered after the outer anti join) straight from its Generate
+    // through the bloom Filter — no Exchange on the stream side
+    val joinIdx = plan.indexOf("BroadcastHashJoin",
+      plan.indexOf("BroadcastHashJoin") + 1)
+    val genIdx = plan.indexOf("Generate explode")
+    assert(joinIdx >= 0 && genIdx > joinIdx, plan)
+    val streamSide = plan.substring(joinIdx, genIdx)
+    assert(!streamSide.contains("Exchange"), plan)
+    // the bit test is a plain Filter (element_at + bit math, no UDF)
+    assert(streamSide.contains("Filter") && plan.contains("element_at"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("topNgrams ranks repeated n-grams, thresholds, and caps at k") {
     val spark2 = spark
     import spark2.implicits._
@@ -635,6 +656,13 @@ class TextStatsSpec extends SparkSpec {
         docs, col("text"), "doc_id", "source", minDocs = 2, minAlphaBp = 7000)
       .as[(Long, String)].collect().sortBy(_._1)
     assert(out === Array((1L, "good"), (2L, "good")))
+    // scale claim: the corpus streams through a broadcast semi join — the
+    // only Exchange in the plan belongs to the per-source aggregation
+    val plan = TextStats.sourceQualityFilter(
+        docs, col("text"), "doc_id", "source", minDocs = 2, minAlphaBp = 7000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
   }
 }
 
