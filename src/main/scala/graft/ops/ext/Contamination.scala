@@ -51,8 +51,11 @@ object Contamination {
     * `transform(tokenNgrams(text, n), ng => ngramHash(ng))` (equivalence
     * held by TokenHashExprsSpec) except on NULL text, where the kernel
     * null-propagates while the interpreted composition yields an empty
-    * array — indistinguishable after the `explode` every caller applies
-    * (both produce zero rows). */
+    * array. Callers are insensitive to the difference: the batch passes
+    * `explode` (NULL and [] both produce zero rows) and the streaming
+    * dual anti-joins on `array_contains` (NULL and no-match both keep the
+    * row) — a new consumer relying on empty-ARRAY semantics for NULL text
+    * (e.g. `size(...) === 0`) must guard NULLs itself. */
   private[graft] def ngramHashes(text: Column, n: Int): Column =
     graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, n)
 
@@ -145,10 +148,18 @@ object Contamination {
       corpus: DataFrame, corpusText: Column, idCol: String,
       benchmark: DataFrame, benchmarkText: Column,
       n: Int = 8): DataFrame = {
-    val bench = benchmark
+    val hashes = benchmark
       .select(explode(ngramHashes(benchmarkText, n)).as("ngh"))
       .distinct()
-    val hashes = bench.collect().map(_.getLong(0))
+      .collect().map(_.getLong(0))
+    // the confirm join's build side is seeded from the ALREADY-collected
+    // hash array (a local relation) — re-using the benchmark frame here
+    // would run the whole explode+md5+distinct a second time
+    val bench = {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      hashes.toSeq.toDF("ngh")
+    }
     // next power of two >= 32 bits/element, clamped to [64, 2^29]
     val target = math.min(1L << 29, math.max(64L, hashes.length.toLong * 32))
     val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt

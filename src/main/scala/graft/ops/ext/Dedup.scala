@@ -344,15 +344,17 @@ object Dedup {
       idCol: String,
       bands: Seq[Seq[String]]): DataFrame = {
     require(bands.nonEmpty, "dedupAgainstCorpus: at least one band required")
-    def tagged(df: DataFrame): Seq[Column] =
+    // unqualified col() refs — resolved by the .select each side applies
+    // against its own frame
+    val tagged: Seq[Column] =
       bands.zipWithIndex.map { case (b, i) =>
         concat_ws("#", lit(i.toString), bandKey(b))
       }
     val corpusKeys = corpusSigs
-      .select(explode(array(tagged(corpusSigs): _*)).as("_band"))
+      .select(explode(array(tagged: _*)).as("_band"))
       .distinct()
     val dupIds = newSigs
-      .select(col(idCol), explode(array(tagged(newSigs): _*)).as("_band"))
+      .select(col(idCol), explode(array(tagged: _*)).as("_band"))
       .join(corpusKeys, Seq("_band"), "left_semi")
       .select(col(idCol))
       .distinct()

