@@ -954,6 +954,31 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- end-to-end curation pipeline (capstone composition) -----------
+    "q73_curate" -> ((s, dir) => {
+      // the full curation pass — source gate -> PII gate -> exact dedup ->
+      // guarded near-dup clusters -> decontamination — over a PII-injected
+      // pool (q61's deterministic injection, so stage 2 has real hits);
+      // every stage's logic is an already-oracled operator, and the oracle
+      // chains the same CTE fragments
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val pool = docs.where(col("doc_id") % 37 =!= 0)
+      graft.pipeline.Curation.curate(pool, col("text"), "doc_id", "source", bench,
+          minDocs = 20, minAlphaBp = 8100, numHashes = 2,
+          maxBucketSize = 1000, n = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- boilerplate n-gram ranking ------------------------------------
     "q72_boilerplate_ngrams" -> ((s, dir) => {
       // top repeated 3-grams corpus-wide (blocklist source material; the
@@ -1646,6 +1671,46 @@ object SparkEntry {
           | CAST(list_sum(qa) AS BIGINT) AS sum_q,
           | list_max(list_transform(v, x -> abs(x - GREATEST(-128, LEAST(127, CAST(floor(x*256 + 0.5) AS BIGINT))) / 256.0))) AS max_abs_err
           |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "),
+      // q73: each CTE is a proven fragment — q69's gate, q61's patterns,
+      // q20's exact groups, q58's band/guard/recursive closure, q59's
+      // n-gram decontamination — chained over the same injected pool
+      "q73_curate" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang, source, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |pool AS (SELECT * FROM d WHERE doc_id % 37 <> 0),
+          |g AS (SELECT source FROM pool GROUP BY source
+          | HAVING COUNT(*) >= 20
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8100),
+          |s1 AS (SELECT * FROM pool WHERE source IN (SELECT source FROM g)),
+          |s2 AS (SELECT * FROM s1
+          | WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) = 0
+          |  AND len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) = 0
+          |  AND len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,}[0-9]')) = 0),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ex)),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM s3),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM s3
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cc AS (SELECT id, MIN(lab) AS canon FROM reach GROUP BY id),
+          |s4 AS (SELECT s3.* FROM s3 JOIN cc ON s3.doc_id = cc.id AND s3.doc_id = cc.canon),
+          |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM d WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          |  FROM s4) x WHERE ngh IN (SELECT ngh FROM bg))
+          |SELECT doc_id, lang, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q72_boilerplate_ngrams" ->
         s"""WITH ng AS (SELECT
           |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 2),

@@ -183,16 +183,23 @@ object TextStats {
     * is never shuffled. Returns `(idCol, sourceCol)` of surviving docs. */
   def sourceQualityFilter(
       docs: DataFrame, textCol: Column, idCol: String, sourceCol: String,
-      minDocs: Long, minAlphaBp: Int): DataFrame = {
-    val perDoc = docs.select(col(sourceCol),
-      length(textCol).cast("long").as("nc"),
-      length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("na"))
-    val good = perDoc.groupBy(col(sourceCol))
+      minDocs: Long, minAlphaBp: Int): DataFrame =
+    docs.join(
+        broadcast(goodSources(docs, textCol, sourceCol, minDocs, minAlphaBp)),
+        Seq(sourceCol), "left_semi")
+      .select(col(idCol), col(sourceCol))
+
+  /** The surviving-source list behind [[sourceQualityFilter]] — bounded by
+    * source cardinality, the thing to broadcast into a semi join. */
+  def goodSources(
+      docs: DataFrame, textCol: Column, sourceCol: String,
+      minDocs: Long, minAlphaBp: Int): DataFrame =
+    docs.select(col(sourceCol),
+        length(textCol).cast("long").as("nc"),
+        length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("na"))
+      .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("na")).as("sa"), sum(col("nc")).as("sc"))
       .where(col("n_docs") >= minDocs &&
         col("sa") * 10000 >= col("sc") * minAlphaBp)
       .select(col(sourceCol))
-    docs.join(broadcast(good), Seq(sourceCol), "left_semi")
-      .select(col(idCol), col(sourceCol))
-  }
 }

@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("curate drops by source, PII, exact dup, near dup, and contamination") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every stage has exactly one victim:
+    //  1 survives everything
+    //  2 is an exact duplicate of 1 (higher id -> dropped at stage 3)
+    //  3 is a near duplicate of 1 (same token set reordered -> same
+    //    minhash band; higher id -> non-canonical, dropped at stage 4)
+    //  4 contains an email (dropped at stage 2)
+    //  5 shares an 8-gram with the benchmark (dropped at stage 5)
+    //  6 is from a numeric junk source (whole source dropped at stage 1)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha", "good"),
+      (4L, "clean words here but mail me at someone@example.com today", "good"),
+      (5L, "prefix the quick brown fox jumps over the lazy dog suffix", "good"),
+      (6L, "1234 5678 9012 3456 7890 1234 5678 9012", "junk")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val out = Curation.curate(docs, col("text"), "doc_id", "source", bench,
+        minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out === Array(1L))
+    // and with the benchmark empty, the contamination victim survives
+    val noBench = Curation.curate(docs, col("text"), "doc_id", "source",
+        bench.where(lit(false)),
+        minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(noBench === Array(1L, 5L))
+  }
+}
