@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -99,6 +99,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_token_hash_set(text) takes 1 argument")
         TokenHashSetExpr(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCountExpr].getName,
+        null,
+        "graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(a, b) - intersection size of two sorted long arrays",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sorted_intersect_count(a, b) takes 2 arguments")
+        SortedIntersectCountExpr(children.head, children(1))
       }))
 
     ext.injectFunction((

@@ -111,6 +111,33 @@ class TokenHashExprsSpec extends SparkSpec {
       .as[Option[Seq[String]]].head() === Some(Seq()))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct sets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // partial overlap
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), // identical
+      (Seq(1L, 2L), Seq(3L, 4L)), // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)), // empty left
+      (Seq(1L), Seq.empty[Long]), // empty right
+      (Seq(Long.MinValue, -1L, 0L, Long.MaxValue), Seq(-1L, Long.MaxValue))) // extremes
+    val df = cases.toDF("a", "b")
+    val expected = df.select(size(array_intersect(col("a"), col("b")))).as[Int].collect()
+    val kernel = df.select(
+      SortedIntersectCountExpr.sorted_intersect_count(col("a"), col("b"))).as[Int].collect()
+    assert(kernel.toSeq === expected.toSeq)
+    // and through the production path: lshJaccardPairs results are
+    // unchanged by the sorted-merge swap (mini corpus, exact values)
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      .withColumn("toks", TokenHashSetExpr.token_hash_set(col("text")))
+    val pairs = Dedup.lshJaccardPairs(sig, "doc_id", Seq("mh0", "mh1"), "toks",
+        threshold = 0.0)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(pairs(0)._3 === 3.0 / 5.0) // |{a,b,c}| / |{a,b,c,d,e}|
+  }
+
   test("withMinhashSignature keeps ONE kernel instance in the optimized plan") {
     val spark2 = spark
     import spark2.implicits._
