@@ -183,6 +183,37 @@ object Streams {
       .drop("_nghs")
   }
 
+  /** The streaming slice of the curation pipeline
+    * ([[graft.pipeline.Curation]]): the per-row and stream-safe stages —
+    * PII gate, within-stream near-dup dedup (watermark-bounded band
+    * state), standing-corpus dedup (stream-static anti join), benchmark
+    * decontamination (stream-static anti join) — composed into one
+    * ingestion stream. The corpus-LEVEL stages (source gating, global
+    * exact dedup, cluster closure) need full-corpus aggregation and stay
+    * batch: run them in the nightly pass, and feed the resulting corpus
+    * signature table back in as `corpus` here.
+    *
+    * Stage order mirrors the batch pipeline's rationale: the stateless
+    * per-row gate first, then the stateful within-stream dedup (smallest
+    * state), then the two static anti joins. */
+  def curateStream(
+      docs: DataFrame, textCol: String,
+      corpus: DataFrame, corpusTextCol: String,
+      benchmark: DataFrame, benchmarkTextCol: String,
+      watermark: String, numHashes: Int = 2, n: Int = 8,
+      tsCol: String = "ts"): DataFrame = {
+    import graft.ops.ext.TextStats
+    val piiFree = docs.where(
+      size(regexp_extract_all(col(textCol), lit(TextStats.EmailRe), lit(0))) === 0 &&
+        size(regexp_extract_all(col(textCol), lit(TextStats.Ipv4Re), lit(0))) === 0 &&
+        size(regexp_extract_all(col(textCol), lit(TextStats.PhoneRe), lit(0))) === 0)
+    decontaminate(
+      dedupAgainstCorpusStream(
+        nearDupDedup(piiFree, textCol, watermark, numHashes, tsCol),
+        textCol, corpus, corpusTextCol, numHashes),
+      textCol, benchmark, benchmarkTextCol, n)
+  }
+
   /** Watermarked stream-stream inner join: events enriched with the other
     * stream's rows for the same key within `window` of event time. Both
     * sides carry watermarks so join state is bounded — the required shape

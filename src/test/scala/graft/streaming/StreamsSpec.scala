@@ -142,6 +142,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream composes PII gate, stream dedup, corpus dedup, decontamination") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("already ingested corpus document").toDF("text")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.curateStream(docs, "text", corpus, "text", bench, "text",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    try {
+      input.addData(
+        (1L, t0, "a perfectly novel clean document"), // survives
+        (2L, t0, "mail me at user@example.com please"), // PII gate
+        (3L, t0, "clean document perfectly novel a"), // same token set as... not doc 1
+        (4L, t0, "document corpus ingested already"), // corpus band match
+        (5L, t0, "prefix the quick brown fox jumps over the lazy dog suffix")) // contaminated
+      q.processAllAvailable()
+      val out = spark.table("curated").select(col("doc_id")).as[Long].collect().sorted
+      // docs 1 and 3 share a token SET (reordered) -> same minhash band ->
+      // the within-stream dedup keeps exactly one of them (which one is
+      // batch-internal order, not contract); 2/4/5 are dropped by their
+      // stages
+      assert(out.length === 1 && (out(0) === 1L || out(0) === 3L), out.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream join matches keys within the time window") {
     val spark2 = spark
     import spark2.implicits._
