@@ -132,6 +132,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: n-gram hash kernel matches the interpreted composition on random unicode text") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.Contamination
+    val atomGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(4)),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t "),
+      2 -> Gen.oneOf("é", "ü", "ß", "日本", "語", "😀", "🎉"),
+      1 -> Gen.const(""))
+    val texts = samples(Gen.listOfN(14, atomGen).map(_.mkString), 20).distinct
+    for (n <- Seq(1, 2, 4)) {
+      val rows = texts.toDF("text").select(
+        col("text"),
+        transform(Contamination.tokenNgrams(col("text"), n),
+          ng => conv(substring(md5(ng), 1, 15), 16, 10).cast("long")).as("i"),
+        graft.functions.TokenNgramHashExpr.token_ngram_hashes(col("text"), n).as("k"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"n=$n for '${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("property: sorted intersect count equals array_intersect size on random sets") {
+    val spark2 = spark
+    import spark2.implicits._
+    val setGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    val pairGen = Gen.zip(setGen, setGen)
+    samples(Gen.listOfN(12, pairGen), 4).filter(_.nonEmpty).foreach { pairs =>
+      val rows = pairs.toDF("a", "b").select(
+        size(array_intersect(col("a"), col("b"))).as("i"),
+        graft.functions.SortedIntersectCountExpr
+          .sorted_intersect_count(col("a"), col("b")).as("k"))
+        .as[(Int, Int)].collect()
+      rows.zip(pairs).foreach { case ((i, k), p) => assert(i === k, s"for $p") }
+    }
+  }
+
   test("property: minhash signature equality is permutation-invariant") {
     val spark2 = spark
     import spark2.implicits._
