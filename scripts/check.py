@@ -28,6 +28,9 @@ def main():
         try:
             spark_df = con.execute(f"SELECT * FROM read_parquet('{res_glob}')").fetchdf()
             duck_df = con.execute(sql).fetchdf()
+            s_types = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{res_glob}')").fetchall()}
+            d_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -35,6 +38,15 @@ def main():
         s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        # The driver's hash is type-aware: a value-identical result with a
+        # different output type (e.g. DuckDB promoting window SUM(BIGINT) to
+        # HUGEINT) still fails the gate. Catch that class of bug locally.
+        type_skew = [f"{c}: spark={s_types[c]} duck={d_types[c]}"
+                     for c in s_cols if s_types.get(c) != d_types.get(c)]
+        if type_skew:
+            print(f"FAIL {name}: output type skew [{'; '.join(type_skew)}]")
             n_fail += 1
             continue
         a, b = spark_df[s_cols], duck_df[d_cols]

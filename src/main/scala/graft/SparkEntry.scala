@@ -1424,8 +1424,8 @@ object SparkEntry {
       "q63_token_shards" ->
         s"""WITH d AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
           |r AS (SELECT doc_id, lang, n_tok,
-          |  SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS running
+          |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS running
           | FROM d)
           |SELECT doc_id, lang, n_tok, running, CAST(running // 50000 AS BIGINT) AS shard
           |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
