@@ -989,6 +989,34 @@ object SparkEntry {
           n = 3, minCount = 5, k = 20)
         .orderBy(col("n_occ").desc, col("ngh"))
     }),
+
+    // ---- duplicated-span removal (the ExactSubstr consumer) ------------
+    "q74_trim_spans" -> ((s, dir) => {
+      // cut q65's spans out of the text — the step Lee et al.'s pipeline
+      // actually trains on: tokens inside any duplicated span are dropped
+      // and the survivors space-joined (whitespace-normalizing contract,
+      // see ExactSubstr.trimSpans). Span table + trim in one plan.
+      val docs = t(s, dir, "documents")
+      val spans = ExactSubstr.duplicatedSpans(docs, col("text"), k = 16)
+      ExactSubstr.trimSpans(docs, col("text"), spans)
+        .select(col("doc_id"), col("text_trimmed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- shuffle-confirm Bloom decontamination (huge-benchmark path) ---
+    "q75_bloom_join_decontaminate" -> ((s, dir) => {
+      // the benchmark-too-large-to-broadcast form: bit array built
+      // DISTRIBUTED (driver never holds the hash set), confirm is a
+      // shuffle semi join. No false negatives, so the result — and the
+      // oracle — is exactly q68's (same mod-23 split, n=6).
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 23 === 0)
+      val corpus = docs.where(col("doc_id") % 23 =!= 0)
+      Contamination.decontaminateBloomJoin(
+          corpus, col("text"), "doc_id", bench, col("text"), n = 6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1637,6 +1665,47 @@ object SparkEntry {
       // the Bloom prefilter has no false negatives, so the oracle is the
       // EXACT decontamination SQL (q59's shape, n=6, mod-23 split)
       "q68_bloom_decontaminate" ->
+        s"""WITH ng AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 5),
+          |    i -> array_to_string(list_slice($toks, i, i + 5), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 23 = 0),
+          |hits AS (SELECT DISTINCT doc_id FROM ng
+          | WHERE doc_id % 23 <> 0 AND ngh IN (SELECT ngh FROM bench))
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 23 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q74: q65's span CTE chain, then SQL token surgery — every token
+      // position inside a span is dropped and the rest re-joined in order
+      "q74_trim_spans" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          |ph AS (SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t FROM tk),
+          |dh AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |  CAST(('0x' || substr(md5(array_to_string(list_slice(t, pos, pos + 15), ' ')), 1, 15)) AS BIGINT) AS ngh
+          | FROM ph),
+          |dup AS (SELECT ngh FROM dh GROUP BY ngh HAVING COUNT(*) >= 2),
+          |dp AS (SELECT doc_id, pos FROM dh JOIN dup USING (ngh)),
+          |fl AS (SELECT doc_id, pos,
+          |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 16
+          |   THEN 0 ELSE 1 END AS ns
+          | FROM dp),
+          |sp AS (SELECT doc_id, pos,
+          |  SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+          | FROM fl),
+          |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end
+          | FROM sp GROUP BY doc_id, island),
+          |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM tk),
+          |kept AS (SELECT doc_id, p, t[p] AS w FROM tok
+          | WHERE NOT EXISTS (SELECT 1 FROM spans s
+          |  WHERE s.doc_id = tok.doc_id AND tok.p >= s.span_start AND tok.p <= s.span_end)),
+          |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text_trimmed
+          | FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.text_trimmed, '') AS text_trimmed
+          |FROM documents d LEFT JOIN agg a USING (doc_id)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q75: identical result contract to q68 (Bloom has no false
+      // negatives), different physical path — same exact oracle
+      "q75_bloom_join_decontaminate" ->
         s"""WITH ng AS (SELECT doc_id,
           |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 5),
           |    i -> array_to_string(list_slice($toks, i, i + 5), ' ')))), 1, 15)) AS BIGINT) AS ngh

@@ -64,6 +64,61 @@ object Multimodal {
     }
   }
 
+  /** REAL codec: binary PPM (P6) image decode — an actual production
+    * image format that needs no native library, proving a real decoder
+    * drops into the [[MediaCodec]] seam without touching any plan around
+    * it. Parses the P6 header (magic, width, height, maxval, `#` comments
+    * allowed per spec), reads the RGB raster, and emits a `dims`-length
+    * feature: mean luminance (BT.601 weights) over `dims` equal pixel
+    * blocks in raster order, scaled to [0, 1].
+    *
+    * Failure policy: content that is not valid P6 (wrong magic, truncated
+    * raster, junk header) decodes to the zero vector instead of throwing —
+    * at corpus scale one poison row must not kill a whole partition task.
+    * `init()` is where a native codec would load; PPM needs none. */
+  object PpmCodec extends MediaCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content.length < 2 || content(0) != 'P' || content(1) != '6') return zero
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+      def nextInt(): Int = {
+        var seen = false
+        while (pos < content.length &&
+            (isWs(content(pos)) || content(pos) == '#')) {
+          if (content(pos) == '#') // comment runs to end of line
+            while (pos < content.length && content(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        while (pos < content.length && content(pos) >= '0' && content(pos) <= '9') {
+          v = v * 10 + (content(pos) - '0'); seen = true; pos += 1
+        }
+        if (seen) v else -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      pos += 1 // exactly one whitespace byte separates maxval from the raster
+      if (w <= 0 || h <= 0 || maxval <= 0 || dims <= 0 ||
+          content.length < pos + w.toLong * h * 3) return zero
+      val out = new Array[Float](dims)
+      val counts = new Array[Int](dims)
+      val n = w * h
+      var i = 0
+      while (i < n) {
+        val r = content(pos + i * 3) & 0xff
+        val g = content(pos + i * 3 + 1) & 0xff
+        val b = content(pos + i * 3 + 2) & 0xff
+        val slot = (i.toLong * dims / n).toInt
+        out(slot) += (0.299f * r + 0.587f * g + 0.114f * b) / maxval
+        counts(slot) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < dims) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      out
+    }
+  }
+
   /** Feature extraction over media batches: the `mapPartitions` boundary
     * initializes the codec once per partition — the batch shape a real
     * codec needs. Content bytes never survive this projection. The codec

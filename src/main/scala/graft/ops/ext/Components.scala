@@ -86,9 +86,10 @@ object Components {
     // treatment the star variant's Scaladoc prescribes. The checkpoint
     // materializes the (endpoint-sized) label table once per round — the
     // convergence count was already doing exactly that materialization.
-    var labels = sym.groupBy(col("dst")).agg(min(col("src")).as("m"))
+    var roundCkpt = sym.groupBy(col("dst")).agg(min(col("src")).as("m"))
       .select(col("dst").as("id"), least(col("m"), col("dst")).as("comp"))
       .localCheckpoint(true)
+    var labels = roundCkpt
     var changed = 1L
     var iter = 1 // the fused init above IS round 1
     while (changed > 0 && iter < maxIter) {
@@ -99,6 +100,13 @@ object Components {
         .select(labels("id"), labels("comp"), col("nbr_comp"))
         .localCheckpoint(true)
       changed = next.where(col("nbr_comp") < col("comp")).count()
+      // round k is materialized (eager checkpoint) and lineage-truncated, so
+      // round k-1's blocks have no remaining reader — release them NOW
+      // rather than waiting for the ContextCleaner to GC the RDD (a
+      // high-round-count graph would otherwise stack one endpoint-sized
+      // block set per round until GC runs)
+      graft.core.Checkpoints.release(roundCkpt)
+      roundCkpt = next
       labels = next.select(col("id"),
         least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       iter += 1
@@ -110,10 +118,9 @@ object Components {
       System.err.println(s"[components] WARNING: convergence not verified after " +
         s"$maxIter rounds ($changed labels changed in the last round) — results may " +
         "be under-merged; raise maxIter for graphs with diameter beyond it")
-    // labels is a cheap projection over the last round's checkpoint;
-    // superseded rounds' blocks are released by the ContextCleaner as
-    // their frames go out of scope. Only the edge cache needs an explicit
-    // release.
+    // labels is a cheap projection over the last round's checkpoint (which
+    // the returned frame keeps referencing — only superseded rounds were
+    // released above); the edge cache gets its explicit release here.
     val finalLabels = labels
     sym.unpersist()
     // singletons re-enter with their own id as component
@@ -189,8 +196,8 @@ object Components {
       maxIter: Int = 25): DataFrame = {
     // eager localCheckpoint per round (see Scaladoc): materializes to
     // block storage AND truncates the plan to a leaf. Superseded rounds'
-    // blocks are released by the ContextCleaner when the frame goes out of
-    // scope — bounded by the ≤ maxIter round count.
+    // blocks are released deterministically below, right after their last
+    // reader (the convergence anti probe) runs.
     var e = edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
@@ -207,6 +214,9 @@ object Components {
       // anti probe is limit-1 — one short job, not a full materialization
       converged = nextCount == count &&
         next.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      // the anti probe above was round k-1's last reader — release its
+      // blocks now instead of waiting for ContextCleaner GC
+      graft.core.Checkpoints.release(e)
       e = next
       count = nextCount
       iter += 1
@@ -220,6 +230,8 @@ object Components {
     val labels = e.groupBy(col("u")).agg(min(col("v")).as("comp"))
       .select(col("u").as("id"), col("comp"))
       .localCheckpoint(true)
+    // the label fold was the final round's last reader
+    graft.core.Checkpoints.release(e)
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

@@ -134,16 +134,16 @@ object Contamination {
     * result is IDENTICAL to [[decontaminate]].
     *
     * Why this matters at 100 TB: the exact path feeds EVERY corpus n-gram
-    * (~tokens-per-doc rows per document) into the join, which is only
-    * tenable while the benchmark's exact hash set fits in a broadcast.
-    * With the prefilter, the join input is linear in the HIT rate, so the
-    * confirm can be a shuffle join against a benchmark too large to
-    * broadcast — the bit array (16x smaller than the exact set, and
-    * independent of n-gram string length) is what ships to every task.
+    * (~tokens-per-doc rows per document) into the join; with the
+    * prefilter, the join input is linear in the HIT rate.
     *
-    * The benchmark hash set is collected once on the driver to build the
-    * bit array — the same bounded driver action the exact path's broadcast
-    * performs, on the same (small by contract) benchmark side. */
+    * THIS variant still collects the benchmark hash set once on the
+    * driver and broadcasts the confirm side — the same bounded driver
+    * action the exact path performs, right whenever the benchmark fits a
+    * broadcast (the common case: eval sets are ~10^4-10^6 rows). For a
+    * benchmark too large to collect or broadcast, use
+    * [[decontaminateBloomJoin]], which builds the bit array distributed
+    * and confirms via a shuffle join. */
   def decontaminateBloom(
       corpus: DataFrame, corpusText: Column, idCol: String,
       benchmark: DataFrame, benchmarkText: Column,
@@ -171,6 +171,73 @@ object Contamination {
       .select(col(idCol))
       .distinct()
     corpus.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+
+  /** Distributed Bloom build: the benchmark's exact hash set never
+    * reaches the driver. Each hash maps to its two (word index, bit)
+    * contributions map-side; a `bit_or` aggregate collapses them per
+    * word (partial aggregation does most of the OR-ing before the
+    * shuffle — there are only mBits/64 distinct keys); the driver
+    * collects at most mBits/64 (word, bits) rows — the SAME array the
+    * filter must hold to ship as a plan literal, never the element set.
+    *
+    * @param benchHashes single LONG column `ngh` of n-gram hashes
+    */
+  private[graft] def bloomBuildDistributed(benchHashes: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 29),
+      s"bloomBuildDistributed: mBits must be a power of two in [64, 2^29], got $mBits")
+    val mask = (mBits - 1).toLong
+    val pow2 = typedLit(Array.tabulate(64)(i => 1L << i))
+    val h = col("ngh")
+    val words = new Array[Long](mBits / 64)
+    benchHashes
+      .select(explode(array(
+        h.bitwiseAND(lit(mask)),
+        shiftright(h, 29).bitwiseAND(lit(mask)))).as("idx"))
+      .select(shiftright(col("idx"), 6).cast("int").as("w"),
+        element_at(pow2, col("idx").bitwiseAND(lit(63L)).cast("int") + 1).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      .collect()
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** The scale form of [[decontaminateBloom]] — for a benchmark too large
+    * to collect or broadcast. The exact hash set never exists in one
+    * place: the bit array is built distributed
+    * ([[bloomBuildDistributed]] — the driver holds only the mBits/64 bit
+    * words it must embed as the filter literal anyway, capped at 64 MB by
+    * the 2^29-bit ceiling), and the confirm is a SHUFFLE semi join of the
+    * Bloom-positive corpus n-grams (linear in hit rate) against the
+    * benchmark hash table. Result identical to [[decontaminate]] — the
+    * prefilter has no false negatives.
+    *
+    * The distinct benchmark hash set is checkpoint-materialized once and
+    * read three times (count for sizing, Bloom build, confirm join); the
+    * returned frame keeps referencing it — a caller fully done with the
+    * result can free the blocks via [[graft.core.Checkpoints.release]]. */
+  def decontaminateBloomJoin(
+      corpus: DataFrame, corpusText: Column, idCol: String,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramHashes(benchmarkText, n)).as("ngh"))
+      .distinct()
+      .localCheckpoint(true)
+    // next power of two >= 32 bits/element, clamped to [64, 2^29] — same
+    // sizing as decontaminateBloom (~0.4% false positives at k=2 until
+    // the cap, degrading gracefully past it: only prefilter selectivity
+    // suffers, never correctness)
+    val target = math.min(1L << 29, math.max(64L, bench.count() * 32))
+    val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt
+    val words = bloomBuildDistributed(bench, mBits)
+    val hits = corpus
+      .select(col(idCol), explode(ngramHashes(corpusText, n)).as("ngh"))
+      .where(bloomMightContain(col("ngh"), words, mBits))
+      .join(bench, Seq("ngh"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
   }
 
   /** The corpus's most-repeated n-grams — the report a curation pipeline

@@ -242,8 +242,13 @@ object Dedup {
     // distinct, and Jaccard is order-blind. Other element types keep the
     // general array_intersect path.
     import org.apache.spark.sql.types.{ArrayType, LongType}
+    // containsNull must be false: SortedIntersectCountExpr's inputTypes
+    // demand non-nullable elements (a null would reach getLong and
+    // miscount), and Catalyst cannot implicitly cast a nullable-element
+    // array down to a non-nullable one — a nullable-element long array
+    // (e.g. built via transform) keeps the general array_intersect path.
     val sortedMerge = sig.schema(setCol).dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     val setExpr = if (sortedMerge) array_sort(col(setCol)) else col(setCol)

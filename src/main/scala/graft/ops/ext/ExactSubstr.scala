@@ -89,6 +89,42 @@ object ExactSubstr {
     spans
   }
 
+  /** Cut duplicated spans out of the text — the consumer Lee et al.'s
+    * pipeline actually runs (the paper REMOVES the duplicated bytes from
+    * the training copy; reporting spans is only the intermediate). Takes
+    * the span table [[duplicatedSpans]] emits and returns the input rows
+    * plus `text_trimmed`: the document's tokens with every position
+    * inside any `[span_start, span_end]` range dropped, space-joined.
+    * Whitespace is therefore NORMALIZED (runs of whitespace become one
+    * space) for every document — the uniform contract keeps clean
+    * documents and trimmed documents on the same code path, with no
+    * CaseWhen branch around the token rebuild (CaseWhen would exclude it
+    * from codegen subexpression elimination). A document whose every
+    * token is covered trims to the empty string.
+    *
+    * Scale shape: spans collapse to one small array per document (they
+    * are maximal merged islands — few per doc by construction), shipped
+    * to the corpus by a left join on the id; the token filter is per-row
+    * array work, O(tokens × spans-per-doc), map-side after the join. No
+    * token-level explode, no second shuffle of the corpus. */
+  def trimSpans(
+      docs: DataFrame,
+      text: Column,
+      spans: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val sp = coalesce(col("_spans"),
+      array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+    val kept = filter(TextStats.tokens(text), (t, i) =>
+      !exists(sp, s =>
+        (i + 1).cast("long") >= s.getField("span_start") &&
+          (i + 1).cast("long") <= s.getField("span_end")))
+    docs.join(spanArr, Seq(idCol), "left")
+      .withColumn("text_trimmed", concat_ws(" ", kept))
+      .drop("_spans")
+  }
+
   /** Per-document duplication summary over [[duplicatedSpans]]:
     * `(idCol, n_spans, dup_tokens)` — span count and total tokens covered
     * by duplicated spans. The filter currency of an ExactSubstr dedup

@@ -164,13 +164,25 @@ object Similarity {
     *   contract (zero shuffle before the probe join). Set false for
     *   corpus-scale query sets (e.g. corpus-vs-corpus ANN), where a forced
     *   broadcast would hit the broadcast size limit — AQE then picks the
-    *   join strategy from real sizes. */
+    *   join strategy from real sizes.
+    * @param lloydIters optional k-means refinement of the first-K seed
+    *   (spherical Lloyd): each round assigns every corpus vector to its
+    *   best current centroid with the SAME map-side fold the final
+    *   assignment uses, then replaces each centroid with its cell's mean.
+    *   The per-round shuffle is tiny — partial aggregation collapses the
+    *   (cid, dim) keys to at most K·dim rows per task — and the driver
+    *   only ever holds K vectors, the same bound as the seed collect. 0
+    *   (default) keeps the deterministic first-K quantizer and a
+    *   byte-identical plan; 3-5 rounds make centroids track the data
+    *   distribution (recall measured in SimilaritySpec). Empty cells keep
+    *   their previous position. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       numCentroids: Int, k: Int, nprobe: Int,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      lloydIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus.where(col("id") < numCentroids)
+    var centroids = corpus.where(col("id") < numCentroids)
       .select(col("id"), col("vec")).collect()
       .map { r =>
         val cid = r.getAs[Number](0).longValue
@@ -184,9 +196,30 @@ object Similarity {
       }
       .sortBy(_._1)
     require(centroids.nonEmpty, s"ivfTopK: no corpus rows with id < $numCentroids")
-    val centArr = array(centroids.map { case (cid, cvec, cnorm) =>
-      struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
-    }: _*)
+    def centLit(cents: Array[(Long, Seq[Double], Double)]): Column =
+      array(cents.map { case (cid, cvec, cnorm) =>
+        struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
+      }: _*)
+    for (_ <- 1 to lloydIters) {
+      val means = corpus
+        .withColumn("_vnorm", norm(col("vec")))
+        .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centLit(centroids)))
+        .select(bestCentroid(col("_sims")).getField("cid").as("cid"),
+          posexplode(col("vec").cast("array<double>")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      centroids = centroids.map { case (cid, oldVec, oldNorm) =>
+        means.get(cid) match {
+          case Some(m) =>
+            (cid, m, math.sqrt(m.foldLeft(0.0)((a, x) => a + x * x)))
+          case None => (cid, oldVec, oldNorm)
+        }
+      }
+    }
+    val centArr = centLit(centroids)
 
     val assigned = corpus
       .withColumn("_vnorm", norm(col("vec")))

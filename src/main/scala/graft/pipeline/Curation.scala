@@ -21,7 +21,10 @@ import graft.ops.ext.{Components, Contamination, Dedup, TextStats}
   *  5. DECONTAMINATE — drop documents sharing any token n-gram with the
   *     benchmark set ([[Contamination.decontaminate]])
   *
-  * Returns the surviving documents (all input columns). Stage order
+  * Returns the surviving documents (all input columns), EAGERLY
+  * materialized (checkpoint-backed): the pipeline runs when `curate`
+  * is called, which lets it release its internal stage-3 cache before
+  * returning — no graft-owned cache entries outlive the call. Stage order
   * matters and is deliberate: cheap whole-source and per-row gates run
   * before the (shuffling) dedup stages so the pair machinery sees the
   * smallest possible corpus, and decontamination runs LAST so a dropped
@@ -67,7 +70,9 @@ object Curation {
     // component vertices, the near-dup semi join, and the decontamination
     // scan all read it; uncached, stages 1-3 re-execute once per consumer.
     // MEMORY_AND_DISK so an over-memory corpus degrades to spill, not OOM;
-    // released by the session's next clearCache (or the frame's GC).
+    // unpersisted deterministically below once the survivors materialize,
+    // so repeated curate() calls in one session cannot accumulate cached
+    // corpora.
     val exactDeduped = piiFree.join(keepers, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -80,8 +85,24 @@ object Curation {
       .select(col(idCol))
     val nearDeduped = exactDeduped.join(canonical, Seq(idCol), "left_semi")
 
-    // 5. decontaminate against the benchmark
-    Contamination.decontaminate(nearDeduped, textCol, idCol,
+    // 5. decontaminate against the benchmark.
+    // The survivors are materialized eagerly (localCheckpoint — same
+    // treatment Packing/ExactSubstr give their reuse points) so the
+    // stage-3 cache can be released before returning: curate() owns the
+    // persist, so curate() must own the unpersist — leaving it to the
+    // session's next clearCache leaks one corpus-sized cache entry per
+    // call in a long-lived session. The returned frame is checkpoint-
+    // backed (survivor-sized, typically a small fraction of the corpus);
+    // a caller that is fully done with it can free those blocks too via
+    // [[graft.core.Checkpoints.release]].
+    val lazySurvivors = Contamination.decontaminate(nearDeduped, textCol, idCol,
       benchmark, textCol, n)
+    val survivors = lazySurvivors.localCheckpoint(true)
+    // free the stage-3 cache AND the component loop's final-round
+    // checkpoint (a LogicalRDD leaf inside the lazy plan) — with the
+    // survivors materialized, nothing reads either again
+    graft.core.Checkpoints.release(lazySurvivors)
+    exactDeduped.unpersist(false)
+    survivors
   }
 }

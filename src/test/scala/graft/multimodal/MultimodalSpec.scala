@@ -42,6 +42,35 @@ class MultimodalSpec extends SparkSpec {
     assert(initCount.value === 2) // once per partition, not per row
   }
 
+  test("the real PPM codec decodes P6 images through the same boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hand-built P6: 2x2 image, header with a comment, maxval 255
+    def ppm(pixels: Array[Int]): Array[Byte] = {
+      val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+      header ++ pixels.flatMap(p =>
+        Array(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+    }
+    val white = ppm(Array.fill(4)(0xffffff))
+    val black = ppm(Array.fill(4)(0x000000))
+    val junk = "not an image at all".getBytes("US-ASCII")
+    val media = Seq(
+      (0L, "image", white), (1L, "image", black), (2L, "image", junk)
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.extractFeatures(media, dims = 2, codec = Multimodal.PpmCodec)
+      .collect().sortBy(_.media_id)
+    // white: every block mean is (0.299+0.587+0.114)*255/255 = 1.0
+    assert(out(0).embedding.forall(x => math.abs(x - 1.0f) < 1e-6f))
+    assert(out(1).embedding.toSeq === Seq(0.0f, 0.0f))
+    // failure policy: junk decodes to the zero vector, no task failure
+    assert(out(2).embedding.toSeq === Seq(0.0f, 0.0f))
+    // and the q54-shaped stub path is untouched by the codec choice: same
+    // rows, same schema, different embedding values only
+    val stub = Multimodal.extractFeatures(media, dims = 2).collect().sortBy(_.media_id)
+    assert(stub.map(_.media_id).toSeq === out.map(_.media_id).toSeq)
+    assert(stub.map(_.n_bytes).toSeq === out.map(_.n_bytes).toSeq)
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)

@@ -36,4 +36,27 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     assert(noBench === Array(1L, 5L))
   }
+
+  test("curate releases its internal caches — only the survivor checkpoint remains") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.sparkContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha", "good")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val before = sc.getPersistentRDDs.keySet
+    val out = Curation.curate(docs, col("text"), "doc_id", "source", bench,
+      minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // curate is eager: by return time the stage-3 persist and the
+    // component loop's checkpoints are released; only the survivor
+    // checkpoint (which `out` references) may remain
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+    assert(out.select(col("doc_id")).as[Long].collect().sorted === Array(1L))
+    graft.core.Checkpoints.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
