@@ -183,6 +183,48 @@ object Streams {
       .drop("_nghs")
   }
 
+  /** [[decontaminate]] with the batch path's Bloom prefilter
+    * ([[graft.ops.ext.Contamination.decontaminateBloom]]'s bit test as a
+    * per-ROW `exists` fold): the contains anti join probes per
+    * (row × benchmark n-gram) — O(|benchmark|) per stream row — so on a
+    * mostly-clean stream nearly all of that work is wasted. The Bloom
+    * word array ships as a plan literal and each row tests its OWN
+    * n-gram hashes against it (O(tokens) bit math, codegen'd); a Bloom
+    * filter has no false negatives, so bloom-negative rows are PROVEN
+    * clean and bypass the nested-loop probe entirely — only
+    * bloom-positive rows (true hits + ~0.4% false positives) reach the
+    * exact confirm join. Both branches are stateless; their union is the
+    * same append stream [[decontaminate]] emits, row for row (NULL text
+    * pins the fold to false via `coalesce`, keeping the row — the same
+    * null-keeps-the-row contract as the contains join).
+    *
+    * The benchmark hash set is collected once at query BUILD (a static
+    * side — same driver bound as [[decontaminate]]'s broadcast). */
+  def decontaminateBloom(
+      docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchmarkTextCol: String, n: Int = 8): DataFrame = {
+    import graft.ops.ext.Contamination
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val hashes = benchmark
+      .select(explode(Contamination.ngramHashes(col(benchmarkTextCol), n)).as("ngh"))
+      .distinct().collect().map(_.getLong(0))
+    // sizing identical to the batch op: ~32 bits/element, power of two
+    val target = math.min(1L << 29, math.max(64L, hashes.length.toLong * 32))
+    val mBits = java.lang.Long.highestOneBit(target * 2 - 1).toInt
+    val words = Contamination.bloomBuild(hashes, mBits)
+    val bench = hashes.toSeq.toDF("ngh")
+    val probed = docs
+      .withColumn("_nghs", Contamination.ngramHashes(col(textCol), n))
+      .withColumn("_maybe", coalesce(
+        exists(col("_nghs"), h => Contamination.bloomMightContain(h, words, mBits)),
+        lit(false)))
+    val clean = probed.where(!col("_maybe"))
+    val suspect = probed.where(col("_maybe"))
+      .join(broadcast(bench), array_contains(col("_nghs"), col("ngh")), "left_anti")
+    clean.unionByName(suspect).drop("_nghs", "_maybe")
+  }
+
   /** The streaming slice of the curation pipeline
     * ([[graft.pipeline.Curation]]): the per-row and stream-safe stages —
     * PII gate, within-stream near-dup dedup (watermark-bounded band
@@ -195,7 +237,10 @@ object Streams {
     *
     * Stage order mirrors the batch pipeline's rationale: the stateless
     * per-row gate first, then the stateful within-stream dedup (smallest
-    * state), then the two static anti joins. */
+    * state), then the two static anti joins. Decontamination is the
+    * Bloom-prefiltered form ([[decontaminateBloom]]) — row-identical to
+    * the exact stream, but proven-clean rows skip the nested-loop
+    * benchmark probe. */
   def curateStream(
       docs: DataFrame, textCol: String,
       corpus: DataFrame, corpusTextCol: String,
@@ -207,7 +252,7 @@ object Streams {
       size(regexp_extract_all(col(textCol), lit(TextStats.EmailRe), lit(0))) === 0 &&
         size(regexp_extract_all(col(textCol), lit(TextStats.Ipv4Re), lit(0))) === 0 &&
         size(regexp_extract_all(col(textCol), lit(TextStats.PhoneRe), lit(0))) === 0)
-    decontaminate(
+    decontaminateBloom(
       dedupAgainstCorpusStream(
         nearDupDedup(piiFree, textCol, watermark, numHashes, tsCol),
         textCol, corpus, corpusTextCol, numHashes),

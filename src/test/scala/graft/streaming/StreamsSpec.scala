@@ -120,6 +120,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-prefiltered streaming decontamination equals the exact stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.decontaminateBloom(docs, "text", bench, "text", n = 8)
+      .writeStream.format("memory").queryName("decontam_bloom")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "prefix the quick brown fox jumps over the lazy dog suffix"), // contaminated
+        (2L, "clean text with enough tokens to clear the eight gram bar easily"),
+        (3L, null.asInstanceOf[String])) // null text keeps the row, like the exact stream
+      q.processAllAvailable()
+      val out = spark.table("decontam_bloom").select(col("doc_id")).as[Long].collect().sorted
+      assert(out.toSeq === Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup drops corpus band matches statelessly") {
     val spark2 = spark
     import spark2.implicits._
