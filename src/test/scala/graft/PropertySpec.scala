@@ -261,6 +261,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: trimSpans keeps exactly the uncovered token positions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 3
+    val docGen = Gen.listOfN(4,
+      Gen.choose(3, 10).flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+    samples(docGen, 4).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val spans = graft.ops.ext.ExactSubstr.duplicatedSpans(df, col("text"), k = k)
+      val spanMap = spans.as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+      // brute force: keep token i+1 iff no span of ITS document covers it
+      val expected = docs.map { case (id, text) =>
+        val toks = text.trim.split("\\s+")
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !spanMap.getOrElse(id, Seq.empty)
+            .exists { case (s, e) => i + 1 >= s && i + 1 <= e } => t
+        }
+        (id, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = graft.ops.ext.ExactSubstr.trimSpans(df, col("text"), spans)
+        .select(col("doc_id"), col("text_trimmed"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      assert(got === expected, s"for docs $docs spans $spanMap")
+    }
+  }
+
   test("property: distributed token shards equal the window cumsum on random data") {
     val spark2 = spark
     import spark2.implicits._
