@@ -1017,6 +1017,18 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- unigram rarity (CCNet-style perplexity-proxy quality) ---------
+    "q76_unigram_rarity" -> ((s, dir) => {
+      // corpus-relative rarity with q67's integer-surrogate trick: per
+      // token (1e6 * N) div count against the corpus's own top-V
+      // vocabulary, OOV pinned to max rarity — BIGINT end to end, so the
+      // score is engine-exact. Top-V cut is a TakeOrdered; corpus stream
+      // never shuffles on the token.
+      TextStats.unigramRarity(t(s, dir, "documents"), col("text"), "doc_id",
+          topV = 100)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1716,6 +1728,19 @@ object SparkEntry {
           |SELECT doc_id FROM documents
           |WHERE doc_id % 23 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q76: the top-V cut orders (count DESC, token ASC) — a total order,
+      // so both engines take the identical vocabulary; all math is BIGINT
+      "q76_unigram_rarity" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+          |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+          |v AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100),
+          |r AS (SELECT t.doc_id,
+          |  COALESCE((1000000 * n.n_total) // v.c, 1000000 * n.n_total) AS rar
+          | FROM tok t LEFT JOIN v USING (w) CROSS JOIN n)
+          |SELECT doc_id, CAST(SUM(rar) AS BIGINT) AS rarity_sum,
+          | COUNT(*) AS n_tok
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q69_source_gate" ->
         """WITH g AS (SELECT source FROM documents GROUP BY source
           | HAVING COUNT(*) >= 20

@@ -165,6 +165,46 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Corpus-relative unigram rarity — the perplexity-PROXY quality score
+    * of CCNet-style pipelines: documents dominated by tokens rare in (or
+    * absent from) the corpus's own top-`topV` vocabulary score high, and a
+    * curation pass drops or down-weights the tail. A real LM perplexity
+    * needs a trained model; the unigram surrogate needs only the corpus
+    * and keeps the same filtering behavior for the junk it exists to
+    * catch (gibberish, encoding noise, wrong-language fragments).
+    *
+    * Integer-surrogate arithmetic (q67's idf trick): per-token rarity is
+    * `(scale * n_total) div count` — BIGINT throughout, no float log, so
+    * scores are EXACTLY reproducible cross-engine. Out-of-vocabulary
+    * tokens take the maximum rarity `scale * n_total` (a count-1 token's
+    * score at count 1 scaled by its absence from the top-V cut).
+    *
+    * Scale shape: one partial-agged token count whose top-V cut is a
+    * TakeOrdered (bounded by `topV`, never the distinct-token count);
+    * the corpus total is a scan-side sum. Both broadcast into the
+    * per-token left join — the exploded corpus stream never shuffles on
+    * the token — and the per-doc fold is a partial-aggregated groupBy on
+    * the id. Returns `(idCol, rarity_sum, n_tok)`; mean rarity =
+    * rarity_sum / n_tok, left to the caller to keep the output integer.
+    *
+    * At extreme corpus sizes mind the headroom: `scale * n_total` must
+    * stay under 2^63 (defaults hold to ~9×10^12 tokens; shrink `scale`
+    * beyond that). */
+  def unigramRarity(
+      docs: DataFrame, textCol: Column, idCol: String,
+      topV: Int = 1000, scale: Long = 1000000L): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
+    val topv = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topV)
+    val n = docs.agg(sum(size(tokens(textCol))).cast("long").as("n_total"))
+    tok.join(broadcast(topv), Seq("w"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("rar", coalesce(
+        expr(s"($scale * n_total) div c"), expr(s"$scale * n_total")))
+      .groupBy(col(idCol))
+      .agg(sum(col("rar")).as("rarity_sum"), count(lit(1)).as("n_tok"))
+  }
+
   /** Source-level quality gating (the C4/Gopher "drop bad domains" pass):
     * keep documents whose SOURCE passes corpus-level quality thresholds —
     * at least `minDocs` documents and an aggregate alphabetic ratio of at

@@ -674,6 +674,20 @@ class SamplingSpec extends SparkSpec {
 
 class TextStatsSpec extends SparkSpec {
 
+  test("unigram rarity: hand-computed scores, OOV pinned to max rarity") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: a=3 b=1 c=1, N=5; topV=2 keeps a (c=3) and b (ties at c=1,
+    // token asc beats c); rarity a = 5e6 div 3 = 1666666, b = 5e6,
+    // OOV c = 5e6 (max)
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.unigramRarity(docs, col("text"), "doc_id", topV = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 1666666L + 1666666L + 5000000L, 3L),
+      (2L, 1666666L + 5000000L, 2L)))
+  }
+
   test("token and subword counts") {
     val spark2 = spark
     import spark2.implicits._
