@@ -1029,6 +1029,17 @@ object SparkEntry {
           topV = 100)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- exact-k stratified sampling (eval-set construction) -----------
+    "q77_stratified_fixed_k" -> ((s, dir) => {
+      // EXACTLY 25 docs per language by identity-hash rank — rate
+      // sampling's binomial jitter is what an eval-set build can't have.
+      // WindowGroupLimit prunes beyond-rank-k rows before the exchange.
+      Sampling.stratifiedFixedK(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"), k = 25)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1741,6 +1752,15 @@ object SparkEntry {
           |SELECT doc_id, CAST(SUM(rar) AS BIGINT) AS rarity_sum,
           | COUNT(*) AS n_tok
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q77: md5 is byte-identical across engines, doc ids are unique, so
+      // the per-stratum hash ranking is a total order both engines share
+      "q77_stratified_fixed_k" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS BIGINT) AS smp_rank
+          | FROM documents)
+          |SELECT doc_id, lang, smp_rank FROM r WHERE smp_rank <= 25
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q69_source_gate" ->
         """WITH g AS (SELECT source FROM documents GROUP BY source
           | HAVING COUNT(*) >= 20

@@ -61,4 +61,31 @@ object Sampling {
     val rateCol = coalesce(element_at(typedLit(rates), stratum), lit(defaultRate))
     df.where(hashFraction(key) < rateCol)
   }
+
+  /** EXACTLY `k` rows per stratum (fewer when the stratum is smaller) —
+    * the build-an-eval-set operation, where rate sampling's binomial
+    * count jitter is exactly what you don't want. Rows are ranked within
+    * each stratum by the identity hash (ties broken by the key string),
+    * so the chosen k are a uniform, reproducible draw: stable across
+    * runs, engines, and partitionings, and ADDING corpus rows only ever
+    * swaps individual members (each new row either hashes into the top k
+    * of its stratum or doesn't — no global reshuffle of the sample).
+    *
+    * Scale shape: one shuffle on the stratum; Spark 4's WindowGroupLimit
+    * prunes beyond-rank-k rows map-side BEFORE the exchange, so the
+    * shuffle carries ~k rows per (stratum × task), not the corpus.
+    * Returns the input columns plus the BIGINT hash rank `smp_rank`
+    * (1-based) — callers wanting a smaller cut filter on it for free. */
+  def stratifiedFixedK(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"stratifiedFixedK: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("smp_rank", row_number().over(w).cast("long"))
+      .where(col("smp_rank") <= k)
+  }
 }

@@ -670,6 +670,33 @@ class SamplingSpec extends SparkSpec {
     val fr = byLang.getOrElse("fr", 0)
     assert(fr > 25 && fr < 75, fr) // default 0.5 on 100 rows
   }
+
+  test("fixed-k sampling: exact counts, stability under growth and layout") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 300L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val out = Sampling.stratifiedFixedK(df, col("id"), col("lang"), k = 10)
+      .as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang.keySet === Set("en", "de", "fr"))
+    assert(byLang.values.forall(_.size === 10)) // EXACTLY k, no binomial jitter
+    // small strata yield all their rows
+    val tiny = Sampling.stratifiedFixedK(df.where(col("id") < 5),
+        col("id"), col("lang"), k = 10)
+      .as[(Long, String, Long)].collect()
+    assert(tiny.length === 5)
+    // partition layout cannot change the sample
+    val relaid = Sampling.stratifiedFixedK(df.repartition(7), col("id"), col("lang"), k = 10)
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(relaid === out.map(r => (r._1, r._2)).toSet)
+    // growth swaps members, never reshuffles: ranks of surviving members
+    // only ever IMPROVE when rows are removed, so the k=5 cut of the
+    // corpus is a subset of... (and the k=10 sample contains the k=5 one)
+    val k5 = Sampling.stratifiedFixedK(df, col("id"), col("lang"), k = 5)
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(k5.subsetOf(out.map(r => (r._1, r._2)).toSet))
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
