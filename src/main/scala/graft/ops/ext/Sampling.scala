@@ -75,7 +75,12 @@ object Sampling {
     * prunes beyond-rank-k rows map-side BEFORE the exchange, so the
     * shuffle carries ~k rows per (stratum × task), not the corpus.
     * Returns the input columns plus the BIGINT hash rank `smp_rank`
-    * (1-based) — callers wanting a smaller cut filter on it for free. */
+    * (1-based) — callers wanting a smaller cut filter on it for free.
+    *
+    * `key` must uniquely identify rows (a doc id): rows SHARING a key
+    * value tie on both sort columns, and which of them takes the rank is
+    * partition-order dependent — exactly the irreproducibility this
+    * operator exists to rule out. */
   def stratifiedFixedK(
       df: DataFrame,
       key: Column,
