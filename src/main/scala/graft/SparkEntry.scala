@@ -1040,6 +1040,18 @@ object SparkEntry {
           col("doc_id"), col("lang"), k = 25)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- deterministic train/val/test split ----------------------------
+    "q78_hash_split" -> ((s, dir) => {
+      // identity-keyed split labels: membership is stable across runs,
+      // engines, partitionings — and the hash fraction is EXACT double
+      // math (32-bit int over 2^32), so the range cuts compare exactly
+      Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1761,6 +1773,19 @@ object SparkEntry {
           | FROM documents)
           |SELECT doc_id, lang, smp_rank FROM r WHERE smp_rank <= 25
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q78: the hash fraction is a 32-bit integer over 2^32 — exact in
+      // double on both engines. The val cut is written as 0.8 + 0.1 (not
+      // 0.9) to reproduce hashSplit's cumulative-sum double EXACTLY —
+      // 0.8 + 0.1 = 0.9000000000000001 in IEEE754, and mirroring the
+      // arithmetic (not the intended value) is what makes boundary grid
+      // points compare identically in both engines
+      "q78_hash_split" ->
+        """WITH h AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS f
+          | FROM documents)
+          |SELECT doc_id,
+          | CASE WHEN f < 0.8 THEN 'train' WHEN f < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q69_source_gate" ->
         """WITH g AS (SELECT source FROM documents GROUP BY source
           | HAVING COUNT(*) >= 20
