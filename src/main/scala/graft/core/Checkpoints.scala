@@ -26,9 +26,26 @@ object Checkpoints {
     * analyzed plan (non-blocking). No-op for frames that were never
     * checkpointed.
     */
-  def release(df: DataFrame): Unit =
+  def release(df: DataFrame): Unit = releaseExcept(df)
+
+  /** [[release]] restricted to checkpoints the walked plan OWNS: any
+    * [[LogicalRDD]] leaf that also appears in one of the `keep` frames'
+    * plans is left persisted. An operator that checkpoints internally but
+    * receives caller frames as input must use this form — a caller-supplied
+    * frame may itself be checkpoint-backed (e.g. one `curate`'s output fed
+    * into another), and blanket-releasing every leaf would free the
+    * caller's ONLY copy of that data out from under it.
+    */
+  def releaseExcept(df: DataFrame, keep: DataFrame*): Unit = {
+    val keepIds: Set[Int] = keep
+      .flatMap(_.queryExecution.analyzed.collectLeaves().collect {
+        case l: LogicalRDD => l.rdd.id
+      })
+      .toSet
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _             => ()
+      case l: LogicalRDD if !keepIds.contains(l.rdd.id) =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
     }
+  }
 }

@@ -98,16 +98,22 @@ object Multimodal {
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
       pos += 1 // exactly one whitespace byte separates maxval from the raster
-      if (w <= 0 || h <= 0 || maxval <= 0 || dims <= 0 ||
-          content.length < pos + w.toLong * h * 3) return zero
+      // maxval > 255 means 2-byte big-endian samples (valid P6 per the
+      // Netpbm spec, up to 65535); anything outside (0, 65536) is invalid
+      val bps = if (maxval > 255) 2 else 1
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535 || dims <= 0 ||
+          content.length < pos + w.toLong * h * 3 * bps) return zero
       val out = new Array[Float](dims)
       val counts = new Array[Int](dims)
       val n = w * h
+      def sample(k: Int): Int =
+        if (bps == 1) content(pos + k) & 0xff
+        else ((content(pos + k * 2) & 0xff) << 8) | (content(pos + k * 2 + 1) & 0xff)
       var i = 0
       while (i < n) {
-        val r = content(pos + i * 3) & 0xff
-        val g = content(pos + i * 3 + 1) & 0xff
-        val b = content(pos + i * 3 + 2) & 0xff
+        val r = sample(i * 3)
+        val g = sample(i * 3 + 1)
+        val b = sample(i * 3 + 2)
         val slot = (i.toLong * dims / n).toInt
         out(slot) += (0.299f * r + 0.587f * g + 0.114f * b) / maxval
         counts(slot) += 1

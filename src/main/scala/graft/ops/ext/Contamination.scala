@@ -96,20 +96,31 @@ object Contamination {
     * the 60-bit [[ngramHash]] (low bits and bits 29+), so `mBits` may be
     * any power of two up to 2^29.
     *
+    * All build/probe sites first mask the hash to its low 60 bits
+    * ([[HashMask60]]): [[ngramHash]] is 60-bit non-negative already, but
+    * an arbitrary negative LONG would otherwise hit the build/probe shift
+    * mismatch (local `>>>` vs Column `shiftright`, which is arithmetic)
+    * and produce Bloom FALSE NEGATIVES — the one failure mode a Bloom
+    * prefilter must never have. Masking makes the sign bit unreachable,
+    * so the two shift semantics agree by construction.
+    *
     * @param hashes distinct benchmark n-gram hash values ([[ngramHash]])
     * @param mBits  filter size in bits (power of two)
     */
+  private[graft] val HashMask60: Long = (1L << 60) - 1
+
   private[graft] def bloomBuild(hashes: Array[Long], mBits: Int): Array[Long] = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0 && mBits <= (1 << 29),
       s"bloomBuild: mBits must be a power of two in [64, 2^29], got $mBits")
     val words = new Array[Long](mBits / 64)
     val mask = (mBits - 1).toLong
-    for (h <- hashes; idx <- Seq(h & mask, (h >>> 29) & mask))
+    for (h0 <- hashes; h = h0 & HashMask60; idx <- Seq(h & mask, (h >>> 29) & mask))
       words((idx / 64).toInt) |= 1L << (idx % 64)
     words
   }
 
-  private[graft] def bloomMightContain(h: Column, words: Array[Long], mBits: Int): Column = {
+  private[graft] def bloomMightContain(h0: Column, words: Array[Long], mBits: Int): Column = {
+    val h = h0.bitwiseAND(lit(HashMask60))
     val wordsLit = typedLit(words)
     val pow2 = typedLit(Array.tabulate(64)(i => 1L << i))
     // pure integer bit math: word index = idx >> 6, bit mask via a 64-entry
@@ -188,7 +199,9 @@ object Contamination {
       s"bloomBuildDistributed: mBits must be a power of two in [64, 2^29], got $mBits")
     val mask = (mBits - 1).toLong
     val pow2 = typedLit(Array.tabulate(64)(i => 1L << i))
-    val h = col("ngh")
+    // 60-bit mask first — see bloomBuild: keeps arithmetic shiftright
+    // identical to the local build's logical shift for any input hash
+    val h = col("ngh").bitwiseAND(lit(HashMask60))
     val words = new Array[Long](mBits / 64)
     benchHashes
       .select(explode(array(

@@ -175,7 +175,14 @@ object Similarity {
     *   (default) keeps the deterministic first-K quantizer and a
     *   byte-identical plan; 3-5 rounds make centroids track the data
     *   distribution (recall measured in SimilaritySpec). Empty cells keep
-    *   their previous position. */
+    *   their previous position. NONDETERMINISM CONTRACT: at
+    *   `lloydIters > 0` the cell means are `avg()` over shuffled doubles,
+    *   so summation order — and therefore the trained centroid bits, and
+    *   potentially tie-adjacent assignments downstream — can vary with
+    *   partitioning/layout across runs. This is inherent to distributed
+    *   float training (every production k-means has it); results are
+    *   topologically stable but not bit-stable, which is why lloydIters=0
+    *   is the default and the only oracle-gated configuration. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       numCentroids: Int, k: Int, nprobe: Int,

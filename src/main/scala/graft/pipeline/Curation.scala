@@ -100,8 +100,11 @@ object Curation {
     val survivors = lazySurvivors.localCheckpoint(true)
     // free the stage-3 cache AND the component loop's final-round
     // checkpoint (a LogicalRDD leaf inside the lazy plan) — with the
-    // survivors materialized, nothing reads either again
-    graft.core.Checkpoints.release(lazySurvivors)
+    // survivors materialized, nothing reads either again. Caller-supplied
+    // frames are excluded: docs/benchmark may themselves be checkpoint-
+    // backed (e.g. a previous curate's output), and those blocks are the
+    // caller's only copy.
+    graft.core.Checkpoints.releaseExcept(lazySurvivors, docs, benchmark)
     exactDeduped.unpersist(false)
     survivors
   }

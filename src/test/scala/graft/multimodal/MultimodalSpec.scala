@@ -71,6 +71,25 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.map(_.n_bytes).toSeq === out.map(_.n_bytes).toSeq)
   }
 
+  test("PPM codec handles 2-byte samples (maxval > 255) and rejects maxval > 65535") {
+    // valid per the Netpbm spec: maxval in (255, 65536) means 2-byte
+    // big-endian samples. 1x1 image, all channels at full scale 65535.
+    val wide = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array.fill(6)(0xff.toByte)
+    assert(Multimodal.PpmCodec.decode(wide, 1).toSeq
+      .forall(x => math.abs(x - 1.0f) < 1e-6f))
+    // half scale: every sample 0x7fff/65535
+    val half = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array.tabulate(6)(i => if (i % 2 == 0) 0x7f.toByte else 0xff.toByte)
+    assert(math.abs(Multimodal.PpmCodec.decode(half, 1)(0) - 0x7fff / 65535.0f) < 1e-4f)
+    // a 1-byte-sized raster under a 2-byte maxval is truncated -> zero vector
+    val short2 = "P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array.fill(3)(0xff.toByte)
+    assert(Multimodal.PpmCodec.decode(short2, 1).toSeq === Seq(0.0f))
+    // maxval over the spec ceiling is invalid -> zero vector
+    val bad = "P6\n1 1\n70000\n".getBytes("US-ASCII") ++ Array.fill(6)(0xff.toByte)
+    assert(Multimodal.PpmCodec.decode(bad, 1).toSeq === Seq(0.0f))
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)

@@ -565,6 +565,24 @@ class ContaminationSpec extends SparkSpec {
     assert(dist === local)
   }
 
+  test("bloom build/probe agree on negative hashes (no false negatives)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ngramHash is 60-bit non-negative, but the bloomBuild* contract only
+    // says LONG: negative inputs must not hit the arithmetic-vs-logical
+    // shiftright mismatch (sign bit is masked off before either shift)
+    val hashes = Array.tabulate(200)(i => -1L - i.toLong * 987654321L)
+    val mBits = 1 << 13
+    val local = Contamination.bloomBuild(hashes, mBits)
+    val dist = Contamination.bloomBuildDistributed(
+      hashes.toSeq.toDF("ngh").repartition(4), mBits)
+    assert(dist === local)
+    val allIn = hashes.toSeq.toDF("ngh")
+      .select(Contamination.bloomMightContain(col("ngh"), local, mBits).as("maybe"))
+      .as[Boolean].collect()
+    assert(allIn.forall(identity), "negative inserted hash tested negative")
+  }
+
   test("decontaminateBloomJoin equals exact decontamination; confirm join is a shuffle") {
     val spark2 = spark
     import spark2.implicits._

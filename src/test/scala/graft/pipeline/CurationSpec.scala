@@ -59,4 +59,34 @@ class CurationSpec extends SparkSpec {
     graft.core.Checkpoints.release(out)
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
+
+  test("curate does not release caller-supplied checkpoint-backed inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // checkpoint-backed inputs: the caller's only copy of the data. A
+    // blanket release of every LogicalRDD leaf in the lazy plan would
+    // free these blocks; the scoped release must leave them readable.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha", "good")
+    ).toDF("doc_id", "text", "source").localCheckpoint(true)
+    val bench = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").localCheckpoint(true)
+    val out = Curation.curate(docs, col("text"), "doc_id", "source", bench,
+      minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+    assert(out.select(col("doc_id")).as[Long].collect().sorted === Array(1L))
+    // the inputs' checkpoint blocks must still be there
+    assert(docs.count() === 3L)
+    assert(bench.count() === 1L)
+    // and one curate's (checkpoint-backed) output feeds another curate
+    val out2 = Curation.curate(out, col("text"), "doc_id", "source", bench,
+      minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+    assert(out2.select(col("doc_id")).as[Long].collect().sorted === Array(1L))
+    assert(out.count() === 1L) // first output survives the second call
+    graft.core.Checkpoints.release(out)
+    graft.core.Checkpoints.release(out2)
+    graft.core.Checkpoints.release(docs)
+    graft.core.Checkpoints.release(bench)
+  }
 }
