@@ -1052,11 +1052,47 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- product quantization: codes + asymmetric-distance top-k -------
+    "q79_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqEncode(e, m = 4, numCodes = 16)
+        .select(col("id"),
+          element_at(col("codes"), 1).cast("long").as("c0"),
+          element_at(col("codes"), 2).cast("long").as("c1"),
+          element_at(col("codes"), 3).cast("long").as("c2"),
+          element_at(col("codes"), 4).cast("long").as("c3"))
+        .orderBy(col("id"))
+    }),
+    "q80_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqTopK(e, e.where(col("id") < 5), m = 4, numCodes = 16, k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
   def oracleSql: Map[String, String] = {
     val toks = """string_split_regex(trim(text), '\s+')"""
+    // shared PQ CTEs (q79/q80): subspace slices, codebooks seeded from the
+    // first 16 ids (codes in id order), per-(id, subspace) argmin encode
+    val pqCommon =
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |sub AS (SELECT id, s, v[(s*16+1):((s+1)*16)] AS sv FROM e, range(4) r(s)),
+        |cb AS (SELECT s, sv AS cv, list_dot_product(sv, sv) AS cdot,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1 AS BIGINT) AS code
+        | FROM sub WHERE id < 16),
+        |asg AS (SELECT id, s, code FROM (
+        | SELECT sub.id, sub.s, cb.code,
+        |  ROW_NUMBER() OVER (PARTITION BY sub.id, sub.s
+        |   ORDER BY cb.cdot - 2*list_dot_product(sub.sv, cb.cv), cb.code) AS rn
+        | FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin.replace("\n", " ")
     def mh(seed: String): String =
       s"list_min(list_transform($toks, w -> md5('$seed:' || w)))"
     val mkO =
@@ -1786,6 +1822,29 @@ object SparkEntry {
           |SELECT doc_id,
           | CASE WHEN f < 0.8 THEN 'train' WHEN f < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
           |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q79/q80: PQ codes and ADC ranks are integer-exact cross-engine —
+      // the argmin distances (cdot - 2·dot, sequential double folds on
+      // both engines) and the 1e-9 fixed-point ADC terms reproduce the
+      // Spark arithmetic operation for operation; the per-pair ADC is a
+      // SUM of BIGINTs, so its value is order-free
+      "q79_pq_encode" ->
+        s"""$pqCommon
+          |SELECT id, MAX(CASE WHEN s = 0 THEN code END) AS c0,
+          | MAX(CASE WHEN s = 1 THEN code END) AS c1,
+          | MAX(CASE WHEN s = 2 THEN code END) AS c2,
+          | MAX(CASE WHEN s = 3 THEN code END) AS c3
+          |FROM asg GROUP BY id ORDER BY id""".stripMargin.replace("\n", " "),
+      "q80_pq_topk" ->
+        s"""$pqCommon,
+          |q AS (SELECT id AS q_id, s, sv AS qv FROM sub WHERE id < 5),
+          |terms AS (SELECT q.q_id, asg.id AS n_id,
+          |  CAST(FLOOR(1e9 * (cb.cdot - 2*list_dot_product(q.qv, cb.cv))) AS BIGINT) AS t
+          | FROM q JOIN asg ON q.s = asg.s JOIN cb ON cb.s = asg.s AND cb.code = asg.code
+          | WHERE asg.id <> q.q_id),
+          |adc AS (SELECT q_id, n_id, SUM(t) AS d FROM terms GROUP BY q_id, n_id)
+          |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
+          | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
+          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
       "q69_source_gate" ->
         """WITH g AS (SELECT source FROM documents GROUP BY source
           | HAVING COUNT(*) >= 20

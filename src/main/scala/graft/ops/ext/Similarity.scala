@@ -292,6 +292,153 @@ object Similarity {
         (col("id") === col("comp")).cast("long").as("kept"))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (IVF-PQ's storage half)
+  // ---------------------------------------------------------------------
+
+  /** PQ codebooks: `[subspace][entry] = (code, subvec, cdot)`.
+    *
+    * Training mirrors [[ivfTopK]]'s coarse quantizer: the first `numCodes`
+    * corpus vectors seed the codebooks deterministically (entry j of every
+    * subspace = the j-th seed's subvector, codes assigned in id order), and
+    * `lloydIters` optionally refines each subspace's entries with the same
+    * Lloyd loop — assign every subvector to its nearest entry with the SAME
+    * map-side argmin the encoder uses, then recenter each entry on its
+    * cell's mean. One shuffle per round covers ALL subspaces (partial
+    * aggregation collapses to ≤ m·numCodes·subDim rows per task); the
+    * driver only ever holds the m·numCodes codebook, the same bound the
+    * encoder needs as a plan literal. Same nondeterminism contract as
+    * [[ivfTopK]]: `lloydIters > 0` means float means over shuffled doubles,
+    * not bit-stable across partitionings — 0 (default) is the
+    * deterministic, oracle-gated configuration. */
+  private[ext] def pqCodebooks(
+      corpus: DataFrame, m: Int, numCodes: Int,
+      lloydIters: Int): Array[Array[(Int, Seq[Double], Double)]] = {
+    val seeds = corpus.where(col("id") < numCodes)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Number](1).map(_.doubleValue)))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"pqCodebooks: no corpus rows with id < $numCodes")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def withDots(cb: Array[Array[(Int, Seq[Double])]]): Array[Array[(Int, Seq[Double], Double)]] =
+      cb.map(_.map { case (code, v) =>
+        (code, v, v.foldLeft(0.0)((a, x) => a + x * x))
+      })
+    var books = withDots(Array.tabulate(m) { s =>
+      seeds.zipWithIndex.map { case ((_, v), j) => (j, v.slice(s * sub, (s + 1) * sub)) }
+    })
+    for (_ <- 1 to lloydIters) {
+      val enc = pqAssign(corpus, books, sub)
+      val means = enc
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"_code$s").as("code"), col(s"_sub$s").as("sv"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"), posexplode(col("e.sv")))
+        .groupBy(col("s"), col("code"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) => k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      books = withDots(books.zipWithIndex.map { case (entries, s) =>
+        entries.map { case (code, oldV, _) =>
+          (code, means.getOrElse((s, code), oldV))
+        }
+      })
+    }
+    books
+  }
+
+  private def codebookLit(entries: Array[(Int, Seq[Double], Double)]): Column =
+    array(entries.map { case (code, cvec, cdot) =>
+      struct(lit(code).as("code"), typedLit(cvec).as("cvec"), lit(cdot).as("cdot"))
+    }: _*)
+
+  /** Adds `_sub$s` (subvector) and `_code$s` (nearest-entry index) columns
+    * for every subspace — the map-side encoder. Argmin is two passes over
+    * each subspace's distance array (`transform` once into its own column,
+    * then `array_min` + `array_position`): each codebook dot product is
+    * evaluated exactly once per row, and ties resolve to the smallest code
+    * on both engines (first-position semantics = the oracle's
+    * `ORDER BY dist, code`). Distances drop the per-row `‖x_s‖²` term —
+    * constant within an argmin — so `dist = cdot - 2·<x_s, c>`. */
+  private[ext] def pqAssign(
+      corpus: DataFrame,
+      books: Array[Array[(Int, Seq[Double], Double)]], sub: Int): DataFrame = {
+    val m = books.length
+    var df = corpus.withColumn("_v", col("vec").cast("array<double>"))
+    for (s <- 0 until m) {
+      df = df
+        .withColumn(s"_sub$s", slice(col("_v"), s * sub + 1, sub))
+        .withColumn(s"_d$s", transform(codebookLit(books(s)),
+          c => c.getField("cdot") - lit(2.0) * dot(col(s"_sub$s"), c.getField("cvec"))))
+        .withColumn(s"_code$s",
+          (array_position(col(s"_d$s"), array_min(col(s"_d$s"))) - 1).cast("int"))
+    }
+    df
+  }
+
+  /** Product-quantization codes: each vector compressed to `m` one-byte
+    * codes (id, codes array<int>, one entry per subspace). At 100 TB this
+    * is the ANN memory wall solved: a 64-dim float vector (256 bytes)
+    * becomes m=4..8 bytes, and [[pqTopK]] probes the codes without ever
+    * reconstructing. Map-side only — the codebook rides along as a plan
+    * literal (≤ m·256·subDim doubles, the model bound), no shuffle. */
+  def pqEncode(
+      corpus: DataFrame, m: Int, numCodes: Int,
+      lloydIters: Int = 0): DataFrame =
+    pqEncodeWith(corpus, pqCodebooks(corpus, m, numCodes, lloydIters))
+
+  private def pqEncodeWith(
+      corpus: DataFrame, books: Array[Array[(Int, Seq[Double], Double)]]): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
+    pqAssign(corpus, books, sub)
+      .select(col("id"), array((0 until m).map(s => col(s"_code$s")): _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): queries stay full-precision,
+    * the corpus is scanned as codes. Per query the distance from each
+    * subspace's query subvector to every codebook entry is precomputed as
+    * a lookup table (m × numCodes longs, built map-side against the
+    * codebook literal); a corpus row's distance is then m table lookups —
+    * no vector math on the (billion-row) code side, which is what makes
+    * exhaustive PQ scans feasible where full-vector scans are not.
+    *
+    * Distances are FIXED-POINT: each ADC term is `floor(1e-9-quantized
+    * (‖c‖² - 2·<q_s, c>))` as a LONG, so the per-pair sum is integer-exact
+    * and ORDER-FREE — engine-portable ranking with no float-summation-
+    * order hazard (the dropped `‖q‖²` term is constant per query and
+    * cannot change its ranking). Broadcast the (small) query side; the
+    * corpus never shuffles before the final per-query top-k window. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, numCodes: Int, k: Int,
+      lloydIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(corpus, m, numCodes, lloydIters)
+    val sub = books.head.head._2.length
+    val encoded = pqEncodeWith(corpus, books)
+      .select(col("id").as("n_id"), col("codes"))
+    var q = queries.withColumn("_v", col("vec").cast("array<double>"))
+    for (s <- 0 until m)
+      q = q
+        .withColumn(s"_qsub$s", slice(col("_v"), s * sub + 1, sub))
+        .withColumn(s"_lut$s", transform(codebookLit(books(s)),
+          c => floor(lit(1e9) *
+            (c.getField("cdot") - lit(2.0) * dot(col(s"_qsub$s"), c.getField("cvec"))))
+            .cast("long")))
+    val probes = q.select(col("id").as("q_id"),
+      array((0 until m).map(s => col(s"_lut$s")): _*).as("_lut"))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    broadcast(probes).join(encoded, col("q_id") =!= col("n_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("_lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** Scalar int8 quantization report — the embedding-compression pass of a
     * large-scale ANN index build (4x smaller vectors; IVF probing and
     * Hamming-style prefilters run on the quantized form). `scale` MUST be

@@ -325,6 +325,121 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Array((0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 3L, 1L)))
   }
 
+  test("pqEncode maps each subspace to its nearest codebook entry") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seeds (= codebook entries, in id order): per subspace the codebooks
+    // are s0: {0->[1,0], 1->[0,1]}, s1: {0->[0,1], 1->[1,0]}
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.2f, 0.8f)), // near seed 0 in both subspaces
+      (11L, Array(0.1f, 0.8f, 0.9f, 0.1f))  // near seed 1 in both subspaces
+    ).toDF("id", "vec")
+    val codes = Similarity.pqEncode(vecs, m = 2, numCodes = 2)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toMap
+    assert(codes(0L) === Seq(0, 0))
+    assert(codes(1L) === Seq(1, 1))
+    assert(codes(10L) === Seq(0, 0))
+    assert(codes(11L) === Seq(1, 1))
+  }
+
+  test("pqTopK ranks by asymmetric distance over codes and finds the near-dup") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.2f, 0.8f)),
+      (11L, Array(0.1f, 0.8f, 0.9f, 0.1f))
+    ).toDF("id", "vec")
+    val out = Similarity.pqTopK(vecs, vecs.where(col("id") === 0),
+        m = 2, numCodes = 2, k = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // 10 shares query 0's codes (ADC distance = distance to the codes'
+    // reconstruction), 11/1 reconstruct to the other entries
+    assert(out.map(r => (r._1, r._2)).head === ((0L, 10L)))
+  }
+
+  test("pq probe plan: corpus never shuffles before the top-k window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.2f, 0.8f)), (11L, Array(0.1f, 0.8f, 0.9f, 0.1f))
+    ).toDF("id", "vec")
+    val plan = Similarity.pqTopK(vecs, vecs.where(col("id") === 0),
+      m = 2, numCodes = 2, k = 1).queryExecution.executedPlan.toString
+    // encode is map-side against the codebook literal; the broadcast probe
+    // join adds no Exchange; the only hash Exchange is the final window
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("pq lloyd training strictly reduces quantization error off-seed") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seeds sit at the corners; the data mass sits between them, so
+    // recentering each cell on its mean strictly improves the objective
+    val corpus = ((0L to 1L).map {
+      case 0L => (0L, Array(1.0f, 0.0f, 0.0f, 1.0f))
+      case _  => (1L, Array(0.0f, 1.0f, 1.0f, 0.0f))
+    } ++ (10L to 29L).map { i =>
+      val t = ((i * 7) % 10).toFloat / 30f // deterministic jitter in [0, 0.3)
+      if (i % 2 == 0) (i, Array(0.8f - t, 0.2f + t, 0.1f + t, 0.9f - t))
+      else (i, Array(0.2f + t, 0.9f - t, 0.8f - t, 0.1f + t))
+    }).toDF("id", "vec")
+    def quantErr(iters: Int): Double = {
+      val books = Similarity.pqCodebooks(corpus, m = 2, numCodes = 2, lloydIters = iters)
+      val rows = corpus.select(col("id"), col("vec").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+      rows.map { case (_, v) =>
+        (0 until 2).map { s =>
+          val sub = v.slice(s * 2, (s + 1) * 2)
+          books(s).map { case (_, cv, _) =>
+            sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val untrained = quantErr(0)
+    val trained = quantErr(3)
+    assert(trained < untrained, s"trained=$trained untrained=$untrained")
+  }
+
+  test("pq recall vs exact L2 on clustered vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // four axis-aligned clusters in 4-d, 6 members each with deterministic
+    // jitter; queries at the cluster centers. With numCodes=4 (one seed
+    // per cluster) the reconstructions separate the clusters, so the top-3
+    // ADC neighbors of each query should mostly be its own cluster's
+    // members — compare against exact L2 brute force.
+    def v(c: Int, j: Float): Array[Float] = {
+      val a = Array.fill(4)(j / 10); a(c) = 1.0f - j / 20; a
+    }
+    val corpus = (0L to 3L).map(i => (i, v(i.toInt, 0f)))
+      .++((4L to 27L).map(i => (i, v((i % 4).toInt, ((i * 3) % 5 + 1).toFloat / 10))))
+      .toDF("id", "vec")
+    val queries = (100L to 103L).map(i => (i, v((i % 4).toInt, 0.05f))).toDF("id", "vec")
+    val exact = {
+      val q = queries.select(col("id").as("q_id"), col("vec").cast("array<double>").as("qv"))
+      val c = corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("nv"))
+      val d = Similarity.dot(col("qv"), col("qv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+        Similarity.dot(col("nv"), col("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("l2").asc, col("n_id"))
+      q.join(c, col("q_id") =!= col("n_id")).withColumn("l2", d)
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    }
+    val got = Similarity.pqTopK(corpus, queries, m = 2, numCodes = 4, k = 3)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (exact=$exact got=$got)")
+  }
+
   test("quantizeInt8: codes, clipping, and exact error bounds") {
     val spark2 = spark
     import spark2.implicits._
