@@ -1074,11 +1074,46 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("q_id"), col("rnk"))
     }),
+
+    // ---- composed quality gate (Gopher/CCNet rule stack, one operator) -
+    "q81_quality_gate" -> ((s, dir) => {
+      // q61's PII injection exercises the PII rule on real hits; every
+      // verdict is an integer comparison (basis points / scaled counts),
+      // so the flags are engine-exact. Thresholds sit inside the corpus's
+      // signal distributions so each rule actually splits the data.
+      val injected = t(s, dir, "documents").withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))))
+      TextStats.qualityGate(injected, col("text"), "doc_id",
+          TextStats.QualityThresholds(
+            minTokens = 20, maxTokens = 100000, minAlphaBp = 8150,
+            maxPii = 0, minDistinctBp = 3500, maxTopTokenBp = 1200,
+            maxMeanRarity = Some(32000000L), rarityTopV = 100))
+        .select(col("doc_id"),
+          col("quality.len_ok").cast("long").as("len_ok"),
+          col("quality.alpha_ok").cast("long").as("alpha_ok"),
+          col("quality.pii_ok").cast("long").as("pii_ok"),
+          col("quality.rep_ok").cast("long").as("rep_ok"),
+          col("quality.rarity_ok").cast("long").as("rarity_ok"),
+          col("quality.pass").cast("long").as("pass"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
   def oracleSql: Map[String, String] = {
     val toks = """string_split_regex(trim(text), '\s+')"""
+    // total PII match count (plain string: the regex backslashes must not
+    // go through s-interpolation escape processing)
+    val piiCount =
+      """len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        | + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        | + len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]'))""".stripMargin.replace("\n", " ")
     // shared PQ CTEs (q79/q80): subspace slices, codebooks seeded from the
     // first 16 ids (codes in id order), per-(id, subspace) argmin encode
     val pqCommon =
@@ -1845,6 +1880,43 @@ object SparkEntry {
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q81: the composed gate — each rule's CTE is the proven per-signal
+      // oracle (q27/q61/q62/q76 expressions) over the SAME injected text;
+      // flags are integer comparisons, so verdict parity is exact
+      "q81_quality_gate" ->
+        s"""WITH d AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |tok AS (SELECT doc_id, unnest($toks) AS w FROM d),
+          |dc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+          |rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd,
+          |  CAST(SUM(c) AS BIGINT) AS nt, CAST(MAX(c) AS BIGINT) AS mx
+          | FROM dc GROUP BY doc_id),
+          |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+          |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+          |v AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100),
+          |rs AS (SELECT t.doc_id, CAST(SUM(COALESCE((1000000 * n.n_total) // v.c,
+          |   1000000 * n.n_total)) AS BIGINT) AS rsum, COUNT(*) AS rtok
+          | FROM tok t LEFT JOIN v USING (w) CROSS JOIN n GROUP BY t.doc_id),
+          |base AS (SELECT doc_id,
+          |  CAST(len($toks) AS BIGINT) AS ntok,
+          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+          |  CAST(length(text) AS BIGINT) AS nc,
+          |  CAST($piiCount AS BIGINT) AS npii
+          | FROM d),
+          |f AS (SELECT b.doc_id,
+          |  b.ntok >= 20 AND b.ntok <= 100000 AS len_ok,
+          |  b.na * 10000 >= b.nc * 8150 AS alpha_ok,
+          |  b.npii <= 0 AS pii_ok,
+          |  COALESCE(r.nd * 10000 >= r.nt * 3500 AND r.mx * 10000 <= r.nt * 1200, TRUE) AS rep_ok,
+          |  COALESCE(rs.rsum <= rs.rtok * 32000000, TRUE) AS rarity_ok
+          | FROM base b LEFT JOIN rep r USING (doc_id) LEFT JOIN rs USING (doc_id))
+          |SELECT doc_id, CAST(len_ok AS BIGINT) AS len_ok,
+          | CAST(alpha_ok AS BIGINT) AS alpha_ok, CAST(pii_ok AS BIGINT) AS pii_ok,
+          | CAST(rep_ok AS BIGINT) AS rep_ok, CAST(rarity_ok AS BIGINT) AS rarity_ok,
+          | CAST(len_ok AND alpha_ok AND pii_ok AND rep_ok AND rarity_ok AS BIGINT) AS pass
+          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
       "q69_source_gate" ->
         """WITH g AS (SELECT source FROM documents GROUP BY source
           | HAVING COUNT(*) >= 20

@@ -106,17 +106,11 @@ object TextStats {
       size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
       size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
-  /** Repetition metrics (the Gopher-style repetition filters): fraction of
-    * non-distinct tokens and the most frequent token's share. Both are
-    * per-row folds over the sorted token array — map-side, scan-bound, no
-    * shuffle (the relational alternative, explode + groupBy(doc, token),
-    * shuffles the full token stream). Single fold, wide accumulator (HOFs
-    * are interpreted — never fold twice). */
-  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
-    val toks = tokens(textCol)
-    val n = size(toks)
-    // runs of equal tokens in the sorted array; track current + best run
-    val best = aggregate(
+  /** Longest equal-token run in the sorted token array = the most frequent
+    * token's count. One fold, wide accumulator (HOFs are interpreted —
+    * never fold twice); shared by [[withRepetition]] and [[qualityGate]]. */
+  private def topRunLength(toks: Column): Column =
+    aggregate(
       array_sort(toks),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
       (acc, t) => {
@@ -125,9 +119,18 @@ object TextStats {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  /** Repetition metrics (the Gopher-style repetition filters): fraction of
+    * non-distinct tokens and the most frequent token's share. Both are
+    * per-row folds over the sorted token array — map-side, scan-bound, no
+    * shuffle (the relational alternative, explode + groupBy(doc, token),
+    * shuffles the full token stream). */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val n = size(toks)
     df.withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / n.cast("double"))
-      .withColumn("top_token_frac", best.cast("double") / n.cast("double"))
+      .withColumn("top_token_frac", topRunLength(toks).cast("double") / n.cast("double"))
   }
 
   /** Top-k characteristic terms per document by tf-idf — the keyword-
@@ -242,4 +245,105 @@ object TextStats {
       .where(col("n_docs") >= minDocs &&
         col("sa") * 10000 >= col("sc") * minAlphaBp)
       .select(col(sourceCol))
+
+  /** Thresholds for [[qualityGate]] — the Gopher-style rule stack as one
+    * config. Every per-document comparison is INTEGER (basis points /
+    * scaled counts on both sides), so verdicts are exactly reproducible
+    * cross-engine; `maxMeanRarity = None` keeps the gate purely per-row
+    * scan-bound (no corpus pass at all). */
+  final case class QualityThresholds(
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minAlphaBp: Int = 6000,
+      maxPii: Long = 0,
+      minDistinctBp: Int = 2000,
+      maxTopTokenBp: Int = 2500,
+      maxMeanRarity: Option[Long] = None,
+      rarityTopV: Int = 1000,
+      rarityScale: Long = 1000000L)
+
+  /** Adds the per-row signal columns `_len_ok/_alpha_ok/_pii_ok/_rep_ok`
+    * (booleans; temps dropped) — shared by the batch [[qualityGate]] and
+    * the streaming dual, so the two can never score differently. Pure
+    * scan-bound Column math; each interpreted fold lands in its own
+    * column (single evaluation per row). */
+  private[graft] def withScanSignals(
+      df: DataFrame, textCol: Column, t: QualityThresholds): DataFrame =
+    df.withColumn("_toks", tokens(textCol))
+      .withColumn("_ntok", size(col("_toks")).cast("long"))
+      .withColumn("_ndist", size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("_best", topRunLength(col("_toks")).cast("long"))
+      .withColumn("_npii",
+        (size(regexp_extract_all(textCol, lit(EmailRe), lit(0))) +
+          size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))) +
+          size(regexp_extract_all(textCol, lit(PhoneRe), lit(0)))).cast("long"))
+      .withColumn("_na", length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long"))
+      .withColumn("_nc", length(textCol).cast("long"))
+      .withColumn("_len_ok",
+        col("_ntok") >= t.minTokens && col("_ntok") <= t.maxTokens)
+      .withColumn("_alpha_ok", col("_na") * 10000 >= col("_nc") * t.minAlphaBp)
+      .withColumn("_pii_ok", col("_npii") <= t.maxPii)
+      .withColumn("_rep_ok",
+        col("_ndist") * 10000 >= col("_ntok") * t.minDistinctBp &&
+          col("_best") * 10000 <= col("_ntok") * t.maxTopTokenBp)
+      .drop("_toks", "_ntok", "_ndist", "_best", "_npii", "_na", "_nc")
+
+  /** Folds the `_*_ok` signal columns (plus a rarity verdict) into the
+    * `quality` struct and drops them — the tail both gate forms share. */
+  private[graft] def foldSignals(df: DataFrame, rarityOk: Column): DataFrame =
+    df.withColumn("quality", struct(
+        col("_len_ok").as("len_ok"),
+        col("_alpha_ok").as("alpha_ok"),
+        col("_pii_ok").as("pii_ok"),
+        col("_rep_ok").as("rep_ok"),
+        rarityOk.as("rarity_ok"),
+        (col("_len_ok") && col("_alpha_ok") && col("_pii_ok") &&
+          col("_rep_ok") && rarityOk).as("pass")))
+      .drop("_len_ok", "_alpha_ok", "_pii_ok", "_rep_ok", "_rsum", "_rtok")
+
+  /** The COMPOSED quality gate — the Gopher/CCNet rule stack (length,
+    * alphabetic ratio, PII, repetition, optional corpus-relative unigram
+    * rarity) as ONE operator: returns the input columns plus a `quality`
+    * struct of per-signal verdicts
+    * `(len_ok, alpha_ok, pii_ok, rep_ok, rarity_ok, pass)`. A curation
+    * pass filters on `quality.pass`; an audit keeps the struct to see WHY
+    * each document fell.
+    *
+    * Scale shape: with `maxMeanRarity = None` the whole gate is one
+    * per-row scan-bound projection — no shuffle, no corpus pass, the
+    * cheapest possible 100 TB filter. With rarity enabled it adds
+    * [[unigramRarity]]'s machinery (top-V TakeOrdered + broadcast joins,
+    * corpus stream never shuffles on the token) plus one id-keyed join of
+    * the per-doc rarity sums back onto the corpus. Documents with no
+    * tokens have no rarity row: their `rarity_ok` is vacuously true (they
+    * fail `len_ok` anyway).
+    *
+    * All verdicts are integer comparisons ([[QualityThresholds]]), so the
+    * gate is exactly reproducible on any engine — no float thresholds. */
+  def qualityGate(
+      docs: DataFrame, textCol: Column, idCol: String,
+      t: QualityThresholds): DataFrame = {
+    val base = withScanSignals(docs, textCol, t)
+    t.maxMeanRarity match {
+      case Some(mx) =>
+        val rar = unigramRarity(docs, textCol, idCol, t.rarityTopV, t.rarityScale)
+          .select(col(idCol), col("rarity_sum").as("_rsum"), col("n_tok").as("_rtok"))
+        foldSignals(base.join(rar, Seq(idCol), "left"),
+          coalesce(col("_rsum") <= col("_rtok") * mx, lit(true)))
+      case None =>
+        foldSignals(
+          base.withColumn("_rsum", lit(null).cast("long"))
+            .withColumn("_rtok", lit(null).cast("long")),
+          lit(true))
+    }
+  }
+
+  /** [[qualityGate]] reduced to the keep-list filter: survivors only, the
+    * `quality` struct dropped — the form a curation pipeline composes. */
+  def qualityFilter(
+      docs: DataFrame, textCol: Column, idCol: String,
+      t: QualityThresholds): DataFrame =
+    qualityGate(docs, textCol, idCol, t)
+      .where(col("quality.pass"))
+      .drop("quality")
 }

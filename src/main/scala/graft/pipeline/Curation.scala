@@ -50,18 +50,26 @@ object Curation {
       minAlphaBp: Int = 8000,
       numHashes: Int = 2,
       maxBucketSize: Int = 1000,
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      gate: Option[TextStats.QualityThresholds] = None): DataFrame = {
 
     // 1. source gate: survivor sources broadcast into a semi join
     val gated = docs.join(
       broadcast(TextStats.goodSources(docs, textCol, sourceCol, minDocs, minAlphaBp)),
       Seq(sourceCol), "left_semi")
 
-    // 2. PII gate: plain per-row filter, same patterns as piiCounts
-    val piiFree = gated.where(
-      size(regexp_extract_all(textCol, lit(TextStats.EmailRe), lit(0))) === 0 &&
-        size(regexp_extract_all(textCol, lit(TextStats.Ipv4Re), lit(0))) === 0 &&
-        size(regexp_extract_all(textCol, lit(TextStats.PhoneRe), lit(0))) === 0)
+    // 2. per-document gate: PII-only by default; with `gate` set, the
+    // composed quality stack ([[TextStats.qualityFilter]] — length,
+    // alpha ratio, PII, repetition, optional rarity) replaces it. Both
+    // forms are per-row filters over the source-gated frame (the
+    // composed gate's optional rarity pass aggregates over it once).
+    val piiFree = gate match {
+      case Some(th) => TextStats.qualityFilter(gated, textCol, idCol, th)
+      case None => gated.where(
+        size(regexp_extract_all(textCol, lit(TextStats.EmailRe), lit(0))) === 0 &&
+          size(regexp_extract_all(textCol, lit(TextStats.Ipv4Re), lit(0))) === 0 &&
+          size(regexp_extract_all(textCol, lit(TextStats.PhoneRe), lit(0))) === 0)
+    }
 
     // 3. exact dedup: keep the min-id document of each identical-text group
     val keepers = Dedup.exactDupGroups(piiFree, col(idCol), textCol)

@@ -259,6 +259,77 @@ object Streams {
       textCol, benchmark, benchmarkTextCol, n)
   }
 
+  /** Streaming dual of [[graft.ops.ext.TextStats.qualityGate]]: the same
+    * composed Gopher/CCNet rule stack (length, alphabetic ratio, PII,
+    * repetition, optional corpus-relative unigram rarity) over an
+    * ingestion stream, emitting the same `quality` verdict struct. The
+    * scan-bound signals are the IDENTICAL Column expressions (shared via
+    * `withScanSignals` — the two forms cannot score differently); the
+    * corpus-relative rarity signal scores against a STATIC reference
+    * corpus (yesterday's curated corpus, the same pattern as
+    * [[dedupAgainstCorpusStream]]'s standing signature set):
+    *
+    *  - at query BUILD the corpus's top-V vocabulary and token total are
+    *    collected once (bounded by `rarityTopV` — the model bound, like
+    *    [[decontaminateBloom]]'s bit words) and pre-divided into per-word
+    *    rarity scores;
+    *  - per stream row, tokens come from the SHARED Column tokenizer and
+    *    are scored in a typed `mapPartitions` against the broadcast map —
+    *    O(1) hash lookups per token. A pure-Column map literal would be
+    *    a linear O(V) scan per lookup ([[graft.multimodal.Multimodal]]'s
+    *    codec boundary is the same pattern: per-partition init, Scala hot
+    *    loop, Column plumbing around it).
+    *
+    * Stateless end to end — no watermark, no state store; every verdict
+    * is integer math, identical to the batch gate's. */
+  def qualityGateStream(
+      docs: DataFrame, textCol: String,
+      t: graft.ops.ext.TextStats.QualityThresholds,
+      rarityCorpus: Option[DataFrame] = None,
+      corpusTextCol: String = "text"): DataFrame = {
+    import graft.ops.ext.TextStats
+    val base = TextStats.withScanSignals(docs, col(textCol), t)
+    t.maxMeanRarity match {
+      case Some(mx) =>
+        val corpus = rarityCorpus.getOrElse(throw new IllegalArgumentException(
+          "qualityGateStream: maxMeanRarity set but no rarityCorpus given"))
+        val spark = docs.sparkSession
+        val ct = col(corpusTextCol)
+        val nTotal = corpus
+          .agg(sum(size(TextStats.tokens(ct))).cast("long")).head().getLong(0)
+        val maxRar = t.rarityScale * nTotal
+        // per-word rarity pre-divided driver-side: (scale*N) div c — the
+        // same integer arithmetic as the batch unigramRarity
+        val vocab: Map[String, Long] = corpus
+          .select(explode(TextStats.tokens(ct)).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(t.rarityTopV)
+          .collect().map(r => r.getString(0) -> maxRar / r.getLong(1)).toMap
+        val bv = spark.sparkContext.broadcast(vocab)
+        val withToks = base.withColumn("_toks", TextStats.tokens(col(textCol)))
+        val toksIdx = withToks.schema.fieldIndex("_toks")
+        val outSchema = withToks.schema
+          .add("_rsum", org.apache.spark.sql.types.LongType)
+          .add("_rtok", org.apache.spark.sql.types.LongType)
+        val scored = withToks.mapPartitions { rows =>
+          val m = bv.value
+          rows.map { r =>
+            val toks = r.getSeq[String](toksIdx)
+            var s = 0L
+            toks.foreach(w => s += m.getOrElse(w, maxRar))
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s :+ toks.length.toLong)
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        TextStats.foldSignals(scored.drop("_toks"),
+          col("_rsum") <= col("_rtok") * mx) // 0 <= 0 for token-free rows
+      case None =>
+        TextStats.foldSignals(
+          base.withColumn("_rsum", lit(null).cast("long"))
+            .withColumn("_rtok", lit(null).cast("long")),
+          lit(true))
+    }
+  }
+
   /** Watermarked stream-stream inner join: events enriched with the other
     * stream's rows for the same key within `window` of event time. Both
     * sides carry watermarks so join state is bounded — the required shape

@@ -940,6 +940,57 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
   }
+
+  test("qualityGate: each rule fells exactly its victim; pass needs all") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // passes everything
+      (2L, "a b"),                               // too short
+      (3L, "1234 5678 9012 3456"),               // alpha ratio 0
+      (4L, "word word word word word"),          // repetition
+      (5L, "mail me at me@example.com now okay") // PII
+    ).toDF("doc_id", "text")
+    val t = TextStats.QualityThresholds(
+      minTokens = 3, maxTokens = 10, minAlphaBp = 7000, maxPii = 0,
+      minDistinctBp = 8000, maxTopTokenBp = 3000)
+    val out = TextStats.qualityGate(docs, col("text"), "doc_id", t)
+      .select(col("doc_id"), col("quality.len_ok"), col("quality.alpha_ok"),
+        col("quality.pii_ok"), col("quality.rep_ok"), col("quality.rarity_ok"),
+        col("quality.pass"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((1L, true, true, true, true, true, true)))
+    assert(out(1)._2 === false && out(1)._7 === false) // len
+    assert(out(2)._3 === false && out(2)._7 === false) // alpha
+    assert(out(3)._5 === false && out(3)._7 === false) // repetition
+    assert(out(4)._4 === false && out(4)._7 === false) // pii
+    // keep-list form preserves the input schema
+    assert(TextStats.qualityFilter(docs, col("text"), "doc_id", t)
+      .columns.toSeq === Seq("doc_id", "text"))
+    // without rarity the gate is one scan-bound projection — no Exchange
+    val plan = TextStats.qualityGate(docs, col("text"), "doc_id", t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("qualityGate rarity rule: corpus-relative, integer-exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // top-1 vocab = "the" (c=4); n_total=8; rarity(the) = (1e6*8)/4 = 2e6,
+    // OOV = 8e6. doc 1 mean = 2e6 passes, doc 2 mean = 8e6 fails at 4e6.
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "zzz qqq xxx www")
+    ).toDF("doc_id", "text")
+    val t = TextStats.QualityThresholds(
+      minTokens = 1, minAlphaBp = 0, minDistinctBp = 0, maxTopTokenBp = 10000,
+      maxMeanRarity = Some(4000000L), rarityTopV = 1)
+    val out = TextStats.qualityGate(docs, col("text"), "doc_id", t)
+      .select(col("doc_id"), col("quality.rarity_ok"), col("quality.pass"))
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out === Array((1L, true, true), (2L, false, false)))
+  }
 }
 
 class EventsSpec extends SparkSpec {

@@ -37,6 +37,28 @@ class CurationSpec extends SparkSpec {
     assert(noBench === Array(1L, 5L))
   }
 
+  test("curate with the composed quality gate drops what PII-only keeps") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    // doc 7 is PII-free but pure repetition: the default (PII-only) stage
+    // 2 keeps it; the composed gate's repetition rule fells it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (7L, "spam spam spam spam spam spam spam spam", "good")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    def run(gate: Option[TextStats.QualityThresholds]) =
+      Curation.curate(docs, col("text"), "doc_id", "source", bench,
+          minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100,
+          n = 8, gate = gate)
+        .select(col("doc_id")).as[Long].collect().sorted
+    assert(run(None) === Array(1L, 7L))
+    assert(run(Some(TextStats.QualityThresholds(
+      minTokens = 3, maxTokens = 100, minAlphaBp = 5000, maxPii = 0,
+      minDistinctBp = 5000, maxTopTokenBp = 3000))) === Array(1L))
+  }
+
   test("curate releases its internal caches — only the survivor checkpoint remains") {
     val spark2 = spark
     import spark2.implicits._

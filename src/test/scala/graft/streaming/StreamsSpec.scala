@@ -215,6 +215,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate matches the batch gate verdict for verdict") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.TextStats
+    // same rows streamed and used as the static rarity corpus, so the
+    // batch gate (rarity relative to its own input) and the stream gate
+    // (rarity relative to the static corpus) score identical corpora
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "a b"),
+      (3L, "1234 5678 9012 3456"),
+      (4L, "word word word word word"),
+      (5L, "mail me at me@example.com now okay"),
+      (6L, "alpha beta gamma zz9x qq8y delta"))
+    val corpus = rows.toDF("doc_id", "text")
+    val t = TextStats.QualityThresholds(
+      minTokens = 3, maxTokens = 10, minAlphaBp = 7000, maxPii = 0,
+      minDistinctBp = 8000, maxTopTokenBp = 3000,
+      maxMeanRarity = Some(15000000L), rarityTopV = 5)
+    val expected = TextStats.qualityGate(corpus, col("text"), "doc_id", t)
+      .select(col("doc_id"), col("quality.len_ok"), col("quality.alpha_ok"),
+        col("quality.pii_ok"), col("quality.rep_ok"), col("quality.rarity_ok"),
+        col("quality.pass"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    // sanity: the fixture exercises both rarity verdicts
+    assert(expected.map(_._6).distinct.length === 2)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", t, Some(corpus))
+      .select(col("doc_id"), col("quality.len_ok"), col("quality.alpha_ok"),
+        col("quality.pii_ok"), col("quality.rep_ok"), col("quality.rarity_ok"),
+        col("quality.pass"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate")
+        .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().sortBy(_._1)
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("file-source event stream reads the testdata schema incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
