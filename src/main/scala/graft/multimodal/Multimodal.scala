@@ -125,6 +125,57 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #2: JPEG/PNG/GIF/BMP decode via `javax.imageio` (JDK
+    * builtin, fully offline) — the variable-size COMPRESSED formats a real
+    * multimodal corpus actually holds, where [[PpmCodec]] proves the seam
+    * on a fixed-layout raster. Emits the same feature contract: mean BT.601
+    * luminance over `dims` equal pixel blocks in raster order, scaled to
+    * [0, 1] — so swapping PPM inputs for PNG encodings of the same pixels
+    * produces the same embedding (spec-asserted).
+    *
+    * Failure policy identical to [[PpmCodec]]: undecodable content (wrong
+    * magic, truncated stream, unsupported format — `ImageIO.read` returns
+    * null or throws) yields the zero vector, never a task failure.
+    * `init()` disables ImageIO's disk cache: executor decode loops must
+    * not write temp files per image. */
+  object ImageIoCodec extends MediaCodec {
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def decode(content: Array[Byte], dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || content.length == 0 || dims <= 0) return zero
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (img == null) return zero
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return zero
+      val out = new Array[Float](dims)
+      val counts = new Array[Int](dims)
+      val n = w.toLong * h
+      var y = 0
+      var i = 0L
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of the stored model
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val slot = (i * dims / n).toInt
+          out(slot) += (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          counts(slot) += 1
+          x += 1
+          i += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < dims) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+      out
+    }
+  }
+
   /** Feature extraction over media batches: the `mapPartitions` boundary
     * initializes the codec once per partition — the batch shape a real
     * codec needs. Content bytes never survive this projection. The codec

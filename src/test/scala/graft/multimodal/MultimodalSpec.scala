@@ -71,6 +71,46 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.map(_.n_bytes).toSeq === out.map(_.n_bytes).toSeq)
   }
 
+  test("ImageIO codec decodes PNG and JPEG through the same boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    def encode(fmt: String, pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val whitePng = encode("png", Array.fill(4)(0xffffff), 2, 2)
+    val blackJpg = encode("jpg", Array.fill(4)(0x000000), 2, 2)
+    // left half white, right half black -> block means 1.0 and 0.0
+    val splitPng = encode("png", Array(0xffffff, 0x000000, 0xffffff, 0x000000), 2, 2)
+    val junk = "definitely not an image".getBytes("US-ASCII")
+    val media = Seq(
+      (0L, "image", whitePng), (1L, "image", blackJpg),
+      (2L, "image", splitPng), (3L, "image", junk)
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.extractFeatures(media, dims = 2, codec = Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    assert(out(0).embedding.forall(x => math.abs(x - 1.0f) < 1e-6f))
+    // JPEG is lossy: flat black stays black within quantization error
+    assert(out(1).embedding.forall(x => x < 0.02f))
+    // raster order: dims=2 splits the 4 pixels into rows... row 0 is
+    // (white, black), row 1 is (white, black) -> each block mean is 0.5
+    assert(out(2).embedding.forall(x => math.abs(x - 0.5f) < 1e-6f))
+    assert(out(3).embedding.toSeq === Seq(0.0f, 0.0f)) // poison row policy
+    // the same pixels through the PPM codec produce the same embedding:
+    // the feature contract is codec-independent
+    def ppm(pixels: Array[Int]): Array[Byte] =
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ pixels.flatMap(p =>
+        Array(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+    val viaPpm = Multimodal.PpmCodec.decode(
+      ppm(Array(0xffffff, 0x000000, 0xffffff, 0x000000)), 2)
+    val viaPng = Multimodal.ImageIoCodec.decode(splitPng, 2)
+    assert(viaPpm.toSeq === viaPng.toSeq)
+  }
+
   test("PPM codec handles 2-byte samples (maxval > 255) and rejects maxval > 65535") {
     // valid per the Netpbm spec: maxval in (255, 65536) means 2-byte
     // big-endian samples. 1x1 image, all channels at full scale 65535.
