@@ -135,19 +135,27 @@ object ParquetToRdf {
       name -> timed(s"write $name")(Rdf.write(df, s"$outBase/$name.rdf"))
     }.toMap
 
-    if (cfg.writeTypes) timed("write types") {
-      val types = TypesGen.types(
-        written("labels"), written("infobox_properties"), written("interlanguage_links"),
-        written("page_links"), written("article_categories"), written("skos_categories"),
-        written("geo_coordinates"))
-      Rdf.write(types, s"$outBase/types.rdf")
-    }
-
-    if (cfg.externaliseUris) timed("write external_ids") {
-      val xids = ExternalIds.xidTriples(ExternalIds.uriOccurrences(spark,
-        labelTriples, infoboxTriples, interlangTriples, pageLinksTriples,
-        categoryTriples, skosTriples, geoTriples))
-      Rdf.write(xids, s"$outBase/external_ids.rdf")
+    // types + xids derive from ONE fused (s, lang) aggregation (IdTypes):
+    // the legacy shape ran two global distincts over ~the same domain,
+    // with the types pass re-reading every gzip file it had just written.
+    // Output equality with the legacy operators is spec-asserted
+    // (IdTypesSpec); when both sinks run, the shared aggregate is cached
+    // across them and released deterministically.
+    if (cfg.writeTypes || cfg.externaliseUris) {
+      val agg = IdTypes.rolesAggregate(spark, labelTriples, infoboxTriples,
+        DataTypes.disambiguate(withTypes, winning),
+        interlangTriples, pageLinksTriples, categoryTriples, skosTriples, geoTriples)
+      val shared = cfg.writeTypes && cfg.externaliseUris
+      val aggP = if (shared)
+        agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else agg
+      if (cfg.writeTypes) timed("write types") {
+        Rdf.write(IdTypes.types(aggP, cfg.externaliseUris), s"$outBase/types.rdf")
+      }
+      if (cfg.externaliseUris) timed("write external_ids") {
+        Rdf.write(IdTypes.xids(aggP), s"$outBase/external_ids.rdf")
+      }
+      if (shared) aggP.unpersist(false)
     }
 
     val counts = timed("count-back audit") {
