@@ -179,6 +179,47 @@ object TokenHashSetExpr {
     GraftColumnBridge.column(TokenHashSetExpr(GraftColumnBridge.expression(c)))
 }
 
+/** Duplicated-span removal kernel
+  * ([[graft.ops.ext.ExactSubstr.trimSpans]]'s hot loop): drops every
+  * token whose 1-based position falls inside any `[span_start, span_end]`
+  * range and space-joins the survivors — the codegen'd equivalent of
+  * `concat_ws(" ", filter(tokens(text), (t, i) => !exists(spans, ...)))`.
+  * Same O(tokens × spans) probe, but as a static loop over primitive
+  * long arrays inside whole-stage codegen: the interpreted form allocates
+  * a `UTF8String` per token and evaluates a boxed lambda tree per
+  * (token, span). Spans-per-doc is small by construction (maximal merged
+  * islands), so the probe stays linear in practice. */
+case class TrimSpansExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType,
+    ArrayType(StructType(Seq(
+      StructField("span_start", LongType),
+      StructField("span_end", LongType)))))
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(text: Any, spans: Any): Any =
+    TokenHash.trimSpans(text.asInstanceOf[UTF8String], spans.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.TokenHash.trimSpans($t, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_trim_spans"
+}
+
+object TrimSpansExpr {
+  /** Column-level entry point: `trim_spans($"text", $"spans")`. */
+  def trim_spans(text: Column, spans: Column): Column =
+    GraftColumnBridge.column(TrimSpansExpr(
+      GraftColumnBridge.expression(text), GraftColumnBridge.expression(spans)))
+}
+
 /** Static kernels shared by interpreted eval and generated code.
   *
   * Tokenization reproduces `split(trim(text), "\s+")` exactly:
@@ -341,6 +382,45 @@ object TokenHash {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Space-joined tokens outside every `[span_start, span_end]` 1-based
+    * token-position range — [[TrimSpansExpr]]'s runtime. The output buffer
+    * is bounded by the trimmed input length: kept token bytes plus
+    * single-space separators never exceed the original tokens plus their
+    * (≥ 1 byte) separator runs. */
+  def trimSpans(text: UTF8String, spans: ArrayData): UTF8String = {
+    val bytes = normalizedBytes(text)
+    val n = spans.numElements()
+    val starts = new Array[Long](n)
+    val ends = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = spans.getStruct(i, 2)
+      starts(i) = r.getLong(0)
+      ends(i) = r.getLong(1)
+      i += 1
+    }
+    val buf = new Array[Byte](bytes.length)
+    var outLen = 0
+    var pos = 0L // 1-based token position, incremented per visited token
+    var firstOut = true
+    forEachToken(bytes) { (from, until) =>
+      pos += 1
+      var covered = false
+      var j = 0
+      while (j < n && !covered) {
+        if (pos >= starts(j) && pos <= ends(j)) covered = true
+        j += 1
+      }
+      if (!covered) {
+        if (!firstOut) { buf(outLen) = ' '; outLen += 1 }
+        System.arraycopy(bytes, from, buf, outLen, until - from)
+        outLen += until - from
+        firstOut = false
+      }
+    }
+    UTF8String.fromBytes(buf, 0, outLen)
   }
 
   /** Distinct token hashes, first-occurrence order — matches

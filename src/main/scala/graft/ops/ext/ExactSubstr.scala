@@ -106,7 +106,12 @@ object ExactSubstr {
     * are maximal merged islands — few per doc by construction), shipped
     * to the corpus by a left join on the id; the token filter is per-row
     * array work, O(tokens × spans-per-doc), map-side after the join. No
-    * token-level explode, no second shuffle of the corpus. */
+    * token-level explode, no second shuffle of the corpus. The filter is
+    * the codegen kernel [[graft.functions.TrimSpansExpr]] — same math as
+    * the interpreted `filter(tokens, …) × exists(spans, …)` probe
+    * (equivalence spec-asserted across the tokenizer's edge cases), but a
+    * static loop over primitive span bounds instead of a boxed lambda
+    * tree per (token, span). */
   def trimSpans(
       docs: DataFrame,
       text: Column,
@@ -116,12 +121,11 @@ object ExactSubstr {
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     val sp = coalesce(col("_spans"),
       array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
-    val kept = filter(TextStats.tokens(text), (t, i) =>
-      !exists(sp, s =>
-        (i + 1).cast("long") >= s.getField("span_start") &&
-          (i + 1).cast("long") <= s.getField("span_end")))
+    // coalesce preserves the previous interpreted form's null contract:
+    // concat_ws rendered a null text's (null) token array as "", never null
     docs.join(spanArr, Seq(idCol), "left")
-      .withColumn("text_trimmed", concat_ws(" ", kept))
+      .withColumn("text_trimmed",
+        graft.functions.TrimSpansExpr.trim_spans(coalesce(text, lit("")), sp))
       .drop("_spans")
   }
 

@@ -102,6 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_trim_spans"),
+      new ExpressionInfo(
+        classOf[graft.functions.TrimSpansExpr].getName,
+        null,
+        "graft_trim_spans",
+        "graft_trim_spans(text, spans) - tokens outside [span_start, span_end] position ranges, space-joined",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_trim_spans(text, spans) takes 2 arguments")
+        graft.functions.TrimSpansExpr(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(
         classOf[SortedIntersectCountExpr].getName,

@@ -111,6 +111,40 @@ class TokenHashExprsSpec extends SparkSpec {
       .as[Option[Seq[String]]].head() === Some(Seq()))
   }
 
+  test("trim_spans kernel matches the interpreted filter×exists probe") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    // span sets per input: none, one, several, overlapping, all-covering,
+    // out-of-range — crossed with every tokenizer edge case above
+    val spanSets: Seq[Seq[(Long, Long)]] = Seq(
+      Seq.empty,
+      Seq((1L, 1L)),
+      Seq((2L, 3L)),
+      Seq((1L, 2L), (2L, 4L)), // overlap
+      Seq((1L, 999L)),         // covers everything
+      Seq((50L, 60L)))         // beyond any token
+    val rows = for {
+      (t, i) <- inputs.zipWithIndex
+      (ss, j) <- spanSets.zipWithIndex
+    } yield (i.toLong * 100 + j, t, ss.map { case (a, b) => (a, b) })
+    val df = rows.toDF("id", "text", "sp")
+      .withColumn("sp", col("sp").cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"))
+    val interp = df.select(col("id"), concat_ws(" ",
+        filter(TextStats.tokens(col("text")), (t, i) =>
+          !exists(col("sp"), s =>
+            (i + 1).cast("long") >= s.getField("span_start") &&
+              (i + 1).cast("long") <= s.getField("span_end")))).as("out"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // coalesce mirrors the operator's composition: the old concat_ws form
+    // rendered a null text as "", and trimSpans preserves that contract
+    val kernel = df.select(col("id"),
+        TrimSpansExpr.trim_spans(coalesce(col("text"), lit("")), col("sp")).as("out"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(kernel === interp)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct sets") {
     val spark2 = spark
     import spark2.implicits._
