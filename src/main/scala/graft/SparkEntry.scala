@@ -1103,6 +1103,17 @@ object SparkEntry {
           col("quality.pass").cast("long").as("pass"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- IVF-PQ: coarse cells over compressed codes, ADC probing -------
+    "q82_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfPqTopK(e, e.where(col("id") < 5),
+          numCentroids = 8, m = 4, numCodes = 16, k = 3, nprobe = 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1876,6 +1887,30 @@ object SparkEntry {
           |  CAST(FLOOR(1e9 * (cb.cdot - 2*list_dot_product(q.qv, cb.cv))) AS BIGINT) AS t
           | FROM q JOIN asg ON q.s = asg.s JOIN cb ON cb.s = asg.s AND cb.code = asg.code
           | WHERE asg.id <> q.q_id),
+          |adc AS (SELECT q_id, n_id, SUM(t) AS d FROM terms GROUP BY q_id, n_id)
+          |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
+          | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
+          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q82: IVF-PQ — q42's cosine cell CTEs select candidates, q80's
+      // fixed-point ADC ranks them; both halves already hash-gated alone
+      "q82_ivfpq_topk" ->
+        s"""$pqCommon,
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, c.cid,
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
+          | FROM e, c),
+          |cells AS (SELECT id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
+          |qcells AS (SELECT id AS q_id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim WHERE id < 5) WHERE rn <= 2),
+          |cand AS (SELECT qcells.q_id, cells.id AS n_id
+          | FROM qcells JOIN cells USING (cid) WHERE cells.id <> qcells.q_id),
+          |q AS (SELECT id AS q_id, s, sv AS qv FROM sub WHERE id < 5),
+          |terms AS (SELECT cand.q_id, cand.n_id,
+          |  CAST(FLOOR(1e9 * (cb.cdot - 2*list_dot_product(q.qv, cb.cv))) AS BIGINT) AS t
+          | FROM cand JOIN asg ON asg.id = cand.n_id
+          | JOIN cb ON cb.s = asg.s AND cb.code = asg.code
+          | JOIN q ON q.q_id = cand.q_id AND q.s = asg.s),
           |adc AS (SELECT q_id, n_id, SUM(t) AS d FROM terms GROUP BY q_id, n_id)
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)

@@ -439,6 +439,83 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** IVF-PQ: the production 100 TB ANN composition — [[ivfTopK]]'s coarse
+    * inverted-file cells over [[pqEncode]]'s compressed codes, probed with
+    * [[pqTopK]]'s asymmetric distance. A corpus row costs `8 + m` bytes in
+    * the index (cell id + codes) instead of `4·dim` for full vectors —
+    * the memory wall IVF-flat hits at scale — and a query touches only its
+    * `nprobe` cells' members, each scored with m integer table lookups.
+    *
+    * Quantization is non-residual (codes encode the vector itself, not
+    * `x − centroid` — FAISS's `by_residual=false` mode): residual encoding
+    * buys recall at equal code budget but couples every code to its cell;
+    * the non-residual form keeps codes cell-independent (re-clustering
+    * never re-encodes) and the whole operator deterministic enough to
+    * oracle-gate. Cells rank by cosine (the [[ivfTopK]] quantizer);
+    * candidates rank by the same 1e-9 fixed-point ADC as [[pqTopK]] —
+    * integer sums, order-free, engine-exact.
+    *
+    * Plan shape: ONE map-side pass over the corpus computes cell id and
+    * codes together (both against plan literals, zero corpus Exchange);
+    * the probe side broadcasts; the only shuffle is the final per-query
+    * top-k window. Same `lloydIters` contract as [[ivfTopK]]/[[pqEncode]]:
+    * 0 (default) is the deterministic oracle-gated configuration. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, m: Int, numCodes: Int, k: Int, nprobe: Int,
+      lloydIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(corpus, m, numCodes, lloydIters)
+    val sub = books.head.head._2.length
+    val centroids = corpus.where(col("id") < numCentroids)
+      .select(col("id"), col("vec")).collect()
+      .map { r =>
+        val cid = r.getAs[Number](0).longValue
+        val cvec = r.getSeq[Number](1).map(_.doubleValue)
+        (cid, cvec, math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .sortBy(_._1)
+    require(centroids.nonEmpty, s"ivfPqTopK: no corpus rows with id < $numCentroids")
+    val centArr = array(centroids.map { case (cid, cvec, cnorm) =>
+      struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
+    }: _*)
+
+    // one map-side pass: cell assignment AND codes, both against literals
+    val assigned = pqAssign(corpus, books, sub)
+      .withColumn("_vnorm", norm(col("vec")))
+      .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
+      .withColumn("_best", bestCentroid(col("_sims")))
+      .select(col("_best").getField("cid").as("cid"),
+        col("id").as("n_id"),
+        array((0 until m).map(s => col(s"_code$s")): _*).as("codes"))
+
+    var q = queries.withColumn("_v", col("vec").cast("array<double>"))
+    for (s <- 0 until m)
+      q = q
+        .withColumn(s"_qsub$s", slice(col("_v"), s * sub + 1, sub))
+        .withColumn(s"_lut$s", transform(codebookLit(books(s)),
+          c => floor(lit(1e9) *
+            (c.getField("cdot") - lit(2.0) * dot(col(s"_qsub$s"), c.getField("cvec"))))
+            .cast("long")))
+    val probes = q
+      .withColumn("_vnorm", norm(col("_v")))
+      .withColumn("_sims", centroidSims(col("_v"), col("_vnorm"), centArr))
+      .select(col("id").as("q_id"),
+        array((0 until m).map(s => col(s"_lut$s")): _*).as("_lut"),
+        explode(slice(rankedCentroids(col("_sims")), 1, nprobe)).as("_pc"))
+      .select(col("_pc").getField("cid").as("cid"), col("q_id"), col("_lut"))
+
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("_lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** Scalar int8 quantization report — the embedding-compression pass of a
     * large-scale ANN index build (4x smaller vectors; IVF probing and
     * Hamming-style prefilters run on the quantized form). `scale` MUST be

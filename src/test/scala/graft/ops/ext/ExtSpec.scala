@@ -440,6 +440,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (exact=$exact got=$got)")
   }
 
+  test("ivfPqTopK probes coarse cells and ranks by ADC over codes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // centroids = ids 0,1 (opposite corners); 10 near 0, 11 near 1.
+    // codebooks seeded from the same two ids (numCodes=2).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.2f, 0.8f)),
+      (11L, Array(0.1f, 0.8f, 0.9f, 0.1f))
+    ).toDF("id", "vec")
+    val out = Similarity.ivfPqTopK(vecs, vecs.where(col("id") === 0),
+        numCentroids = 2, m = 2, numCodes = 2, k = 1, nprobe = 1)
+      .as[(Long, Long, Int)].collect()
+    // query 0 probes its own cell {0, 10}; 10 shares 0's codes -> top ADC
+    assert(out === Array((0L, 10L, 1)))
+    // nprobe=2 widens to both cells but ADC still ranks the code-sharing
+    // neighbor first
+    val wide = Similarity.ivfPqTopK(vecs, vecs.where(col("id") === 0),
+        numCentroids = 2, m = 2, numCodes = 2, k = 3, nprobe = 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(wide.head._2 === 10L)
+    assert(wide.length === 3)
+    // one map-side pass: the corpus never shuffles before the top-k window
+    val plan = Similarity.ivfPqTopK(vecs, vecs.where(col("id") === 0),
+      numCentroids = 2, m = 2, numCodes = 2, k = 1, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
+  }
+
   test("quantizeInt8: codes, clipping, and exact error bounds") {
     val spark2 = spark
     import spark2.implicits._
