@@ -1104,6 +1104,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- curate with the composed quality gate (q73 ∘ q81) -------------
+    "q83_curate_gated" -> ((s, dir) => {
+      // q73's full curation pass with stage 2 swapped for the composed
+      // quality gate (q81's rule stack, rarity relative to the source-
+      // gated pool) — the composition of two already-hash-gated pieces,
+      // itself hash-gated
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val pool = docs.where(col("doc_id") % 37 =!= 0)
+      graft.pipeline.Curation.curate(pool, col("text"), "doc_id", "source", bench,
+          minDocs = 20, minAlphaBp = 8100, numHashes = 2,
+          maxBucketSize = 1000, n = 8,
+          gate = Some(TextStats.QualityThresholds(
+            minTokens = 20, maxTokens = 100000, minAlphaBp = 8150,
+            maxPii = 0, minDistinctBp = 3500, maxTopTokenBp = 1200,
+            maxMeanRarity = Some(32000000L), rarityTopV = 100)))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- IVF-PQ: coarse cells over compressed codes, ADC probing -------
     "q82_ivfpq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1891,6 +1919,66 @@ object SparkEntry {
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q83: q73's chain with the PII stage replaced by the composed
+      // quality gate (q81's integer rule stack over the source-gated pool
+      // s1 — rarity vocabulary and total come from s1, mirroring the
+      // operator's input frame); everything downstream is q73 verbatim
+      "q83_curate_gated" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang, source, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |pool AS (SELECT * FROM d WHERE doc_id % 37 <> 0),
+          |g AS (SELECT source FROM pool GROUP BY source
+          | HAVING COUNT(*) >= 20
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8100),
+          |s1 AS (SELECT * FROM pool WHERE source IN (SELECT source FROM g)),
+          |tok1 AS (SELECT doc_id, unnest($toks) AS w FROM s1),
+          |dc1 AS (SELECT doc_id, w, COUNT(*) AS c FROM tok1 GROUP BY doc_id, w),
+          |rep1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd,
+          |  CAST(SUM(c) AS BIGINT) AS nt, CAST(MAX(c) AS BIGINT) AS mx
+          | FROM dc1 GROUP BY doc_id),
+          |cnt1 AS (SELECT w, COUNT(*) AS c FROM tok1 GROUP BY w),
+          |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt1),
+          |v1 AS (SELECT w, c FROM cnt1 ORDER BY c DESC, w LIMIT 100),
+          |rs1 AS (SELECT t.doc_id, CAST(SUM(COALESCE((1000000 * n1.n_total) // v1.c,
+          |   1000000 * n1.n_total)) AS BIGINT) AS rsum, COUNT(*) AS rtok
+          | FROM tok1 t LEFT JOIN v1 USING (w) CROSS JOIN n1 GROUP BY t.doc_id),
+          |base1 AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS ntok,
+          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+          |  CAST(length(text) AS BIGINT) AS nc,
+          |  CAST($piiCount AS BIGINT) AS npii
+          | FROM s1),
+          |s2 AS (SELECT s1.* FROM s1 JOIN base1 USING (doc_id)
+          |  LEFT JOIN rep1 USING (doc_id) LEFT JOIN rs1 USING (doc_id)
+          | WHERE base1.ntok >= 20 AND base1.ntok <= 100000
+          |  AND base1.na * 10000 >= base1.nc * 8150
+          |  AND base1.npii <= 0
+          |  AND COALESCE(rep1.nd * 10000 >= rep1.nt * 3500 AND rep1.mx * 10000 <= rep1.nt * 1200, TRUE)
+          |  AND COALESCE(rs1.rsum <= rs1.rtok * 32000000, TRUE)),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ex)),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM s3),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM s3
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cc AS (SELECT id, MIN(lab) AS canon FROM reach GROUP BY id),
+          |s4 AS (SELECT s3.* FROM s3 JOIN cc ON s3.doc_id = cc.id AND s3.doc_id = cc.canon),
+          |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM d WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          |  FROM s4) x WHERE ngh IN (SELECT ngh FROM bg))
+          |SELECT doc_id, lang, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // q82: IVF-PQ — q42's cosine cell CTEs select candidates, q80's
       // fixed-point ADC ranks them; both halves already hash-gated alone
       "q82_ivfpq_topk" ->
