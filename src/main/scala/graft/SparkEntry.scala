@@ -1142,6 +1142,17 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("q_id"), col("rnk"))
     }),
+
+    // ---- residual IVF-PQ: codes encode x − centroid (by_residual) ------
+    "q84_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfPqResidualTopK(e, e.where(col("id") < 5),
+          numCentroids = 8, m = 4, numCodes = 16, k = 3, nprobe = 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2000,6 +2011,53 @@ object SparkEntry {
           | JOIN cb ON cb.s = asg.s AND cb.code = asg.code
           | JOIN q ON q.q_id = cand.q_id AND q.s = asg.s),
           |adc AS (SELECT q_id, n_id, SUM(t) AS d FROM terms GROUP BY q_id, n_id)
+          |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
+          | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
+          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q84: residual IVF-PQ — same cell CTEs as q82, but codebooks/codes
+      // live in residual space (rv = v − cell centroid) and the ADC adds
+      // the per-(query, cell) constant ‖q−c‖²; every distance term is a
+      // 1e-9-floored BIGINT, so the ranking is integer-exact. A candidate
+      // reaches a query only through its OWN cell (cells is an argmax per
+      // id), so (q_id, n_id) pairs are unique and MIN(ct) is that cell's ct.
+      "q84_ivfpq_residual" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, c.cid,
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
+          | FROM e, c),
+          |cells AS (SELECT id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
+          |r AS (SELECT e.id, cells.cid,
+          |  list_transform(range(64), i -> e.v[i+1] - c.cv[i+1]) AS rv
+          | FROM e JOIN cells ON e.id = cells.id JOIN c ON c.cid = cells.cid),
+          |rsub AS (SELECT id, cid, s, rv[(s*16+1):((s+1)*16)] AS rsv FROM r, range(4) rr(s)),
+          |cb AS (SELECT s, rsv AS cv, list_dot_product(rsv, rsv) AS cdot,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY id) - 1 AS BIGINT) AS code
+          | FROM rsub WHERE id < 16),
+          |asg AS (SELECT id, s, code FROM (
+          | SELECT rsub.id, rsub.s, cb.code,
+          |  ROW_NUMBER() OVER (PARTITION BY rsub.id, rsub.s
+          |   ORDER BY cb.cdot - 2*list_dot_product(rsub.rsv, cb.cv), cb.code) AS rn
+          | FROM rsub JOIN cb ON rsub.s = cb.s) WHERE rn = 1),
+          |qcells AS (SELECT id AS q_id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim WHERE id < 5) WHERE rn <= 2),
+          |qr AS (SELECT qcells.q_id, qcells.cid,
+          |  list_transform(range(64), i -> e.v[i+1] - c.cv[i+1]) AS qrv
+          | FROM qcells JOIN e ON e.id = qcells.q_id JOIN c ON c.cid = qcells.cid),
+          |qsub AS (SELECT q_id, cid, s, qrv[(s*16+1):((s+1)*16)] AS qsv FROM qr, range(4) rr(s)),
+          |cellt AS (SELECT q_id, cid, CAST(FLOOR(1e9 * list_dot_product(qrv, qrv)) AS BIGINT) AS ct FROM qr),
+          |cand AS (SELECT qcells.q_id, qcells.cid, cells.id AS n_id
+          | FROM qcells JOIN cells USING (cid) WHERE cells.id <> qcells.q_id),
+          |terms AS (SELECT cand.q_id, cand.n_id, cand.cid,
+          |  CAST(FLOOR(1e9 * (cb.cdot - 2*list_dot_product(qsub.qsv, cb.cv))) AS BIGINT) AS t
+          | FROM cand JOIN asg ON asg.id = cand.n_id
+          | JOIN cb ON cb.s = asg.s AND cb.code = asg.code
+          | JOIN qsub ON qsub.q_id = cand.q_id AND qsub.cid = cand.cid AND qsub.s = asg.s),
+          |adc AS (SELECT t.q_id, t.n_id, MIN(cellt.ct) + SUM(t.t) AS d
+          | FROM terms t JOIN cellt ON cellt.q_id = t.q_id AND cellt.cid = t.cid
+          | GROUP BY t.q_id, t.n_id)
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),

@@ -363,9 +363,10 @@ object Similarity {
     * constant within an argmin — so `dist = cdot - 2·<x_s, c>`. */
   private[ext] def pqAssign(
       corpus: DataFrame,
-      books: Array[Array[(Int, Seq[Double], Double)]], sub: Int): DataFrame = {
+      books: Array[Array[(Int, Seq[Double], Double)]], sub: Int,
+      vecCol: String = "vec"): DataFrame = {
     val m = books.length
-    var df = corpus.withColumn("_v", col("vec").cast("array<double>"))
+    var df = corpus.withColumn("_v", col(vecCol).cast("array<double>"))
     for (s <- 0 until m) {
       df = df
         .withColumn(s"_sub$s", slice(col("_v"), s * sub + 1, sub))
@@ -509,6 +510,132 @@ object Similarity {
     broadcast(probes).join(assigned, Seq("cid"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("adc", aggregate(
+        zip_with(col("_lut"), col("codes"), (l, c) => element_at(l, c + 1)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
+  /** The `cvec` of the centroid-literal entry whose cid matches `cidCol` —
+    * a K-element map-side scan of the plan literal, no join. */
+  private def centroidVecFor(centArr: Column, cidCol: Column): Column =
+    element_at(filter(centArr, c => c.getField("cid") === cidCol), 1)
+      .getField("cvec")
+
+  /** Residual IVF-PQ (FAISS's `by_residual=true` mode): codes encode
+    * `x − centroid(x)` instead of `x`. At equal code budget the residual
+    * form is strictly finer — residual magnitudes are bounded by cell
+    * radii, so the same `numCodes` entries cover a much smaller volume —
+    * which is why production FAISS defaults to it. The price is coupling:
+    * every code is meaningful only relative to its cell, so the per-query
+    * ADC lookup table becomes per-(query, probed cell) — `nprobe` LUTs per
+    * query instead of one — and re-clustering forces re-encoding.
+    *
+    * Determinism: coarse centroids are the first `numCentroids` corpus
+    * vectors and codebooks are seeded from the first `numCodes` vectors'
+    * RESIDUALS (each seed's cell computed driver-side with the exact
+    * engine fold order, divide guard, and smaller-cid tie-break), so the
+    * whole operator is oracle-exact. Ranking distance for candidate n in
+    * cell c is the exact expansion `‖q−x̂‖² = ‖q−c‖² − 2·<q−c, r̂> + ‖r̂‖²`
+    * (x̂ = c + r̂): the per-cell constant `‖q−c‖²` and each subspace term
+    * are 1e-9 fixed-point floored LONGs — integer sums, order-free,
+    * engine-portable (the [[pqTopK]] trick, per cell).
+    *
+    * Plan shape matches [[ivfPqTopK]]: one map-side corpus pass computes
+    * cell id, residual, and codes together against plan literals (zero
+    * corpus Exchange); probes broadcast with their per-cell LUTs; the only
+    * shuffle is the final per-query top-k window. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame, queries: DataFrame,
+      numCentroids: Int, m: Int, numCodes: Int, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus.where(col("id") < numCentroids)
+      .select(col("id"), col("vec")).collect()
+      .map { r =>
+        val cid = r.getAs[Number](0).longValue
+        val cvec = r.getSeq[Number](1).map(_.doubleValue)
+        (cid, cvec, math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .sortBy(_._1)
+    require(centroids.nonEmpty, s"ivfPqResidualTopK: no corpus rows with id < $numCentroids")
+    val seeds = corpus.where(col("id") < numCodes)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Number](1).map(_.doubleValue)))
+      .sortBy(_._1)
+    require(seeds.nonEmpty, s"ivfPqResidualTopK: no corpus rows with id < $numCodes")
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"ivfPqResidualTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // Driver-side best cell for each codebook seed: the same sequential
+    // product fold, zero-denominator guard (-1), and strict-> smaller-cid
+    // tie-break as the engine's centroidSims/bestCentroid — the doubles
+    // (and therefore the seed residuals baked into the codebook literal)
+    // are bit-identical to what the engine would compute.
+    def nearestCentroidVec(v: Seq[Double]): Seq[Double] = {
+      val vn = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      var bestVec = centroids.head._2
+      var bestSim = Double.NegativeInfinity
+      for ((_, cv, cn) <- centroids) {
+        val d = v.iterator.zip(cv.iterator).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val den = vn * cn
+        val sim = if (den == 0.0) -1.0 else d / den
+        if (sim > bestSim) { bestSim = sim; bestVec = cv }
+      }
+      bestVec
+    }
+    val books: Array[Array[(Int, Seq[Double], Double)]] = Array.tabulate(m) { s =>
+      seeds.zipWithIndex.map { case ((_, v), j) =>
+        val cv = nearestCentroidVec(v)
+        val rsv = v.iterator.zip(cv.iterator).map { case (x, c) => x - c }
+          .toIndexedSeq.slice(s * sub, (s + 1) * sub)
+        (j, rsv: Seq[Double], rsv.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }
+    val centArr = array(centroids.map { case (cid, cvec, cnorm) =>
+      struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
+    }: _*)
+
+    // one map-side pass: cell assignment, residual, AND codes — all
+    // against plan literals, zero corpus Exchange
+    val assigned = {
+      val base = corpus
+        .withColumn("_vnorm", norm(col("vec")))
+        .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
+        .withColumn("_cid", bestCentroid(col("_sims")).getField("cid"))
+        .withColumn("_r", zip_with(col("vec"), centroidVecFor(centArr, col("_cid")),
+          (x, c) => x.cast("double") - c))
+      pqAssign(base, books, sub, vecCol = "_r")
+        .select(col("_cid").as("cid"), col("id").as("n_id"),
+          array((0 until m).map(s => col(s"_code$s")): _*).as("codes"))
+    }
+
+    // probe side: explode nprobe cells per query, then build that cell's
+    // residual-space LUTs and the per-cell constant ‖q−c‖²
+    val probed = queries
+      .withColumn("_vnorm", norm(col("vec")))
+      .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
+      .select(col("id").as("q_id"), col("vec"),
+        explode(slice(rankedCentroids(col("_sims")), 1, nprobe)).as("_pc"))
+      .withColumn("cid", col("_pc").getField("cid"))
+      .withColumn("_qr", zip_with(col("vec"), centroidVecFor(centArr, col("cid")),
+        (x, c) => x.cast("double") - c))
+    var p = probed
+    for (s <- 0 until m)
+      p = p
+        .withColumn(s"_qsub$s", slice(col("_qr"), s * sub + 1, sub))
+        .withColumn(s"_lut$s", transform(codebookLit(books(s)),
+          c => floor(lit(1e9) *
+            (c.getField("cdot") - lit(2.0) * dot(col(s"_qsub$s"), c.getField("cvec"))))
+            .cast("long")))
+    val probes = p.select(col("cid"), col("q_id"),
+      floor(lit(1e9) * dot(col("_qr"), col("_qr"))).cast("long").as("_ct"),
+      array((0 until m).map(s => col(s"_lut$s")): _*).as("_lut"))
+
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+    broadcast(probes).join(assigned, Seq("cid"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", col("_ct") + aggregate(
         zip_with(col("_lut"), col("codes"), (l, c) => element_at(l, c + 1)),
         lit(0L), (acc, x) => acc + x))
       .withColumn("rnk", row_number().over(byQuery))

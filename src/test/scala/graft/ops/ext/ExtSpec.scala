@@ -470,6 +470,57 @@ class SimilaritySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
   }
 
+  test("ivfPqResidualTopK: residual codes reconstruct cell members exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // centroids = ids 0,1; codebook seeds = ids 0..3, so the residuals of
+    // 2 and 3 (cell-0 members) are codebook entries. 10 duplicates 2's
+    // vector: its residual matches seed 2's entry exactly, so querying 10
+    // reconstructs 2 with ZERO ADC error -> rank 1 ahead of the centroid
+    // itself (whose residual is the zero vector, reconstruction = c).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.2f, 0.8f)),
+      (3L, Array(1.1f, -0.1f, -0.2f, 1.2f)),
+      (10L, Array(0.9f, 0.1f, 0.2f, 0.8f)),
+      (11L, Array(1.05f, -0.05f, -0.15f, 1.15f))
+    ).toDF("id", "vec")
+    val out = Similarity.ivfPqResidualTopK(vecs, vecs.where(col("id") === 10),
+        numCentroids = 2, m = 2, numCodes = 4, k = 3, nprobe = 1)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.head._2 === 2L, out.mkString(","))
+    // corpus never shuffles before the final top-k window
+    val plan = Similarity.ivfPqResidualTopK(vecs, vecs.where(col("id") === 10),
+      numCentroids = 2, m = 2, numCodes = 4, k = 1, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length <= 1, plan)
+  }
+
+  test("residual codes beat non-residual at equal code budget on offset clusters") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two clusters far apart, members offset from their centroid by one of
+    // two patterns. Non-residual codes must spend entries covering BOTH
+    // cluster positions; residual codes only cover the (shared) offset
+    // patterns, so at numCodes=4 the residual form separates neighbors the
+    // plain form conflates.
+    def member(c: Array[Float], d: Array[Float]): Array[Float] =
+      c.zip(d).map { case (a, b) => a + b }
+    val cA = Array(10f, 0f, 0f, 10f); val cB = Array(0f, 10f, 10f, 0f)
+    val d1 = Array(0.3f, -0.3f, 0.1f, -0.1f); val d2 = Array(-0.3f, 0.3f, -0.1f, 0.1f)
+    val vecs = Seq(
+      (0L, cA), (1L, cB), (2L, member(cA, d1)), (3L, member(cA, d2)),
+      (10L, member(cA, d1)), (11L, member(cA, d2)),
+      (12L, member(cB, d1)), (13L, member(cB, d2))
+    ).toDF("id", "vec")
+    val res = Similarity.ivfPqResidualTopK(vecs, vecs.where(col("id") === 10),
+        numCentroids = 2, m = 2, numCodes = 4, k = 1, nprobe = 1)
+      .as[(Long, Long, Int)].collect()
+    // 10 == member(cA, d1) == id 2 exactly; residual ADC finds it
+    assert(res.head._2 === 2L, res.mkString(","))
+  }
+
   test("quantizeInt8: codes, clipping, and exact error bounds") {
     val spark2 = spark
     import spark2.implicits._
