@@ -1153,6 +1153,46 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("q_id"), col("rnk"))
     }),
+
+    // ---- exact per-group quantiles by rank selection -------------------
+    "q85_token_quantiles" -> ((s, dir) => {
+      // token-count distribution per language — the thresholds a curation
+      // pass cuts against. Rank selection (value at floor(p·(n−1))+1)
+      // instead of interpolating percentile: integer-exact, hash-gateable
+      graft.ops.Stats.groupQuantiles(t(s, dir, "documents"),
+          col("lang"), size(Dedup.tokens(col("text"))),
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .withColumnRenamed("group", "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // ---- token-budget data mixture (training-mix construction) ---------
+    "q86_token_budget_mix" -> ((s, dir) => {
+      // per-source token budgets floor(weight · total); identity-hash
+      // order within each source; unlisted sources drop out. Budgets are
+      // exact dyadic weights so floor() is engine-portable
+      Sampling.tokenBudgetMix(t(s, dir, "documents"),
+          key = col("doc_id"), source = col("source"),
+          tokens = size(Dedup.tokens(col("text"))),
+          totalBudget = 2000L,
+          weights = Map("src0" -> 0.5, "src1" -> 0.25, "src5" -> 0.25))
+        .select(col("doc_id"), col("source"), col("mix_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN recall@k: IVF result vs brute-force ground truth ----------
+    "q87_ann_recall" -> ((s, dir) => {
+      // the eval loop that tunes nprobe/centroid budgets: same corpus,
+      // same queries, approximate (q42's IVF config) vs exact (q25's
+      // brute cosine), hit counts in integer basis points
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.where(col("id") < 5)
+      val approx = Similarity.ivfTopK(e, queries, numCentroids = 8, k = 3, nprobe = 2)
+      val exact = Similarity.cosineTopK(queries, e, 3)
+      Similarity.recallAtK(approx, exact, 3).orderBy(col("q_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2061,6 +2101,59 @@ object SparkEntry {
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q85: rank-selection quantiles — the ::DOUBLE casts force DuckDB
+      // onto the same double multiply Spark uses (its bare 0.9 literal is
+      // DECIMAL; identical floor inputs -> identical ranks)
+      "q85_token_quantiles" ->
+        s"""WITH t AS (SELECT lang, CAST(len($toks) AS BIGINT) AS v FROM documents),
+          |r AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+          |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t)
+          |SELECT lang,
+          | MAX(CASE WHEN rn = CAST(FLOOR(0.25::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS p25,
+          | MAX(CASE WHEN rn = CAST(FLOOR(0.5::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS p50,
+          | MAX(CASE WHEN rn = CAST(FLOOR(0.75::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS p75,
+          | MAX(CASE WHEN rn = CAST(FLOOR(0.9::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS p90
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+      // q86: budgets are the Scala floor(weight·2000) values (exact
+      // dyadic weights -> 1000/500/500 on any engine); cumulative token
+      // sum in identity-hash order, ROWS frame on both sides
+      "q86_token_budget_mix" ->
+        s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS mix_tokens,
+          |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          |c AS (SELECT doc_id, source, mix_tokens,
+          |  SUM(mix_tokens) OVER (PARTITION BY source ORDER BY h, CAST(doc_id AS VARCHAR)
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+          |b AS (SELECT * FROM (VALUES ('src0', 1000), ('src1', 500), ('src5', 500)) v(source, budget))
+          |SELECT doc_id, source, mix_tokens FROM c JOIN b USING (source)
+          |WHERE cum <= budget ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q87: q42's IVF CTEs (approx) + q25's brute-force shape restricted
+      // to the same id<300 corpus (exact); hits = LEFT-JOIN match count,
+      // recall in integer basis points (floor over an exact double)
+      "q87_ann_recall" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |bs AS (SELECT q.id AS q_id, c.id AS n_id,
+          |  COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) AS cos
+          | FROM e q JOIN e c ON q.id < 5 AND q.id <> c.id),
+          |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+          |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM bs) WHERE rnk <= 3),
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, e.v, c.cid,
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
+          | FROM e, c),
+          |asg AS (SELECT id, v, cid FROM (SELECT id, v, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
+          |qp AS (SELECT id AS q_id, v AS qv, cid FROM (SELECT id, v, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim WHERE id < 5) WHERE rn <= 2),
+          |cand AS (SELECT qp.q_id, qp.qv, asg.id AS n_id, asg.v AS nv
+          | FROM qp JOIN asg ON qp.cid = asg.cid WHERE asg.id <> qp.q_id),
+          |ap AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          |  COALESCE(list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), -1.0) DESC, n_id) AS rnk
+          | FROM cand) WHERE rnk <= 3)
+          |SELECT ex.q_id, COUNT(ap.n_id) AS hits,
+          | CAST(FLOOR(COUNT(ap.n_id) * 10000 / 3) AS BIGINT) AS recall_bp
+          |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+          |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin.replace("\n", " "),
       // q81: the composed gate — each rule's CTE is the proven per-signal
       // oracle (q27/q61/q62/q76 expressions) over the SAME injected text;
       // flags are integer comparisons, so verdict parity is exact

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-dataset / per-language statistics
@@ -64,5 +64,49 @@ object Stats {
           .groupBy(col("lang"))
           .sum())
       .orderBy(col("lang"))
+  }
+
+  /** Exact per-group quantiles of an INTEGER metric by deterministic rank
+    * selection: the p-quantile of a group of n values is the value at
+    * sorted position `floor(p·(n−1)) + 1` (1-based) — the "lower"
+    * interpolation rule. Unlike `percentile`/`quantile_cont`, which
+    * interpolate BETWEEN ranks in floating point (two engines' `a+(b−a)·f`
+    * vs `a·(1−f)+b·f` disagree in the last ulp), rank selection returns an
+    * actual data value — integer-exact and engine-portable, which is what
+    * makes distribution thresholds (e.g. "cut documents below the p25
+    * token count") reproducible across the stack.
+    *
+    * Scale shape: ONE shuffle on the group key; the per-group sort is the
+    * window's spill-safe ExternalSorter, `n` comes from the same pass
+    * (count over the unordered partition), and each quantile is a
+    * conditional max in the final (tiny, one-row-per-group) aggregation.
+    * For a single global quantile over 100 TB prefer approx_percentile;
+    * this operator is for per-group thresholds where groups fit a task's
+    * sort spill budget.
+    *
+    * Output: the group column plus one BIGINT `p<NN>` column per requested
+    * quantile (NN = percent, e.g. 0.25 → `p25`). */
+  def groupQuantiles(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"groupQuantiles: quantiles must be in [0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(group.as("_gq_g"), value.cast("long").as("_gq_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_gq_g")).orderBy(col("_gq_v"))).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_gq_g"))))
+    val aggs = ps.map { p =>
+      val name = s"p${math.round(p * 100)}"
+      // floor(p·(n−1)) is exact in double for any feasible group size
+      max(when(col("_rn") ===
+        floor(lit(p) * (col("_n") - 1).cast("double")).cast("long") + 1L,
+        col("_gq_v"))).as(name)
+    }
+    ranked.groupBy(col("_gq_g")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("_gq_g", "group")
   }
 }

@@ -93,4 +93,52 @@ object Sampling {
     df.withColumn("smp_rank", row_number().over(w).cast("long"))
       .where(col("smp_rank") <= k)
   }
+
+  /** Token-budget data mixture: the "data mixing" step of a training run —
+    * given per-source mixture weights and a total token budget, select a
+    * reproducible subset of each source worth `floor(weight · budget)`
+    * tokens. Sources absent from `weights` contribute nothing (a mixture
+    * IS a whitelist). Within a source, rows are taken in identity-hash
+    * order ([[stratifiedFixedK]]'s uniform draw) until the RUNNING token
+    * total would still fit the source's budget — so the selected set is a
+    * deterministic function of row identities alone: stable across runs,
+    * engines, partitionings, and appends (a new row displaces at most the
+    * tail of its own source's take).
+    *
+    * Counting the running total in TOKENS (not rows) is the point: mixture
+    * weights in the literature (and loss accounting in training) are token
+    * shares, and per-document token counts vary by orders of magnitude.
+    *
+    * Scale shape: one shuffle on `source`; the running sum is a window
+    * cumulative sum over each source's hash-ordered stream (spill-safe
+    * sort, no buffering of the partition); everything else is map-side.
+    * The output keeps the input columns plus `mix_tokens` (the row's token
+    * count) — callers re-aggregate for realized-share reporting.
+    *
+    * `key` must uniquely identify rows, for the same reason as
+    * [[stratifiedFixedK]]. */
+  def tokenBudgetMix(
+      df: DataFrame,
+      key: Column,
+      source: Column,
+      tokens: Column,
+      totalBudget: Long,
+      weights: Map[String, Double]): DataFrame = {
+    require(totalBudget > 0, s"tokenBudgetMix: totalBudget must be > 0, got $totalBudget")
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w <= 1),
+      s"tokenBudgetMix: weights must be in [0, 1], got $weights")
+    import org.apache.spark.sql.expressions.Window
+    val budget = element_at(
+      typedLit(weights.map { case (s, w) => s -> math.floor(w * totalBudget).toLong }),
+      source)
+    val w = Window.partitionBy(source)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("mix_tokens", tokens.cast("long"))
+      .withColumn("_cum", sum(col("mix_tokens")).over(w))
+      // element_at on a missing map key is NULL (not an ANSI error);
+      // NULL <= cum is NULL -> filtered: unlisted sources drop out
+      .where(col("_cum") <= budget)
+      .drop("_cum")
+  }
 }

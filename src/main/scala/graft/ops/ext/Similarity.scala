@@ -643,6 +643,29 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Recall@k: the evaluation half of every ANN deployment — what fraction
+    * of the EXACT top-k neighbors the approximate index actually returned,
+    * per query. This is the number that tunes `nprobe`/`numCentroids`/
+    * codebook budgets in production: recall is measured on a query sample
+    * against brute-force ground truth, then the cheapest config clearing
+    * the target recall ships.
+    *
+    * Both inputs are (q_id, n_id[, rnk]) top-k results — #queries × k rows,
+    * tiny regardless of corpus size, so the join is trivially
+    * broadcastable and the measurement costs nothing next to the ground-
+    * truth scan that produced `exact`. `recall_bp` is integer basis points
+    * (floor(hits·10000/k)) — exact, engine-portable, no float averaging. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val a = approx.select(col("q_id").as("_aq"), col("n_id").as("_an"))
+    exact.select(col("q_id"), col("n_id"))
+      .join(a, col("q_id") === col("_aq") && col("n_id") === col("_an"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("_an")).as("hits"))
+      .select(col("q_id"), col("hits"),
+        floor(col("hits") * 10000 / lit(k)).cast("long").as("recall_bp"))
+  }
+
   /** Scalar int8 quantization report — the embedding-compression pass of a
     * large-scale ANN index build (4x smaller vectors; IVF probing and
     * Hamming-style prefilters run on the quantized form). `scale` MUST be

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class StatsSpec extends SparkSpec {
@@ -38,5 +40,23 @@ class StatsSpec extends SparkSpec {
       ("de", Some(2L), None),
       ("en-*", Some(1L), Some(2L)),
       ("fr", None, Some(1L))))
+  }
+
+  test("groupQuantiles selects the floor(p·(n−1))+1 rank per group") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = ((1 to 10).map(v => ("a", v)) :+ (("b", 42))).toDF("g", "v")
+    val out = Stats.groupQuantiles(df, col("g"), col("v"),
+        Seq(0.25, 0.5, 0.75, 0.9))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // a: n=10 -> ranks floor(p·9)+1 = 3,5,7,9 -> values 3,5,7,9
+    assert(out(0) === (("a", 3L, 5L, 7L, 9L)))
+    // b: n=1 -> every quantile is the single value
+    assert(out(1) === (("b", 42L, 42L, 42L, 42L)))
+    // partition-layout independence (the determinism claim)
+    val re = Stats.groupQuantiles(df.repartition(7), col("g"), col("v"),
+        Seq(0.25, 0.5, 0.75, 0.9))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
   }
 }

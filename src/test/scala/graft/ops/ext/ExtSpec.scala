@@ -521,6 +521,19 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head._2 === 2L, res.mkString(","))
   }
 
+  test("recallAtK counts exact-set hits per query in basis points") {
+    val spark2 = spark
+    import spark2.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)).toDF("q_id", "n_id", "rnk")
+    val approx = Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3),
+      (2L, 50L, 1), (2L, 51L, 2), (2L, 52L, 3)).toDF("q_id", "n_id", "rnk")
+    val out = Similarity.recallAtK(approx, exact, 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // query 1: 2/3 hits -> 6666 bp; query 2: 0/3 -> 0 bp (still reported)
+    assert(out.toSeq === Seq((1L, 2L, 6666L), (2L, 0L, 0L)))
+  }
+
   test("quantizeInt8: codes, clipping, and exact error bounds") {
     val spark2 = spark
     import spark2.implicits._
@@ -910,6 +923,28 @@ class SamplingSpec extends SparkSpec {
     val k5 = Sampling.stratifiedFixedK(df, col("id"), col("lang"), k = 5)
       .as[(Long, String, Long)].collect().map(r => (r._1, r._2)).toSet
     assert(k5.subsetOf(out.map(r => (r._1, r._2)).toSet))
+  }
+
+  test("tokenBudgetMix takes hash-ordered rows within each source budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    // md5("1") < md5("2") < md5("3") (c4ca… < c81e…? no — c4c < c81 since
+    // '4' < '8'; and both < ecc…), so source A's hash order is 1, 2, 3
+    val df = Seq(
+      (1L, "A", 4), (2L, "A", 4), (3L, "A", 4),
+      (9L, "B", 100)
+    ).toDF("id", "src", "ntok")
+    val out = Sampling.tokenBudgetMix(df, col("id"), col("src"), col("ntok"),
+        totalBudget = 20L, weights = Map("A" -> 0.5))
+      .select(col("id"), col("mix_tokens")).as[(Long, Long)].collect().sortBy(_._1)
+    // budget floor(0.5·20)=10: cumulative 4, 8, 12 -> rows 1 and 2 fit;
+    // B is not in the mixture -> dropped entirely
+    assert(out.toSeq === Seq((1L, 4L), (2L, 4L)))
+    // layout-independence: the take is a function of identities alone
+    val re = Sampling.tokenBudgetMix(df.repartition(5), col("id"), col("src"),
+        col("ntok"), totalBudget = 20L, weights = Map("A" -> 0.5))
+      .select(col("id"), col("mix_tokens")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
   }
 }
 
