@@ -1193,6 +1193,30 @@ object SparkEntry {
       val exact = Similarity.cosineTopK(queries, e, 3)
       Similarity.recallAtK(approx, exact, 3).orderBy(col("q_id"))
     }),
+
+    // ---- BPE pair statistics (tokenizer-vocab induction step) ----------
+    "q88_bpe_pairs" -> ((s, dir) => {
+      // top adjacent-char pairs over the distinct-word frequency table —
+      // the argmax of this table is the next BPE merge; (cnt, pair) order
+      // is total so the top-N cut is engine-exact
+      TextStats.bpePairStats(t(s, dir, "documents"), col("text"), topN = 30)
+    }),
+
+    // ---- quality-aware dedup-cluster representatives -------------------
+    "q89_cluster_reps" -> ((s, dir) => {
+      // q58's clusters, but each cluster elects its highest-token-count
+      // member (ties to smaller id) instead of the arbitrary min-id — the
+      // keep-the-best-copy semantics of a real curation pass
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
+        maxBucketSize = Some(1000))
+      val clusters = Components.dedupClusters(docs, pairs)
+      val quality = docs.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("score"))
+      Components.representatives(clusters, quality)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2154,6 +2178,36 @@ object SparkEntry {
           | CAST(FLOOR(COUNT(ap.n_id) * 10000 / 3) AS BIGINT) AS recall_bp
           |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
           |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin.replace("\n", " "),
+      // q88: adjacent char pairs from the DISTINCT-word frequency table;
+      // scalar range() with a column arg + 1-based slicing mirror Spark's
+      // sequence + substr exactly (both char-based, multi-byte safe)
+      "q88_bpe_pairs" ->
+        s"""WITH t AS (SELECT unnest($toks) AS w FROM documents),
+          |wf AS (SELECT w, COUNT(*) AS wc FROM t WHERE length(w) >= 2 GROUP BY w),
+          |p AS (SELECT unnest(list_transform(range(length(w)-1), i -> w[(i+1):(i+2)])) AS pair, wc FROM wf),
+          |c AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair)
+          |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 30""".stripMargin.replace("\n", " "),
+      // q89: q58's recursive-closure cluster CTEs + a per-cluster
+      // FIRST_VALUE argmax on (score DESC, doc_id) — same total order as
+      // the Spark window, so the elected representative is identical
+      "q89_cluster_reps" ->
+        s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM documents
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cl AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id),
+          |q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS score FROM documents),
+          |j AS (SELECT cl.doc_id, cl.canonical_id, q.score FROM cl JOIN q USING (doc_id)),
+          |r AS (SELECT doc_id, canonical_id,
+          |  FIRST_VALUE(doc_id) OVER (PARTITION BY canonical_id ORDER BY score DESC, doc_id) AS rep_id FROM j)
+          |SELECT doc_id, canonical_id, rep_id, CAST(doc_id = rep_id AS BIGINT) AS kept
+          |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // q81: the composed gate — each rule's CTE is the proven per-signal
       // oracle (q27/q61/q62/q76 expressions) over the SAME injected text;
       // flags are integer comparisons, so verdict parity is exact

@@ -258,4 +258,33 @@ object Components {
     }
     cc.select(col("id").as(idCol), col("comp").as("canonical_id"))
   }
+
+  /** Quality-aware cluster representatives: per dup cluster, keep the
+    * HIGHEST-QUALITY member instead of [[dedupClusters]]' arbitrary
+    * min-id canonical — the semantics a curation pass actually wants
+    * (boilerplate families keep their longest/cleanest copy, not
+    * whichever crawled first). Ties on score break to the smaller id, so
+    * the choice is deterministic on any engine.
+    *
+    * @param clusters (idCol, canonical_id) — [[dedupClusters]] output
+    * @param quality  (idCol, score) — any integer quality metric
+    * @return per input row: idCol, canonical_id, `rep_id` (the cluster's
+    *         elected representative) and `kept` (1 for the representative)
+    *
+    * Scale shape: one equi-join on the doc id (both sides row-per-doc)
+    * and ONE shuffle on canonical_id; the per-cluster argmax is a
+    * `first()` over the sorted window — WindowGroupLimit-friendly, no
+    * cluster materializes in memory. */
+  def representatives(
+      clusters: DataFrame,
+      quality: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("score").desc, col(idCol))
+    clusters.join(quality, Seq(idCol))
+      .withColumn("rep_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("canonical_id"), col("rep_id"),
+        (col(idCol) === col("rep_id")).cast("long").as("kept"))
+  }
 }

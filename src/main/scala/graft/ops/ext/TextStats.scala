@@ -346,4 +346,36 @@ object TextStats {
     qualityGate(docs, textCol, idCol, t)
       .where(col("quality.pass"))
       .drop("quality")
+
+  /** One BPE statistics pass — the counting step of tokenizer-vocabulary
+    * induction, which at corpus scale IS a distributed job: the top
+    * adjacent-character pairs over the corpus vocabulary, each pair
+    * weighted by its words' corpus frequencies (the quantity whose argmax
+    * is the next BPE merge).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT-word frequency
+    * table first (one shuffle, partial-aggregated — vocabulary is
+    * millions of rows where the corpus is billions), pairs explode from
+    * that small table only, and the pair count is a second
+    * partial-aggregated shuffle bounded by |alphabet|². Counts are BIGINT
+    * and the (cnt DESC, pair) order total, so the top-N is engine-exact.
+    *
+    * Character (not byte) pairs: both Spark `substr` and DuckDB slicing
+    * are character-based, so multi-byte text behaves identically on both
+    * engines; a production byte-level BPE would swap in a binary kernel. */
+  def bpePairStats(docs: DataFrame, textCol: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"bpePairStats: topN must be >= 1, got $topN")
+    val words = docs.select(explode(tokens(textCol)).as("w"))
+      // length >= 2: a 1-char word has no pairs (and Spark's sequence(1, 0)
+      // would count DOWN, not empty — see Dedup.shingles)
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topN)
+  }
 }

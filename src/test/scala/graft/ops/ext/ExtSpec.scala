@@ -552,6 +552,22 @@ class SimilaritySpec extends SparkSpec {
 
 class ComponentsSpec extends SparkSpec {
 
+  test("representatives elects the best-quality member per cluster") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster {1,2,3} (canonical 1), singleton {9}; 2 has the top score;
+    // 5 and 7 tie -> smaller id 5 wins in cluster {5,7} (canonical 5)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L), (5L, 5L), (7L, 5L))
+      .toDF("doc_id", "canonical_id")
+    val quality = Seq((1L, 10L), (2L, 50L), (3L, 30L), (9L, 1L), (5L, 4L), (7L, 4L))
+      .toDF("doc_id", "score")
+    val out = Components.representatives(clusters, quality)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 2L, 0L),
+      (5L, 5L, 5L, 1L), (7L, 5L, 5L, 0L), (9L, 9L, 9L, 1L)))
+  }
+
   private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20) = {
     val spark2 = spark
     import spark2.implicits._
@@ -949,6 +965,19 @@ class SamplingSpec extends SparkSpec {
 }
 
 class TextStatsSpec extends SparkSpec {
+
+  test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "low" ×3 and "lower" ×1 (classic BPE example): lo = 3+1, ow = 3+1,
+    // we = 1, er = 1; the 1-char word "a" contributes nothing
+    val docs = Seq("low low lower a", "low").toDF("text")
+    val out = TextStats.bpePairStats(docs, col("text"), topN = 10)
+      .as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("lo", 4L), ("ow", 4L), ("er", 1L), ("we", 1L)))
+    // the argmax (first row by cnt DESC, pair ASC) is the next merge
+    assert(out.head._1 === "lo")
+  }
 
   test("unigram rarity: hand-computed scores, OOV pinned to max rarity") {
     val spark2 = spark
