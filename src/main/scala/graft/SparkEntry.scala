@@ -1202,6 +1202,22 @@ object SparkEntry {
       TextStats.bpePairStats(t(s, dir, "documents"), col("text"), topN = 30)
     }),
 
+    // ---- corpus-level line dedup (C4/RefinedWeb sub-document pass) -----
+    "q90_line_dedup" -> ((s, dir) => {
+      // the corpus has no newline structure, so deterministic 8-token
+      // lines are synthesized first (the q61 injection precedent, oracle
+      // mirrors the construction); then every line keeps only its first
+      // corpus occurrence and documents are rebuilt in original order
+      val toks = Dedup.tokens(col("text"))
+      val lined = array_join(
+        transform(sequence(lit(0), ((size(toks) - 1) / 8).cast("int")),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+        "\n")
+      val docs = t(s, dir, "documents").withColumn("text", lined)
+      Dedup.dropDuplicateLines(docs, col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- quality-aware dedup-cluster representatives -------------------
     "q89_cluster_reps" -> ((s, dir) => {
       // q58's clusters, but each cluster elects its highest-token-count
@@ -2187,6 +2203,26 @@ object SparkEntry {
           |p AS (SELECT unnest(list_transform(range(length(w)-1), i -> w[(i+1):(i+2)])) AS pair, wc FROM wf),
           |c AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair)
           |SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 30""".stripMargin.replace("\n", " "),
+      // q90: same synthetic 8-token lines (list slicing over range), the
+      // first-occurrence election as a ROW_NUMBER over (md5(line)) — the
+      // window form is semantically identical to Spark's min(struct)
+      // argmin since (doc_id, pos) is unique; string_agg ORDER BY pos
+      // rebuilds in original order
+      "q90_line_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+          |d2 AS (SELECT doc_id, list_transform(range(((len(toks)-1)//8)+1),
+          |  i -> array_to_string(toks[(i*8+1):((i*8)+8)], ' ')) AS lines FROM tk),
+          |l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(lines)),
+          |    i -> struct_pack(pos := i, ln := lines[i+1]))) AS u FROM d2)),
+          |k AS (SELECT doc_id, pos, ln FROM (SELECT doc_id, pos, ln,
+          |  ROW_NUMBER() OVER (PARTITION BY md5(ln) ORDER BY doc_id, pos) AS rn FROM l) WHERE rn = 1),
+          |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |  string_agg(ln, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY doc_id),
+          |tot AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n FROM d2)
+          |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+          | COALESCE(a.n_kept, 0) AS n_kept, t.n - COALESCE(a.n_kept, 0) AS n_removed
+          |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
       // q89: q58's recursive-closure cluster CTEs + a per-cluster
       // FIRST_VALUE argmax on (score DESC, doc_id) — same total order as
       // the Spark window, so the elected representative is identical

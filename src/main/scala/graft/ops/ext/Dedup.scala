@@ -395,4 +395,54 @@ object Dedup {
       .distinct()
     newSigs.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-level exact LINE deduplication — the C4/CCNet/RefinedWeb
+    * sub-document pass that document-level dedup cannot express: nav
+    * bars, cookie banners, and license footers repeat across MILLIONS of
+    * otherwise-distinct pages, so the dedup unit must be the line. Every
+    * line keeps exactly its FIRST corpus occurrence (smallest
+    * (id, position)) and later occurrences are dropped; each document's
+    * surviving lines are rejoined in original order.
+    *
+    * Scale shape: the first-occurrence election is `min(struct(id, pos,
+    * line))` grouped by the line's md5 — a partial-aggregable min, so a
+    * boilerplate line occurring a billion times collapses to one row per
+    * task map-side BEFORE the shuffle (a window row_number formulation
+    * would instead sort every occurrence of the hottest line in one
+    * task — the exact skew this operator exists to absorb). One more
+    * shuffle regroups survivors per document; the per-document total for
+    * `n_removed` is a map-side projection of the input joined back on id.
+    * Keying on md5 means a (2⁻¹²⁸) collision aliases two lines — the
+    * standard trade of every hash-keyed dedup in this library.
+    *
+    * @return (idCol, clean_text, n_kept, n_removed); documents whose
+    *         every line was dropped return clean_text = "". */
+  def dropDuplicateLines(
+      docs: DataFrame, textCol: Column, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val lines = docs
+      .select(col(idCol), posexplode(split(textCol, qsep)).as(Seq("pos", "line")))
+    val kept = lines
+      .groupBy(md5(col("line")).as("_lh"))
+      .agg(min(struct(col(idCol), col("pos"), col("line"))).as("_w"))
+      .select(col("_w").getField(idCol).as(idCol),
+        col("_w").getField("pos").as("pos"),
+        col("_w").getField("line").as("line"))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          sep).as("clean_text"))
+    docs
+      .select(col(idCol), size(split(textCol, qsep)).cast("long").as("_n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

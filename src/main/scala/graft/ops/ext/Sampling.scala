@@ -134,10 +134,14 @@ object Sampling {
     val w = Window.partitionBy(source)
       .orderBy(md5(key.cast("string")), key.cast("string"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("mix_tokens", tokens.cast("long"))
+    // the mixture IS a whitelist — filter BEFORE the window so unlisted
+    // sources never reach the shuffle (pushes to the scan; with a
+    // source-partitioned layout this is partition pruning). The budget
+    // comparison would drop them anyway (element_at on a missing key is
+    // NULL, and NULL <= cum filters), but only after shuffling them.
+    df.where(source.isInCollection(weights.keys.toSeq))
+      .withColumn("mix_tokens", tokens.cast("long"))
       .withColumn("_cum", sum(col("mix_tokens")).over(w))
-      // element_at on a missing map key is NULL (not an ANSI error);
-      // NULL <= cum is NULL -> filtered: unlisted sources drop out
       .where(col("_cum") <= budget)
       .drop("_cum")
   }

@@ -14,6 +14,23 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, 2L), (3L, 1L)))
   }
 
+  test("dropDuplicateLines keeps each line's first corpus occurrence only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a\nb\nc"), (2L, "b\nd"), (3L, "a")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, col("text"), "doc_id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "a\nb\nc", 3L, 0L), // owns the first occurrence of all its lines
+      (2L, "d", 1L, 1L), // "b" already seen in doc 1
+      (3L, "", 0L, 1L))) // every line a dup -> empty doc, counts say why
+    // layout-independence: first occurrence is (id, pos)-min, not
+    // partition order
+    val re = Dedup.dropDuplicateLines(docs.repartition(5), col("text"), "doc_id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("identical texts share minhash signatures; disjoint texts differ") {
     val spark2 = spark
     import spark2.implicits._
