@@ -1218,6 +1218,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- adaptive quantile gate (q85's thresholds applied) -------------
+    "q91_adaptive_cut" -> ((s, dir) => {
+      // per-language p25 token-count threshold computed from the corpus
+      // itself, broadcast back, map-side cut — how production gates set
+      // thresholds (fixed cutoffs are wrong for every language at once)
+      val docs = t(s, dir, "documents")
+      val ntok = size(Dedup.tokens(col("text"))).cast("long")
+      val cuts = graft.ops.Stats.groupQuantiles(docs, col("lang"), ntok, Seq(0.25))
+        .withColumnRenamed("group", "lang")
+      docs.select(col("doc_id"), col("lang"), ntok.as("n_tokens"))
+        .join(broadcast(cuts), Seq("lang"))
+        .where(col("n_tokens") >= col("p25"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("p25"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- grouping sets (the general form behind cube/rollup) -----------
+    "q92_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // ---- quality-aware dedup-cluster representatives -------------------
     "q89_cluster_reps" -> ((s, dir) => {
       // q58's clusters, but each cluster elects its highest-token-count
@@ -2223,6 +2251,21 @@ object SparkEntry {
           |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
           | COALESCE(a.n_kept, 0) AS n_kept, t.n - COALESCE(a.n_kept, 0) AS n_removed
           |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
+      // q91: q85's p25 CTE joined back and applied as the filter
+      "q91_adaptive_cut" ->
+        s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+          |r AS (SELECT lang, n_tokens AS v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+          |  COUNT(*) OVER (PARTITION BY lang) AS n FROM t),
+          |c AS (SELECT lang,
+          |  MAX(CASE WHEN rn = CAST(FLOOR(0.25::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS p25
+          | FROM r GROUP BY lang)
+          |SELECT t.doc_id, t.lang, t.n_tokens, c.p25 FROM t JOIN c USING (lang)
+          |WHERE t.n_tokens >= c.p25 ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
+      "q92_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "),
       // q89: q58's recursive-closure cluster CTEs + a per-cluster
       // FIRST_VALUE argmax on (score DESC, doc_id) — same total order as
       // the Spark window, so the elected representative is identical

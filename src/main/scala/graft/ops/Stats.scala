@@ -85,7 +85,10 @@ object Stats {
     * sort spill budget.
     *
     * Output: the group column plus one BIGINT `p<NN>` column per requested
-    * quantile (NN = percent, e.g. 0.25 → `p25`). */
+    * quantile (NN = percent, e.g. 0.25 → `p25`). NULL metric values must
+    * be filtered upstream: engines disagree on where NULLs sort (Spark
+    * ASC puts them first, DuckDB last), so a NULL would shift every rank
+    * in its group differently per engine. */
   def groupQuantiles(
       df: DataFrame,
       group: Column,

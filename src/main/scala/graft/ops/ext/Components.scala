@@ -267,7 +267,10 @@ object Components {
     * the choice is deterministic on any engine.
     *
     * @param clusters (idCol, canonical_id) — [[dedupClusters]] output
-    * @param quality  (idCol, score) — any integer quality metric
+    * @param quality  (idCol, score) — any integer quality metric; must
+    *                 cover every clustered id (inner join: an unscored
+    *                 doc drops out of its cluster AND the output) and be
+    *                 non-null (engines disagree on NULL sort placement)
     * @return per input row: idCol, canonical_id, `rep_id` (the cluster's
     *         elected representative) and `kept` (1 for the representative)
     *

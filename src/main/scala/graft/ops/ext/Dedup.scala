@@ -416,7 +416,10 @@ object Dedup {
     * standard trade of every hash-keyed dedup in this library.
     *
     * @return (idCol, clean_text, n_kept, n_removed); documents whose
-    *         every line was dropped return clean_text = "". */
+    *         every line was dropped return clean_text = "". `textCol`
+    *         must be non-null: a NULL text explodes to zero lines but
+    *         sizes to NULL, making its n_removed NULL rather than 0 —
+    *         coalesce upstream if NULLs are possible. */
   def dropDuplicateLines(
       docs: DataFrame, textCol: Column, idCol: String,
       sep: String = "\n"): DataFrame = {
