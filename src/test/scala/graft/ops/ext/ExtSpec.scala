@@ -29,6 +29,12 @@ class DedupSpec extends SparkSpec {
     val re = Dedup.dropDuplicateLines(docs.repartition(5), col("text"), "doc_id")
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq === out.toSeq)
+    // the skew guard: the first-occurrence election is a PARTIAL min —
+    // a boilerplate line repeated across a partition collapses to one
+    // row per task before the line-hash shuffle
+    val plan = Dedup.dropDuplicateLines(docs, col("text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan)
   }
 
   test("identical texts share minhash signatures; disjoint texts differ") {
@@ -994,6 +1000,12 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("lo", 4L), ("ow", 4L), ("er", 1L), ("we", 1L)))
     // the argmax (first row by cnt DESC, pair ASC) is the next merge
     assert(out.head._1 === "lo")
+    // scale shape: two partial-aggregated shuffles (word freq, pair
+    // count) and a TakeOrdered top-N — never a global sort of the corpus
+    val plan = TextStats.bpePairStats(docs, col("text"), topN = 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).length === 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("unigram rarity: hand-computed scores, OOV pinned to max rarity") {
