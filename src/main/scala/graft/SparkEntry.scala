@@ -1218,6 +1218,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- bigram conditional rarity (count-based LM quality proxy) ------
+    "q93_bigram_rarity" -> ((s, dir) => {
+      // inverse P(w2|w1) summed per doc, integer-scaled — flags unusual
+      // word TRANSITIONS that unigram rarity (q76) cannot see
+      TextStats.bigramRarity(t(s, dir, "documents"), col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- adaptive quantile gate (q85's thresholds applied) -------------
     "q91_adaptive_cut" -> ((s, dir) => {
       // per-language p25 token-count threshold computed from the corpus
@@ -2251,6 +2259,24 @@ object SparkEntry {
           |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
           | COALESCE(a.n_kept, 0) AS n_kept, t.n - COALESCE(a.n_kept, 0) AS n_removed
           |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
+      // q93: bigram counts via struct_pack over scalar range (the q90
+      // pattern); (scale·C1(w1)) // C2(w1,w2) is pure integer division —
+      // every doc bigram exists in the counts, so no OOV branch
+      "q93_bigram_rarity" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w1 FROM documents),
+          |u AS (SELECT w1, COUNT(*) AS cnt1 FROM tok GROUP BY w1),
+          |tk AS (SELECT doc_id, $toks AS toks FROM documents),
+          |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+          |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS b FROM tk)),
+          |bi AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM p GROUP BY w1, w2),
+          |r AS (SELECT p.doc_id, (1000000 * u.cnt1) // bi.cnt2 AS rar
+          | FROM p JOIN bi USING (w1, w2) JOIN u USING (w1)),
+          |a AS (SELECT doc_id, CAST(SUM(rar) AS BIGINT) AS bigram_rarity_sum,
+          |  COUNT(*) AS n_bigrams FROM r GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.bigram_rarity_sum, 0) AS bigram_rarity_sum,
+          | COALESCE(a.n_bigrams, 0) AS n_bigrams
+          |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
       // q91: q85's p25 CTE joined back and applied as the filter
       "q91_adaptive_cut" ->
         s"""WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),

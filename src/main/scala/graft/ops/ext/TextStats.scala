@@ -347,6 +347,51 @@ object TextStats {
       .where(col("quality.pass"))
       .drop("quality")
 
+  /** Bigram conditional rarity — the count-based LM (KenLM-proxy) quality
+    * signal one order above [[unigramRarity]]: per document, the sum of
+    * `scale · C(w1) / C(w1 w2)` over its bigrams — the integer-scaled
+    * inverse of the corpus conditional probability `P(w2|w1)`. Documents
+    * whose word TRANSITIONS are unusual (shuffled text, keyword stuffing,
+    * wrong-language runs) score high even when every individual word is
+    * common — exactly the failure mode unigram rarity cannot see.
+    *
+    * All arithmetic is integer (`div` on counts), so scores are
+    * engine-exact. Every document bigram exists in the corpus counts by
+    * construction (it contributed), so there is no OOV branch; rarity is
+    * `>= scale` always, with `= scale` meaning "w1 is always followed by
+    * w2".
+    *
+    * Scale shape: two partial-aggregated count tables (unigram, bigram)
+    * and two equi joins on short token keys — the same shuffle family as
+    * tf-idf (q67); nothing broadcasts because the bigram vocabulary is
+    * corpus-sized, and nothing needs to. Docs with < 2 tokens report
+    * (0, 0). */
+  def bigramRarity(
+      docs: DataFrame, textCol: Column, idCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val toks = tokens(textCol)
+    val pairs = docs.select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("rar", expr(s"($scale * cnt1) div cnt2"))
+      .groupBy(col(idCol))
+      .agg(sum(col("rar")).as("bigram_rarity_sum"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bigram_rarity_sum"), lit(0L)).as("bigram_rarity_sum"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** One BPE statistics pass — the counting step of tokenizer-vocabulary
     * induction, which at corpus scale IS a distributed job: the top
     * adjacent-character pairs over the corpus vocabulary, each pair

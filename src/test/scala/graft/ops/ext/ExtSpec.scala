@@ -1008,6 +1008,21 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("bigramRarity: hand-computed inverse conditional probabilities") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus: "a b" x2, "a c", "x" -> C1(a)=3, C2(a,b)=2, C2(a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramRarity(docs, col("text"), "doc_id", scale = 100L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 150L, 1L), // 100*3/2 = 150: "b follows a" 2 of 3 times
+      (2L, 150L, 1L),
+      (3L, 300L, 1L), // 100*3/1 = 300: the rare transition scores higher
+      (4L, 0L, 0L))) // <2 tokens -> no bigrams, reported as zeros
+  }
+
   test("unigram rarity: hand-computed scores, OOV pinned to max rarity") {
     val spark2 = spark
     import spark2.implicits._
