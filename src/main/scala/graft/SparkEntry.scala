@@ -1218,6 +1218,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- curate with best-copy election (q73 ∘ q89) --------------------
+    "q94_curate_best" -> ((s, dir) => {
+      // q73's full pass with stage 4 electing each near-dup cluster's
+      // highest-token-count member instead of the min id — the two
+      // already-gated pieces composed, itself hash-gated
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val pool = docs.where(col("doc_id") % 37 =!= 0)
+      graft.pipeline.Curation.curate(pool, col("text"), "doc_id", "source", bench,
+          minDocs = 20, minAlphaBp = 8100, numHashes = 2,
+          maxBucketSize = 1000, n = 8, keepBest = true)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- bigram conditional rarity (count-based LM quality proxy) ------
     "q93_bigram_rarity" -> ((s, dir) => {
       // inverse P(w2|w1) summed per doc, integer-scaled — flags unusual
@@ -2259,6 +2282,50 @@ object SparkEntry {
           |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
           | COALESCE(a.n_kept, 0) AS n_kept, t.n - COALESCE(a.n_kept, 0) AS n_removed
           |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", " "),
+      // q94: q73's CTE chain with the keep stage swapped for q89's
+      // FIRST_VALUE election over (token count DESC, doc_id) — scores
+      // computed over the same injected s3 text the Spark side sees
+      "q94_curate_best" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang, source, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |pool AS (SELECT * FROM d WHERE doc_id % 37 <> 0),
+          |g AS (SELECT source FROM pool GROUP BY source
+          | HAVING COUNT(*) >= 20
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8100),
+          |s1 AS (SELECT * FROM pool WHERE source IN (SELECT source FROM g)),
+          |s2 AS (SELECT * FROM s1
+          | WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) = 0
+          |  AND len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) = 0
+          |  AND len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,}[0-9]')) = 0),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ex)),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM s3),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM s3
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cc AS (SELECT id, MIN(lab) AS canon FROM reach GROUP BY id),
+          |q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS score FROM s3),
+          |rep AS (SELECT cc.id AS doc_id,
+          |  FIRST_VALUE(cc.id) OVER (PARTITION BY cc.canon ORDER BY q.score DESC, cc.id) AS rep_id
+          | FROM cc JOIN q ON q.doc_id = cc.id),
+          |s4 AS (SELECT s3.* FROM s3 JOIN rep ON s3.doc_id = rep.doc_id AND rep.doc_id = rep.rep_id),
+          |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM d WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          |  FROM s4) x WHERE ngh IN (SELECT ngh FROM bg))
+          |SELECT doc_id, lang, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // q93: bigram counts via struct_pack over scalar range (the q90
       // pattern); (scale·C1(w1)) // C2(w1,w2) is pure integer division —
       // every doc bigram exists in the counts, so no OOV branch

@@ -51,7 +51,8 @@ object Curation {
       numHashes: Int = 2,
       maxBucketSize: Int = 1000,
       n: Int = 8,
-      gate: Option[TextStats.QualityThresholds] = None): DataFrame = {
+      gate: Option[TextStats.QualityThresholds] = None,
+      keepBest: Boolean = false): DataFrame = {
 
     // 1. source gate: survivor sources broadcast into a semi join
     val gated = docs.join(
@@ -84,13 +85,26 @@ object Curation {
     val exactDeduped = piiFree.join(keepers, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 4. near-dup clusters: guarded band pairs -> components -> canonicals
+    // 4. near-dup clusters: guarded band pairs -> components -> keepers.
+    // Default keeps each cluster's min-id canonical; `keepBest` instead
+    // elects the highest-token-count member ([[Components.representatives]]
+    // — keep the longest/cleanest copy, not whichever crawled first)
     val sig = Dedup.withMinhashSignature(exactDeduped, textCol, numHashes)
     val pairs = Dedup.lshCandidatePairs(sig, idCol,
       (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize))
-    val canonical = Components.dedupClusters(exactDeduped, pairs, idCol)
-      .where(col(idCol) === col("canonical_id"))
-      .select(col(idCol))
+    val clusters = Components.dedupClusters(exactDeduped, pairs, idCol)
+    val canonical =
+      if (keepBest) {
+        val quality = exactDeduped.select(col(idCol),
+          size(Dedup.tokens(textCol)).cast("long").as("score"))
+        Components.representatives(clusters, quality, idCol)
+          .where(col("kept") === 1L)
+          .select(col(idCol))
+      } else {
+        clusters
+          .where(col(idCol) === col("canonical_id"))
+          .select(col(idCol))
+      }
     val nearDeduped = exactDeduped.join(canonical, Seq(idCol), "left_semi")
 
     // 5. decontaminate against the benchmark.

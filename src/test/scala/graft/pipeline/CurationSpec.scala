@@ -37,6 +37,25 @@ class CurationSpec extends SparkSpec {
     assert(noBench === Array(1L, 5L))
   }
 
+  test("curate keepBest elects the longest cluster member, not the min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 and 3 share a token set (same minhash band); 3 has MORE tokens
+    // (a superset doc), so keepBest elects 3 where the default keeps 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha alpha beta", "good"),
+      (7L, "completely different words live in this document here", "good")
+    ).toDF("doc_id", "text", "source")
+    val noBench = Seq.empty[String].toDF("text")
+    def run(best: Boolean) = Curation.curate(docs, col("text"), "doc_id", "source",
+        noBench, minDocs = 1, minAlphaBp = 5000, numHashes = 2,
+        maxBucketSize = 100, n = 8, keepBest = best)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(run(false) === Array(1L, 7L))
+    assert(run(true) === Array(3L, 7L))
+  }
+
   test("curate with the composed quality gate drops what PII-only keeps") {
     val spark2 = spark
     import spark2.implicits._
