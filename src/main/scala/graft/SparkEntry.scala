@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Packing, Sampling, Similarity, TextStats}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Packing, Sampling, Similarity, TextStats, Web}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -1292,6 +1292,59 @@ object SparkEntry {
       Components.representatives(clusters, quality)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- Matryoshka truncation recall ----------------------------------
+    "q95_mrl_recall" -> ((s, dir) => {
+      // recall@3 of a 16-dim prefix-slice index vs the full 64-dim ground
+      // truth — the measurement that picks a serving dimension
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.mrlRecallAtK(e.where(col("id") < 5), e, d = 16, k = 3)
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- vocabulary coverage / OOV rate per source ----------------------
+    "q96_vocab_coverage" -> ((s, dir) => {
+      // top-200 corpus vocabulary; per-source out-of-vocabulary rate in
+      // integer basis points — the tokenizer-fit signal per corpus slice
+      TextStats.vocabCoverage(t(s, dir, "documents"), col("text"), "source", 200)
+        .orderBy(col("source"))
+    }),
+
+    // ---- canonical-URL inventory (C4-style web dedup key) ---------------
+    "q97_url_inventory" -> ((s, dir) => {
+      // synthetic URL injection (the q61 PII precedent): %3 docs cite a
+      // noisy https://WWW...?utm#frag spelling, %4 docs the bare-host
+      // http spelling with a trailing slash — both collapse to ONE
+      // canonical key, which is the whole point of the operator
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" see HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+            lit(".COM/Wiki/Page"), (col("doc_id") % 11).cast("string"),
+            lit("?utm_source=x#sec")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" at http://example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/Wiki/Page"), (col("doc_id") % 11).cast("string"), lit("/")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      Web.urlInventory(docs, col("text"), "doc_id")
+        .select(col("canonical"), col("domain"), col("n_refs"),
+          col("n_forms"), col("n_docs"), col("first_doc"))
+        .orderBy(col("canonical"))
+    }),
+
+    // ---- IVF cell-balance diagnostic ------------------------------------
+    "q98_ivf_balance" -> ((s, dir) => {
+      // per-cell population under q42's exact assignment (first-8 seeds,
+      // argmax cosine, ties to smaller cid) — the index-health histogram
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfCellStats(e, numCentroids = 8)
+        .orderBy(col("cid"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2488,6 +2541,75 @@ object SparkEntry {
           | FROM documents),
           |c AS (SELECT ngh, COUNT(*) AS n_occ FROM ng GROUP BY ngh HAVING COUNT(*) >= 5)
           |SELECT ngh, n_occ FROM c ORDER BY n_occ DESC, ngh LIMIT 20""".stripMargin.replace("\n", " "),
+      // q95: the truncated ranking re-runs q25's brute-force CTE over
+      // v[1:16] prefix slices; recall join is q87's shape verbatim
+      "q95_mrl_recall" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |ex AS (SELECT q_id, n_id FROM (SELECT q.id AS q_id, c.id AS n_id,
+          |  ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+          |   COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) DESC, c.id) AS rnk
+          | FROM e q JOIN e c ON q.id < 5 AND q.id <> c.id) WHERE rnk <= 3),
+          |t AS (SELECT id, v[1:16] AS tv FROM e),
+          |ap AS (SELECT q_id, n_id FROM (SELECT q.id AS q_id, c.id AS n_id,
+          |  ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+          |   COALESCE(list_dot_product(q.tv, c.tv) / (sqrt(list_dot_product(q.tv, q.tv)) * sqrt(list_dot_product(c.tv, c.tv))), -1.0) DESC, c.id) AS rnk
+          | FROM t q JOIN t c ON q.id < 5 AND q.id <> c.id) WHERE rnk <= 3)
+          |SELECT ex.q_id, COUNT(ap.n_id) AS hits,
+          | CAST(FLOOR(COUNT(ap.n_id) * 10000 / 3) AS BIGINT) AS recall_bp
+          |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+          |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin.replace("\n", " "),
+      // q96: q76's token/vocab CTEs with a LIMIT 200 cut; coverage is a
+      // left join against the vocab and the OOV rate is BIGINT integer
+      // division — engine-exact end to end
+      "q96_vocab_coverage" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+          |v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+          |  ORDER BY c DESC, w LIMIT 200)),
+          |a AS (SELECT t.source, COUNT(*) AS n_tokens, COUNT(v.w) AS cov
+          | FROM tok t LEFT JOIN v ON t.w = v.w GROUP BY t.source)
+          |SELECT source, n_tokens, n_tokens - cov AS n_oov,
+          | (n_tokens - cov) * 10000 // n_tokens AS oov_bp
+          |FROM a ORDER BY source""".stripMargin.replace("\n", " "),
+      // q97: same injection arithmetic as the Spark side; every canonical
+      // step is an anchored/end-consuming regexp, so DuckDB's
+      // replace-first and Spark's replace-all coincide (plain string —
+      // the regex backslashes must not pass through s-interpolation)
+      "q97_url_inventory" ->
+        """WITH d AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 3 = 0 THEN ' see HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+          |   || '.COM/Wiki/Page' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=x#sec' ELSE '' END ||
+          |  CASE WHEN doc_id % 4 = 0 THEN ' at http://example' || CAST(doc_id % 7 AS VARCHAR)
+          |   || '.com/Wiki/Page' || CAST(doc_id % 11 AS VARCHAR) || '/' ELSE '' END AS text
+          | FROM documents),
+          |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+          |  '[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+(:[0-9]+)?(/[^\s]*)?', 0)) AS url FROM d),
+          |r AS (SELECT doc_id, url,
+          |  regexp_replace(regexp_replace(url, '[?#].*', ''), '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS rest FROM u),
+          |c AS (SELECT doc_id, url,
+          |  regexp_replace(lower(regexp_extract(rest, '^[^/]*')), '^www\.', '')
+          |   || regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/$', '') AS canonical FROM r),
+          |g AS (SELECT canonical, COUNT(*) AS n_refs, COUNT(DISTINCT url) AS n_forms,
+          |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+          | FROM c GROUP BY canonical)
+          |SELECT canonical,
+          | regexp_extract(regexp_extract(canonical, '^[^/]*'), '[A-Za-z0-9-]+\.[A-Za-z0-9-]+$') AS domain,
+          | n_refs, n_forms, n_docs, first_doc
+          |FROM g ORDER BY canonical""".stripMargin.replace("\n", " "),
+      // q98: q42's assignment CTE verbatim; the share is BIGINT integer
+      // division against the one-row corpus count
+      "q98_ivf_balance" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, c.cid,
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
+          | FROM e, c),
+          |asg AS (SELECT id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim) WHERE rn = 1),
+          |n AS (SELECT COUNT(*) AS total FROM e)
+          |SELECT cid, COUNT(*) AS n_vecs, COUNT(*) * 10000 // n.total AS share_bp
+          |FROM asg CROSS JOIN n GROUP BY cid, n.total ORDER BY cid""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -137,6 +137,36 @@ object Similarity {
     aggregate(simsCol, element_at(simsCol, 1),
       (acc, c) => when(c.getField("sim") > acc.getField("sim"), c).otherwise(acc))
 
+  /** First-`numCentroids` corpus rows as the deterministic coarse-quantizer
+    * seed — the K-row driver-side collect every IVF path shares (the same
+    * bound as loading any trained quantizer model). Element-type agnostic:
+    * float or double corpora both widen to double here, which is
+    * bit-identical to what [[dot]]'s `cast("double")` does to a float
+    * column — so the embedded literal produces the same sims as joining
+    * the original rows would. */
+  private def collectSeedCentroids(
+      corpus: DataFrame, numCentroids: Int,
+      caller: String): Array[(Long, Seq[Double], Double)] = {
+    val cents = corpus.where(col("id") < numCentroids)
+      .select(col("id"), col("vec")).collect()
+      .map { r =>
+        val cid = r.getAs[Number](0).longValue
+        val cvec = r.getSeq[Number](1).map(_.doubleValue)
+        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+        (cid, cvec, cnorm)
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"$caller: no corpus rows with id < $numCentroids")
+    cents
+  }
+
+  /** Centroid set as the `array<struct<cid, cvec, cnorm>>` plan literal
+    * [[centroidSims]] folds over. */
+  private def centroidArr(cents: Array[(Long, Seq[Double], Double)]): Column =
+    array(cents.map { case (cid, cvec, cnorm) =>
+      struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
+    }: _*)
+
   /** IVF (inverted-file) top-k: the other classic ANN scale path.
     *
     * Coarse quantizer: the first `numCentroids` corpus vectors act as
@@ -189,28 +219,11 @@ object Similarity {
       broadcastProbes: Boolean = true,
       lloydIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var centroids = corpus.where(col("id") < numCentroids)
-      .select(col("id"), col("vec")).collect()
-      .map { r =>
-        val cid = r.getAs[Number](0).longValue
-        // Element-type agnostic: float or double corpora both widen to
-        // double here, which is bit-identical to what dot()'s
-        // cast("double") does to a float column — so the embedded literal
-        // produces the same sims as joining the original rows would.
-        val cvec = r.getSeq[Number](1).map(_.doubleValue)
-        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
-        (cid, cvec, cnorm)
-      }
-      .sortBy(_._1)
-    require(centroids.nonEmpty, s"ivfTopK: no corpus rows with id < $numCentroids")
-    def centLit(cents: Array[(Long, Seq[Double], Double)]): Column =
-      array(cents.map { case (cid, cvec, cnorm) =>
-        struct(lit(cid).as("cid"), typedLit(cvec).as("cvec"), lit(cnorm).as("cnorm"))
-      }: _*)
+    var centroids = collectSeedCentroids(corpus, numCentroids, "ivfTopK")
     for (_ <- 1 to lloydIters) {
       val means = corpus
         .withColumn("_vnorm", norm(col("vec")))
-        .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centLit(centroids)))
+        .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centroidArr(centroids)))
         .select(bestCentroid(col("_sims")).getField("cid").as("cid"),
           posexplode(col("vec").cast("array<double>")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
@@ -226,7 +239,7 @@ object Similarity {
         }
       }
     }
-    val centArr = centLit(centroids)
+    val centArr = centroidArr(centroids)
 
     val assigned = corpus
       .withColumn("_vnorm", norm(col("vec")))
@@ -664,6 +677,55 @@ object Similarity {
       .agg(count(col("_an")).as("hits"))
       .select(col("q_id"), col("hits"),
         floor(col("hits") * 10000 / lit(k)).cast("long").as("recall_bp"))
+  }
+
+  /** Matryoshka-truncation recall: [[recallAtK]] of brute-force cosine over
+    * only the FIRST `d` dimensions of each vector against full-dimension
+    * ground truth. Matryoshka-representation-learned embeddings
+    * (Kusupati et al. 2022) front-load information so a prefix slice is a
+    * cheap lower-dimensional index; this measures exactly what that slice
+    * costs in recall — the number that picks the serving dimension for a
+    * 100 TB index (storage and dot-product cost scale linearly with d).
+    *
+    * Truncation is a per-row `slice` — map-side, no data copy beyond the
+    * projection — and both rankings are [[cosineTopK]]'s broadcast-queries
+    * shape, so the whole evaluation adds nothing to the ground-truth scan
+    * it already needs. Same double-widening as every cosine path, so the
+    * truncated ranking is engine-exact. */
+  def mrlRecallAtK(queries: DataFrame, corpus: DataFrame, d: Int, k: Int): DataFrame = {
+    require(d >= 1, s"mrlRecallAtK: d must be >= 1, got $d")
+    def trunc(df: DataFrame) = df.withColumn("vec", slice(col("vec"), 1, d))
+    recallAtK(
+      cosineTopK(trunc(queries), trunc(corpus), k),
+      cosineTopK(queries, corpus, k), k)
+  }
+
+  /** IVF cell-population diagnostic: per-cell vector counts and integer
+    * basis-point shares under the SAME assignment [[ivfTopK]] uses (first-K
+    * seed centroids, argmax cosine, ties to the smaller cid). Cell balance
+    * is the health metric of an inverted-file index — a mega-cell means
+    * probe latency skew (the q42 worst case) and a starved cell wastes its
+    * centroid; production tunes `numCentroids`/training on exactly this
+    * histogram.
+    *
+    * Scale shape: the centroid literal is the K-row driver-side bound every
+    * IVF path shares; assignment is the map-side fold with zero corpus
+    * Exchange; the count is one partial-aggregated shuffle of K-key rows;
+    * the total joins back as a one-row broadcast scalar (the
+    * [[graft.ops.ext.TextStats]] crossJoin precedent). Empty cells have no
+    * row — their absence IS the starvation signal. `share_bp` is integer
+    * division, engine-exact. */
+  def ivfCellStats(corpus: DataFrame, numCentroids: Int): DataFrame = {
+    val centArr = centroidArr(collectSeedCentroids(corpus, numCentroids, "ivfCellStats"))
+    val counts = corpus
+      .withColumn("_vnorm", norm(col("vec")))
+      .withColumn("_sims", centroidSims(col("vec"), col("_vnorm"), centArr))
+      .select(bestCentroid(col("_sims")).getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val total = corpus.agg(count(lit(1)).as("_n"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vecs"),
+        expr("n_vecs * 10000 div _n").as("share_bp"))
   }
 
   /** Scalar int8 quantization report — the embedding-compression pass of a

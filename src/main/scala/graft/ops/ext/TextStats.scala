@@ -423,4 +423,33 @@ object TextStats {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topN)
   }
+
+  /** Vocabulary coverage / out-of-vocabulary rate per group — the
+    * tokenizer-evaluation dual of [[bpePairStats]]: given the corpus's own
+    * top-`topV` token vocabulary (count desc, token asc — a total order),
+    * how many of each group's tokens fall OUTSIDE it. The per-source OOV
+    * rate is what flags a corpus slice a fixed vocabulary serves badly
+    * (wrong language, code, boilerplate markup) before training on it.
+    *
+    * Scale shape: the vocabulary is one partial-aggregated shuffle of the
+    * token-count table followed by a TakeOrdered top-V (driver holds V
+    * short strings — the same trained-model bound as [[unigramRarity]]),
+    * broadcast back into a left join; the exploded corpus then partial-
+    * aggregates per group WITHOUT ever shuffling on the token. Counts are
+    * BIGINT and `oov_bp` is integer division — engine-exact. */
+  def vocabCoverage(
+      docs: DataFrame, textCol: Column, groupCol: String, topV: Int): DataFrame = {
+    require(topV >= 1, s"vocabCoverage: topV must be >= 1, got $topV")
+    val tok = docs.select(col(groupCol), explode(tokens(textCol)).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(topV)
+      .select(col("w"), lit(1L).as("_in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("_in")), lit(0L)).as("_cov"))
+      .select(col(groupCol), col("n_tokens"),
+        (col("n_tokens") - col("_cov")).as("n_oov"),
+        expr("(n_tokens - _cov) * 10000 div n_tokens").as("oov_bp"))
+  }
 }

@@ -571,6 +571,47 @@ class SimilaritySpec extends SparkSpec {
     assert(sumQ === 127L - 128L + 26L)
     assert(maxErr === 0.5) // the -1.0 element reconstructs to -0.5
   }
+
+  test("mrlRecallAtK: prefix truncation loses the tail-heavy neighbor") {
+    val spark2 = spark
+    import spark2.implicits._
+    // full cosine vs q=(1,0,0): id 1 = 0.994 (winner), id 2 = 0.894 —
+    // but the d=2 prefix of id 2 is exactly (1,0) -> trunc cos 1.0, so
+    // the truncated index returns id 2 and recall@1 drops to zero
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.5f))
+    ).toDF("id", "vec")
+    val q = vecs.where(col("id") === 0)
+    val lossy = Similarity.mrlRecallAtK(q, vecs, d = 2, k = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(lossy === Array((0L, 0L, 0L)))
+    // at d = full dimension the slice is the identity: recall 10000 bp
+    val full = Similarity.mrlRecallAtK(q, vecs, d = 3, k = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(full === Array((0L, 1L, 10000L)))
+  }
+
+  test("ivfCellStats: counts, integer shares, and tie to the smaller cid") {
+    val spark2 = spark
+    import spark2.implicits._
+    // centroids = ids 0,1; id 12 is exactly equidistant (cos 0.707 to
+    // both) -> the strictly-greater fold keeps the first = smaller cid
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.01f, 0.99f)),
+      (12L, Array(0.7f, 0.7f))
+    ).toDF("id", "vec")
+    val out = Similarity.ivfCellStats(vecs, numCentroids = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((0L, 3L, 6000L), (1L, 2L, 4000L)))
+    // assignment is map-side: the only hash Exchange is the K-key count
+    val plan = Similarity.ivfCellStats(vecs, numCentroids = 2)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles <= 1, plan)
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
@@ -1179,6 +1220,28 @@ class TextStatsSpec extends SparkSpec {
       .select(col("doc_id"), col("quality.rarity_ok"), col("quality.pass"))
       .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
     assert(out === Array((1L, true, true), (2L, false, false)))
+  }
+
+  test("vocabCoverage: per-group OOV against the corpus top-V vocabulary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: the=3, then cat/dog/zzz tie at 1 -> token-asc tie-break
+    // admits "cat"; vocab(topV=2) = {the, cat}
+    val docs = Seq(
+      ("s1", "the the cat"),
+      ("s2", "the dog zzz")
+    ).toDF("source", "text")
+    val out = TextStats.vocabCoverage(docs, col("text"), "source", topV = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("s1", 3L, 0L, 0L), // all of "the the cat" covered
+      ("s2", 3L, 2L, 6666L))) // dog, zzz OOV -> 2*10000 div 3
+    // the corpus token stream aggregates per group without a token
+    // shuffle: vocab is broadcast, so the only hash Exchanges are the
+    // vocab count itself and the per-group aggregate
+    val plan = TextStats.vocabCoverage(docs, col("text"), "source", topV = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
 
