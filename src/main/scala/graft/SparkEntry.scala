@@ -1345,6 +1345,51 @@ object SparkEntry {
       Similarity.ivfCellStats(e, numCentroids = 8)
         .orderBy(col("cid"))
     }),
+
+    // ---- URL-level dedup (min-id election per canonical key) ------------
+    "q99_url_dedup" -> ((s, dir) => {
+      // synthetic per-doc URL (q97 precedent): even docs carry a noisy
+      // HTTPS://WWW...?sid= spelling, odd docs the bare http one — both
+      // canonicalize to site{id%5}.com/p{id%13}, 65 pages by CRT; the
+      // lowest doc_id per page survives
+      val url = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW.site"), (col("doc_id") % 5).cast("string"),
+          lit(".com/p"), (col("doc_id") % 13).cast("string"),
+          lit("?sid="), col("doc_id").cast("string")))
+        .otherwise(
+          concat(lit("http://site"), (col("doc_id") % 5).cast("string"),
+            lit(".com/p"), (col("doc_id") % 13).cast("string")))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      Web.dedupByUrl(docs, col("url"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-domain quality rollup after a blocklist --------------------
+    "q100_domain_stats" -> ((s, dir) => {
+      // subdomain injection exercises the last-two-labels rollup; two of
+      // the seven registered domains are blocklisted first
+      val url = concat(lit("https://sub"), (col("doc_id") % 3).cast("string"),
+        lit(".site"), (col("doc_id") % 7).cast("string"),
+        lit(".com/a"), (col("doc_id") % 4).cast("string"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      Web.domainStats(
+          Web.blockDomains(docs, col("url"), Seq("site0.com", "site3.com")),
+          col("url"), col("text"))
+        .orderBy(col("domain"))
+    }),
+
+    // ---- LSH candidate recall/precision vs exact Jaccard ----------------
+    "q101_lsh_recall" -> ((s, dir) => {
+      // the dedup loop's own eval (q87's role for ANN): production LSH
+      // candidates vs all-pairs Jaccard >= 0.8 truth on a 300-doc sample
+      // (all-pairs is quadratic by design — the eval-on-a-sample
+      // contract); a 2-hash single band catches a J pair with prob ~J^2
+      Dedup.lshRecallEval(
+        t(s, dir, "documents").where(col("doc_id") < 300),
+        col("text"), "doc_id",
+        thresholdBp = 8000, numHashes = 2, maxBucketSize = Some(1000))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2610,6 +2655,61 @@ object SparkEntry {
           |n AS (SELECT COUNT(*) AS total FROM e)
           |SELECT cid, COUNT(*) AS n_vecs, COUNT(*) * 10000 // n.total AS share_bp
           |FROM asg CROSS JOIN n GROUP BY cid, n.total ORDER BY cid""".stripMargin.replace("\n", " "),
+      // q99: injection + the q97 canonicalization chain verbatim; the
+      // election is MIN per canonical key and the survivor filter a
+      // doc_id IN semi join (doc_id unique)
+      "q99_url_dedup" ->
+        """WITH d AS (SELECT doc_id, lang, source,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.site' || CAST(doc_id % 5 AS VARCHAR)
+          |    || '.com/p' || CAST(doc_id % 13 AS VARCHAR) || '?sid=' || CAST(doc_id AS VARCHAR)
+          |   ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id % 13 AS VARCHAR) END AS url
+          | FROM documents),
+          |r AS (SELECT doc_id, lang, source,
+          |  regexp_replace(regexp_replace(url, '[?#].*', ''), '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS rest FROM d),
+          |c AS (SELECT doc_id, lang, source,
+          |  regexp_replace(lower(regexp_extract(rest, '^[^/]*')), '^www\.', '')
+          |   || regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/$', '') AS canonical FROM r),
+          |w AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canonical)
+          |SELECT doc_id, lang, source FROM c WHERE doc_id IN (SELECT doc_id FROM w)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q100: the oracle builds the registered domain DIRECTLY from the
+      // injection arithmetic (doc_id % 7), independently verifying the
+      // Spark side's regexp rollup; sums cast to BIGINT (DuckDB SUM is
+      // HUGEINT), alpha_bp is integer division
+      "q100_domain_stats" ->
+        """WITH d AS (SELECT text, 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain
+          | FROM documents WHERE doc_id % 7 NOT IN (0, 3)),
+          |g AS (SELECT domain, COUNT(*) AS n_docs,
+          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
+          | FROM d GROUP BY domain)
+          |SELECT domain, n_docs, sum_chars,
+          | CAST(CASE WHEN sum_chars > 0 THEN sum_alpha * 10000 // sum_chars ELSE 0 END AS BIGINT) AS alpha_bp
+          |FROM g ORDER BY domain""".stripMargin.replace("\n", " "),
+      // q101: truth = all-pairs integer-threshold Jaccard; candidates =
+      // q22's minhash-band CTE verbatim (same cap); counts via scalar
+      // subqueries, bp ratios integer division with the vacuous-10000
+      // guards mirrored
+      "q101_lsh_recall" ->
+        s"""WITH d AS (SELECT doc_id, list_distinct($toks) AS s
+          |  FROM documents WHERE doc_id < 300),
+          |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM d a JOIN d b ON a.doc_id < b.doc_id
+          |  AND len(list_intersect(a.s, b.s)) * 10000
+          |   >= 8000 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band
+          |  FROM documents WHERE doc_id < 300),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |j AS (SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+          |  (SELECT COUNT(*) FROM cand) AS n_cand,
+          |  (SELECT COUNT(*) FROM ex JOIN cand USING (id_a, id_b)) AS n_hit)
+          |SELECT n_exact, n_cand, n_hit,
+          | CAST(CASE WHEN n_exact > 0 THEN n_hit * 10000 // n_exact ELSE 10000 END AS BIGINT) AS recall_bp,
+          | CAST(CASE WHEN n_cand > 0 THEN n_hit * 10000 // n_cand ELSE 10000 END AS BIGINT) AS precision_bp
+          |FROM j""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -448,4 +448,52 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("_n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** LSH candidate recall/precision against exact all-pairs Jaccard — the
+    * dedup analogue of [[Similarity.recallAtK]] (measure, don't guess):
+    * one row of `{n_exact, n_cand, n_hit, recall_bp, precision_bp}` for
+    * the production [[lshCandidatePairs]] path versus ground truth.
+    * Recall here is the number that tunes `numHashes`/bands (a 2-hash
+    * single band catches a Jaccard-J pair with probability ~J²); candidate
+    * precision bounds the downstream exact-verify cost.
+    *
+    * The truth side is an all-pairs join — quadratic BY DESIGN; run it on
+    * a bounded sample of the corpus (the [[Similarity.recallAtK]]
+    * eval-on-a-sample contract). The candidate side is the production
+    * code path itself, guard included. `thresholdBp` keeps the threshold
+    * predicate all-integer (`inter·10⁴ ≥ t·(union)`), engine-exact at the
+    * boundary; both sides are computed ONCE and combined in one
+    * full-outer join, and empty truth/candidate sets report a vacuous
+    * 10000 bp rather than dividing by zero. */
+  def lshRecallEval(
+      docs: DataFrame, textCol: Column, idCol: String,
+      thresholdBp: Int, numHashes: Int = 2,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"lshRecallEval: thresholdBp must be in [0, 10000], got $thresholdBp")
+    val sig = withMinhashSignature(docs, textCol, numHashes)
+    val cand = lshCandidatePairs(
+      sig, idCol, (0 until numHashes).map("mh" + _), maxBucketSize)
+    val sets = docs.select(
+      col(idCol).as("_id"), array_distinct(tokens(textCol)).as("_set"))
+    val exact = sets.select(col("_id").as("id_a"), col("_set").as("set_a"))
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("set_b")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("_i"),
+        (size(col("set_a")) + size(col("set_b"))).cast("long").as("_sz"))
+      .where(col("_i") * 10000 >= lit(thresholdBp.toLong) * (col("_sz") - col("_i")))
+      .select(col("id_a"), col("id_b"))
+    exact.withColumn("_e", lit(1L))
+      .join(cand.withColumn("_c", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(col("_e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("_c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("_e") * col("_c")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        when(col("n_exact") > 0, expr("n_hit * 10000 div n_exact"))
+          .otherwise(lit(10000L)).as("recall_bp"),
+        when(col("n_cand") > 0, expr("n_hit * 10000 div n_cand"))
+          .otherwise(lit(10000L)).as("precision_bp"))
+  }
 }

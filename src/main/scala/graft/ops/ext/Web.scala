@@ -78,4 +78,54 @@ object Web {
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("first_doc"))
       .withColumn("domain", registeredDomain(col("canonical")))
+
+  /** URL-level dedup: keep exactly ONE document per canonical URL — the one
+    * with the lowest `idCol` — returning surviving rows unchanged. This is
+    * the first dedup pass of a crawl pipeline (the same page refetched
+    * under scheme/www/query variants), run before any content-level dedup
+    * because it needs no text comparison at all. Requires `idCol` unique
+    * (the [[graft.ops.ext.Sampling]] contract).
+    *
+    * Scale shape: the election is `min(id)` grouped by the canonical key —
+    * partial-aggregable, so the hottest URL (a page fetched a million
+    * times) collapses map-side before the shuffle, the
+    * [[Dedup.dropDuplicateLines]] skew precedent. Survivors come back via
+    * a left-semi join on the 8-byte id; document text never shuffles. */
+  def dedupByUrl(docs: DataFrame, urlCol: Column, idCol: String): DataFrame = {
+    val winners = docs
+      .select(canonicalUrl(urlCol).as("_canon"), col(idCol))
+      .groupBy(col("_canon")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Domain blocklist — drop every document whose registered domain is on
+    * the list (the C4 badwords-domain pass). Purely map-side: the list is
+    * an `In` literal, the domain a per-row regexp chain; at PSL-scale list
+    * sizes this becomes a broadcast anti join without changing callers. */
+  def blockDomains(docs: DataFrame, urlCol: Column, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blockDomains: empty blocklist — nothing to do")
+    docs.where(!registeredDomain(canonicalUrl(urlCol)).isInCollection(blocked))
+  }
+
+  /** Per-domain rollup: doc count, total chars, and alpha-ratio in integer
+    * basis points as a RATIO OF SUMS (the [[TextStats.goodSources]]
+    * precedent — per-doc averaging would let one long doc drown the
+    * signal). This is the decision table a domain blocklist is built FROM:
+    * rank domains by `alpha_bp`, eyeball the tail, feed [[blockDomains]].
+    *
+    * One shuffle, partial-aggregated on the domain key; per-row work is
+    * the regexp chain + two lengths, scan-bound. `alpha_bp` is integer
+    * division, engine-exact; an all-empty-text domain reports 0 rather
+    * than dividing by zero. */
+  def domainStats(docs: DataFrame, urlCol: Column, textCol: Column): DataFrame =
+    docs.select(registeredDomain(canonicalUrl(urlCol)).as("domain"),
+        length(textCol).cast("long").as("_nc"),
+        length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("_na"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nc")).as("sum_chars"),
+        sum(col("_na")).as("_sum_alpha"))
+      .select(col("domain"), col("n_docs"), col("sum_chars"),
+        when(col("sum_chars") > 0, expr("_sum_alpha * 10000 div sum_chars"))
+          .otherwise(lit(0L)).as("alpha_bp"))
 }

@@ -130,6 +130,22 @@ object Streams {
       .dropDuplicatesWithinWatermark("_band")
       .drop("_band")
 
+  /** Streaming URL-level dedup: the streaming dual of
+    * [[graft.ops.ext.Web.dedupByUrl]]. State is keyed by the canonical URL
+    * (a short string, never the document text) and evicted once the
+    * watermark passes. FIRST-ARRIVAL wins — processing order, not the
+    * batch operator's min-id election; a replay in a different arrival
+    * order may keep a different copy of the same page, the determinism
+    * trade every streaming dedup here makes (see [[dedup]]). */
+  def urlDedup(
+      docs: DataFrame, urlCol: String,
+      watermark: String, tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("_canon", graft.ops.ext.Web.canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_canon")
+      .drop("_canon")
+
   /** The single-band MinHash key both streaming dedup ops join/dedup on —
     * one definition so within-stream and against-corpus dedup can never
     * key differently (and stay compatible with signature tables built

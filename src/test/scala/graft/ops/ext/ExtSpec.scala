@@ -214,6 +214,28 @@ class DedupSpec extends SparkSpec {
       .as[Double].head()
     assert(j === 0.5) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("lshRecallEval: identical-set pairs are caught; empty truth is vacuous") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1 and 2 have the same token SET (Jaccard 1 -> truth pair, and
+    // identical minhashes -> band candidate); 3 shares nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta"),
+      (3L, "totally different words entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshRecallEval(docs, col("text"), "doc_id", thresholdBp = 9000)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out === ((1L, 1L, 1L, 10000L, 10000L)))
+    // pairwise-disjoint corpus: no truth pair, no band collision -> the
+    // vacuous-10000 guards instead of a divide-by-zero
+    val disjoint = Seq((1L, "aa bb"), (2L, "cc dd"), (3L, "ee ff"))
+      .toDF("doc_id", "text")
+    val vac = Dedup.lshRecallEval(disjoint, col("text"), "doc_id", thresholdBp = 5000)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(vac === ((0L, 0L, 0L, 10000L, 10000L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

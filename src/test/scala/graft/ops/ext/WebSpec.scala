@@ -67,4 +67,56 @@ class WebSpec extends SparkSpec {
       // same raw spelling twice in one doc: 2 refs, 1 form, 1 doc
       ("other.net/B", "other.net", 2L, 1L, 1L, 3L)))
   }
+
+  test("dedupByUrl keeps the lowest-id doc per canonical key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (5L, "https://example.com/A?q=1", "a"),
+      (2L, "HTTP://WWW.example.com/A", "b"), // same page, lower id -> wins
+      (9L, "https://example.com/B", "c")
+    ).toDF("doc_id", "url", "payload")
+    val out = Web.dedupByUrl(docs, col("url"), "doc_id")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      (2L, "HTTP://WWW.example.com/A", "b"),
+      (9L, "https://example.com/B", "c")))
+    // the election partial-aggregates: min(doc_id) must plan as a
+    // partial_min before its Exchange (the skew guard — a million
+    // fetches of one URL collapse map-side)
+    val plan = Web.dedupByUrl(docs, col("url"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("blockDomains drops listed registered domains, map-side") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "https://spam.bad.com/x"), // registered domain bad.com
+      (2L, "https://ok.net/y"),
+      (3L, "http://www.bad.com/z")
+    ).toDF("doc_id", "url")
+    val kept = Web.blockDomains(docs, col("url"), Seq("bad.com"))
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L))
+    val plan = Web.blockDomains(docs, col("url"), Seq("bad.com"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // pure filter, no shuffle
+  }
+
+  test("domainStats: ratio-of-sums alpha bp and the zero-chars guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("https://a.com/1", "abcde"),      // 5 alpha / 5 chars
+      ("https://www.a.com/2", "ab cd!"), // 4 alpha / 6 chars
+      ("https://b.org/1", "")            // empty text -> guard path
+    ).toDF("url", "text")
+    val out = Web.domainStats(docs, col("url"), col("text"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      ("a.com", 2L, 11L, 9L * 10000 / 11L), // ratio of SUMS, not mean of ratios
+      ("b.org", 1L, 0L, 0L)))
+  }
 }

@@ -53,6 +53,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup suppresses canonical-key collisions, first arrival wins") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "url")
+    val q = Streams.urlDedup(docs, "url", watermark = "1 hour")
+      .writeStream.format("memory").queryName("urldedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L, "HTTPS://WWW.example.com/A?sid=9"),
+        (ts("2024-01-01 00:01:00"), 2L, "http://example.com/A"), // same canonical page
+        (ts("2024-01-01 00:02:00"), 3L, "http://example.com/B"))
+      q.processAllAvailable()
+      val kept = spark.table("urldedup").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 3L)) // 2 suppressed: first arrival won
+      // the state key never holds document payload — schema check that
+      // the helper column is dropped from the output
+      assert(!spark.table("urldedup").columns.contains("_canon"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits session summary when the gap passes") {
     val spark2 = spark
     import spark2.implicits._
