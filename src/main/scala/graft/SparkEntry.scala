@@ -1390,6 +1390,47 @@ object SparkEntry {
         col("text"), "doc_id",
         thresholdBp = 8000, numHashes = 2, maxBucketSize = Some(1000))
     }),
+
+    // ---- fixed-length training-sequence layout ---------------------------
+    "q102_seq_layout" -> ((s, dir) => {
+      // pack each language's token stream into 2048-token training
+      // sequences (docs split at boundaries — the packed-pretraining
+      // contract); computed by the q63 two-phase distributed prefix sum,
+      // with the per-stratum window cumsum as the oracle formulation
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.sequenceLayout(docs, "doc_id", "lang", "n_tok", seqLen = 2048)
+        .select(col("id").as("doc_id"), col("stratum").as("lang"),
+          col("n").as("n_tok"), col("running"), col("seq_first"),
+          col("seq_last"), col("off_start"), col("n_seqs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- public-suffix-aware domain rollup -------------------------------
+    "q103_psl_domains" -> ((s, dir) => {
+      // hosts alternate a .co.uk public suffix and a plain .com: the PSL
+      // overload must take THREE labels for the former (shop{m}.co.uk,
+      // not co.uk) and two for the latter
+      val url = concat(lit("https://www.shop"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/item"), (col("doc_id") % 3).cast("string"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      Web.domainStats(docs, col("url"), col("text"),
+          suffixes = Seq("co.uk", "com.au", "co.jp"))
+        .orderBy(col("domain"))
+    }),
+
+    // ---- temperature-balanced mixture (α = 0.5) --------------------------
+    "q104_temperature_mix" -> ((s, dir) => {
+      // per-source budgets ∝ isqrt(source tokens) — the multilingual
+      // rebalance at the exactly-computable temperature; all-integer
+      // budgets, take in identity-hash order (the q86 contract)
+      Sampling.temperatureMix(t(s, dir, "documents"), col("doc_id"),
+          col("source"), TextStats.tokenCount(col("text")), totalBudget = 100000)
+        .select(col("doc_id"), col("source"), col("mix_tokens"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2710,6 +2751,53 @@ object SparkEntry {
           | CAST(CASE WHEN n_exact > 0 THEN n_hit * 10000 // n_exact ELSE 10000 END AS BIGINT) AS recall_bp,
           | CAST(CASE WHEN n_cand > 0 THEN n_hit * 10000 // n_cand ELSE 10000 END AS BIGINT) AS precision_bp
           |FROM j""".stripMargin.replace("\n", " "),
+      // q102: q63's window-cumsum CTE with the sequence-index projections;
+      // all integral division, zero-token docs report their boundary
+      // position with n_seqs = 0
+      "q102_seq_layout" ->
+        s"""WITH d AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+          |r AS (SELECT doc_id, lang, n_tok,
+          |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS running
+          | FROM d)
+          |SELECT doc_id, lang, n_tok, running,
+          | CAST(running // 2048 AS BIGINT) AS seq_first,
+          | CAST(CASE WHEN n_tok > 0 THEN (running + n_tok - 1) // 2048 ELSE running // 2048 END AS BIGINT) AS seq_last,
+          | CAST(running % 2048 AS BIGINT) AS off_start,
+          | CAST(CASE WHEN n_tok > 0 THEN (running + n_tok - 1) // 2048 - running // 2048 + 1 ELSE 0 END AS BIGINT) AS n_seqs
+          |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q103: the oracle constructs the PSL-aware domain DIRECTLY from the
+      // injection parity (three labels under .co.uk, two under .com),
+      // independently verifying the suffix-cascade regexps
+      "q103_psl_domains" ->
+        """WITH d AS (SELECT text,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+          |   ELSE 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com' END AS domain
+          | FROM documents),
+          |g AS (SELECT domain, COUNT(*) AS n_docs,
+          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
+          | FROM d GROUP BY domain)
+          |SELECT domain, n_docs, sum_chars,
+          | CAST(CASE WHEN sum_chars > 0 THEN sum_alpha * 10000 // sum_chars ELSE 0 END AS BIGINT) AS alpha_bp
+          |FROM g ORDER BY domain""".stripMargin.replace("\n", " "),
+      // q104: q86's hash-order window take with budgets derived in-query —
+      // exact integer sqrt (floor(sqrt) + the same ±1 CASE correction as
+      // the engine), integer division throughout
+      "q104_temperature_mix" ->
+        s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS mix_tokens,
+          |  md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+          |t AS (SELECT source, CAST(SUM(mix_tokens) AS BIGINT) AS n FROM d GROUP BY source),
+          |i AS (SELECT source,
+          |  CAST(CASE WHEN (s0+1)*(s0+1) <= n THEN s0+1 WHEN s0*s0 > n THEN s0-1 ELSE s0 END AS BIGINT) AS w
+          | FROM (SELECT source, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM t)),
+          |s AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM i),
+          |b AS (SELECT source, CAST(100000 * w // wsum AS BIGINT) AS budget FROM i CROSS JOIN s),
+          |c AS (SELECT doc_id, source, mix_tokens,
+          |  SUM(mix_tokens) OVER (PARTITION BY source ORDER BY h, CAST(doc_id AS VARCHAR)
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+          |SELECT doc_id, source, mix_tokens FROM c JOIN b USING (source)
+          |WHERE cum <= budget ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -135,4 +135,39 @@ object Packing {
       .withColumn("running", sum(col("n")).over(w) - col("n"))
       .withColumn("shard", expr(s"running div ${budget}L"))
   }
+
+  /** Fixed-length training-sequence layout: pack each stratum's token
+    * stream (documents concatenated in `(stratum, id)` order) into
+    * length-`seqLen` sequences and report, per document, where it lands —
+    * `seq_first`/`seq_last` (inclusive sequence indices), `off_start` (the
+    * offset of its first token inside `seq_first`), and `n_seqs`. This is
+    * the layout table a training-data writer materializes fixed-length
+    * samples from: a document crossing a boundary is SPLIT across
+    * consecutive sequences, the standard packed-pretraining contract
+    * (boundaries later masked in attention; Raffel et al. 2020, §2.2
+    * "packing").
+    *
+    * Same two-phase distributed prefix sum as [[tokenShards]] (never a
+    * per-stratum window funnel) and the same integral-division contract:
+    * `running` exceeds 2^53 on a 100 TB corpus, so every index is computed
+    * with `div`/`%`, not double math. Zero-token documents occupy no
+    * sequence: they report the boundary position they sit at
+    * (`seq_first = seq_last = running div seqLen`, `off_start = running %
+    * seqLen`) with `n_seqs = 0`. */
+  def sequenceLayout(
+      df: DataFrame,
+      idCol: String, stratumCol: String, nCol: String,
+      seqLen: Long,
+      partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"sequenceLayout: seqLen must be positive, got $seqLen")
+    tokenShards(df, idCol, stratumCol, nCol, budget = seqLen, partitions)
+      .withColumnRenamed("shard", "seq_first")
+      .withColumn("seq_last",
+        when(col("n") > 0, expr(s"(running + n - 1) div ${seqLen}L"))
+          .otherwise(col("seq_first")))
+      .withColumn("off_start", col("running") % seqLen)
+      .withColumn("n_seqs",
+        when(col("n") > 0, col("seq_last") - col("seq_first") + lit(1L))
+          .otherwise(lit(0L)))
+  }
 }

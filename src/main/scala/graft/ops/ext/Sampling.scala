@@ -145,4 +145,55 @@ object Sampling {
       .where(col("_cum") <= budget)
       .drop("_cum")
   }
+
+  /** Exact integer square root — `floor(√x)` with a ±1 correction step, so
+    * the result is right even if the double `sqrt` rounds across an
+    * integer (floor-of-double alone mis-rounds near perfect squares once
+    * counts pass 2^52). Engine-exact: the same three-way CASE runs
+    * verbatim in the oracle. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-balanced mixture: per-source token budgets proportional
+    * to `√(source token count)` — the α = 0.5 sampling temperature that
+    * upweights low-resource slices (multilingual pretraining's standard
+    * rebalance; Conneau et al. 2020 use α = 0.3, T5 α ≈ 0.7 — 0.5 is the
+    * exactly-computable point: [[isqrt]] keeps every budget INTEGER
+    * arithmetic end to end, where a general `pow(n, α)` would hang the
+    * gate on cross-engine float `pow`). Rows are then taken per source in
+    * the same identity-hash order as [[tokenBudgetMix]], so the take is a
+    * pure function of row identities.
+    *
+    * Fully distributed — no driver collect at all: source totals are a
+    * #sources-row aggregate, the weight sum a one-row broadcast scalar,
+    * and budgets broadcast back into the corpus join. One shuffle on
+    * source for the window cumsum, same as tokenBudgetMix. */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      source: Column,
+      tokens: Column,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"temperatureMix: totalBudget must be > 0, got $totalBudget")
+    import org.apache.spark.sql.expressions.Window
+    val totals = df.groupBy(source.as("_src"))
+      .agg(sum(tokens.cast("long")).as("_n"))
+      .select(col("_src"), isqrt(col("_n")).as("_w"))
+    val wsum = totals.agg(sum(col("_w")).as("_wsum"))
+    val budgets = totals.crossJoin(broadcast(wsum))
+      .select(col("_src"),
+        expr(s"${totalBudget}L * _w div _wsum").as("_budget"))
+    val w = Window.partitionBy(source)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets), source === col("_src"))
+      .withColumn("mix_tokens", tokens.cast("long"))
+      .withColumn("_cum", sum(col("mix_tokens")).over(w))
+      .where(col("_cum") <= col("_budget"))
+      .drop("_src", "_budget", "_cum")
+  }
 }

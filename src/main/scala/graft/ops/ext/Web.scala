@@ -60,6 +60,26 @@ object Web {
       regexp_extract(canonical, "^[^/]*", 0),
       "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$", 0)
 
+  /** [[registeredDomain]] with a public-suffix list: when the last TWO
+    * host labels are themselves a public suffix (`co.uk`, `com.au`, …),
+    * the registered domain is the last THREE labels. This is the
+    * documented fix for the two-label heuristic; `suffixes` is the
+    * caller's PSL slice as a plan literal — at the full list's ~10k
+    * entries it stays a literal `In` over a short string (or swaps to a
+    * broadcast join) without changing the rollup's shape. Multi-label
+    * suffixes beyond two (`pref.aichi.jp`) would extend the same cascade
+    * one more `when`. */
+  def registeredDomain(canonical: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty,
+      "registeredDomain: empty suffix list — use the 1-arg overload")
+    val host = regexp_extract(canonical, "^[^/]*", 0)
+    val last2 = regexp_extract(host, "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$", 0)
+    val last3 = regexp_extract(host,
+      "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$", 0)
+    when(last2.isInCollection(suffixes) && last3 =!= "", last3)
+      .otherwise(last2)
+  }
+
   /** Canonical-URL inventory over a corpus: one row per canonical key with
     * its reference count, how many distinct RAW spellings collapsed into
     * it (the dedup win), how many distinct documents cite it, the earliest
@@ -119,7 +139,19 @@ object Web {
     * division, engine-exact; an all-empty-text domain reports 0 rather
     * than dividing by zero. */
   def domainStats(docs: DataFrame, urlCol: Column, textCol: Column): DataFrame =
-    docs.select(registeredDomain(canonicalUrl(urlCol)).as("domain"),
+    domainStatsBy(docs, registeredDomain(canonicalUrl(urlCol)), textCol)
+
+  /** [[domainStats]] with the public-suffix-aware rollup key — same plan,
+    * the key regexps just cascade one more label (see the two-arg
+    * `registeredDomain` overload). */
+  def domainStats(
+      docs: DataFrame, urlCol: Column, textCol: Column,
+      suffixes: Seq[String]): DataFrame =
+    domainStatsBy(docs, registeredDomain(canonicalUrl(urlCol), suffixes), textCol)
+
+  private def domainStatsBy(
+      docs: DataFrame, domain: Column, textCol: Column): DataFrame =
+    docs.select(domain.as("domain"),
         length(textCol).cast("long").as("_nc"),
         length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("_na"))
       .groupBy(col("domain"))

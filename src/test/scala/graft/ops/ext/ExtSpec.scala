@@ -776,6 +776,24 @@ class PackingSpec extends SparkSpec {
     // running: 0, 300, 600, 900 -> shards 0, 0, 1, 1
     assert(out.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
+
+  test("sequenceLayout: boundary splits, offsets, and zero-token docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a", 4L), (2L, "a", 10L), (3L, "a", 3L), (5L, "a", 0L),
+      (4L, "b", 25L)
+    ).toDF("doc_id", "lang", "n_tok").repartition(5)
+    val out = Packing.sequenceLayout(df, "doc_id", "lang", "n_tok", seqLen = 10)
+      .select("id", "n", "running", "seq_first", "seq_last", "off_start", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 4L, 0L, 0L, 0L, 0L, 1L),   // fits inside sequence 0
+      (2L, 10L, 4L, 0L, 1L, 4L, 2L),  // tokens 4..13 straddle the boundary
+      (3L, 3L, 14L, 1L, 1L, 4L, 1L),
+      (4L, 25L, 0L, 0L, 2L, 0L, 3L),  // own stratum: spans three sequences
+      (5L, 0L, 17L, 1L, 1L, 7L, 0L))) // zero tokens: position only, no seq
+  }
 }
 
 class ContaminationSpec extends SparkSpec {
@@ -1047,6 +1065,36 @@ class SamplingSpec extends SparkSpec {
         col("ntok"), totalBudget = 20L, weights = Map("A" -> 0.5))
       .select(col("id"), col("mix_tokens")).as[(Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq === out.toSeq)
+  }
+
+  test("isqrt is exact at perfect squares and their neighbors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val xs = Seq(0L, 1L, 3L, 4L, 8L, 9L, 999999999999L, 1000000000000L)
+    val out = xs.toDF("x").select(Sampling.isqrt(col("x"))).as[Long].collect()
+    assert(out.toSeq === Seq(0L, 1L, 1L, 2L, 2L, 3L, 999999L, 1000000L))
+  }
+
+  test("temperatureMix: sqrt-proportional budgets upweight the small source") {
+    val spark2 = spark
+    import spark2.implicits._
+    // source a: 5 docs x 7 tokens = 35 -> isqrt 5; b: 25 x 1 = 25 ->
+    // isqrt 5; wsum 10, budget 20 -> 10 tokens EACH despite b having
+    // 5x fewer tokens than... a's 35: the rebalance at work.
+    // a keeps 1 doc (cum 7 <= 10 < 14), b keeps 10 of its 1-token docs.
+    val docs = ((0L until 5L).map(i => (i, "a", 7L)) ++
+      (100L until 125L).map(i => (i, "b", 1L))).toDF("id", "src", "ntok")
+    val out = Sampling.temperatureMix(docs, col("id"), col("src"), col("ntok"),
+        totalBudget = 20L)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("mix_tokens")).as("tok"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(("a", 1L, 7L), ("b", 10L, 10L)))
+    // layout-independent, like every deterministic sampler here
+    val re = Sampling.temperatureMix(docs.repartition(7), col("id"), col("src"),
+        col("ntok"), totalBudget = 20L)
+      .groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("mix_tokens")).as("tok"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(re === out)
   }
 }
 

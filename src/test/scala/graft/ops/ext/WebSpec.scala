@@ -68,6 +68,19 @@ class WebSpec extends SparkSpec {
       ("other.net/B", "other.net", 2L, 1L, 1L, 3L)))
   }
 
+  test("registeredDomain with a public-suffix list takes three labels under a suffix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val psl = Seq("co.uk", "com.au")
+    val out = Seq(
+      "www.shop.co.uk/item",  // co.uk is a suffix -> shop.co.uk
+      "a.b.example.com/x",    // com is not listed -> example.com
+      "co.uk",                // bare suffix: no third label to take
+      "news.com.au/story"     // exactly three labels, suffixed
+    ).toDF("c").select(Web.registeredDomain(col("c"), psl)).as[String].collect()
+    assert(out === Array("shop.co.uk", "example.com", "co.uk", "news.com.au"))
+  }
+
   test("dedupByUrl keeps the lowest-id doc per canonical key") {
     val spark2 = spark
     import spark2.implicits._
