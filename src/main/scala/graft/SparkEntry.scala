@@ -1431,6 +1431,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("mix_tokens"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- NFC normalization + control strip (codegen kernel) -------------
+    "q105_clean_text" -> ((s, dir) => {
+      // the crawl-ingest cleanup pass, exercised via injected Unicode mess
+      // (the q61 injection precedent): a C0 control, a decomposed accent,
+      // the U+212B angstrom singleton, a vertical tab. md5 over the cleaned
+      // text proves byte-exact NFC parity with DuckDB's nfc_normalize;
+      // byte lengths (octet_length/strlen — codepoint "length" semantics
+      // differ more across engines) show what composition/stripping did
+      val injected = concat(col("text"), lit("\u0001 cafe\u0301 \u212B\u000B"))
+      val cleaned = graft.functions.CleanTextExpr.clean_text(injected)
+      t(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          octet_length(injected).cast("long").as("n_raw"),
+          octet_length(cleaned).cast("long").as("n_clean"),
+          md5(cleaned).as("h"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2798,6 +2817,19 @@ object SparkEntry {
           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
           |SELECT doc_id, source, mix_tokens FROM c JOIN b USING (source)
           |WHERE cum <= budget ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q105: same injected codepoints built via chr() (DuckDB literals
+      // don't process escapes); nfc_normalize + an RE2 control class —
+      // md5 proves the kernel's NFC output is byte-identical to utf8proc's
+      "q105_clean_text" ->
+        """WITH d AS (SELECT doc_id,
+          |  text || chr(1) || ' cafe' || chr(769) || ' ' || chr(8491) || chr(11) AS raw
+          | FROM documents WHERE doc_id % 5 = 0),
+          |c AS (SELECT doc_id, raw,
+          |  regexp_replace(nfc_normalize(raw),
+          |   '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]', '', 'g') AS cleaned FROM d)
+          |SELECT doc_id, CAST(strlen(raw) AS BIGINT) AS n_raw,
+          | CAST(strlen(cleaned) AS BIGINT) AS n_clean, md5(cleaned) AS h
+          |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -17,7 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=qXX,qYY verifies a subset (same contract as Bench's
+    // filter) — local iteration only; the driver runs unfiltered. The
+    // oracle dump is filtered too, so check.py checks exactly what ran.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep[V](m: Map[String, V]): Map[String, V] =
+      only.fold(m)(o => m.view.filterKeys(o).toMap)
+    keep(SparkEntry.queries).foreach { case (name, fn) =>
       spark.catalog.clearCache() // per-query isolation (some queries cache)
       // delete any previous output FIRST: a failing query must leave no
       // stale result from an earlier run for the driver to compare against
@@ -44,7 +51,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = keep(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

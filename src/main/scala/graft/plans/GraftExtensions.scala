@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -112,6 +112,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_trim_spans(text, spans) takes 2 arguments")
         graft.functions.TrimSpansExpr(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_clean_text"),
+      new ExpressionInfo(
+        classOf[CleanTextExpr].getName,
+        null,
+        "graft_clean_text",
+        "graft_clean_text(s) - Unicode NFC + control-character strip",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_clean_text(s) takes 1 argument")
+        CleanTextExpr(children.head)
       }))
 
     ext.injectFunction((
