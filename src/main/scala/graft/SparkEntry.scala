@@ -1450,6 +1450,17 @@ object SparkEntry {
           md5(cleaned).as("h"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- BM25 retrieval top-k (fixed-point Okapi) -----------------------
+    "q106_bm25" -> ((s, dir) => {
+      // three literal queries over the corpus; all-BIGINT Okapi scoring
+      // (S=10^6, k1=1.2, b=0.75), ties broken by doc_id — the retrieval
+      // primitive behind decontamination-by-retrieval and neighbor audits
+      TextStats.bm25TopK(t(s, dir, "documents"), col("text"), "doc_id",
+          queries = Seq((1L, "hash join"), (2L, "window agg stream"),
+            (3L, "vector scan table")), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2830,6 +2841,31 @@ object SparkEntry {
           |SELECT doc_id, CAST(strlen(raw) AS BIGINT) AS n_raw,
           | CAST(strlen(cleaned) AS BIGINT) AS n_clean, md5(cleaned) AS h
           |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q106: the same fixed-point Okapi arithmetic term by term — every
+      // div is BIGINT floor division in both engines; SUM casts back from
+      // DuckDB's HUGEINT promotion
+      "q106_bm25" ->
+        s"""WITH q(query_id, qtext) AS (VALUES (CAST(1 AS BIGINT), 'hash join'),
+          |  (CAST(2 AS BIGINT), 'window agg stream'), (CAST(3 AS BIGINT), 'vector scan table')),
+          |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term FROM q),
+          |qd AS (SELECT DISTINCT term FROM qt),
+          |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          |tfq AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf FROM tok JOIN qd USING (term)
+          | GROUP BY tok.doc_id, tok.term),
+          |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+          |dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+          |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len($toks)) AS BIGINT) AS sum_dl FROM documents),
+          |sc AS (SELECT qt.query_id, tfq.doc_id, CAST(SUM(
+          |   ((1000000 * n_docs) // df) *
+          |   ((tf * (1200000 + 1000000) * 1000000) //
+          |    (tf * 1000000 + (1200000 * ((1000000 - 750000) + (750000 * dl.dl * n_docs) // sum_dl)) // 1000000))
+          |  ) AS BIGINT) AS score
+          | FROM tfq JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          | GROUP BY qt.query_id, tfq.doc_id),
+          |r AS (SELECT query_id, doc_id, score,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
+          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -168,6 +168,73 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** BM25-scored retrieval: top-`k` documents per query, the ranking that
+    * backs retrieval-based pipeline stages (decontamination-by-retrieval,
+    * quality-by-similar-known-good, eval-set neighbor audits). Okapi shape
+    * with Robertson's saturation: `score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * All arithmetic is fixed-point BIGINT (the q67 idf precedent, scale
+    * 10^6): `idf_s = (S·N) div df` (the monotone linear-idf surrogate —
+    * rank-equivalent to log-idf at fixed other factors and EXACTLY
+    * reproducible cross-engine, where float `ln` last-ulp skew flips
+    * near-ties), `dl/avgdl = (dl·N) div Σdl` in micro-units, `k1`/`b`
+    * passed as micro-scaled integers. Headroom: contributions stay under
+    * 2^63 to ~10^6 docs × 10^4-token texts at the default scale; shrink
+    * the scale for bigger corpora.
+    *
+    * Scale shape: the query side (a literal handful of strings) explodes
+    * to distinct terms and BROADCASTS twice — once to prune per-doc tf to
+    * query terms before any per-term aggregation (df is computed on the
+    * pruned stream: the full-vocabulary groupBy never happens), once to
+    * attach query ids. `dl` rides the (doc, term) tf shuffle as a
+    * constant-per-key max — no corpus-wide dl join. Corpus totals
+    * (N, Σdl) are a one-row scan-side aggregate, cross-joined broadcast.
+    * Final per-(query, doc) fold partial-aggregates before its shuffle;
+    * WindowGroupLimit prunes rank > k map-side.
+    *
+    * Returns `(query_id, idCol, score, rnk)`, `rnk <= k`, ties broken by
+    * id. Documents matching no query term are absent (score 0). */
+  def bm25TopK(
+      docs: DataFrame, textCol: Column, idCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1Micro: Long = 1200000L, bMicro: Long = 750000L,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = scale
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val qd = q.select("term").distinct()
+    val tok = docs.select(col(idCol), size(tokens(textCol)).cast("long").as("dl"),
+      explode(tokens(textCol)).as("term"))
+    // prune to query terms BEFORE the tf groupBy: the shuffle carries only
+    // matching (doc, term) rows, and dl rides it as a constant-per-key max
+    val tfq = tok.join(broadcast(qd), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(textCol)).cast("long")).as("sum_dl"))
+    val scored = tfq
+      .join(broadcast(q), "term")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("idf_s", expr(s"($S * n_docs) div df"))
+      .withColumn("lnorm", expr(s"($S - $bMicro) + ($bMicro * dl * n_docs) div sum_dl"))
+      .withColumn("denom", expr(s"tf * $S + ($k1Micro * lnorm) div $S"))
+      .withColumn("tfac", expr(s"(tf * ($k1Micro + $S) * $S) div denom"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("idf_s") * col("tfac")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rnk"))
+  }
+
   /** Corpus-relative unigram rarity — the perplexity-PROXY quality score
     * of CCNet-style pipelines: documents dominated by tokens rare in (or
     * absent from) the corpus's own top-`topV` vocabulary score high, and a

@@ -1218,6 +1218,44 @@ class TextStatsSpec extends SparkSpec {
     assert(out.forall(_._6 <= 2L))
   }
 
+  test("bm25TopK matches the fixed-point Okapi formula; non-matching docs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "hash join hash"),      // dl=3: tf(hash)=2, tf(join)=1
+      (2L, "hash scan"),           // dl=2: tf(hash)=1
+      (3L, "join join join join"), // dl=4: tf(join)=4
+      (4L, "filler words only")    // dl=3: matches nothing
+    ).toDF("doc_id", "text")
+    // the documented fixed-point arithmetic, reimplemented independently
+    val S = 1000000L; val k1 = 1200000L; val b = 750000L
+    val n = 4L; val sumDl = 12L
+    def contrib(tf: Long, dl: Long, df: Long): Long = {
+      val idf = (S * n) / df
+      val lnorm = (S - b) + (b * dl * n) / sumDl
+      val denom = tf * S + (k1 * lnorm) / S
+      idf * ((tf * (k1 + S) * S) / denom)
+    }
+    val exp = Map( // query "hash join": df(hash)=2, df(join)=2
+      1L -> (contrib(2, 3, 2) + contrib(1, 3, 2)),
+      2L -> contrib(1, 2, 2),
+      3L -> contrib(4, 4, 2))
+    val q = TextStats.bm25TopK(docs, col("text"), "doc_id",
+      queries = Seq((7L, "hash join")), k = 3)
+    val out = q.as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq.sorted === Seq(1L, 2L, 3L)) // doc 4 absent
+    out.foreach { case (qid, id, score, _) =>
+      assert(qid === 7L)
+      assert(score === exp(id), s"doc $id")
+    }
+    // ranking follows the scores (doc1 has both terms -> top)
+    assert(out.map(_._2).toSeq === exp.toSeq.sortBy(e => (-e._2, e._1)).map(_._1))
+    // scale claim: query terms / df / stats all reach the corpus via
+    // broadcast joins — no full-vocabulary shuffle on the big side
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sourceQualityFilter gates whole sources by ratio-of-sums and min count") {
     val spark2 = spark
     import spark2.implicits._
