@@ -26,12 +26,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) which Spark has no
-    * native type for: read nanos as long (legacy flag) and convert to a
-    * microsecond timestamp (`div 1000` — exact integer division). */
+  /** The events table's `ts` encoding has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark type — read
+    * nanos as long via the legacy flag, `div 1000` to micros) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ).
+    * Normalize either to a session-zone TIMESTAMP: the session is pinned
+    * to UTC, so casting the naive wall-clock reproduces the epoch-micros
+    * instant exactly, and the DuckDB oracles' `epoch(ts)` agrees under
+    * both encodings. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact 2-decimal fixed-point view of a money/quantity double. */

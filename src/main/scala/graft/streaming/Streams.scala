@@ -394,13 +394,23 @@ object Streams {
 
   /** File-source event stream over the testdata events table — the
     * readStream entry point mirroring the batch `spark.read.parquet`.
-    * The table stores TIMESTAMP(NANOS), which Spark reads as a nanos long
-    * (legacy flag) — converted here to a microsecond timestamp. */
+    * The table's `ts` encoding has varied across testdata generations
+    * (TIMESTAMP(NANOS) → nanos long under the legacy flag; later
+    * TIMESTAMP(MICROS, ntz) → TIMESTAMP_NTZ), so the stream schema is
+    * sniffed from a one-off batch read of the existing files and `ts` is
+    * normalized to a session-zone TIMESTAMP the same way the batch-side
+    * `SparkEntry.events` does. */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+    val batchSchema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream
+      .schema(batchSchema)
       .parquet(eventsDir) // file source requires a directory of parquet files
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
