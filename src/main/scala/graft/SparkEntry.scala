@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Packing, Sampling, Similarity, TextStats, Web}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Importance, Packing, Sampling, Similarity, TextStats, Web}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -1472,6 +1472,58 @@ object SparkEntry {
             (3L, "vector scan table")), k = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
+
+    // ---- DSIR importance weights (distribution-matching selection) ------
+    "q107_dsir" -> ((s, dir) => {
+      // target = the English slice; every doc scored by the hashed-bigram
+      // log-likelihood ratio target-vs-raw (integer Mitchell log2). The
+      // trained model is ≤4096 bucket weights — broadcast literal, scoring
+      // is one map-side fold, the corpus never shuffles
+      Importance.dsirScores(t(s, dir, "documents"), col("text"), "doc_id",
+          isTarget = col("lang") === "en", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- edit-distance-confirmed near-dup pairs -------------------------
+    "q108_edit_pairs" -> ((s, dir) => {
+      // LSH recalls, banded levenshtein over an 80-char prefix confirms —
+      // the order-sensitive sibling of q24's Jaccard confirm
+      Dedup.editConfirmedPairs(t(s, dir, "documents"), col("text"), "doc_id",
+          numHashes = 2, prefixLen = 80, maxDist = 40,
+          maxBucketSize = Some(1000))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- per-doc contamination fraction (graded q59) --------------------
+    "q109_contam_frac" -> ((s, dir) => {
+      // same benchmark split as q59; reports the overlap FRACTION in
+      // basis points over each doc's distinct 8-grams, not just the flag
+      val docs = t(s, dir, "documents")
+      Contamination.contaminationFraction(
+          docs.where(col("doc_id") % 37 =!= 0), col("text"), "doc_id",
+          docs.where(col("doc_id") % 37 === 0), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental cluster assignment ---------------------------------
+    "q110_cluster_assign" -> ((s, dir) => {
+      // the arriving batch (doc_id % 37 == 0) routed to the existing
+      // corpus's LSH band clusters; min matching rep, NULL = new cluster
+      val docs = t(s, dir, "documents")
+      Dedup.assignToClusters(
+          docs.where(col("doc_id") % 37 =!= 0),
+          docs.where(col("doc_id") % 37 === 0), col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- smoothed bigram LM log-prob (perplexity filtering) -------------
+    "q111_lm_logprob" -> ((s, dir) => {
+      // add-one-smoothed bigram log2-probability per doc in 2^16 fixed
+      // point — the calibrated perplexity signal q93's inverse-ratio
+      // rarity approximates
+      Importance.bigramLogProb(t(s, dir, "documents"), col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1499,6 +1551,8 @@ object SparkEntry {
         | FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin.replace("\n", " ")
     def mh(seed: String): String =
       s"list_min(list_transform($toks, w -> md5('$seed:' || w)))"
+    // DuckDB twin of Importance.flog2 (integer Mitchell log2, 2^16 scale)
+    def fl2(x: String): String = Importance.flog2Sql(x)
     val mkO =
       """CASE
         | WHEN doc_id % 4 = 0 THEN '<http://ex/doc/' || doc_id || '>'
@@ -2877,6 +2931,81 @@ object SparkEntry {
           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
           |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
           |ORDER BY query_id, rnk""".stripMargin.replace("\n", " "),
+      // q107: hashed-bigram buckets, target/raw counts, the integer
+      // Mitchell-log2 likelihood-ratio weight per bucket, per-doc sum.
+      // fl2 is the SQL twin of Importance.flog2 (bin-length arithmetic)
+      "q107_dsir" ->
+        s"""WITH tk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+          |p AS (SELECT doc_id, lang, unnest(list_transform(range(len(toks)-1),
+          |  i -> toks[i+1] || ' ' || toks[i+2])) AS f FROM tk),
+          |b AS (SELECT doc_id, CAST(('0x' || substr(md5(f),1,8)) AS BIGINT) % 4096 AS bkt, lang FROM p),
+          |c AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS rc,
+          |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc FROM b GROUP BY bkt),
+          |tt AS (SELECT CAST(SUM(rc) AS BIGINT) AS totr, CAST(SUM(tc) AS BIGINT) AS tott FROM c),
+          |w AS (SELECT c.bkt, ${fl2("(c.tc+1)")} - ${fl2("(c.rc+1)")}
+          |  + ${fl2("(tt.totr+4096)")} - ${fl2("(tt.tott+4096)")} AS w FROM c, tt),
+          |sc AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          |  CAST(SUM(w.w) AS BIGINT) AS dsir_score FROM b JOIN w USING (bkt) GROUP BY b.doc_id)
+          |SELECT d.doc_id, COALESCE(sc.n_feats, 0) AS n_feats,
+          | COALESCE(sc.dsir_score, 0) AS dsir_score
+          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q108: q22's band-candidate CTE + the levenshtein confirm over the
+      // same 80-char prefix (computed once in a subquery)
+      "q108_edit_pairs" ->
+        s"""WITH sig AS (SELECT doc_id, substr(text,1,80) AS pfx,
+          |  md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pfx AS pa, b.pfx AS pb
+          | FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
+          |  AND a.band IN (SELECT band FROM ok)),
+          |ed AS (SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist FROM cand)
+          |SELECT id_a, id_b, edit_dist FROM ed WHERE edit_dist <= 40
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // q109: q59's n-gram-hash CTE, per-doc DISTINCT n-grams left-joined
+      // against the benchmark set, fraction in basis points
+      "q109_contam_frac" ->
+        s"""WITH ng AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 37 = 0),
+          |corpus AS (SELECT DISTINCT doc_id, ngh FROM ng WHERE doc_id % 37 <> 0),
+          |agg AS (SELECT corpus.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+          |  CAST(SUM(CASE WHEN bench.ngh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          | FROM corpus LEFT JOIN bench ON corpus.ngh = bench.ngh GROUP BY corpus.doc_id)
+          |SELECT d.doc_id, COALESCE(agg.n_ngrams, 0) AS n_ngrams,
+          | COALESCE(agg.n_hits, 0) AS n_hits,
+          | CASE WHEN COALESCE(agg.n_ngrams, 0) > 0
+          |  THEN (10000 * agg.n_hits) // agg.n_ngrams ELSE 0 END AS contam_bp
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+          |LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q110: existing corpus collapsed to (band -> min rep), the new
+      // batch left-joins its bands and keeps the lowest matching rep
+      "q110_cluster_assign" ->
+        s"""WITH sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |reps AS (SELECT band, MIN(doc_id) AS rep FROM sig WHERE doc_id % 37 <> 0 GROUP BY band),
+          |nw AS (SELECT doc_id, band FROM sig WHERE doc_id % 37 = 0)
+          |SELECT nw.doc_id, MIN(reps.rep) AS assigned_cluster
+          |FROM nw LEFT JOIN reps USING (band)
+          |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin.replace("\n", " "),
+      // q111: q93's bigram CTE shapes + add-one smoothing against the
+      // vocabulary-size scalar, summed per doc in Mitchell-log2 fixed point
+      "q111_lm_logprob" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+          |tok AS (SELECT doc_id, unnest(toks) AS w1 FROM tk),
+          |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY w1),
+          |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
+          |p AS (SELECT doc_id, bg.w1 AS w1, bg.f AS f FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+          |    i -> struct_pack(w1 := toks[i+1], f := toks[i+1] || ' ' || toks[i+2]))) AS bg FROM tk)),
+          |bi AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM p GROUP BY f),
+          |r AS (SELECT p.doc_id, ${fl2("(bi.cnt2+1)")} - ${fl2("(u.cnt1+vv.v)")} AS lp
+          | FROM p JOIN bi USING (f) JOIN u USING (w1), vv),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(lp) AS BIGINT) AS lm_logprob FROM r GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          | COALESCE(a.lm_logprob, 0) AS lm_logprob
+          |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -273,4 +273,42 @@ object Contamination {
       .where(col("n_occ") >= minCount)
       .orderBy(col("n_occ").desc, col("ngh"))
       .limit(k)
+
+  /** Per-document contamination FRACTION — the graded signal behind the
+    * binary [[contaminationHits]] flag: of each corpus document's
+    * DISTINCT n-grams, how many appear in the benchmark set, in basis
+    * points. The GPT-3-style overlap report: a doc quoting one benchmark
+    * sentence scores low; a verbatim benchmark copy scores 10000 — the
+    * threshold a partial-overlap policy actually cuts on.
+    *
+    * Scale shape: same as [[contaminationHits]] — the benchmark's
+    * distinct hash set broadcasts with a presence marker, the corpus's
+    * per-doc distinct n-grams explode map-side into the broadcast LEFT
+    * join (every corpus row kept, hit or not), and the one shuffle is the
+    * per-doc count aggregation on (id, long) rows.
+    *
+    * Output: (idCol, n_ngrams, n_hits, contam_bp) for every corpus
+    * document; documents with fewer than `n` tokens report (0, 0, 0). */
+  def contaminationFraction(
+      corpus: DataFrame, corpusText: Column, idCol: String,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramHashes(benchmarkText, n)).as("ngh"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val perDoc = corpus
+      .select(col(idCol), explode(array_distinct(ngramHashes(corpusText, n))).as("ngh"))
+      .join(broadcast(bench), Seq("ngh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+          expr("(10000 * n_hits) div n_ngrams")).otherwise(lit(0L)).as("contam_bp"))
+  }
 }

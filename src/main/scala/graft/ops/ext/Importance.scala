@@ -1,0 +1,163 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-matching data selection and count-based LM scoring —
+  * the "which raw documents resemble my target corpus" operators a
+  * pretraining-data pipeline runs after dedup and before mixing.
+  *
+  * Both operators here are INTEGER-EXACT end to end: the logarithm every
+  * formulation needs is Mitchell's piecewise-linear log2 (exact at powers
+  * of two, linear between, monotone) in 2^16 fixed point, so the DuckDB
+  * oracle reproduces every score bit for bit with `length(bin(x))`
+  * arithmetic — no float log, no cross-engine rounding skew.
+  *
+  * Scale shape:
+  *  - DSIR bucket statistics are two partial-aggregated counts over a
+  *    FIXED number of hash buckets (default 4096) — the only collected
+  *    state is ≤ `buckets` rows (the trained model, same bound class as
+  *    the IVF centroid collect), and scoring is a map-side fold against
+  *    the broadcast literal table: the corpus is never shuffled.
+  *  - The bigram-LM pass joins exploded bigrams to corpus count tables on
+  *    short string keys (the q93 shape) — count tables are corpus-sized,
+  *    so nothing broadcasts and both joins shuffle on their natural keys
+  *    with map-side partial aggregation.
+  */
+object Importance {
+
+  /** Fixed-point scale (2^16) for the piecewise-linear log2. */
+  val Scale = 65536L
+
+  /** Largest argument [[flog2]] accepts: x·S must stay inside a signed
+    * long, so x < 2^47 ≈ 1.4·10^14 — far above any count a 100 TB corpus
+    * produces (10^13 tokens), and the same bound DuckDB's BIGINT
+    * arithmetic needs in [[flog2Sql]]. */
+  val MaxFlog2Arg: Long = (1L << 47) - 1
+
+  /** Mitchell's approximation: flog2(x) = (e + (x - 2^e)/2^e) · S for
+    * e = floor(log2 x) — computed as e·S + (x·S >> e) − S, all integer.
+    * Requires 1 ≤ x ≤ [[MaxFlog2Arg]]. The SQL twin is [[flog2Sql]];
+    * equivalence is spec-held across the domain. */
+  def flog2(x: Long): Long = {
+    require(x >= 1 && x <= MaxFlog2Arg, s"flog2: x must be in [1, 2^47), got $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e * Scale + ((x * Scale) >> e) - Scale
+  }
+
+  /** Catalyst twin of [[flog2]] over a BIGINT column/expression (x ≥ 1):
+    * `bin(x)` length gives the exponent e, and `(x·S) >> e` is the exact
+    * integer `(x·S) div 2^e` for positive x — the same value DuckDB's
+    * `(x*S) // (1 << e)` yields in [[flog2Sql]]. */
+  def flog2Col(x: Column): Column = {
+    val e = (length(bin(x)) - 1).cast("int")
+    e.cast("long") * Scale +
+      call_function("shiftright", x.cast("long") * Scale, e) - Scale
+  }
+
+  /** DuckDB spelling of [[flog2]] for oracle SQL; `x` must be a BIGINT
+    * SQL expression (parenthesize compound expressions). */
+  def flog2Sql(x: String): String =
+    s"((length(bin($x))-1)*$Scale + (($x)*$Scale) // (1::BIGINT << (length(bin($x))-1)) - $Scale)"
+
+  /** Adjacent-token bigrams as "w1 w2" strings; < 2 tokens → empty. */
+  def bigrams(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  /** Feature-hash bucket in [0, buckets): first 8 md5 hex chars mod
+    * buckets — portable to the oracle as
+    * `CAST(('0x' || substr(md5(f),1,8)) AS BIGINT) % buckets`. */
+  def featureBucket(f: Column, buckets: Int): Column =
+    conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by the log-likelihood ratio of its hashed bigram
+    * features under the TARGET distribution (rows where `isTarget`)
+    * versus the RAW distribution (all rows), with add-one smoothing:
+    *
+    *   score(d) = Σ_f [ flog2(tc_b(f)+1) − flog2(rc_b(f)+1)
+    *                    + flog2(R+B) − flog2(T+B) ]
+    *
+    * where tc/rc are target/raw occurrence counts of the feature's
+    * bucket, T/R the total feature counts and B the bucket count. High
+    * scores = looks like the target; selection is a top-k or threshold
+    * over `dsir_score`.
+    *
+    * Output: (idCol, n_feats, dsir_score) for every input row —
+    * featureless documents score 0.
+    */
+  def dsirScores(
+      docs: DataFrame, textCol: Column, idCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"dsirScores: buckets must be >= 2, got $buckets")
+    val feats = docs.select(isTarget.as("_t"), explode(bigrams(textCol)).as("f"))
+      .select(col("_t"), featureBucket(col("f"), buckets).as("bkt"))
+    // ≤ `buckets` rows by construction — the trained importance model,
+    // the same driver-side bound class as the IVF centroid collect
+    val counts = feats.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val totR = counts.map(_.getAs[Long]("rc")).sum
+    val totT = counts.map(_.getAs[Long]("tc")).sum
+    val cst = flog2(totR + buckets) - flog2(totT + buckets)
+    val weights: Map[Long, Long] = counts.map { r =>
+      r.getAs[Long]("bkt") ->
+        (flog2(r.getAs[Long]("tc") + 1) - flog2(r.getAs[Long]("rc") + 1) + cst)
+    }.toMap
+    // every document feature is present in the raw counts by
+    // construction, so the literal map lookup is total
+    val wmap = typedLit(weights)
+    docs
+      .withColumn("_bg", bigrams(textCol))
+      .select(col(idCol),
+        size(col("_bg")).cast("long").as("n_feats"),
+        aggregate(col("_bg"), lit(0L),
+          (acc, f) => acc + element_at(wmap, featureBucket(f, buckets)))
+          .as("dsir_score"))
+  }
+
+  /** Per-document add-one-smoothed bigram LM log-probability (the
+    * count-based stand-in for perplexity filtering, CCNet-style): for
+    * each bigram (w1,w2),
+    *
+    *   lp = flog2(cnt(w1,w2) + 1) − flog2(cnt(w1) + V)
+    *
+    * (V = corpus vocabulary size) summed per document. More negative =
+    * more surprising under the corpus's own bigram model. Differs from
+    * [[TextStats.bigramRarity]] in being a calibrated (smoothed,
+    * vocabulary-normalized) log-probability rather than an inverse-ratio
+    * sum — the quantity a perplexity threshold actually cuts on.
+    *
+    * Output: (idCol, n_bigrams, lm_logprob) for every input row; < 2
+    * tokens → (0, 0).
+    */
+  def bigramLogProb(docs: DataFrame, textCol: Column, idCol: String): DataFrame = {
+    val toks = Dedup.tokens(textCol)
+    val pairs = docs.select(col(idCol), explode(bigrams(textCol)).as("f"))
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = pairs
+      .select(col(idCol), col("f"), substring_index(col("f"), " ", 1).as("w1"))
+      .groupBy(col("f")).agg(count(lit(1)).as("cnt2"))
+    val scored = pairs
+      .withColumn("w1", substring_index(col("f"), " ", 1))
+      .join(bi, Seq("f"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // one-row scalar, broadcast by design
+      .withColumn("lp", flog2Col(col("cnt2") + 1L) - flog2Col(col("cnt1") + col("v")))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp")).as("lm_logprob"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_logprob"), lit(0L)).as("lm_logprob"))
+  }
+}
