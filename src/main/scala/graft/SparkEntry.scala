@@ -9,7 +9,7 @@ import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
 import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Importance, Packing, Sampling, Similarity, TextStats, Web}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Importance, Packing, Sampling, Similarity, Snapshots, TextStats, Web}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -1524,6 +1524,59 @@ object SparkEntry {
       Importance.bigramLogProb(t(s, dir, "documents"), col("text"), "doc_id")
         .orderBy(col("doc_id"))
     }),
+
+    // ---- PII redaction (release-side sibling of q61's counts) -----------
+    "q112_pii_redact" -> ((s, dir) => {
+      // q61's deterministic PII injection, then typed-placeholder
+      // replacement; the oracle replays the identical replace chain
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      TextStats.redactPii(
+          t(s, dir, "documents").withColumn("text", injected),
+          col("text"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- HTML → text extraction (crawl WET step) ------------------------
+    "q113_html_strip" -> ((s, dir) => {
+      // deterministic markup injected around the corpus text (the q61/q105
+      // injection precedent — the synthetic corpus holds no HTML), then
+      // script/style/comment/tag strip + entity decode + whitespace
+      // collapse, mirrored exactly by the oracle's RE2 chain
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red; }</style></head><body><!-- crawl artifact -->" +
+          "<p class=\"main\">"),
+        col("text"),
+        lit(" &amp; more &lt;tags&gt; &quot;here&quot; &#39;now&#39;&nbsp;end" +
+          "</p></body></html>"))
+      t(s, dir, "documents")
+        .withColumn("clean", Web.stripHtml(html))
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("n_clean"), col("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus snapshot diff (incremental recrawl maintenance) ---------
+    "q114_snapshot_diff" -> ((s, dir) => {
+      // old = ids < 450, new = ids >= 50 with every 10th doc edited —
+      // added/removed/changed/same via content-hash full-outer join
+      val docs = t(s, dir, "documents")
+      Snapshots.diffByContent(
+          docs.where(col("doc_id") < 450),
+          docs.where(col("doc_id") >= 50)
+            .withColumn("text",
+              when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+                .otherwise(col("text"))),
+          "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3006,6 +3059,54 @@ object SparkEntry {
           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
           | COALESCE(a.lm_logprob, 0) AS lm_logprob
           |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q112: q61's injection CTE + the identical three-step replace
+      // chain (emails, then IPs, then phones; 'g' = replace-all)
+      "q112_pii_redact" ->
+        """WITH d AS (SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents)
+          |SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |  + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          |  + len(regexp_extract_all(text, '\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_redactions,
+          | regexp_replace(regexp_replace(regexp_replace(text,
+          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |   '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+          |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q113: the same markup injection, then the RE2 strip chain —
+      // script/style/comment blocks, tags, six entities (amp last),
+      // whitespace collapse
+      "q113_html_strip" ->
+        """WITH d AS (SELECT doc_id,
+          |  '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><!-- crawl artifact --><p class="main">'
+          |  || text ||
+          |  ' &amp; more &lt;tags&gt; &quot;here&quot; &#39;now&#39;&nbsp;end</p></body></html>' AS html
+          | FROM documents),
+          |s AS (SELECT doc_id, trim(regexp_replace(
+          |  replace(replace(replace(replace(replace(replace(
+          |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |    '(?s)<!--.*?-->', ' ', 'g'),
+          |    '(?s)<[^>]+>', ' ', 'g'),
+          |   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+          |  '\s+', ' ', 'g')) AS clean FROM d)
+          |SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_clean, clean
+          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q114: content-hash full-outer join over the two synthetic
+      // snapshot views
+      "q114_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450),
+          |n AS (SELECT doc_id,
+          |  md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h
+          | FROM documents WHERE doc_id >= 50)
+          |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          | CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+          |      WHEN o.h = n.h THEN 'same' ELSE 'changed' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -74,53 +74,78 @@ object Importance {
   def featureBucket(f: Column, buckets: Int): Column =
     conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
 
-  /** DSIR-style importance weights (Xie et al., NeurIPS 2023 — "Data
-    * Selection for Language Models via Importance Resampling"): score
-    * every document by the log-likelihood ratio of its hashed bigram
-    * features under the TARGET distribution (rows where `isTarget`)
-    * versus the RAW distribution (all rows), with add-one smoothing:
+  /** A trained DSIR model: per-bucket log-likelihood-ratio weights, the
+    * weight an UNSEEN bucket gets (both counts zero — just the smoothing
+    * constant), and the bucket count the features hash into. ≤ `buckets`
+    * entries — driver/broadcast-sized by construction. */
+  final case class DsirModel(weights: Map[Long, Long], default: Long, buckets: Int)
+
+  /** Train DSIR-style importance weights (Xie et al., NeurIPS 2023 —
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per hashed-bigram bucket, the log-likelihood ratio of the TARGET
+    * distribution (rows where `isTarget`) versus the RAW distribution
+    * (all rows), with add-one smoothing:
     *
-    *   score(d) = Σ_f [ flog2(tc_b(f)+1) − flog2(rc_b(f)+1)
-    *                    + flog2(R+B) − flog2(T+B) ]
+    *   w_b = flog2(tc_b+1) − flog2(rc_b+1) + flog2(R+B) − flog2(T+B)
     *
-    * where tc/rc are target/raw occurrence counts of the feature's
-    * bucket, T/R the total feature counts and B the bucket count. High
-    * scores = looks like the target; selection is a top-k or threshold
-    * over `dsir_score`.
-    *
-    * Output: (idCol, n_feats, dsir_score) for every input row —
-    * featureless documents score 0.
-    */
-  def dsirScores(
-      docs: DataFrame, textCol: Column, idCol: String,
-      isTarget: Column, buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2, s"dsirScores: buckets must be >= 2, got $buckets")
-    val feats = docs.select(isTarget.as("_t"), explode(bigrams(textCol)).as("f"))
+    * where tc/rc are target/raw occurrence counts of bucket b, T/R the
+    * total feature counts and B the bucket count. The aggregation is
+    * map-side partial over ≤ B buckets; the collect is bounded by B —
+    * the same driver-side bound class as the IVF centroid collect. */
+  def trainDsir(
+      docs: DataFrame, textCol: Column,
+      isTarget: Column, buckets: Int = 4096): DsirModel = {
+    require(buckets >= 2, s"trainDsir: buckets must be >= 2, got $buckets")
+    val counts = docs
+      .select(isTarget.as("_t"), explode(bigrams(textCol)).as("f"))
       .select(col("_t"), featureBucket(col("f"), buckets).as("bkt"))
-    // ≤ `buckets` rows by construction — the trained importance model,
-    // the same driver-side bound class as the IVF centroid collect
-    val counts = feats.groupBy(col("bkt"))
+      .groupBy(col("bkt"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
       .collect()
     val totR = counts.map(_.getAs[Long]("rc")).sum
     val totT = counts.map(_.getAs[Long]("tc")).sum
     val cst = flog2(totR + buckets) - flog2(totT + buckets)
-    val weights: Map[Long, Long] = counts.map { r =>
-      r.getAs[Long]("bkt") ->
-        (flog2(r.getAs[Long]("tc") + 1) - flog2(r.getAs[Long]("rc") + 1) + cst)
-    }.toMap
-    // every document feature is present in the raw counts by
-    // construction, so the literal map lookup is total
-    val wmap = typedLit(weights)
-    docs
+    DsirModel(
+      counts.map { r =>
+        r.getAs[Long]("bkt") ->
+          (flog2(r.getAs[Long]("tc") + 1) - flog2(r.getAs[Long]("rc") + 1) + cst)
+      }.toMap,
+      default = cst, // tc = rc = 0: flog2(1) − flog2(1) + cst
+      buckets = buckets)
+  }
+
+  /** Score rows under a trained model: one map-side fold per row against
+    * the broadcast literal weight table — STATELESS, so it applies to
+    * batch frames and streaming frames alike (the streaming dual is
+    * [[graft.streaming.Streams.dsirScoreStream]]). Buckets the model
+    * never saw fall back to `model.default`. High scores = resembles the
+    * target; selection is a threshold or top-k over `dsir_score`.
+    *
+    * Output: (idCol, n_feats, dsir_score) for every input row —
+    * featureless documents score 0. */
+  def applyDsir(
+      df: DataFrame, textCol: Column, idCol: String,
+      model: DsirModel): DataFrame = {
+    val wmap = typedLit(model.weights)
+    df
       .withColumn("_bg", bigrams(textCol))
       .select(col(idCol),
         size(col("_bg")).cast("long").as("n_feats"),
         aggregate(col("_bg"), lit(0L),
-          (acc, f) => acc + element_at(wmap, featureBucket(f, buckets)))
+          (acc, f) => acc + coalesce(
+            element_at(wmap, featureBucket(f, model.buckets)),
+            lit(model.default)))
           .as("dsir_score"))
   }
+
+  /** Train-and-score in one call (the q107 entry point): weights trained
+    * on `docs` itself, so every feature bucket is covered and the
+    * default never fires. */
+  def dsirScores(
+      docs: DataFrame, textCol: Column, idCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame =
+    applyDsir(docs, textCol, idCol, trainDsir(docs, textCol, isTarget, buckets))
 
   /** Per-document add-one-smoothed bigram LM log-probability (the
     * count-based stand-in for perplexity filtering, CCNet-style): for

@@ -106,6 +106,25 @@ object TextStats {
       size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
       size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 
+  /** PII REDACTION — the release-side sibling of [[piiCounts]]: emails,
+    * IPv4 addresses, and phone numbers replaced with typed placeholders
+    * (`<EMAIL>`, `<IP>`, `<PHONE>`), applied in that fixed order so the
+    * oracle's replace chain reproduces the output byte for byte. Counts
+    * come from the SAME patterns before replacement, so `n_redactions`
+    * always equals the number of substitutions made. Pure per-row
+    * codegen'd regexp work — scan-bound, no shuffle. */
+  def redactPii(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol,
+      (size(regexp_extract_all(textCol, lit(EmailRe), lit(0))) +
+        size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))) +
+        size(regexp_extract_all(textCol, lit(PhoneRe), lit(0)))).cast("long")
+        .as("n_redactions"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Longest equal-token run in the sorted token array = the most frequent
     * token's count. One fold, wide accumulator (HOFs are interpreted —
     * never fold twice); shared by [[withRepetition]] and [[qualityGate]]. */

@@ -38,6 +38,28 @@ object Web {
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
 
+  /** Crawl-grade HTML → text extraction (the WET-file step of a web
+    * pipeline): drop script/style/comment blocks wholesale, strip the
+    * remaining tags, decode the six entities that dominate real markup,
+    * collapse whitespace. Every pattern is RE2-safe (inline `(?is)`
+    * flags, non-greedy bodies, NO backreferences — script and style get
+    * separate patterns because RE2 cannot express `</\1>`), so DuckDB
+    * replays the identical chain with the `g` flag. Per-row codegen'd
+    * regexp work; scan-bound. Not a sanitizer — malformed-markup edge
+    * cases (unclosed script, tags inside attributes) degrade to extra
+    * text, never to dropped content. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&" // amp LAST
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** The canonical dedup key for one URL (see object Scaladoc for the
     * contract). Every regexp here is anchored or end-consuming, so Spark's
     * replace-all and DuckDB's replace-first semantics coincide. */

@@ -298,6 +298,21 @@ object Streams {
     *
     * Stateless end to end — no watermark, no state store; every verdict
     * is integer math, identical to the batch gate's. */
+  /** Streaming DSIR scoring: every arriving document scored under a
+    * model trained OFFLINE on a reference corpus
+    * ([[graft.ops.ext.Importance.trainDsir]]) — the online half of
+    * distribution-matched ingestion (keep crawl documents that resemble
+    * the target as they arrive). Delegates to the SAME
+    * [[graft.ops.ext.Importance.applyDsir]] projection the batch path
+    * uses — one stateless map-side fold per row against the broadcast
+    * literal weight table, so batch and stream can never score
+    * differently; buckets the model never saw (unseen vocabulary is
+    * routine on a live stream) take the model's smoothing default. */
+  def dsirScoreStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      model: graft.ops.ext.Importance.DsirModel): DataFrame =
+    graft.ops.ext.Importance.applyDsir(docs, col(textCol), idCol, model)
+
   def qualityGateStream(
       docs: DataFrame, textCol: String,
       t: graft.ops.ext.TextStats.QualityThresholds,

@@ -132,4 +132,22 @@ class WebSpec extends SparkSpec {
       ("a.com", 2L, 11L, 9L * 10000 / 11L), // ratio of SUMS, not mean of ratios
       ("b.org", 1L, 0L, 0L)))
   }
+
+  test("stripHtml drops script/style/comments, strips tags, decodes entities") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      (2L, "<script>var a = '<p>not text</p>';</script>after", "after"),
+      (3L, "<STYLE type=\"x\">p { }</STYLE>body", "body"), // case-insensitive
+      (4L, "a <!-- <b>gone</b> --> b", "a b"),
+      (5L, "x &amp;&nbsp;&lt;tag&gt; &quot;q&quot; &#39;s&#39;", "x & <tag> \"q\" 's'"),
+      (6L, "a&amp;lt;b", "a&lt;b"), // amp decoded LAST: no double-decode
+      (7L, "  spaced\n\nout\ttext  ", "spaced out text"),
+      (8L, "plain text stays", "plain text stays"))
+    val out = cases.toDF("id", "html", "want")
+      .select(col("id"), Web.stripHtml(col("html")).as("got"), col("want"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    out.foreach { case (id, got, want) => assert(got === want, s"case $id") }
+  }
 }

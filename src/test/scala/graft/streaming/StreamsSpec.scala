@@ -283,6 +283,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirScoreStream scores arriving docs identically to the batch path") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model trained offline on a reference corpus
+    val corpus = (
+      (1L to 6L).map(i => (i, "the quick brown fox", "en")) ++
+      (7L to 12L).map(i => (i, "zzz qqq www vvv", "xx"))
+    ).toDF("doc_id", "text", "lang")
+    val model = graft.ops.ext.Importance.trainDsir(
+      corpus, col("text"), col("lang") === "en", buckets = 64)
+    // stream rows include vocabulary the model never saw (default path)
+    val rows = Seq(
+      (100L, "the quick brown fox"), (101L, "zzz qqq www vvv"),
+      (102L, "totally unseen words here"), (103L, "solo"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.dsirScoreStream(docs, "text", "doc_id", model)
+      .writeStream.format("memory").queryName("dsir").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir").as[(Long, Long, Long)].collect().sortBy(_._1)
+      val want = graft.ops.ext.Importance.applyDsir(
+          rows.toDF("doc_id", "text"), col("text"), "doc_id", model)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq) // stream == batch, row for row
+      val byId = got.map(r => r._1 -> r._3).toMap
+      assert(byId(100L) > byId(101L)) // target-like beats off-target
+      assert(byId(103L) === 0L) // featureless
+    } finally q.stop()
+  }
+
   test("file-source event stream reads the testdata schema incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
