@@ -55,6 +55,13 @@ object Bench {
 
     def run(name: String): Double = {
       spark.catalog.clearCache() // isolate queries: no cross-query caches
+      // nudge the ContextCleaner: it only reclaims shuffle files, broadcast
+      // blocks, and released checkpoint blocks when driver GC runs, and an
+      // 8 GB heap can go many queries without one — by the tail of a
+      // 340-run suite the accumulated state was inflating late queries
+      // (q83 in-suite 42 s vs 6 s isolated) before this was added. Outside
+      // the timed region.
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

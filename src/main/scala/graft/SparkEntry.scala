@@ -1486,10 +1486,14 @@ object SparkEntry {
 
     // ---- edit-distance-confirmed near-dup pairs -------------------------
     "q108_edit_pairs" -> ((s, dir) => {
-      // LSH recalls, banded levenshtein over an 80-char prefix confirms —
-      // the order-sensitive sibling of q24's Jaccard confirm
+      // LSH recalls, banded levenshtein over a 64-char prefix confirms —
+      // the order-sensitive sibling of q24's Jaccard confirm. maxDist 16
+      // = a quarter of the prefix: the near-dup regime this operator is
+      // for, and the band bound that keeps the per-pair cost
+      // O(maxDist·prefix) ≈ 1k char ops (40/80 measured 6× slower for
+      // pairs no dedup policy would call near)
       Dedup.editConfirmedPairs(t(s, dir, "documents"), col("text"), "doc_id",
-          numHashes = 2, prefixLen = 80, maxDist = 40,
+          numHashes = 2, prefixLen = 64, maxDist = 16,
           maxBucketSize = Some(1000))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1577,6 +1581,50 @@ object SparkEntry {
           "doc_id", col("text"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- overlapping token-window chunking (embedding/RAG prep) ---------
+    "q115_chunks" -> ((s, dir) => {
+      // 32-token windows, stride 24 (8-token overlap); map-side generate,
+      // a short last window, never zero chunks per doc
+      Packing.chunkDocs(t(s, dir, "documents"), col("text"), "doc_id",
+          chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- within-doc repeated-line removal (template chrome) -------------
+    "q116_line_dedup_doc" -> ((s, dir) => {
+      // deterministic line structure injected (every " the " starts a new
+      // line) plus a repeated "nav menu" footer so every doc exercises
+      // the removal path; the oracle replays the identical injection
+      val lined = concat(lit("nav menu\n"),
+        replace(col("text"), lit(" the "), lit("\nthe ")),
+        lit("\nnav menu\nnav menu"))
+      Dedup.dropRepeatedLinesInDoc(
+          t(s, dir, "documents").withColumn("text", lined),
+          col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- iterative BPE merge training (k = 3 rounds) --------------------
+    "q117_bpe_train" -> ((s, dir) => {
+      // the real tokenizer-induction loop over the corpus vocabulary:
+      // count → argmax → merge, three rounds; the oracle unrolls the
+      // identical three stages as CTEs
+      TextStats.bpeTrainMerges(t(s, dir, "documents"), col("text"), k = 3)
+        .orderBy(col("merge_rank"))
+    }),
+
+    // ---- BPE apply: trained-tokenizer subword counts --------------------
+    "q118_bpe_apply" -> ((s, dir) => {
+      // the learned merges (k = 3, bounded driver state) baked as literals
+      // into a map-side segmentation fold — the REAL tokens-per-doc number
+      // a token-budget pipeline wants, vs q36's whitespace heuristic
+      val docs = t(s, dir, "documents")
+      val merges = TextStats.bpeTrainMerges(docs, col("text"), k = 3)
+        .orderBy(col("merge_rank")).collect().map(_.getString(1)).toSeq
+      TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1606,6 +1654,24 @@ object SparkEntry {
       s"list_min(list_transform($toks, w -> md5('$seed:' || w)))"
     // DuckDB twin of Importance.flog2 (integer Mitchell log2, 2^16 scale)
     def fl2(x: String): String = Importance.flog2Sql(x)
+    // the three unrolled BPE training rounds (q117 emits the merges,
+    // q118 applies them): vocabulary with frequencies, char symbols
+    // double-space joined, then per round pair-count / argmax / replace
+    val bpeCtes = {
+      val stages = (1 to 3).map { i =>
+        s"""p$i AS (SELECT pr, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+          |  SELECT wc, unnest(list_transform(range(len(l)-1), j -> l[j+1] || '  ' || l[j+2])) AS pr
+          |  FROM (SELECT wc, string_split(sym, '  ') AS l FROM v${i - 1})) GROUP BY pr),
+          |m$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+          |v$i AS (SELECT v.wc, replace(v.sym, m.pr, replace(m.pr, '  ', '')) AS sym
+          | FROM v${i - 1} v, m$i m)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      s"""tok AS (SELECT unnest($toks) AS w FROM documents),
+        |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tok WHERE length(w) >= 2 GROUP BY w),
+        |v0 AS (SELECT wc, array_to_string(list_transform(range(length(w)),
+        |  i -> substr(w, CAST(i + 1 AS INT), 1)), '  ') AS sym FROM w0),
+        |$stages""".stripMargin.replace("\n", " ")
+    }
     val mkO =
       """CASE
         | WHEN doc_id % 4 = 0 THEN '<http://ex/doc/' || doc_id || '>'
@@ -3005,14 +3071,14 @@ object SparkEntry {
       // q108: q22's band-candidate CTE + the levenshtein confirm over the
       // same 80-char prefix (computed once in a subquery)
       "q108_edit_pairs" ->
-        s"""WITH sig AS (SELECT doc_id, substr(text,1,80) AS pfx,
+        s"""WITH sig AS (SELECT doc_id, substr(text,1,64) AS pfx,
           |  md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
           |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pfx AS pa, b.pfx AS pb
           | FROM sig a JOIN sig b USING (band) WHERE a.doc_id < b.doc_id
           |  AND a.band IN (SELECT band FROM ok)),
           |ed AS (SELECT id_a, id_b, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist FROM cand)
-          |SELECT id_a, id_b, edit_dist FROM ed WHERE edit_dist <= 40
+          |SELECT id_a, id_b, edit_dist FROM ed WHERE edit_dist <= 16
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
       // q109: q59's n-gram-hash CTE, per-doc DISTINCT n-grams left-joined
       // against the benchmark set, fraction in basis points
@@ -3107,6 +3173,57 @@ object SparkEntry {
           |      WHEN o.h = n.h THEN 'same' ELSE 'changed' END AS status
           |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q115: generate_series over the chunk count, inclusive list_slice
+      // bounds (Spark's slice(start, len) clamps identically)
+      "q115_chunks" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+          |c AS (SELECT doc_id, t, len(t) AS n,
+          |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS nch FROM tk),
+          |x AS (SELECT doc_id, unnest(generate_series(0, nch - 1)) AS cid, t, n FROM c)
+          |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+          | CAST(LEAST(32, n - cid*24) AS BIGINT) AS n_toks,
+          | array_to_string(list_slice(t, cid*24 + 1, cid*24 + 32), ' ') AS chunk
+          |FROM x ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
+      // q116: the same injection, then first-occurrence-by-position
+      // list_filter (DuckDB lambda index is 1-based; Spark's is 0-based,
+      // compensated with i+1 there)
+      "q116_line_dedup_doc" ->
+        """WITH d AS (SELECT doc_id,
+          |  'nav menu' || chr(10) || replace(text, ' the ', chr(10) || 'the ')
+          |   || chr(10) || 'nav menu' || chr(10) || 'nav menu' AS text FROM documents),
+          |l AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM d),
+          |k AS (SELECT doc_id, la, list_filter(la, (x, i) -> list_position(la, x) = i) AS kept FROM l)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+          | CAST(len(la) AS BIGINT) AS n_lines,
+          | CAST(len(la) - len(kept) AS BIGINT) AS n_removed
+          |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q117/q118 share the three unrolled BPE rounds — each stage is the
+      // pair count over the previous vocabulary state, the (cnt DESC,
+      // pair ASC) argmax, and the double-space replace that IS the
+      // greedy-left merge
+      "q117_bpe_train" ->
+        s"""WITH $bpeCtes
+          |SELECT * FROM (
+          | SELECT CAST(1 AS BIGINT) AS merge_rank, pr AS pair, replace(pr, '  ', '') AS merged, cnt FROM m1
+          | UNION ALL SELECT CAST(2 AS BIGINT), pr, replace(pr, '  ', ''), cnt FROM m2
+          | UNION ALL SELECT CAST(3 AS BIGINT), pr, replace(pr, '  ', ''), cnt FROM m3)
+          |ORDER BY merge_rank""".stripMargin.replace("\n", " "),
+      // q118: the learned merges applied back to every document — the
+      // same char-join + replace chain per token, subwords counted per doc
+      "q118_bpe_apply" ->
+        s"""WITH $bpeCtes,
+          |x AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          |s0 AS (SELECT doc_id, array_to_string(list_transform(range(length(w)),
+          |  i -> substr(w, CAST(i + 1 AS INT), 1)), '  ') AS sym FROM x),
+          |sf AS (SELECT doc_id, replace(replace(replace(sym,
+          |  m1.pr, replace(m1.pr, '  ', '')),
+          |  m2.pr, replace(m2.pr, '  ', '')),
+          |  m3.pr, replace(m3.pr, '  ', '')) AS sym FROM s0, m1, m2, m3),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |  CAST(SUM(len(string_split(sym, '  '))) AS BIGINT) AS n_subwords FROM sf GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+          | COALESCE(a.n_subwords, 0) AS n_subwords
+          |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -497,6 +497,34 @@ object Dedup {
           .otherwise(lit(10000L)).as("precision_bp"))
   }
 
+  /** WITHIN-document repeated-line removal — the intra-doc sibling of
+    * [[dropDuplicateLines]] (which elects first occurrences
+    * corpus-wide): keep each line's first occurrence inside its own
+    * document, drop later repeats (navigation blocks, footers, template
+    * chrome repeated through one page). Entirely per-row array work —
+    * a single `filter` whose predicate is first-occurrence-by-position —
+    * so the operator is scan-bound with NO shuffle at any scale, where
+    * the corpus-wide variant necessarily shuffles on the line hash.
+    * Quadratic in lines-per-document (array_position walk per element),
+    * which is the right trade for real page line counts (10²).
+    *
+    * @return (idCol, clean_text, n_lines, n_removed) */
+  def dropRepeatedLinesInDoc(
+      docs: DataFrame, textCol: Column, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    docs
+      .withColumn("_la", split(textCol, qsep))
+      // 0-based lambda index vs 1-based array_position: first occurrence
+      // keeps the element whose position equals its own index + 1
+      .withColumn("_kept",
+        filter(col("_la"), (l, i) => array_position(col("_la"), l) === i + 1))
+      .select(col(idCol),
+        array_join(col("_kept"), sep).as("clean_text"),
+        size(col("_la")).cast("long").as("n_lines"),
+        (size(col("_la")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Edit-distance-confirmed near-duplicate pairs: LSH band candidates
     * (the linear-under-cap generator) re-checked with a BOUNDED
     * Levenshtein distance over a fixed-length text prefix. The classic
@@ -515,7 +543,7 @@ object Dedup {
     * edit_dist ≤ maxDist. */
   def editConfirmedPairs(
       docs: DataFrame, textCol: Column, idCol: String,
-      numHashes: Int = 2, prefixLen: Int = 80, maxDist: Int = 40,
+      numHashes: Int = 2, prefixLen: Int = 64, maxDist: Int = 16,
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(prefixLen >= 1, s"editConfirmedPairs: prefixLen >= 1, got $prefixLen")
     require(maxDist >= 0, s"editConfirmedPairs: maxDist >= 0, got $maxDist")

@@ -1,7 +1,7 @@
 package graft.ops.ext
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -169,5 +169,38 @@ object Packing {
       .withColumn("n_seqs",
         when(col("n") > 0, col("seq_last") - col("seq_first") + lit(1L))
           .otherwise(lit(0L)))
+  }
+
+  /** Overlapping token-window chunking — the embedding/RAG prep step
+    * ([[sequenceLayout]] packs a global stream; this splits each
+    * document independently): windows of `chunkSize` tokens advancing by
+    * `stride` (`stride < chunkSize` = overlap), last window short, a
+    * document never yields zero chunks. Pure map-side generate — each
+    * task chunks its own scan split, nothing shuffles but the caller's
+    * ordering.
+    *
+    * Output: (idCol, chunk_id, n_toks, chunk) — chunk_id dense from 0
+    * per document, `chunk` the space-joined token window. */
+  def chunkDocs(
+      docs: DataFrame, textCol: Column, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkDocs: chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"chunkDocs: stride must be in [1, chunkSize], got $stride")
+    docs
+      .withColumn("_toks", Dedup.tokens(textCol))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("_nch",
+        when(col("_n") <= chunkSize, lit(1))
+          .otherwise(expr(s"((_n - $chunkSize + $stride - 1) div $stride) + 1")))
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_nch") - 1)).as("chunk_id"))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("_n") - col("chunk_id") * stride)
+          .cast("long").as("n_toks"),
+        array_join(
+          slice(col("_toks"), col("chunk_id") * stride + 1, lit(chunkSize)),
+          " ").as("chunk"))
   }
 }

@@ -510,6 +510,102 @@ object TextStats {
       .limit(topN)
   }
 
+  /** Iterative BPE merge training — the actual tokenizer-induction loop
+    * [[bpePairStats]] is one counting pass of: k rounds of (count
+    * weighted adjacent symbol pairs over the vocabulary → take the
+    * argmax pair → merge it everywhere). Returns the learned merge
+    * table `(merge_rank, pair, merged, cnt)` — the model artifact a BPE
+    * tokenizer ships.
+    *
+    * Scale shape: BPE state is the VOCABULARY (distinct words +
+    * frequencies), not the corpus — one corpus-wide count builds it,
+    * cached across rounds. Each round is one partial-aggregated pair
+    * count over the vocab plus a TakeOrdered(1); the only driver state
+    * is the single argmax row per round (bounded by k), and the merge
+    * application is a map-side `replace` on the symbol string.
+    *
+    * Symbol sequences are DOUBLE-SPACE joined ("a  b  c"), which makes
+    * left-to-right non-overlapping `replace` of "a␣␣b" → "ab" EXACTLY
+    * BPE's greedy-left merge semantics — the separator is consumed with
+    * the pair, so runs like "a a a" merge to [aa, a], never overlap, on
+    * both engines identically. Ties break (cnt DESC, pair ASC) — a
+    * total order, so the learned merges are engine-exact and the DuckDB
+    * oracle unrolls the same k stages. */
+  def bpeTrainMerges(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"bpeTrainMerges: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(tokens(textCol)).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        array_join(
+          transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1))),
+          "  ").as("sym"))
+      .persist()
+    vocab.count() // materialize once; every round reads the cached vocab
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var cur = vocab
+    try {
+      for (r <- 1 to k) {
+        val syms = split(col("sym"), "  ")
+        val n = greatest(size(syms) - 1, lit(0))
+        val top = cur
+          .select(col("wc"),
+            explode(zip_with(slice(syms, lit(1), n), slice(syms, lit(2), n),
+              (a, b) => concat(a, lit("  "), b))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect() // the argmax row — the round's entire driver state
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val merged = pair.replace("  ", "")
+          merges += ((r.toLong, pair, merged, cnt))
+          cur = cur.withColumn("sym", replace(col("sym"), lit(pair), lit(merged)))
+        }
+      }
+    } finally vocab.unpersist()
+    spark.createDataFrame(merges.result())
+      .toDF("merge_rank", "pair", "merged", "cnt")
+  }
+
+  /** Apply a learned BPE merge list ([[bpeTrainMerges]] order matters:
+    * rank ascending) to every document: per-token symbol sequences run
+    * through the same double-space `replace` chain, then per-document
+    * subword counts — the REAL "how many tokens will the tokenizer
+    * emit" number a token-budget pipeline needs ([[tokenCount]] is the
+    * whitespace heuristic; this is the trained answer). Entirely
+    * map-side: the merge list is k literals baked into the projection,
+    * one fold over the token array per row, no shuffle at any scale.
+    *
+    * Output: (idCol, n_words, n_subwords) — 1-char words contribute one
+    * subword each (they never had pairs to merge). */
+  def bpeSegmentCounts(
+      docs: DataFrame, textCol: Column, idCol: String,
+      merges: Seq[String]): DataFrame = {
+    val toks = tokens(textCol)
+    // chars double-space-joined, then each merge applied in rank order
+    val seg = (w: Column) => {
+      // slice/greatest guard (the Dedup.shingles pattern): sequence(1, 0)
+      // counts DOWN for an empty word, so clamp then slice to length
+      val sym0 = array_join(
+        slice(
+          transform(sequence(lit(1), greatest(length(w), lit(1))),
+            i => w.substr(i, lit(1))),
+          lit(1), greatest(length(w), lit(0))), "  ")
+      merges.foldLeft(sym0) { (s, m) =>
+        replace(s, lit(m), lit(m.replace("  ", "")))
+      }
+    }
+    docs
+      .withColumn("_sub",
+        aggregate(toks, lit(0L),
+          (acc, w) => acc + size(split(seg(w), "  ")).cast("long")))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        col("_sub").as("n_subwords"))
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per group — the
     * tokenizer-evaluation dual of [[bpePairStats]]: given the corpus's own
     * top-`topV` token vocabulary (count desc, token asc — a total order),

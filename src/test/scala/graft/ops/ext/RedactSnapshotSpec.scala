@@ -23,6 +23,93 @@ class RedactPiiSpec extends SparkSpec {
   }
 }
 
+class ChunkLineSpec extends SparkSpec {
+
+  test("chunkDocs windows with overlap, short tail, never zero chunks") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 toks: 4/3 -> 3 chunks
+      (2L, "a b"), // under one window -> 1 chunk
+      (3L, "x")).toDF("doc_id", "text")
+    val out = Packing.chunkDocs(docs, col("text"), "doc_id", chunkSize = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "a b"),
+      (3L, 0L, 1L, "x")))
+    // every token is covered by at least one chunk; overlap = size-stride
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered === (1 to 10).map("t" + _).toSet)
+  }
+
+  test("dropRepeatedLinesInDoc keeps first occurrences per doc, no shuffle") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "only\nlines"),
+      (3L, "nav")).toDF("doc_id", "text") // doc 3 reuses doc 1's line: must stay
+    val out = Dedup.dropRepeatedLinesInDoc(docs, col("text"), "doc_id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "nav\nbody one\nbody two", 5L, 2L),
+      (2L, "only\nlines", 2L, 0L),
+      (3L, "nav", 1L, 0L))) // intra-doc only: cross-doc repeats survive
+    val plan = Dedup.dropRepeatedLinesInDoc(docs, col("text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // scan-bound at any scale
+  }
+}
+
+class BpeTrainSpec extends SparkSpec {
+
+  test("bpeTrainMerges learns the classic low/lower/lowest merges in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val out = TextStats.bpeTrainMerges(docs, col("text"), k = 3)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // round 1: "l o" and "o w" both count 3; pair-asc tie-break picks "l o"
+    // round 2: "lo w" count 3 beats everything
+    // round 3: "low e" count 2 (lower + lowest)
+    assert(out.toSeq === Seq(
+      (1L, "l  o", "lo", 3L),
+      (2L, "lo  w", "low", 3L),
+      (3L, "low  e", "lowe", 2L)))
+  }
+
+  test("bpeSegmentCounts segments under the learned merges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "low lower lowest"), (2L, "ow")).toDF("doc_id", "text")
+    val merges = Seq("l  o", "lo  w", "low  e") // ranks 1..3 from the spec above
+    val out = TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // low -> [low]; lower -> [lowe, r]; lowest -> [lowe, s, t]
+    assert(out.toSeq === Seq((1L, 3L, 6L), (2L, 1L, 2L)))
+    // map-side: no Exchange anywhere in the segmentation plan
+    val plan = TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("greedy-left merge: an odd run merges non-overlapping from the left") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "aaa" must become [aa, a] after merging (a,a) — never overlap
+    val docs = Seq((1L, "aaa aaa bb")).toDF("doc_id", "text")
+    val out = TextStats.bpeTrainMerges(docs, col("text"), k = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // round 1: "a a" counts 2 per "aaa" word-occurrence -> 4; "b b" -> 1
+    assert(out(0) === ((1L, "a  a", "aa", 4L)))
+    // round 2 state: "aa  a" (greedy-left), so the top pair is "aa a" (2)
+    assert(out(1) === ((2L, "aa  a", "aaa", 2L)))
+  }
+}
+
 class SnapshotsSpec extends SparkSpec {
 
   test("diffByContent classifies added/removed/changed/same") {
