@@ -1625,6 +1625,74 @@ object SparkEntry {
       TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- SimHash Hamming-ball pairs (pigeonhole block banding) ----------
+    "q119_simhash_pairs" -> ((s, dir) => {
+      // d=3 over the 32-bit signature -> four 8-bit blocks; the 1000-cap
+      // census guard mirrors q22's contract (the oracle carries the same
+      // HAVING per block)
+      Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", col("text"),
+          maxDist = 3, bits = 32, maxBucketSize = Some(1000))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- exact heavy hitters with bounded memory (Misra-Gries) ----------
+    "q120_heavy_hitters" -> ((s, dir) => {
+      // k=50 counters -> every token above 1/51 of the corpus; candidates
+      // are a per-task sketch bound, the confirm pass is exact
+      TextStats.heavyHitters(t(s, dir, "documents"), col("text"), k = 50)
+        .orderBy(col("token"))
+    }),
+
+    // ---- serpentine shard balancing (distributed rank, snake deal) ------
+    "q121_snake_shards" -> ((s, dir) => {
+      Packing.snakeShards(
+          t(s, dir, "documents").withColumn("n_tok", TextStats.tokenCount(col("text"))),
+          "doc_id", col("n_tok"), numShards = 8)
+        .orderBy(col("id"))
+    }),
+
+    // ---- per-dimension embedding drift between two slices ---------------
+    "q122_embedding_drift" -> ((s, dir) => {
+      // even/odd vec_id as the A/B slices; quantized-integer sums keep the
+      // per-dim means engine-exact (see Similarity.dimensionDrift)
+      Similarity.dimensionDrift(t(s, dir, "embeddings"),
+          col("embedding"), col("vec_id") % 2 === 0)
+        .orderBy(col("dim"))
+    }),
+
+    // ---- UniMax-style waterfilling token budget across sources ----------
+    "q123_waterfill_alloc" -> ((s, dir) => {
+      Sampling.waterfillAlloc(t(s, dir, "documents"),
+          col("source"), TextStats.tokenCount(col("text")), budget = 20000L)
+        .orderBy(col("source"))
+    }),
+
+    // ---- soft dedup: per-copy loss weights from cluster sizes -----------
+    "q124_soft_dedup" -> ((s, dir) => {
+      // the q58 cluster machinery (guarded LSH pairs -> hash-to-min CC),
+      // then one partial-aggregated count join — never a per-cluster window
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
+        maxBucketSize = Some(1000))
+      Components.clusterWeights(
+          Components.dedupClusters(docs, pairs, "doc_id"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic seeded global training order ---------------------
+    "q125_shuffle_order" -> ((s, dir) => {
+      Packing.shuffleOrder(t(s, dir, "documents"), "doc_id", seed = 42L)
+        .orderBy(col("id"))
+    }),
+
+    // ---- per-document n-gram novelty vs all earlier documents -----------
+    "q126_ngram_novelty" -> ((s, dir) => {
+      Contamination.ngramNovelty(t(s, dir, "documents"), col("text"),
+          "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3224,6 +3292,120 @@ object SparkEntry {
           |SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
           | COALESCE(a.n_subwords, 0) AS n_subwords
           |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q119: q23's simhash CTE, the pigeonhole block join (4 x 8-bit
+      // blocks = any pair within Hamming distance 3 shares a block), the
+      // same 1000-cap HAVING as the Spark guard, exact popcount confirm
+      "q119_simhash_pairs" ->
+        s"""WITH tok AS (SELECT doc_id, CAST(('0x' || substr(md5(w),1,8)) AS BIGINT) AS h
+          | FROM (SELECT doc_id, unnest($toks) AS w FROM documents)),
+          |votes AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+          | FROM tok, (SELECT unnest(generate_series(0,31)) AS j) g GROUP BY doc_id, j),
+          |sim AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS s
+          | FROM votes GROUP BY doc_id),
+          |blk AS (SELECT doc_id, s, b, (s >> (b*8)) & 255 AS bv FROM sim, range(4) r(b)),
+          |ok AS (SELECT b, bv FROM blk GROUP BY b, bv HAVING COUNT(*) <= 1000),
+          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.s AS sa, b2.s AS sb
+          | FROM blk a JOIN ok ON a.b = ok.b AND a.bv = ok.bv
+          |  JOIN blk b2 ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // q120: the sketch finds candidates, the CONFIRM threshold is plain
+      // SQL — cnt * (k+1) > N with k = 50
+      "q120_heavy_hitters" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+          |tot AS (SELECT COUNT(*) AS n FROM tok)
+          |SELECT token, COUNT(*) AS cnt FROM tok, tot GROUP BY token, tot.n
+          |HAVING COUNT(*) * 51 > tot.n
+          |ORDER BY token""".stripMargin.replace("\n", " "),
+      // q121: rank by token count desc (doc_id ties), snake over 8 shards
+      "q121_snake_shards" ->
+        s"""WITH r AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS n,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY len($toks) DESC, doc_id) AS BIGINT) AS rank
+          | FROM documents)
+          |SELECT id, n, rank,
+          | CASE WHEN (rank-1) % 16 < 8 THEN (rank-1) % 16 ELSE 15 - ((rank-1) % 16) END AS shard
+          |FROM r ORDER BY id""".stripMargin.replace("\n", " "),
+      // q122: quantized-integer sums (floor(x * 2^20 + 0.5) — exact in
+      // double arithmetic) make the per-dim means order-independent and
+      // engine-exact; the divisions mirror the Spark expression shape
+      "q122_embedding_drift" ->
+        """WITH e AS (SELECT (vec_id % 2 = 0) AS a, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |x AS (SELECT a, CAST(i - 1 AS BIGINT) AS dim,
+          |  CAST(FLOOR(v[i] * 1048576.0 + 0.5) AS BIGINT) AS q
+          | FROM (SELECT a, unnest(generate_series(1, len(v))) AS i, v FROM e)),
+          |g AS (SELECT dim,
+          |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          |  CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          |  CAST(COALESCE(SUM(CASE WHEN a THEN q END), 0) AS BIGINT) AS sa,
+          |  CAST(COALESCE(SUM(CASE WHEN NOT a THEN q END), 0) AS BIGINT) AS sb
+          | FROM x GROUP BY dim)
+          |SELECT dim, n_a, n_b,
+          | CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1048576.0) AS mean_a,
+          | CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1048576.0) AS mean_b,
+          | abs(CAST(sa AS DOUBLE) / (CAST(n_a AS DOUBLE) * 1048576.0)
+          |   - CAST(sb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1048576.0)) AS shift
+          |FROM g ORDER BY dim""".stripMargin.replace("\n", " "),
+      // q123: the closed-form waterfill — walking capacities ascending,
+      // the first source whose capacity holds the equal share of the
+      // remainder fixes the level T; everyone gets min(cap, T)
+      "q123_waterfill_alloc" ->
+        s"""WITH caps AS (SELECT source, CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS cap
+          | FROM documents GROUP BY source),
+          |w AS (SELECT source, cap,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+          |  CAST(COUNT(*) OVER () AS BIGINT) AS nsrc,
+          |  CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+          | FROM caps),
+          |c AS (SELECT source, cap, i, (20000 - bef) // (nsrc - i + 1) AS cand FROM w),
+          |m AS (SELECT source, cap, i, cand,
+          |  MIN(CASE WHEN cand <= cap THEN i END) OVER () AS mi FROM c),
+          |tt AS (SELECT source, cap,
+          |  MAX(CASE WHEN i = mi THEN cand END) OVER () AS t FROM m)
+          |SELECT source, cap,
+          | CASE WHEN t IS NULL THEN cap ELSE least(cap, t) END AS alloc
+          |FROM tt ORDER BY source""".stripMargin.replace("\n", " "),
+      // q124: q58's cluster oracle verbatim, then sizes -> basis-point
+      // loss weights
+      "q124_soft_dedup" ->
+        s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM documents
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cl AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id),
+          |sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          | FROM cl GROUP BY canonical_id)
+          |SELECT cl.doc_id, cl.canonical_id, sz.cluster_size,
+          | 10000 // cluster_size AS weight_bp
+          |FROM cl JOIN sz USING (canonical_id) ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q125: the seeded identity-hash permutation — 60-bit md5 prefix as
+      // the sort key, doc_id breaking (astronomically unlikely) ties
+      "q125_shuffle_order" ->
+        """WITH h AS (SELECT doc_id AS id,
+          |  CAST(('0x' || substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+          | FROM documents)
+          |SELECT id, key, CAST(ROW_NUMBER() OVER (ORDER BY key, id) AS BIGINT) AS ord
+          |FROM h ORDER BY id""".stripMargin.replace("\n", " "),
+      // q126: q59's n-gram hash, distinct per doc, min-doc_id first
+      // occurrence, integer basis-point novelty
+      "q126_ngram_novelty" ->
+        s"""WITH ng AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len($toks) - 7),
+          |  i -> CAST(('0x' || substr(md5(array_to_string(list_slice($toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)))) AS ngh
+          | FROM documents),
+          |f AS (SELECT ngh, MIN(doc_id) AS first_id FROM ng GROUP BY ngh)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+          | CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          | (CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          |   // CAST(COUNT(*) AS BIGINT) AS novel_bp
+          |FROM ng JOIN f USING (ngh) GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -311,4 +311,35 @@ object Contamination {
         when(coalesce(col("n_ngrams"), lit(0L)) > 0,
           expr("(10000 * n_hits) div n_ngrams")).otherwise(lit(0L)).as("contam_bp"))
   }
+
+  /** Per-document n-gram NOVELTY — how much of each document is text the
+    * corpus has not seen in any earlier document (by id order): the
+    * count of its distinct n-grams whose corpus-wide FIRST occurrence is
+    * this document, as a fraction in basis points. The diversity dual of
+    * [[topNgrams]]' boilerplate view — a curation pass ranks documents
+    * by marginal new content, and a near-zero `novel_bp` tail is the
+    * same signal exact-substring dedup acts on, computed an order of
+    * magnitude cheaper.
+    *
+    * Scale shape: per-doc distinct n-gram hashes are one map-side kernel
+    * + `array_distinct`; the first-occurrence election is a partial-
+    * aggregated `min(id)` on 8-byte hash keys, and the join back is on
+    * the SAME key — the exchange partitioning is reused, so the data
+    * shuffles once. Documents shorter than `n` tokens have no n-grams
+    * and are absent (same contract as [[contaminationHits]]).
+    *
+    * Output: `(idCol, n_ngrams, n_novel, novel_bp)`, BIGINT. */
+  def ngramNovelty(
+      docs: DataFrame, textCol: Column, idCol: String,
+      n: Int = 8): DataFrame = {
+    val dh = docs.select(col(idCol),
+      explode(array_distinct(ngramHashes(textCol, n))).as("ngh"))
+    val first = dh.groupBy(col("ngh")).agg(min(col(idCol)).as("_first"))
+    dh.join(first, Seq("ngh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col(idCol) === col("_first"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_ngrams"), col("n_novel"),
+        expr("n_novel * 10000 div n_ngrams").as("novel_bp"))
+  }
 }

@@ -339,6 +339,62 @@ object Dedup {
   def simhashText(text: Column, bits: Int = 32): Column =
     graft.functions.SimhashExpr.simhash(text, bits)
 
+  /** SimHash near-dup pairs within Hamming distance `maxDist`, found
+    * WITHOUT an all-pairs join: the pigeonhole banding for Hamming space
+    * (Manku/Jain/Sarma, WWW 2007 §3). Split the `bits`-bit signature into
+    * `maxDist + 1` equal blocks — two signatures differing in at most
+    * `maxDist` bits MUST agree on at least one whole block — so candidate
+    * generation is `maxDist + 1` equi self-joins on (block index, block
+    * value), and the exact `bit_count(a XOR b) <= maxDist` check runs only
+    * on candidates. Complete by construction (the pigeonhole cover misses
+    * no qualifying pair); precision is enforced by the confirm filter.
+    *
+    * Scale shape: signatures are one codegen kernel per row ([[simhashText]]);
+    * the per-block shuffles carry (block key, id, 8-byte signature) — the
+    * signature rides through the band shuffle so the confirm is a per-row
+    * filter, never a join back to the corpus. `maxBucketSize` engages the
+    * same census guard as MinHash LSH ([[guardBuckets]]): identical
+    * boilerplate collapses to ONE signature whose block buckets go
+    * quadratic uncapped — dropping over-cap buckets bounds candidates at
+    * n·cap/2 per block. Block width is `bits / (maxDist+1)`: at corpus
+    * scale use 64-bit signatures (16-bit blocks at d=3) — 8-bit blocks
+    * have only 256 bucket values and everything collides.
+    *
+    * Output: (id_a, id_b, dist BIGINT), id_a < id_b, distinct. */
+  def simhashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      maxDist: Int = 3,
+      bits: Int = 32,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val blocks = maxDist + 1
+    require(bits % blocks == 0,
+      s"simhashHammingPairs: bits ($bits) must divide into maxDist+1 ($blocks) blocks")
+    val w = bits / blocks
+    val sig = df.select(col(idCol).as("id"), simhashText(textCol, bits).as("sim"))
+    val perBlock = (0 until blocks).map { j =>
+      // block j's value; the literal index in the key keeps block j of one
+      // doc from colliding with block i of another
+      val blockVal = shiftright(col("sim"), j * w).bitwiseAND(lit((1L << w) - 1))
+      val keyed = guardBuckets(
+        sig.select(
+          md5(concat_ws("|", lit(j.toString), blockVal.cast("string"))).as("band"),
+          col("id"), col("sim")),
+        maxBucketSize)
+      val l = keyed.select(col("band"), col("id").as("id_a"), col("sim").as("_sim_a"))
+      val r = keyed.select(col("band"), col("id").as("id_b"), col("sim").as("_sim_b"))
+      l.join(r, Seq("band"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("_sim_a"), col("_sim_b"))
+    }
+    perBlock.reduce(_.unionByName(_))
+      .distinct() // a pair can agree on several blocks
+      .withColumn("dist", bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Token-set Jaccard similarity of two text columns: |A ∩ B| / |A ∪ B|
     * over distinct tokens. Integer set sizes divided as doubles —
     * bit-identical across engines. */

@@ -171,6 +171,107 @@ object Packing {
           .otherwise(lit(0L)))
   }
 
+  /** Distributed global rank: every row's 1-based position in `(key, id)`
+    * order (`key` descending when `desc`; `id` ascending breaks ties) —
+    * the same two-phase scan as [[tokenShards]], never a single-task
+    * global window. Partition i of the range layout holds a contiguous
+    * slice of the total order, pass 1 collects one row count per
+    * partition (a `partitions`-sized driver bound), pass 2 adds the
+    * prefixed offsets to a local index. The output is pinned with an
+    * eager local checkpoint for the same reason as [[tokenShards]]: the
+    * offsets are only valid for the exact range boundaries pass 1 saw.
+    *
+    * Output: `(id, key, rank)`, all BIGINT. */
+  def rankBy(
+      df: DataFrame,
+      idCol: String, keyCol: Column,
+      desc: Boolean = false,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(
+      col(idCol).cast("long").as("id"),
+      keyCol.cast("long").as("key"))
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ord =
+      if (desc) Seq(col("key").desc, col("id").asc)
+      else Seq(col("key").asc, col("id").asc)
+    val parts = typed
+      .repartitionByRange(p, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .as[(Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val counts: Array[(Int, Long)] = parts
+      .mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }
+      .collect()
+    val offsets: Map[Int, Long] = {
+      var running = 0L
+      counts.sortBy(_._1).map { case (pid, c) =>
+        val before = running; running += c; (pid, before)
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    val result = parts
+      .mapPartitions { it =>
+        val base = bcOffsets.value.getOrElse(TaskContext.getPartitionId(), 0L)
+        var i = 0L
+        it.map { case (id, key) => i += 1; (id, key, base + i) }
+      }
+      .toDF("id", "key", "rank")
+      .localCheckpoint(true)
+    parts.unpersist()
+    result
+  }
+
+  /** Serpentine (boustrophedon) shard balancing — the LPT-flavoured
+    * alternative to [[tokenShards]]' contiguous cuts: rank documents by
+    * token count DESCENDING and deal them out in snake order (0,1,…,S-1,
+    * S-1,…,1,0, repeat), so every shard receives one document from each
+    * size band and shard loads stay within one document of each other
+    * even under heavy-tailed document sizes — where contiguous cuts put
+    * all the giants in shard 0. The rank is [[rankBy]]'s distributed
+    * two-phase scan; the snake assignment is per-row integer math on it.
+    *
+    * Output: `(id, n, rank, shard)`, all BIGINT. */
+  def snakeShards(
+      df: DataFrame,
+      idCol: String, nCol: Column,
+      numShards: Int,
+      partitions: Int = 0): DataFrame = {
+    require(numShards >= 1, s"snakeShards: numShards must be >= 1, got $numShards")
+    val s = numShards.toLong
+    rankBy(df, idCol, nCol, desc = true, partitions)
+      .withColumnRenamed("key", "n")
+      .withColumn("_r", expr(s"(rank - 1) % ${2 * s}L"))
+      .withColumn("shard",
+        when(col("_r") < s, col("_r")).otherwise(lit(2 * s - 1) - col("_r")))
+      .drop("_r")
+  }
+
+  /** Deterministic global training order: every row's position under a
+    * seeded identity-hash permutation — the corpus-shuffle step before
+    * sequence packing, reproducible across runs, engines, and partition
+    * layouts (same contract as [[Sampling.hashFraction]]: the order is a
+    * function of row IDENTITY, not of physical layout or `rand()`). The
+    * 60-bit md5 prefix is the sort key; the id itself breaks the
+    * astronomically-unlikely ties. Same two-phase distributed rank as
+    * [[rankBy]] — never a single-task window.
+    *
+    * Output: `(id, key, ord)` — `key` the hash sort key, `ord` the
+    * 1-based position. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int = 0): DataFrame =
+    rankBy(df, idCol,
+      conv(substring(md5(concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      desc = false, partitions)
+      .withColumnRenamed("rank", "ord")
+
   /** Overlapping token-window chunking — the embedding/RAG prep step
     * ([[sequenceLayout]] packs a global stream; this splits each
     * document independently): windows of `chunkSize` tokens advancing by

@@ -196,4 +196,53 @@ object Sampling {
       .where(col("_cum") <= col("_budget"))
       .drop("_src", "_budget", "_cum")
   }
+
+  /** Waterfilling token allocation — the UniMax-flavoured budget split
+    * (Chung et al. 2023: cap every source at an equal share instead of
+    * size-proportional sampling, so small sources are not starved and big
+    * ones do not dominate): give every source an EQUAL number of tokens,
+    * except sources too small to use their share, whose leftover is
+    * redistributed equally among the rest. Closed form over capacities
+    * sorted ascending: walking up, the first source whose capacity can
+    * hold the equal share of what remains fixes the water level `T =
+    * (budget - smaller capacities) div (#sources remaining)`, and every
+    * source gets `min(capacity, T)` (all of them get their capacity when
+    * even the largest cannot absorb its share, i.e. budget >= total). All
+    * arithmetic BIGINT with integral division — engine-exact; flooring
+    * only under-fills, so `sum(alloc) <= budget` always holds.
+    *
+    * Scale shape: one partial-aggregated shuffle reduces the corpus to a
+    * #sources-row capacity table; the windows walk THAT — single-task but
+    * bounded by source cardinality, the same trained-model-size bound as
+    * [[tokenBudgetMix]]'s weight table, never by corpus size.
+    *
+    * Output: `(source, cap, alloc)`, caps/allocs BIGINT. */
+  def waterfillAlloc(
+      df: DataFrame,
+      source: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"waterfillAlloc: budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val all = Window.orderBy(col("cap"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(source.as("source"))
+      .agg(sum(tokens.cast("long")).as("cap"))
+      .withColumn("_i", row_number().over(ord).cast("long"))
+      .withColumn("_nsrc", count(lit(1)).over(all))
+      .withColumn("_before",
+        coalesce(sum(col("cap")).over(
+          Window.orderBy(col("cap"), col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // equal share of what remains if every source from here up took it
+      .withColumn("_cand", expr(s"(${budget}L - _before) div (_nsrc - _i + 1)"))
+      // the water level: the first row (capacity asc) whose capacity holds
+      // its share — min-flagged-index then that row's share
+      .withColumn("_mi", min(when(col("_cand") <= col("cap"), col("_i"))).over(all))
+      .withColumn("_t", max(when(col("_i") === col("_mi"), col("_cand"))).over(all))
+      .select(col("source"), col("cap"),
+        when(col("_t").isNull, col("cap")) // budget >= total: everyone full
+          .otherwise(least(col("cap"), col("_t"))).as("alloc"))
+  }
 }

@@ -770,4 +770,45 @@ object Similarity {
           (x, q) => abs(x.cast("double") - q / lit(scale.toDouble))))
           .as("max_abs_err"))
   }
+
+  /** Per-dimension embedding drift between two corpus slices — the
+    * monitoring pass that catches an embedding-model change, a feature
+    * pipeline bug, or genuine distribution shift before a refreshed slice
+    * is mixed into an ANN index or training set: per dimension, the count
+    * and mean of slice A (`inA`) vs slice B, and the absolute mean shift.
+    *
+    * Cross-row float sums are summation-ORDER-dependent, so a naive
+    * per-dim `avg(v)` differs run to run and engine to engine. Instead
+    * each element is quantized to an integer at a power-of-two `scale`
+    * (`floor(x·scale + 0.5)` — exact in double arithmetic, the
+    * [[quantizeInt8]] contract) and the BIGINT sums are order-independent
+    * and engine-exact; means divide those exact integers as doubles.
+    *
+    * Scale shape: explode is map-side; the one shuffle partial-aggregates
+    * to `dims` keys per task, so the exchange carries ~dims rows per task
+    * regardless of corpus size — output is `dims` rows total.
+    *
+    * Output: `(dim, n_a, n_b, mean_a, mean_b, shift)`. */
+  def dimensionDrift(
+      vectors: DataFrame, vecCol: Column, inA: Column,
+      scale: Int = 1 << 20): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"dimensionDrift: scale must be a power of two, got $scale")
+    val s = scale.toDouble
+    vectors
+      .select(inA.as("_a"), posexplode(vecCol.cast("array<double>")))
+      .select(col("_a"), col("pos").cast("long").as("dim"),
+        floor(col("col") * s + lit(0.5)).cast("long").as("_q"))
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(col("_a"), col("_q"))), lit(0L)).as("_sa"),
+        coalesce(sum(when(!col("_a"), col("_q"))), lit(0L)).as("_sb"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        (col("_sa").cast("double") / (col("n_a").cast("double") * s)).as("mean_a"),
+        (col("_sb").cast("double") / (col("n_b").cast("double") * s)).as("mean_b"),
+        abs(col("_sa").cast("double") / (col("n_a").cast("double") * s) -
+          col("_sb").cast("double") / (col("n_b").cast("double") * s)).as("shift"))
+  }
 }

@@ -634,4 +634,75 @@ object TextStats {
         (col("n_tokens") - col("_cov")).as("n_oov"),
         expr("(n_tokens - _cov) * 10000 div n_tokens").as("oov_bp"))
   }
+
+  /** EXACT heavy hitters — every token whose corpus frequency exceeds
+    * `N / (k+1)` — found with BOUNDED memory, never a full token groupBy.
+    *
+    * The full `groupBy(token)` shuffles the entire vocabulary; on a 100 TB
+    * web corpus that is billions of distinct keys shuffled to find the
+    * handful of frequent ones. Instead, the two-pass sketch-then-confirm
+    * shape (Misra–Gries 1982):
+    *
+    *  1. CANDIDATES — each scan task streams its documents through a
+    *     k-counter Misra–Gries summary (`mapPartitions`: genuinely
+    *     per-partition imperative state, the documented exception). MG
+    *     guarantees a surviving counter for every token with in-partition
+    *     frequency > N_p/(k+1); any GLOBAL heavy hitter has that in at
+    *     least one partition (pigeonhole over the partition sums), so the
+    *     union of per-task candidates is a SUPERSET of the true heavy
+    *     hitters. At most k × tasks short strings reach the driver — a
+    *     sketch-size bound, independent of data volume.
+    *  2. CONFIRM — exact counts for candidate tokens only: explode, keep
+    *     tokens in the (tiny, broadcast) candidate set, partial-aggregated
+    *     groupBy over ≤ k × tasks distinct keys, then the exact integer
+    *     threshold `cnt * (k+1) > N`.
+    *
+    * False candidates cost only their confirm-count; misses are impossible,
+    * so the output is EXACTLY the frequency-threshold set — engine-portable
+    * (the oracle is a plain `HAVING cnt*(k+1) > total`), unlike the sketch
+    * estimates a `count_min`-style one-pass would give.
+    *
+    * Output: `(token, cnt BIGINT)` — tokens with `cnt*(k+1) > N`. */
+  def heavyHitters(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHitters: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // pass 1: per-partition Misra–Gries candidates. The tokenizer must
+    // stay equivalent to [[tokens]] (trim + split on \s+) — a stage-1
+    // tokenization mismatch could DROP a heavy hitter from the candidate
+    // set, which is the one error the confirm pass cannot repair.
+    val candidates: Array[String] = docs
+      .select(coalesce(textCol.cast("string"), lit("")).as("t")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          t.trim.split("\\s+").foreach { w =>
+            counters.get(w) match {
+              case Some(c) => counters.update(w, c + 1)
+              case None if counters.size < k => counters.update(w, 1L)
+              case None => // all k slots held: decrement everyone, drop zeros
+                val dead = List.newBuilder[String]
+                counters.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else counters.update(key, c - 1)
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+        }
+        counters.keysIterator
+      }
+      .distinct()
+      .collect() // bounded: <= k per task, short strings
+
+    // pass 2: exact confirm over candidates only. N is one scalar
+    // aggregate; the semi filter is a broadcast literal set, so the only
+    // shuffle carries <= k x tasks distinct token keys.
+    val n = docs.select(sum(size(tokens(textCol))).cast("long")).as[Long].head()
+    docs.select(explode(tokens(textCol)).as("token"))
+      .where(col("token").isInCollection(candidates))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit((k + 1).toLong) > lit(n))
+  }
 }
