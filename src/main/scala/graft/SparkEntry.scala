@@ -1693,6 +1693,40 @@ object SparkEntry {
           "doc_id", n = 8)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- soft curation: near-dup multiplicity -> loss weights ----------
+    "q127_curate_soft" -> ((s, dir) => {
+      // q73's exact fixture (PII injection, %37 benchmark split); the
+      // near-dup DROP stage swapped for cluster-size down-weighting —
+      // every gated, exact-deduped, clean doc survives with its weight
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val pool = docs.where(col("doc_id") % 37 =!= 0)
+      graft.pipeline.Curation.curateSoft(pool, col("text"), "doc_id", "source", bench,
+          minDocs = 20, minAlphaBp = 8100, numHashes = 2,
+          maxBucketSize = 1000, n = 8)
+        .select(col("doc_id"), col("source"), col("canonical_id"),
+          col("cluster_size"), col("weight_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source corpus report card ----------------------------------
+    "q128_source_report" -> ((s, dir) => {
+      // docs vs the %37 benchmark slice — dup/contamination/alpha rates
+      // per source in one composed pass
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Reports.sourceReport(docs, col("text"), "doc_id", "source",
+          docs.where(col("doc_id") % 37 === 0), col("text"), n = 8)
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3406,6 +3440,74 @@ object SparkEntry {
           |   // CAST(COUNT(*) AS BIGINT) AS novel_bp
           |FROM ng JOIN f USING (ngh) GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q127: q73's CTE chain through the cluster closure, then sizes ->
+      // weights instead of the canonical-only filter; decontamination
+      // still drops, weights reflect pre-decontamination multiplicity
+      "q127_curate_soft" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang, source, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |pool AS (SELECT * FROM d WHERE doc_id % 37 <> 0),
+          |g AS (SELECT source FROM pool GROUP BY source
+          | HAVING COUNT(*) >= 20
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8100),
+          |s1 AS (SELECT * FROM pool WHERE source IN (SELECT source FROM g)),
+          |s2 AS (SELECT * FROM s1
+          | WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) = 0
+          |  AND len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) = 0
+          |  AND len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,}[0-9]')) = 0),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ex)),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM s3),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM s3
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cc AS (SELECT id, MIN(lab) AS canon FROM reach GROUP BY id),
+          |sz AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY canon),
+          |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM d WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          |  FROM s3) x WHERE ngh IN (SELECT ngh FROM bg))
+          |SELECT s3.doc_id, s3.source, cc.canon AS canonical_id, sz.cluster_size,
+          | 10000 // sz.cluster_size AS weight_bp
+          |FROM s3 JOIN cc ON s3.doc_id = cc.id JOIN sz USING (canon)
+          |WHERE s3.doc_id NOT IN (SELECT doc_id FROM hit)
+          |ORDER BY s3.doc_id""".stripMargin.replace("\n", " "),
+      // q128: dup election on content hash, contamination flag from the
+      // %37 benchmark's n-grams, alpha ratio — rolled up per source
+      "q128_source_report" ->
+        s"""WITH base AS (SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS ntok,
+          |  CAST(length(text) AS BIGINT) AS nchar,
+          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS nalpha,
+          |  md5(text) AS h FROM documents),
+          |f AS (SELECT h, MIN(doc_id) AS keep FROM base GROUP BY h),
+          |ng AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents),
+          |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM ng WHERE ngh IN (SELECT ngh FROM bench))
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          | CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          | CAST(SUM(CASE WHEN base.doc_id <> f.keep THEN 1 ELSE 0 END) AS BIGINT) * 10000
+          |   // CAST(COUNT(*) AS BIGINT) AS dup_bp,
+          | CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+          |   // CAST(COUNT(*) AS BIGINT) AS contam_bp,
+          | CASE WHEN CAST(SUM(nchar) AS BIGINT) > 0
+          |  THEN CAST(SUM(nalpha) AS BIGINT) * 10000 // CAST(SUM(nchar) AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END AS alpha_bp
+          |FROM base JOIN f USING (h) LEFT JOIN hit ON base.doc_id = hit.doc_id
+          |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -40,19 +40,22 @@ import graft.ops.ext.{Components, Contamination, Dedup, TextStats}
   */
 object Curation {
 
-  def curate(
+  /** Stages 1-3 (source gate → per-doc gate → exact dedup), shared by
+    * [[curate]] and [[curateSoft]]. Returns the exact-deduped frame
+    * PERSISTED (MEMORY_AND_DISK): this is the reuse point — the signature
+    * kernel, the component vertices, the near-dup semi join, and the
+    * decontamination scan all read it; uncached, the stages re-execute
+    * once per consumer. The CALLER owns the unpersist (both public ops
+    * release it deterministically once their survivors materialize, so
+    * repeated calls in one session cannot accumulate cached corpora). */
+  private def gateAndExactDedup(
       docs: DataFrame,
       textCol: Column,
       idCol: String,
       sourceCol: String,
-      benchmark: DataFrame,
-      minDocs: Long = 20,
-      minAlphaBp: Int = 8000,
-      numHashes: Int = 2,
-      maxBucketSize: Int = 1000,
-      n: Int = 8,
-      gate: Option[TextStats.QualityThresholds] = None,
-      keepBest: Boolean = false): DataFrame = {
+      minDocs: Long,
+      minAlphaBp: Int,
+      gate: Option[TextStats.QualityThresholds]): DataFrame = {
 
     // 1. source gate: survivor sources broadcast into a semi join
     val gated = docs.join(
@@ -75,15 +78,26 @@ object Curation {
     // 3. exact dedup: keep the min-id document of each identical-text group
     val keepers = Dedup.exactDupGroups(piiFree, col(idCol), textCol)
       .select(col("keeper").as(idCol))
-    // cached: this is the reuse point — the signature kernel, the
-    // component vertices, the near-dup semi join, and the decontamination
-    // scan all read it; uncached, stages 1-3 re-execute once per consumer.
-    // MEMORY_AND_DISK so an over-memory corpus degrades to spill, not OOM;
-    // unpersisted deterministically below once the survivors materialize,
-    // so repeated curate() calls in one session cannot accumulate cached
-    // corpora.
-    val exactDeduped = piiFree.join(keepers, Seq(idCol), "left_semi")
+    piiFree.join(keepers, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def curate(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      minDocs: Long = 20,
+      minAlphaBp: Int = 8000,
+      numHashes: Int = 2,
+      maxBucketSize: Int = 1000,
+      n: Int = 8,
+      gate: Option[TextStats.QualityThresholds] = None,
+      keepBest: Boolean = false): DataFrame = {
+
+    val exactDeduped = gateAndExactDedup(
+      docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
 
     // 4. near-dup clusters: guarded band pairs -> components -> keepers.
     // Default keeps each cluster's min-id canonical; `keepBest` instead
@@ -126,6 +140,60 @@ object Curation {
     // frames are excluded: docs/benchmark may themselves be checkpoint-
     // backed (e.g. a previous curate's output), and those blocks are the
     // caller's only copy.
+    graft.core.Checkpoints.releaseExcept(lazySurvivors, docs, benchmark)
+    exactDeduped.unpersist(false)
+    survivors
+  }
+
+  /** SOFT curation — [[curate]]'s stages with the near-dup DROP swapped
+    * for down-weighting ([[Components.clusterWeights]]): every post-gate,
+    * exact-deduped, decontaminated document survives, carrying its dup
+    * cluster's `canonical_id`, `cluster_size`, and the basis-point
+    * training-loss weight `10000 div size`. The pipeline to run when
+    * duplicates carry signal (popular quotes, licenses, canonical docs)
+    * but must not be over-trained on — hard removal (exact dedup of
+    * byte-identical copies, PII/source gates, benchmark decontamination)
+    * still applies; only NEAR-dup multiplicity converts to weight.
+    *
+    * Weights measure multiplicity in the post-exact-dedup pool, BEFORE
+    * decontamination removes rows — a near-dup family that loses a member
+    * to the benchmark check keeps the weight of its full observed size
+    * (the multiplicity signal is about repetition in the wild, not about
+    * what survives this particular filter chain). Same eager
+    * checkpoint-and-release lifecycle as [[curate]].
+    *
+    * Output: all input columns + `canonical_id`, `cluster_size`,
+    * `weight_bp`. */
+  def curateSoft(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      minDocs: Long = 20,
+      minAlphaBp: Int = 8000,
+      numHashes: Int = 2,
+      maxBucketSize: Int = 1000,
+      n: Int = 8,
+      gate: Option[TextStats.QualityThresholds] = None): DataFrame = {
+
+    val exactDeduped = gateAndExactDedup(
+      docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
+
+    // 4. near-dup clusters -> weights (no drop): guarded band pairs,
+    // components, partial-aggregated size counts
+    val sig = Dedup.withMinhashSignature(exactDeduped, textCol, numHashes)
+    val pairs = Dedup.lshCandidatePairs(sig, idCol,
+      (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize))
+    val weights = Components.clusterWeights(
+      Components.dedupClusters(exactDeduped, pairs, idCol), idCol)
+
+    // 5. decontaminate, then attach the weights (inner join on the doc
+    // id: every clean doc has exactly one weight row by construction)
+    val lazySurvivors = Contamination.decontaminate(exactDeduped, textCol, idCol,
+        benchmark, textCol, n)
+      .join(weights, Seq(idCol))
+    val survivors = lazySurvivors.localCheckpoint(true)
     graft.core.Checkpoints.releaseExcept(lazySurvivors, docs, benchmark)
     exactDeduped.unpersist(false)
     survivors

@@ -173,6 +173,37 @@ object Streams {
       .drop("_band")
   }
 
+  /** Streaming Hamming near-dup filter: drop stream documents whose
+    * simhash lands within `maxDist` bits of ANY signature in a STATIC
+    * reference set — the streaming dual of
+    * [[graft.ops.ext.Dedup.simhashHammingPairs]], for the ingestion-time
+    * "don't admit near-copies of the golden/eval set" gate.
+    *
+    * Shape: the reference collapses map-side to its DISTINCT 8-byte
+    * signatures (boilerplate families collapse to one row); the stream row
+    * computes its signature with the same codegen kernel and a stateless
+    * broadcast LEFT ANTI join confirms `bit_count(xor) <= maxDist` per
+    * (row, reference signature) — no watermark, no state store. Like
+    * [[decontaminate]], the probe is O(|reference signatures|) per stream
+    * row: right for golden/eval-set-sized references (10^4-10^6 rows), NOT
+    * for corpus-vs-corpus Hamming dedup — run the batch operator's block
+    * banding for that. */
+  def simhashDedupStream(
+      docs: DataFrame, textCol: String,
+      reference: DataFrame, referenceTextCol: String,
+      maxDist: Int = 3, bits: Int = 32): DataFrame = {
+    import graft.ops.ext.Dedup
+    val sigs = reference
+      .select(Dedup.simhashText(col(referenceTextCol), bits).as("_ref_sim"))
+      .distinct()
+    docs
+      .withColumn("_sim", Dedup.simhashText(col(textCol), bits))
+      .join(broadcast(sigs),
+        bit_count(col("_sim").bitwiseXOR(col("_ref_sim"))) <= maxDist,
+        "left_anti")
+      .drop("_sim")
+  }
+
   /** Streaming benchmark decontamination: drop stream documents sharing
     * any token n-gram with a STATIC benchmark set — the streaming dual of
     * [[graft.ops.ext.Contamination.decontaminate]].

@@ -130,4 +130,29 @@ class CurationSpec extends SparkSpec {
     graft.core.Checkpoints.release(docs)
     graft.core.Checkpoints.release(bench)
   }
+
+  test("curateSoft keeps near dups with weights, still hard-drops the rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the curate fixture: 1/2 exact dups, 3 a near dup of 1, 4 PII,
+    // 5 contaminated, 6 junk source
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (3L, "theta eta zeta epsilon delta gamma beta alpha", "good"),
+      (4L, "clean words here but mail me at someone@example.com today", "good"),
+      (5L, "prefix the quick brown fox jumps over the lazy dog suffix", "good"),
+      (6L, "1234 5678 9012 3456 7890 1234 5678 9012", "junk")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val out = Curation.curateSoft(docs, col("text"), "doc_id", "source", bench,
+        minDocs = 1, minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"), col("weight_bp"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // 2 (exact dup), 4 (PII), 5 (contaminated), 6 (junk source) still
+    // hard-dropped; 3 SURVIVES at half weight in 1's cluster
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 5000L),
+      (3L, 1L, 2L, 5000L)))
+  }
 }

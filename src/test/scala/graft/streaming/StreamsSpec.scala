@@ -186,6 +186,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Hamming dedup drops near-signature docs, matches the batch filter") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "completely independent reference text about sailing ships").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.simhashDedupStream(docs, "text", ref, "text", maxDist = 3)
+      .writeStream.format("memory").queryName("hamdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and once"), // near ref 1
+        (2L, "astronomy telescopes observe distant galaxies and nebulae"), // novel
+        (3L, "completely independent reference text about sailing ships")) // exact ref 2
+      q.processAllAvailable()
+      val out = spark.table("hamdedup").select(col("doc_id")).as[Long].collect().sorted
+      // batch-filter parity: the same rows survive the batch popcount filter
+      val batchDocs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and once"),
+        (2L, "astronomy telescopes observe distant galaxies and nebulae"),
+        (3L, "completely independent reference text about sailing ships"))
+        .toDF("doc_id", "text")
+      val refSig = ref.select(graft.ops.ext.Dedup.simhashText(col("text")).as("rs"))
+      val survivors = batchDocs
+        .withColumn("s", graft.ops.ext.Dedup.simhashText(col("text")))
+        .join(refSig, bit_count(col("s").bitwiseXOR(col("rs"))) <= 3, "left_anti")
+        .select(col("doc_id")).as[Long].collect().sorted
+      assert(out.toSeq === survivors.toSeq)
+      assert(out.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("curateStream composes PII gate, stream dedup, corpus dedup, decontamination") {
     val spark2 = spark
     import spark2.implicits._
