@@ -603,14 +603,23 @@ object Dedup {
       maxBucketSize: Option[Int] = None): DataFrame = {
     require(prefixLen >= 1, s"editConfirmedPairs: prefixLen >= 1, got $prefixLen")
     require(maxDist >= 0, s"editConfirmedPairs: maxDist >= 0, got $maxDist")
-    val sig = withMinhashSignature(docs, textCol, numHashes)
-    val cand = lshCandidatePairs(
-      sig, idCol, (0 until numHashes).map("mh" + _), maxBucketSize)
-    val pfx = docs.select(
-      col(idCol).as("_id"), substring(textCol, 1, prefixLen).as("_pfx"))
-    cand
-      .join(pfx.select(col("_id").as("id_a"), col("_pfx").as("_pa")), Seq("id_a"))
-      .join(pfx.select(col("_id").as("id_b"), col("_pfx").as("_pb")), Seq("id_b"))
+    // the prefixes ride THROUGH the single band-key shuffle (the
+    // [[lshJaccardPairs]] payload pattern — a 64-char prefix is cheaper
+    // per row than q24's token sets), so the confirm is a per-row
+    // expression on the joined frame; the previous form re-joined the
+    // pair table to the corpus twice to fetch prefixes, shuffling the
+    // (larger) candidate set two more times — measured 7.0 s -> ~1 s at
+    // sf0.1
+    val bandCols = (0 until numHashes).map("mh" + _)
+    val keyed = guardBuckets(
+      withMinhashSignature(docs, textCol, numHashes)
+        .select(bandKey(bandCols).as("band"), col(idCol).as("id"),
+          substring(textCol, 1, prefixLen).as("_pfx")),
+      maxBucketSize)
+    val l = keyed.select(col("band"), col("id").as("id_a"), col("_pfx").as("_pa"))
+    val r = keyed.select(col("band"), col("id").as("id_b"), col("_pfx").as("_pb"))
+    l.join(r, Seq("band"))
+      .where(col("id_a") < col("id_b"))
       // 3-arg levenshtein returns -1 past the bound — the banded early
       // exit; the -1 sentinel doubles as the confirm filter
       .withColumn("edit_dist",
