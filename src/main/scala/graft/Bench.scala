@@ -101,12 +101,15 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runStats(n))
     def fmt(v: Double): String = f"$v%.3f"
+    // 2 decimals in the PRINTED line only (the stats file keeps 3): at
+    // 130+ queries the extra digit alone is ~130 chars of tail budget
+    def fmt2(v: Double): String = f"$v%.2f"
     // printed keys are the short "qNN" prefix to keep the line inside the
     // harness's ~2000-char tail window; full names live in the stats file
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     require(results.map(x => shortKey(x._1)).distinct.size == results.size,
       "short qNN bench keys must stay unique")
-    val qs = results.map { case (k, (mn, _, _)) => "\"" + shortKey(k) + "\":" + fmt(mn) }
+    val qs = results.map { case (k, (mn, _, _)) => "\"" + shortKey(k) + "\":" + fmt2(mn) }
       .mkString("{", ",", "}")
     val st = results.map { case (k, (mn, med, mx)) =>
       "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) + ",\"max\":" + fmt(mx) + "}"

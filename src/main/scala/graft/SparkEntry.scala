@@ -1727,6 +1727,63 @@ object SparkEntry {
           docs.where(col("doc_id") % 37 === 0), col("text"), n = 8)
         .orderBy(col("source"))
     }),
+
+    // ---- changelog apply (incremental snapshot maintenance) -------------
+    "q129_apply_changelog" -> ((s, dir) => {
+      // base = ids < 400; log: %3 upsert v1 (text+" v2"), %7 delete v2,
+      // %11 upsert v3 (re-adds the deleted %77 ids), 400-449 fresh
+      // upserts — exercises update, delete, delete-then-re-add, insert
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.where(col("doc_id") < 400)
+      val log = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), lit(2L).as("version"),
+            lit("delete").as("op"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), lit(3L).as("version"), lit("upsert").as("op"),
+            concat(col("text"), lit(" v3")).as("text")))
+        .unionByName(docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+          .select(col("doc_id"), lit(4L).as("version"),
+            lit("upsert").as("op"), col("text")))
+      Snapshots.applyChangelog(base, log, "doc_id", "version", "op")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- length-bucketed batching (dynamic-padding loader layout) -------
+    "q130_length_buckets" -> ((s, dir) => {
+      // 16-token buckets, 8-doc batches; per-batch padding waste via the
+      // two-phase per-bucket index, never a per-bucket window funnel
+      Packing.lengthBucketBatches(
+          t(s, dir, "documents")
+            .withColumn("n_tok", TextStats.tokenCount(col("text"))),
+          "doc_id", col("n_tok"), bucketWidth = 16L, batchSize = 8L)
+        .orderBy(col("bucket"), col("batch_id"))
+    }),
+
+    // ---- Naive-Bayes quality/domain classifier (train + apply) ----------
+    "q131_nb_classifier" -> ((s, dir) => {
+      // seeds = first half, rule label = lang == 'en'; Mitchell-log2
+      // fixed-point keeps train + score engine-exact (see nbClassify)
+      TextStats.nbClassify(t(s, dir, "documents"), col("text"), "doc_id",
+          isSeed = col("doc_id") < 250, seedLabel = col("lang") === "en",
+          topV = 500)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- two-stage ANN: PQ shortlist + exact re-rank --------------------
+    "q132_pq_rerank" -> ((s, dir) => {
+      // q80's PQ config, shortlist 20 -> exact top-3: the refine stage
+      // touches only 20 full vectors per query
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqRerankTopK(e, e.where(col("id") < 5),
+          m = 4, numCodes = 16, k = 3, shortlist = 20)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3508,6 +3565,79 @@ object SparkEntry {
           |  ELSE CAST(0 AS BIGINT) END AS alpha_bp
           |FROM base JOIN f USING (h) LEFT JOIN hit ON base.doc_id = hit.doc_id
           |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+      // q129: last-writer-wins by version; the fixture's versions are
+      // unique per id so ORDER BY version DESC is the whole tie-break
+      "q129_apply_changelog" ->
+        """WITH d AS (SELECT doc_id, text FROM documents),
+          |u AS (
+          | SELECT doc_id, 0 AS version, 'upsert' AS op, text FROM d WHERE doc_id < 400
+          | UNION ALL SELECT doc_id, 1, 'upsert', text || ' v2' FROM d WHERE doc_id % 3 = 0
+          | UNION ALL SELECT doc_id, 2, 'delete', text FROM d WHERE doc_id % 7 = 0
+          | UNION ALL SELECT doc_id, 3, 'upsert', text || ' v3' FROM d WHERE doc_id % 11 = 0
+          | UNION ALL SELECT doc_id, 4, 'upsert', text FROM d WHERE doc_id >= 400 AND doc_id < 450),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u)
+          |SELECT doc_id, CAST(version AS BIGINT) AS version, text
+          |FROM r WHERE rn = 1 AND op = 'upsert' ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q130: the reference per-bucket window formulation (fine at oracle
+      // scale; the Spark side uses the two-phase distributed index)
+      "q130_length_buckets" ->
+        s"""WITH q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+          |b AS (SELECT doc_id, n, n // 16 AS bucket FROM q),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS idx FROM b),
+          |a AS (SELECT bucket, idx // 8 AS batch_id, n FROM r)
+          |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+          | CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(n) AS max_len,
+          | CAST(SUM(n) AS BIGINT) AS sum_tokens,
+          | CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS pad_waste
+          |FROM a GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin.replace("\n", " "),
+      // q131: NB trained on the doc_id < 250 seed slice (label = lang
+      // 'en'), top-500 vocab by seed count, Mitchell-log2 fixed-point —
+      // model / totals / prior / score mirror nbClassify term for term
+      "q131_nb_classifier" ->
+        s"""WITH seedtok AS (SELECT doc_id, lang = 'en' AS pos, unnest($toks) AS w
+          |  FROM documents WHERE doc_id < 250),
+          |cnt AS (SELECT w,
+          |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+          |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+          | FROM seedtok GROUP BY w),
+          |model AS (SELECT w, ${fl2("(c_pos + 1)")} - ${fl2("(c_neg + 1)")} AS w_tok,
+          |  c_pos, c_neg FROM (
+          |  SELECT *, ROW_NUMBER() OVER (ORDER BY (c_pos + c_neg) DESC, w) AS rn FROM cnt)
+          | WHERE rn <= 500),
+          |tot AS (SELECT
+          |  ${fl2("(CAST(SUM(c_neg) AS BIGINT) + 500)")} -
+          |  ${fl2("(CAST(SUM(c_pos) AS BIGINT) + 500)")} AS norm FROM model),
+          |pri AS (SELECT
+          |  ${fl2("(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT))")} -
+          |  ${fl2("(CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT))")} AS prior
+          | FROM documents WHERE doc_id < 250),
+          |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          |sc AS (SELECT t.doc_id, CAST(COUNT(m.w_tok) AS BIGINT) AS n_iv,
+          |  CAST(COALESCE(SUM(m.w_tok), 0) AS BIGINT) AS s
+          | FROM tok t LEFT JOIN model m ON t.w = m.w GROUP BY t.doc_id)
+          |SELECT doc_id, n_iv, prior + s + n_iv * norm AS score,
+          | (prior + s + n_iv * norm) > 0 AS pred
+          |FROM sc, tot, pri ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q132: q80's ADC stage kept to a 20-deep shortlist, then the exact
+      // ‖n‖² − 2·<q,n> refine in the same 1e-9 fixed point
+      "q132_pq_rerank" ->
+        s"""$pqCommon,
+          |q AS (SELECT id AS q_id, s, sv AS qv FROM sub WHERE id < 5),
+          |terms AS (SELECT q.q_id, asg.id AS n_id,
+          |  CAST(FLOOR(1e9 * (cb.cdot - 2*list_dot_product(q.qv, cb.cv))) AS BIGINT) AS t
+          | FROM q JOIN asg ON q.s = asg.s JOIN cb ON cb.s = asg.s AND cb.code = asg.code
+          | WHERE asg.id <> q.q_id),
+          |adc AS (SELECT q_id, n_id, SUM(t) AS d FROM terms GROUP BY q_id, n_id),
+          |short AS (SELECT q_id, n_id FROM (
+          | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM adc)
+          | WHERE rnk <= 20),
+          |ex AS (SELECT sh.q_id, sh.n_id,
+          |  CAST(FLOOR(1e9 * (list_dot_product(c.v, c.v)
+          |    - 2*list_dot_product(qe.v, c.v))) AS BIGINT) AS d
+          | FROM short sh JOIN e qe ON qe.id = sh.q_id JOIN e c ON c.id = sh.n_id)
+          |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
+          | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM ex)
+          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
     )
   }
 }

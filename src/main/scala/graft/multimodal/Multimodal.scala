@@ -176,6 +176,73 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #3 — AUDIO: RIFF/WAVE PCM decode (pure byte-walk, no
+    * library), extending the seam beyond images: the same `decode(bytes,
+    * dims) → Array[Float]` contract holds for a time-domain modality.
+    * Walks the RIFF chunk list (`fmt ` before or after other chunks,
+    * word-aligned sizes per the spec), accepts integer PCM (format 1) at
+    * 8-bit (unsigned, offset-128) or 16-bit (signed little-endian) with
+    * any channel count, and emits `dims` RMS-energy values over equal
+    * frame blocks in time order, channel-averaged, scaled to [0, 1] —
+    * the audio analog of the image codecs' block luminance (an energy
+    * envelope: silence detection, clipping screens, crude AV alignment).
+    *
+    * Failure policy identical to the image codecs: wrong magic, missing
+    * or non-PCM `fmt `, truncated data chunk — zero vector, never a task
+    * failure. */
+  object WavCodec extends MediaCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || content.length < 12 || dims <= 0) return zero
+      def u16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+      def tag(o: Int, s: String): Boolean =
+        (0 until 4).forall(i => content(o + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) return zero
+      var pos = 12
+      var fmtCode = -1; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= content.length && (fmtCode < 0 || dataOff < 0)) {
+        val sz = u32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8 || pos + 8 + sz > content.length)
+          return zero // truncated chunk: poison, not a partial read
+        if (tag(pos, "fmt ") && sz >= 16) {
+          fmtCode = u16(pos + 8); channels = u16(pos + 10); bits = u16(pos + 22)
+        } else if (tag(pos, "data")) { dataOff = pos + 8; dataLen = sz.toInt }
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      if (fmtCode != 1 || channels <= 0 || (bits != 8 && bits != 16) ||
+          dataOff < 0) return zero
+      val bytesPerSample = bits / 8
+      val bytesPerFrame = channels * bytesPerSample
+      val nFrames = dataLen / bytesPerFrame
+      if (nFrames <= 0) return zero
+      val sumSq = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val o = dataOff + f * bytesPerFrame + c * bytesPerSample
+          val s =
+            if (bits == 8) ((content(o) & 0xff) - 128) / 128.0
+            else ((content(o) & 0xff) | (content(o + 1) << 8)).toShort / 32768.0
+          acc += s
+          c += 1
+        }
+        val m = acc / channels
+        val slot = (f.toLong * dims / nFrames).toInt
+        sumSq(slot) += m * m
+        counts(slot) += 1
+        f += 1
+      }
+      Array.tabulate(dims) { j =>
+        if (counts(j) > 0) math.sqrt(sumSq(j) / counts(j)).toFloat else 0f
+      }
+    }
+  }
+
   /** Feature extraction over media batches: the `mapPartitions` boundary
     * initializes the codec once per partition — the batch shape a real
     * codec needs. Content bytes never survive this projection. The codec

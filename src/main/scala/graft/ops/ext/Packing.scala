@@ -272,6 +272,103 @@ object Packing {
       desc = false, partitions)
       .withColumnRenamed("rank", "ord")
 
+  /** Length-bucketed batching report — the dynamic-padding training
+    * loader's layout: documents are bucketed by token count (`bucket = n
+    * div bucketWidth`), each bucket's documents are dealt, in id order,
+    * into consecutive batches of `batchSize`, and every sequence in a
+    * batch is padded to the batch's max length. The output is one row per
+    * batch with its padding waste — the number a data engineer reads to
+    * pick `bucketWidth` (waste falls as buckets narrow, batch-fill
+    * falls as they over-narrow).
+    *
+    * The naive formulation ranks within each bucket via
+    * `Window.partitionBy(bucket)` — a per-bucket single-task funnel, and
+    * buckets are FEW (seq lengths up to a few thousand over a fixed
+    * width) while holding billions of rows each at corpus scale: the
+    * textbook window scale-killer. This uses [[tokenShards]]' two-phase
+    * distributed scan specialized to a unit increment (the per-bucket
+    * dense index IS a prefix sum of ones), carrying the token count
+    * through pass 2 so no join is needed to recover it. One extra
+    * shuffle total (the final per-(bucket, batch) aggregation, partial
+    * map-side).
+    *
+    * Output: `(bucket, batch_id, n_docs, max_len, sum_tokens,
+    * pad_waste)`, all BIGINT; `pad_waste = n_docs·max_len − sum_tokens`.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: String, nCol: Column,
+      bucketWidth: Long, batchSize: Long,
+      partitions: Int = 0): DataFrame = {
+    require(bucketWidth >= 1,
+      s"lengthBucketBatches: bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1,
+      s"lengthBucketBatches: batchSize must be >= 1, got $batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(
+        col(idCol).cast("long").as("id"),
+        nCol.cast("long").as("n"))
+      .withColumn("bucket", expr(s"n div ${bucketWidth}L"))
+      .select(col("id"), col("bucket"), col("n"))
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    // same contract as tokenShards: both passes must see identical range
+    // boundaries, hence the cache; partition i holds a contiguous slice
+    // of (bucket, id) order so per-partition counts prefix into offsets
+    val parts = typed
+      .repartitionByRange(p, col("bucket"), col("id"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .as[(Long, Long, Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val partCounts: Array[(Int, Seq[(Long, Long)])] = parts
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        it.foreach { case (_, bucket, _) =>
+          acc.update(bucket, acc.getOrElse(bucket, 0L) + 1L)
+        }
+        Iterator.single((pid, acc.toSeq))
+      }
+      .collect() // ≤ partitions + #buckets rows — a driver-side bound
+
+    val offsets: Map[(Int, Long), Long] = {
+      val running = scala.collection.mutable.Map.empty[Long, Long]
+      partCounts.sortBy(_._1).flatMap { case (pid, buckets) =>
+        buckets.map { case (bucket, cnt) =>
+          val before = running.getOrElse(bucket, 0L)
+          running.update(bucket, before + cnt)
+          ((pid, bucket), before)
+        }
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // per-row dense per-bucket index -> batch id; checkpoint pins the
+    // values to the exact range boundaries pass 1 saw (see tokenShards)
+    val assigned = parts
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val local = scala.collection.mutable.Map.empty[Long, Long]
+        it.map { case (_, bucket, n) =>
+          val before = local.getOrElse(bucket, 0L)
+          local.update(bucket, before + 1L)
+          val idx = bcOffsets.value.getOrElse((pid, bucket), 0L) + before
+          (bucket, idx / batchSize, n)
+        }
+      }
+      .toDF("bucket", "batch_id", "n")
+      .localCheckpoint(true)
+    parts.unpersist()
+    assigned
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n")).as("max_len"),
+        sum(col("n")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_len") - col("sum_tokens"))
+  }
+
   /** Overlapping token-window chunking — the embedding/RAG prep step
     * ([[sequenceLayout]] packs a global stream; this splits each
     * document independently): windows of `chunkSize` tokens advancing by

@@ -453,6 +453,45 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Two-stage ANN: PQ-ADC shortlist, then EXACT re-rank — the standard
+    * production recovery for PQ's quantization error (FAISS's
+    * `IndexRefineFlat` composition): stage 1 scans the compressed codes
+    * with [[pqTopK]]'s integer ADC and keeps `shortlist ≥ k` candidates
+    * per query; stage 2 re-scores ONLY those candidates against the
+    * full-precision vectors and emits the exact top `k`. Recall
+    * approaches brute force as `shortlist` grows while full-vector work
+    * stays `O(queries · shortlist)` — never a full-corpus vector scan.
+    *
+    * Stage 2's distance is the same per-query-constant-free L2 as the
+    * ADC (`‖n‖² − 2·<q, n>`) in the same 1e-9 fixed point, so both
+    * stages rank integer-exactly cross-engine. Plan shape: the
+    * (queries × shortlist)-row stage-1 output joins the corpus by
+    * BROADCAST on the candidate id — the corpus streams through the
+    * fetch map-side, `‖n‖²` computed once per corpus row before the
+    * join; the only shuffle is the final per-query top-k window. */
+  def pqRerankTopK(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, numCodes: Int, k: Int, shortlist: Int,
+      lloydIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k,
+      s"pqRerankTopK: shortlist ($shortlist) must be >= k ($k)")
+    val probes = pqTopK(corpus, queries, m, numCodes, shortlist, lloydIters)
+      .select(col("q_id"), col("n_id"))
+      .join(queries.select(col("id").as("q_id"),
+        col("vec").cast("array<double>").as("_qv")), Seq("q_id"))
+    val full = corpus.select(col("id").as("n_id"),
+      col("vec").cast("array<double>").as("_nv"))
+      .withColumn("_ndot", dot(col("_nv"), col("_nv")))
+    val byQuery = Window.partitionBy(col("q_id")).orderBy(col("d"), col("n_id"))
+    broadcast(probes).join(full, Seq("n_id"))
+      .withColumn("d", floor(lit(1e9) *
+        (col("_ndot") - lit(2.0) * dot(col("_qv"), col("_nv")))).cast("long"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+
   /** IVF-PQ: the production 100 TB ANN composition — [[ivfTopK]]'s coarse
     * inverted-file cells over [[pqEncode]]'s compressed codes, probed with
     * [[pqTopK]]'s asymmetric distance. A corpus row costs `8 + m` bytes in

@@ -294,6 +294,75 @@ object TextStats {
       .agg(sum(col("rar")).as("rarity_sum"), count(lit(1)).as("n_tok"))
   }
 
+  /** Naive-Bayes text classifier — the fastText-style quality/domain
+    * classifier of CCNet/C4-descended pipelines, trained and applied in
+    * one Spark job: `seedLabel` (boolean, non-null where `isSeed`) rule-
+    * labels a seed slice (e.g. "looks like wiki" vs "looks like spam"),
+    * token log-odds are learned from seed counts, and EVERY document is
+    * scored map-side against the broadcast model.
+    *
+    * Arithmetic is INTEGER fixed-point end to end ([[Importance.flog2]]'s
+    * Mitchell log2 at 2^16 scale — the same units as the DSIR weights),
+    * so scores are engine-exact: a token occurrence contributes
+    * `flog2(c_pos+1) − flog2(c_neg+1) + flog2(total_neg+V) −
+    * flog2(total_pos+V)` (add-1-smoothed class likelihood ratio), the
+    * document adds the prior `flog2(n_pos) − flog2(n_neg)` once, and
+    * out-of-vocabulary tokens contribute nothing (the restricted-
+    * vocabulary NB convention). `pred` = score > 0.
+    *
+    * Scale shape: the model is a seed-slice token count (partial-agged)
+    * cut to the top-`topV` tokens by TakeOrdered — bounded by `topV`,
+    * never by the distinct-token count — and broadcast; class totals and
+    * doc priors are one-row broadcast scalars. The exploded corpus never
+    * shuffles on the token (broadcast left join), and the per-doc fold is
+    * a partial-aggregated groupBy on the id: the classifier costs one
+    * scan of the corpus plus one of the seed slice.
+    *
+    * Both seed classes must be non-empty (flog2 needs args ≥ 1).
+    * Output: `(idCol, n_iv, score, pred)` — in-vocab token count, the
+    * fixed-point log-odds (BIGINT), and the boolean verdict. */
+  def nbClassify(
+      docs: DataFrame, textCol: Column, idCol: String,
+      isSeed: Column, seedLabel: Column,
+      topV: Int = 1000): DataFrame = {
+    val seeds = docs.where(isSeed)
+      .select(explode(tokens(textCol)).as("w"), seedLabel.as("_pos"))
+    val model = seeds
+      .groupBy(col("w"))
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("c_neg"))
+      .orderBy((col("c_pos") + col("c_neg")).desc, col("w")).limit(topV)
+      .withColumn("w_tok",
+        Importance.flog2Col(col("c_pos") + 1L) -
+          Importance.flog2Col(col("c_neg") + 1L))
+      .select(col("w"), col("w_tok"))
+    // class totals over the RESTRICTED vocabulary (the model the scorer
+    // actually uses), not the unbounded seed vocabulary
+    val totals = docs.where(isSeed)
+      .select(explode(tokens(textCol)).as("w"), seedLabel.as("_pos"))
+      .join(broadcast(model.select(col("w"))), Seq("w"), "left_semi")
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("t_pos"),
+        sum(when(!col("_pos"), 1L).otherwise(0L)).as("t_neg"))
+      .select(
+        (Importance.flog2Col(col("t_neg") + topV.toLong) -
+          Importance.flog2Col(col("t_pos") + topV.toLong)).as("norm"))
+    val prior = docs.where(isSeed)
+      .agg(sum(when(seedLabel, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!seedLabel, 1L).otherwise(0L)).as("n_neg"))
+      .select((Importance.flog2Col(col("n_pos")) -
+        Importance.flog2Col(col("n_neg"))).as("prior"))
+    docs.select(col(idCol), explode_outer(tokens(textCol)).as("w"))
+      .join(broadcast(model), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("w_tok").isNotNull, 1L).otherwise(0L)).as("n_iv"),
+        coalesce(sum(col("w_tok")), lit(0L)).as("_s"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("n_iv"),
+        (col("prior") + col("_s") + col("n_iv") * col("norm")).as("score"))
+      .withColumn("pred", col("score") > 0L)
+  }
+
   /** Source-level quality gating (the C4/Gopher "drop bad domains" pass):
     * keep documents whose SOURCE passes corpus-level quality thresholds —
     * at least `minDocs` documents and an aggregate alphabetic ratio of at

@@ -130,6 +130,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.PpmCodec.decode(bad, 1).toSeq === Seq(0.0f))
   }
 
+  test("WAV codec decodes PCM audio through the same boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hand-built RIFF/WAVE, 16-bit PCM: header + fmt + data chunks
+    def wav(samples: Array[Short], channels: Int, extraChunk: Boolean = false): Array[Byte] = {
+      val data = samples.flatMap(s =>
+        Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+      val extra = if (extraChunk) // a LIST chunk before fmt: walker must skip it
+        "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+      else Array.emptyByteArray
+      val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(8000) ++
+        le32(8000 * channels * 2) ++ le16(channels * 2) ++ le16(16)
+      val body = extra ++ fmt ++ "data".getBytes("US-ASCII") ++
+        le32(data.length) ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        "WAVE".getBytes("US-ASCII") ++ body
+    }
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // full-scale square wave: RMS = 1.0; silence: RMS = 0
+    val loud = wav(Array.tabulate(64)(i =>
+      if (i % 2 == 0) Short.MinValue else Short.MaxValue), channels = 1)
+    val quiet = wav(Array.fill[Short](64)(0), channels = 1)
+    // stereo where L = -R: channel MEAN is zero everywhere
+    val cancel = wav(Array.tabulate(64)(i =>
+      (if (i % 2 == 0) 1000 else -1000).toShort), channels = 2)
+    // first half loud, second half silent: block envelope [~1, 0]
+    val half = wav(Array.tabulate(64)(i =>
+      if (i < 32) (if (i % 2 == 0) Short.MinValue else Short.MaxValue) else 0), channels = 1)
+    val junk = "this is not audio".getBytes("US-ASCII")
+    val media = Seq(
+      (0L, "audio", loud), (1L, "audio", quiet), (2L, "audio", cancel),
+      (3L, "audio", half), (4L, "audio", junk)
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.extractFeatures(media, dims = 2, codec = Multimodal.WavCodec)
+      .collect().sortBy(_.media_id)
+    assert(out(0).embedding.forall(x => math.abs(x - 1.0f) < 1e-3f), out(0).embedding.toSeq)
+    assert(out(1).embedding.toSeq === Seq(0.0f, 0.0f))
+    assert(out(2).embedding.toSeq === Seq(0.0f, 0.0f)) // L/R cancel in the mean
+    assert(math.abs(out(3).embedding(0) - 1.0f) < 1e-3f &&
+      out(3).embedding(1) === 0.0f, out(3).embedding.toSeq)
+    assert(out(4).embedding.toSeq === Seq(0.0f, 0.0f)) // poison row policy
+    // chunk walking: a LIST chunk ahead of fmt does not derail the parse
+    val withList = wav(Array.fill[Short](8)(1000), channels = 1, extraChunk = true)
+    assert(Multimodal.WavCodec.decode(withList, 1)(0) > 0f)
+    // 8-bit unsigned path: constant 228 = +100/128 over center
+    val data8 = Array.fill(16)(228.toByte)
+    val wav8 = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + data8.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(data8.length) ++ data8
+    assert(math.abs(Multimodal.WavCodec.decode(wav8, 1)(0) - 100f / 128f) < 1e-6f)
+    // truncated data chunk (declared longer than the bytes): poison
+    val truncated = loud.dropRight(10)
+    assert(Multimodal.WavCodec.decode(truncated, 2).toSeq === Seq(0.0f, 0.0f))
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)

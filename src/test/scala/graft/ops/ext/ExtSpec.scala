@@ -483,6 +483,21 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
     val recall = (got intersect exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall (exact=$exact got=$got)")
+
+    // pqRerankTopK with a full-width shortlist IS exact L2: every
+    // candidate gets rescored full-precision, so quantization error can
+    // only affect candidates that never reach the top anyway
+    val rerankFull = Similarity.pqRerankTopK(corpus, queries,
+        m = 2, numCodes = 4, k = 3, shortlist = 28)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(rerankFull === exact, s"full-shortlist rerank must equal exact")
+    // a modest shortlist already dominates raw-ADC recall
+    val rerank8 = Similarity.pqRerankTopK(corpus, queries,
+        m = 2, numCodes = 4, k = 3, shortlist = 8)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val rerankRecall = (rerank8 intersect exact).size.toDouble / exact.size
+    assert(rerankRecall >= recall,
+      s"rerank recall $rerankRecall < ADC recall $recall")
   }
 
   test("ivfPqTopK probes coarse cells and ranks by ADC over codes") {

@@ -136,4 +136,121 @@ class SnapshotsSpec extends SparkSpec {
     // md5 is applied in the projections under the join, not above it
     assert(plan.indexOf("md5") > plan.indexOf("Join"), plan)
   }
+
+  test("applyChangelog: upsert, delete, delete-then-re-add, insert, untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val log = Seq(
+      (2L, 1L, "upsert", "two v2"),   // update
+      (3L, 1L, "delete", ""),         // delete
+      (4L, 1L, "delete", ""),         // delete...
+      (4L, 2L, "upsert", "four back"), // ...then re-add wins by version
+      (5L, 1L, "upsert", "five"),     // insert (not in base)
+      (6L, 1L, "upsert", "six"),      // insert...
+      (6L, 2L, "delete", "")          // ...then deleted: never appears
+    ).toDF("doc_id", "version", "op", "text")
+    val out = Snapshots.applyChangelog(base, log, "doc_id", "version", "op")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 0L, "one"),       // untouched: base survives at version 0
+      (2L, 1L, "two v2"),
+      (4L, 2L, "four back"),
+      (5L, 1L, "five")))
+  }
+
+  test("applyChangelog aggregates, never windows: one shuffle with partial agg") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq((1L, "a")).toDF("doc_id", "text")
+    val log = Seq((1L, 1L, "upsert", "b")).toDF("doc_id", "version", "op", "text")
+    val plan = Snapshots.applyChangelog(base, log, "doc_id", "version", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // partial_max below the exchange: hot ids collapse map-side
+    assert(plan.contains("partial_max") || plan.contains("partial"), plan)
+  }
+}
+
+class LengthBucketSpec extends SparkSpec {
+
+  test("lengthBucketBatches: buckets, id-order batches, padding waste") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bucketWidth=10, batchSize=2: bucket 0 holds n<10, bucket 1 n in [10,20)
+    val df = Seq(
+      (1L, 4L), (2L, 9L), (3L, 7L), // bucket 0: batches [1,2], [3]
+      (4L, 12L), (5L, 19L)          // bucket 1: batch [4,5]
+    ).toDF("doc_id", "n_tok")
+    val out = Packing.lengthBucketBatches(df, "doc_id", col("n_tok"),
+        bucketWidth = 10L, batchSize = 2L)
+      .select("bucket", "batch_id", "n_docs", "max_len", "sum_tokens", "pad_waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 9L, 13L, 5L),  // pad 4 -> 9: waste 5
+      (0L, 1L, 1L, 7L, 7L, 0L),   // singleton batch: no waste
+      (1L, 0L, 2L, 19L, 31L, 7L)))
+  }
+
+  test("lengthBucketBatches is partition-count independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 300L).map(i => (i, (i * 13 % 97) + 1))
+      .toDF("doc_id", "n_tok").repartition(7)
+    def run(p: Int) = Packing.lengthBucketBatches(df, "doc_id", col("n_tok"),
+        bucketWidth = 16L, batchSize = 8L, partitions = p)
+      .select("bucket", "batch_id", "n_docs", "max_len", "sum_tokens", "pad_waste")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = run(1)
+    for (p <- Seq(4, 32)) assert(run(p) === expected, s"partitions=$p")
+    // every doc lands in exactly one batch
+    assert(expected.map(_._3).sum === 300L)
+  }
+}
+
+class NbClassifySpec extends SparkSpec {
+
+  test("nbClassify learns seed token odds and scores all docs map-side") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seeds: ids 1-4 labeled by rule (pos = "good" docs); 5-6 unlabeled
+    val docs = Seq(
+      (1L, "good clean prose text", true, true),
+      (2L, "good useful prose words", true, true),
+      (3L, "spam junk noise click", true, false),
+      (4L, "junk spam garbage click", true, false),
+      (5L, "clean prose and words", false, false), // pos-flavored holdout
+      (6L, "click spam now", false, false),        // neg-flavored holdout
+      (7L, "zzz qqq xxx", false, false)            // fully OOV
+    ).toDF("doc_id", "text", "seed", "label")
+    val out = TextStats.nbClassify(docs, col("text"), "doc_id",
+        isSeed = col("seed"), seedLabel = col("label"), topV = 100)
+      .select("doc_id", "n_iv", "score", "pred")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // holdouts classify with their flavor; OOV doc falls back to the prior
+    assert(byId(5L)._4 === true, out)
+    assert(byId(6L)._4 === false, out)
+    assert(byId(7L)._2 === 0L, out)
+    // balanced classes -> prior = flog2(2) - flog2(2) = 0
+    assert(byId(7L)._3 === 0L, out)
+    // seeds score on their own side
+    assert(byId(1L)._4 === true && byId(3L)._4 === false, out)
+  }
+
+  test("nbClassify scoring join broadcasts the model: corpus never shuffles on token") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a b", true, true), (2L, "c d", true, false), (3L, "a c", false, false))
+      .toDF("doc_id", "text", "seed", "label")
+    val plan = TextStats.nbClassify(docs, col("text"), "doc_id",
+        col("seed"), col("label"), topV = 10)
+      .queryExecution.executedPlan.toString
+    // every join in the score path is broadcast (model, totals, prior)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
