@@ -1784,6 +1784,30 @@ object SparkEntry {
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy(col("q_id"), col("rnk"))
     }),
+
+    // ---- kNN label eval (embedding scorecard: vote accuracy + nDCG) -----
+    "q133_knn_eval" -> ((s, dir) => {
+      // 25 labeled queries, k=10 cosine neighbors; majority vote + DCG
+      // under integer position weights (see Similarity.dcgWeights)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      Similarity.knnLabelEval(e, e.where(col("id") < 25), k = 10)
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- classifier threshold sweep (PR curve over binned scores) -------
+    "q134_pr_curve" -> ((s, dir) => {
+      // q131's scores against the lang=='en' truth, binned at the flog2
+      // unit (2^16) — the keep-everything-≥-threshold confusion table
+      val docs = t(s, dir, "documents")
+      val scored = TextStats.nbClassify(docs, col("text"), "doc_id",
+          isSeed = col("doc_id") < 250, seedLabel = col("lang") === "en",
+          topV = 500)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+      TextStats.prCurve(scored, col("score"), col("y"), binWidth = 65536L)
+        .orderBy(col("threshold").desc)
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -1811,6 +1835,33 @@ object SparkEntry {
         | FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin.replace("\n", " ")
     def mh(seed: String): String =
       s"list_min(list_transform($toks, w -> md5('$seed:' || w)))"
+    // shared NB-classifier CTEs (q131/q134): seed counts, top-500 model,
+    // restricted-vocab totals, prior, per-doc fixed-point score — the
+    // DuckDB twin of TextStats.nbClassify term for term
+    lazy val nbCommon =
+      s"""WITH seedtok AS (SELECT doc_id, lang = 'en' AS pos, unnest($toks) AS w
+        |  FROM documents WHERE doc_id < 250),
+        |cnt AS (SELECT w,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+        | FROM seedtok GROUP BY w),
+        |model AS (SELECT w, ${fl2("(c_pos + 1)")} - ${fl2("(c_neg + 1)")} AS w_tok,
+        |  c_pos, c_neg FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY (c_pos + c_neg) DESC, w) AS rn FROM cnt)
+        | WHERE rn <= 500),
+        |tot AS (SELECT
+        |  ${fl2("(CAST(SUM(c_neg) AS BIGINT) + 500)")} -
+        |  ${fl2("(CAST(SUM(c_pos) AS BIGINT) + 500)")} AS norm FROM model),
+        |pri AS (SELECT
+        |  ${fl2("(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT))")} -
+        |  ${fl2("(CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT))")} AS prior
+        | FROM documents WHERE doc_id < 250),
+        |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+        |sc AS (SELECT t.doc_id, CAST(COUNT(m.w_tok) AS BIGINT) AS n_iv,
+        |  CAST(COALESCE(SUM(m.w_tok), 0) AS BIGINT) AS s
+        | FROM tok t LEFT JOIN model m ON t.w = m.w GROUP BY t.doc_id),
+        |scored AS (SELECT sc.doc_id, n_iv, prior + s + n_iv * norm AS score
+        | FROM sc, tot, pri)""".stripMargin.replace("\n", " ")
     // DuckDB twin of Importance.flog2 (integer Mitchell log2, 2^16 scale)
     def fl2(x: String): String = Importance.flog2Sql(x)
     // the three unrolled BPE training rounds (q117 emits the merges,
@@ -3594,30 +3645,9 @@ object SparkEntry {
       // 'en'), top-500 vocab by seed count, Mitchell-log2 fixed-point —
       // model / totals / prior / score mirror nbClassify term for term
       "q131_nb_classifier" ->
-        s"""WITH seedtok AS (SELECT doc_id, lang = 'en' AS pos, unnest($toks) AS w
-          |  FROM documents WHERE doc_id < 250),
-          |cnt AS (SELECT w,
-          |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-          |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
-          | FROM seedtok GROUP BY w),
-          |model AS (SELECT w, ${fl2("(c_pos + 1)")} - ${fl2("(c_neg + 1)")} AS w_tok,
-          |  c_pos, c_neg FROM (
-          |  SELECT *, ROW_NUMBER() OVER (ORDER BY (c_pos + c_neg) DESC, w) AS rn FROM cnt)
-          | WHERE rn <= 500),
-          |tot AS (SELECT
-          |  ${fl2("(CAST(SUM(c_neg) AS BIGINT) + 500)")} -
-          |  ${fl2("(CAST(SUM(c_pos) AS BIGINT) + 500)")} AS norm FROM model),
-          |pri AS (SELECT
-          |  ${fl2("(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT))")} -
-          |  ${fl2("(CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT))")} AS prior
-          | FROM documents WHERE doc_id < 250),
-          |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
-          |sc AS (SELECT t.doc_id, CAST(COUNT(m.w_tok) AS BIGINT) AS n_iv,
-          |  CAST(COALESCE(SUM(m.w_tok), 0) AS BIGINT) AS s
-          | FROM tok t LEFT JOIN model m ON t.w = m.w GROUP BY t.doc_id)
-          |SELECT doc_id, n_iv, prior + s + n_iv * norm AS score,
-          | (prior + s + n_iv * norm) > 0 AS pred
-          |FROM sc, tot, pri ORDER BY doc_id""".stripMargin.replace("\n", " "),
+        s"""$nbCommon
+          |SELECT doc_id, n_iv, score, score > 0 AS pred
+          |FROM scored ORDER BY doc_id""".stripMargin.replace("\n", " "),
       // q132: q80's ADC stage kept to a 20-deep shortlist, then the exact
       // ‖n‖² − 2·<q,n> refine in the same 1e-9 fixed point
       "q132_pq_rerank" ->
@@ -3638,6 +3668,51 @@ object SparkEntry {
           |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk FROM (
           | SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rnk FROM ex)
           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin.replace("\n", " "),
+      // q133: q25's cosine ranking + label votes; DCG/ideal-DCG weights
+      // are the SAME integer literals the Spark plan bakes in
+      "q133_knn_eval" -> {
+        val w = Similarity.dcgWeights(10)
+        val wLit = w.mkString("[", ", ", "]")
+        val cumLit = w.scanLeft(0L)(_ + _).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+          |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.label AS q_label, c.label AS n_label,
+          |  COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) AS cos
+          | FROM e q JOIN e c ON q.vec_id < 25 AND q.vec_id <> c.vec_id),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM s),
+          |t AS (SELECT * FROM r WHERE rnk <= 10),
+          |agg AS (SELECT q_id, q_label AS label,
+          |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+          |  CAST(SUM(CASE WHEN n_label = q_label THEN $wLit[rnk] ELSE 0 END) AS BIGINT) AS dcg
+          | FROM t GROUP BY q_id, q_label),
+          |maj AS (SELECT q_id, n_label AS maj_label FROM (
+          |  SELECT q_id, n_label, COUNT(*) AS votes,
+          |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY COUNT(*) DESC, n_label) AS rr
+          |  FROM t GROUP BY q_id, n_label) WHERE rr = 1)
+          |SELECT a.q_id, a.label, m.maj_label, m.maj_label = a.label AS acc,
+          | a.n_rel, a.dcg,
+          | CASE WHEN a.n_rel > 0
+          |  THEN CAST((10000 * a.dcg) // ($cumLit[CAST(a.n_rel AS INT) + 1]) AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END AS ndcg_bp
+          |FROM agg a JOIN maj m USING (q_id) ORDER BY q_id""".stripMargin.replace("\n", " ")
+      },
+      // q134: q131's scores (shared CTEs) against the lang truth; the
+      // cumulative sweep runs over BINS only, descending threshold
+      "q134_pr_curve" ->
+        s"""$nbCommon,
+          |lab AS (SELECT doc_id,
+          |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y FROM documents),
+          |b AS (SELECT score // 65536 AS bin, y FROM scored JOIN lab USING (doc_id)),
+          |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          | FROM b GROUP BY bin),
+          |c AS (SELECT bin, n, pos,
+          |  CAST(SUM(pos) OVER w AS BIGINT) AS tp,
+          |  CAST(SUM(n - pos) OVER w AS BIGINT) AS fp
+          | FROM g WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot FROM g)
+          |SELECT bin * 65536 AS threshold, n, tp, fp,
+          | (10000 * tp) // (tp + fp) AS precision_bp,
+          | CASE WHEN tot > 0 THEN (10000 * tp) // tot ELSE CAST(0 AS BIGINT) END AS recall_bp
+          |FROM c, t ORDER BY threshold DESC""".stripMargin.replace("\n", " "),
     )
   }
 }

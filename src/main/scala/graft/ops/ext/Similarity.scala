@@ -695,6 +695,61 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Fixed-point DCG position weights for [[knnLabelEval]]: `W(i) =
+    * floor(1e6 / log2(i + 1))` for ranks 1..k — integer literals baked
+    * into the plan (and mirrored verbatim into the oracle SQL), so DCG
+    * sums are BIGINT-exact with no float-log in either engine. */
+  private[graft] def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** kNN label evaluation — the embedding-quality scorecard run before an
+    * embedding table is trusted for retrieval or semantic dedup: for each
+    * labeled query, the cosine top-k neighbors vote. Emits, per query:
+    * the majority-vote label (`maj_label`, ties to the smaller label),
+    * whether it matches (`acc`), the number of label-sharing neighbors
+    * (`n_rel`), the binary-relevance DCG under [[dcgWeights]]' integer
+    * weights (`dcg`), and nDCG in basis points (`ndcg_bp` = 10⁴·dcg div
+    * ideal-DCG, where ideal packs the `n_rel` hits at the top ranks).
+    * Integer end to end past the cosine ranking — engine-exact.
+    *
+    * Scale shape: the ranked top-k is [[cosineTopK]] (broadcast queries,
+    * corpus streams, one per-query window); everything after operates on
+    * `queries × k` rows — neighbor labels arrive by joining that small
+    * frame (broadcast) against the corpus's (id, label) projection, and
+    * both aggregates fold it per query. */
+  def knnLabelEval(
+      corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = dcgWeights(k)
+    val idcgFor: Column => Column = n => // ideal DCG: hits at ranks 1..n_rel
+      element_at(typedLit(w.scanLeft(0L)(_ + _)), (n + 1).cast("int"))
+    val topk = cosineTopK(queries, corpus, k)
+    val nLab = corpus.select(col("id").as("n_id"), col("label").as("n_label"))
+    val qLab = queries.select(col("id").as("q_id"), col("label"))
+    val hits = broadcast(topk)
+      .join(nLab, Seq("n_id"))
+      .join(broadcast(qLab), Seq("q_id"))
+      .withColumn("rel", (col("n_label") === col("label")).cast("long"))
+    val perQuery = hits.groupBy(col("q_id"), col("label"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(col("rel") *
+          element_at(typedLit(w), col("rnk").cast("int"))).as("dcg"))
+    val byVotes = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val majority = hits.groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_r", row_number().over(byVotes))
+      .where(col("_r") === 1)
+      .select(col("q_id"), col("n_label").as("maj_label"))
+    perQuery.join(majority, Seq("q_id"))
+      .withColumn("_idcg", idcgFor(col("n_rel")))
+      .select(col("q_id"), col("label"), col("maj_label"),
+        (col("maj_label") === col("label")).as("acc"),
+        col("n_rel"), col("dcg"),
+        when(col("n_rel") > 0, expr("(10000L * dcg) div _idcg"))
+          .otherwise(lit(0L)).as("ndcg_bp"))
+  }
+
   /** Recall@k: the evaluation half of every ANN deployment — what fraction
     * of the EXACT top-k neighbors the approximate index actually returned,
     * per query. This is the number that tunes `nprobe`/`numCentroids`/

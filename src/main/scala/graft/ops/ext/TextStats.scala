@@ -363,6 +363,51 @@ object TextStats {
       .withColumn("pred", col("score") > 0L)
   }
 
+  /** Precision/recall curve over binned classifier scores — the
+    * threshold-tuning table read before a classifier ([[nbClassify]], a
+    * quality gate) is allowed to drop corpus data: one row per score bin
+    * with the cumulative confusion counts for "keep everything scoring
+    * ≥ this bin". Bins are `score div binWidth` (truncating division —
+    * identical for negatives in Spark's `div` and DuckDB's `//`), so the
+    * curve's resolution — and the one small window below — is bounded by
+    * the caller's `binWidth`, never by corpus size.
+    *
+    * Scale shape: the per-bin confusion counts are a partial-aggregated
+    * groupBy (one shuffle of ≤ #bins rows); the cumulative sweep is a
+    * single-partition window over the BIN table only — the bounded-
+    * cardinality aggregate-of-aggregates pattern (q91's quantile cut),
+    * NOT a window over rows. Total positives broadcast as a one-row
+    * scalar.
+    *
+    * Output per bin, descending-threshold order: `(threshold, n, tp, fp,
+    * precision_bp, recall_bp)` — `threshold = bin · binWidth` (the bin's
+    * zero-ward edge), counts BIGINT, ratios in basis points via integer
+    * division. */
+  def prCurve(
+      scored: DataFrame, scoreCol: Column, labelCol: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"prCurve: binWidth must be >= 1, got $binWidth")
+    import org.apache.spark.sql.expressions.Window
+    val bins = scored
+      .select(scoreCol.cast("long").as("_score"),
+        labelCol.cast("long").as("_y"))
+      .withColumn("bin", expr(s"_score div ${binWidth}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"))
+    val total = bins.agg(sum(col("pos")).as("_tot"))
+    val sweep = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("tp", sum(col("pos")).over(sweep))
+      .withColumn("fp", sum(col("n") - col("pos")).over(sweep))
+      .crossJoin(broadcast(total))
+      .select(
+        (col("bin") * binWidth).as("threshold"), col("n"), col("tp"), col("fp"),
+        expr("(10000L * tp) div (tp + fp)").as("precision_bp"),
+        when(col("_tot") > 0, expr("(10000L * tp) div _tot"))
+          .otherwise(lit(0L)).as("recall_bp"))
+  }
+
   /** Source-level quality gating (the C4/Gopher "drop bad domains" pass):
     * keep documents whose SOURCE passes corpus-level quality thresholds —
     * at least `minDocs` documents and an aggregate alphabetic ratio of at

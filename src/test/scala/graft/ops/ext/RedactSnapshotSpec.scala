@@ -254,3 +254,68 @@ class NbClassifySpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
+
+class EvalOpsSpec extends SparkSpec {
+
+  test("knnLabelEval: votes, accuracy, and integer DCG/nDCG") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2-d clusters: label 1 near (1,0), label 2 near (0,1); one query per
+    // cluster plus a query whose neighborhood is mixed 2:1 against it
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.95f, 0.05f), 1),
+      (20L, Array(0.0f, 1.0f), 2), (21L, Array(0.1f, 0.9f), 2),
+      (22L, Array(0.05f, 0.95f), 2)
+    ).toDF("id", "vec", "label")
+    val queries = Seq(
+      (0L, Array(1.0f, 0.02f), 1),  // deep in cluster 1
+      (1L, Array(0.02f, 1.0f), 2),  // deep in cluster 2
+      (2L, Array(0.6f, 0.55f), 2)   // boundary, k=3 majority goes to 1
+    ).toDF("id", "vec", "label")
+    val out = Similarity.knnLabelEval(corpus, queries, k = 3)
+      .select("q_id", "label", "maj_label", "acc", "n_rel", "dcg", "ndcg_bp")
+      .as[(Long, Int, Int, Boolean, Long, Long, Long)].collect().sortBy(_._1)
+    val w = Similarity.dcgWeights(3)
+    assert(out(0) === (0L, 1, 1, true, 3L, w.sum, 10000L))
+    assert(out(1) === (1L, 2, 2, true, 3L, w.sum, 10000L))
+    // the boundary query leans toward cluster 1 -> misclassified, and
+    // its single same-label neighbor sits at some rank r: dcg = w(r),
+    // ideal = w(1) -> ndcg_bp = 10^4 * w(r) / w(1)
+    val (_, lbl, maj, acc, nRel, dcg, ndcg) = out(2)
+    assert(lbl === 2 && maj === 1 && !acc && nRel === 1L)
+    assert(w.contains(dcg) && ndcg === 10000L * dcg / w.head)
+  }
+
+  test("prCurve: cumulative confusion over descending bins") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scores with known bins at width 10: bin 2 {25+,26+}, bin 1 {15-},
+    // bin 0 {5+}, bin -1 {-3-} (truncating div: -3 div 10 = 0... use -13)
+    val df = Seq(
+      (25L, 1L), (26L, 1L), (15L, 0L), (5L, 1L), (-13L, 0L)
+    ).toDF("score", "y")
+    val out = TextStats.prCurve(df, col("score"), col("y"), binWidth = 10L)
+      .select("threshold", "n", "tp", "fp", "precision_bp", "recall_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(-_._1)
+    assert(out.toSeq === Seq(
+      (20L, 2L, 2L, 0L, 10000L, 6666L),  // keep >= bin 2: both positives
+      (10L, 1L, 2L, 1L, 6666L, 6666L),
+      (0L, 1L, 3L, 1L, 7500L, 10000L),
+      (-10L, 1L, 3L, 2L, 6000L, 10000L)))
+  }
+
+  test("prCurve sweep windows over bins, not rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1000 rows, 4 bins: the window input is the 4-row bin table
+    val df = (0L until 1000L).map(i => (i % 40, (i % 3 == 0).compareTo(false).toLong))
+      .toDF("score", "y")
+    val out = TextStats.prCurve(df, col("score"), col("y"), binWidth = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 4)
+    // the final (lowest-threshold) row covers everything
+    val last = out.minBy(_._1)
+    assert(last._3 + last._4 === 1000L) // tp + fp = all rows
+  }
+}
