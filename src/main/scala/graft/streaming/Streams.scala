@@ -9,6 +9,10 @@ import java.sql.Timestamp
   * the state encoder codegen sees a plain public product type). */
 case class SessionState(nEvents: Long, start: Long, last: Long)
 
+/** Per-id winner state for [[Streams.applyChangelogStream]] (top-level
+  * for the state encoder, like [[SessionState]]). */
+case class LatestVersion(version: Long, op: String, text: String)
+
 /** Structured Streaming duals of the batch event ops
   * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
   * late-data handling, session windows, and custom keyed state via
@@ -91,6 +95,40 @@ object Streams {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Changelog entry contract for [[applyChangelogStream]]. */
+  case class LogEntry(doc_id: Long, version: Long, op: String, text: String)
+
+  /** Streaming dual of [[graft.ops.ext.Snapshots.applyChangelog]]: a
+    * live materialized view over an upsert/delete changelog stream. Each
+    * micro-batch emits, for every id that received entries, the id's
+    * CURRENT winner — last-writer-wins by version with the batch
+    * operator's exact tie-break (max over `(version, op, text)`), kept in
+    * keyed state so late, out-of-order, and re-delivered entries resolve
+    * identically to a batch replay. A winning `delete` is emitted as a
+    * tombstone row (`op = 'delete'`) for the sink to apply; a later
+    * upsert re-emits the id.
+    *
+    * Run in `update` output mode. State is one small row per live id,
+    * partitioned on the id like every keyed state op here — stream
+    * volume only affects per-batch work, not state growth. No timeout:
+    * a changelog's ids stay addressable forever (callers wanting
+    * retention can clear state downstream of a snapshot compaction). */
+  def applyChangelogStream(log: Dataset[LogEntry]): Dataset[LogEntry] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+    log.groupByKey(_.doc_id)
+      .mapGroupsWithState[LatestVersion, LogEntry](GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[LogEntry], state: GroupState[LatestVersion]) =>
+          val candidates = state.getOption.map(s =>
+            LogEntry(id, s.version, s.op, s.text)).iterator ++ rows
+          val w = candidates.maxBy(e => (e.version, e.op, e.text))
+          state.update(LatestVersion(w.version, w.op, w.text))
+          LogEntry(id, w.version, w.op, w.text)
       }
   }
 

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkSpec {
+
+  /** The `_`-prefixed manifest is invisible to Spark path readers (by
+    * design); read it as raw JSONL lines. */
+  private def readManifest(dir: String) = {
+    import scala.jdk.CollectionConverters._
+    val spark2 = spark
+    import spark2.implicits._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_manifest.jsonl"))
+      .asScala.toSeq
+    spark.read.json(spark.createDataset(lines))
+  }
+
+  private def fixture(n: Int) = {
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until n).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val words = (0 to i % 7).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, lang, words)
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  test("trainingShards writes partitioned, packed, manifested shards") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = fixture(100)
+    val summary = Materialize.trainingShards(docs, col("text"), "doc_id", "lang",
+        seqLen = 16L, seqsPerShard = 2L, seed = 7L, outDir = dir)
+      .as[(String, Long, Long, Long)].collect()
+    // every document lands in exactly one shard
+    assert(summary.map(_._3).sum === 100L)
+    // shards are contiguous per stratum from 0
+    for ((lang, shards) <- summary.groupBy(_._1))
+      assert(shards.map(_._2).sorted.toSeq === (0L until shards.length).toSeq, lang)
+    // read-back: ids partition cleanly, text survives, layout is coherent
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.select("id").distinct().count() === 100)
+    // within a stratum, shard order == position order: a doc's first
+    // sequence never precedes a lower shard's range
+    val rows = back.select("stratum", "shard", "ord", "seq_first")
+      .as[(String, Long, Long, Long)].collect()
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val byOrd = g.sortBy(_._3)
+      assert(byOrd.map(_._4).toSeq === byOrd.map(_._4).sorted.toSeq)
+      assert(byOrd.map(_._2).toSeq === byOrd.map(_._2).sorted.toSeq)
+      // geometry: shard = seq_first div seqsPerShard
+      assert(g.forall(r => r._2 === r._4 / 2))
+    }
+    // manifest: one row per data file, written next to the data
+    val manifest = readManifest(dir)
+    assert(manifest.count() > 0)
+    val nFiles = graft.io.Manifest.listDataFiles(spark, dir)
+      .count(!_._1.endsWith("_manifest.jsonl"))
+    assert(manifest.count() === nFiles)
+  }
+
+  test("trainingShards is deterministic: same seed, same checksums; new seed reshuffles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = fixture(60)
+    def checksums(dir: String, seed: Long): Map[String, Long] = {
+      Materialize.trainingShards(docs, col("text"), "doc_id", "lang",
+        seqLen = 16L, seqsPerShard = 2L, seed = seed, outDir = dir)
+      readManifest(dir)
+        .select("file", "content_sum")
+        .as[(String, Long)].collect().toMap
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-shards-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-shards-b").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft-shards-c").toString
+    val a = checksums(d1, seed = 7L)
+    val b = checksums(d2, seed = 7L)
+    // identical geometry + seed -> byte-identical shard contents
+    assert(a.keySet.map(_.split('/').init.mkString("/")) ===
+      b.keySet.map(_.split('/').init.mkString("/")))
+    def byDir(m: Map[String, Long]) =
+      m.groupBy(_._1.split('/').init.mkString("/")).view
+        .mapValues(_.values.toSet).toMap
+    assert(byDir(a) === byDir(b))
+    // a different seed produces a different assignment
+    val c = checksums(d3, seed = 8L)
+    assert(byDir(a) !== byDir(c))
+  }
+}
