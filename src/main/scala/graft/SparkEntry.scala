@@ -1808,6 +1808,14 @@ object SparkEntry {
       TextStats.prCurve(scored, col("score"), col("y"), binWidth = 65536L)
         .orderBy(col("threshold").desc)
     }),
+
+    // ---- Kneser-Ney bigram log-prob (KenLM-class smoothing) -------------
+    "q135_kneser_ney" -> ((s, dir) => {
+      // D=3/4 absolute discount + continuation backoff in 2^20 fixed
+      // point; the calibrated perplexity signal q111 approximates
+      Importance.kneserNeyLogProb(t(s, dir, "documents"), col("text"), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3713,6 +3721,30 @@ object SparkEntry {
           | (10000 * tp) // (tp + fp) AS precision_bp,
           | CASE WHEN tot > 0 THEN (10000 * tp) // tot ELSE CAST(0 AS BIGINT) END AS recall_bp
           |FROM c, t ORDER BY threshold DESC""".stripMargin.replace("\n", " "),
+      // q135: Kneser-Ney at bigram-type level — discount in quarters,
+      // both fixed-point terms floored independently, flog2(2^20) =
+      // 1310720 subtracted as the scale constant
+      "q135_kneser_ney" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+          |p AS (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+          |  i -> toks[i+1] || ' ' || toks[i+2])) AS f FROM tk),
+          |bi AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c12 FROM p GROUP BY f),
+          |bw AS (SELECT f, c12, string_split(f, ' ')[1] AS w1, string_split(f, ' ')[-1] AS w2 FROM bi),
+          |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          |  CAST(COUNT(*) AS BIGINT) AS n1w1 FROM bw GROUP BY w1),
+          |pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2 FROM bw GROUP BY w2),
+          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+          |tl AS (SELECT bw.f,
+          |  (1048576 * (4 * bw.c12 - 3)) // (4 * ctx.c1) AS t1,
+          |  (3 * 1048576 * ctx.n1w1 * pre.n1w2) // (4 * ctx.c1 * nn.nb) AS t2
+          | FROM bw JOIN ctx USING (w1) JOIN pre USING (w2), nn),
+          |r AS (SELECT p.doc_id, ${fl2("(t1 + t2 + 1)")} - 1310720 AS lp
+          | FROM p JOIN tl USING (f)),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(lp) AS BIGINT) AS kn_logprob FROM r GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+          | COALESCE(a.kn_logprob, 0) AS kn_logprob
+          |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -185,4 +185,69 @@ object Importance {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_logprob"), lit(0L)).as("lm_logprob"))
   }
+
+  /** Per-document KNESER-NEY smoothed bigram log-probability — the
+    * KenLM-class smoothing the add-one model ([[bigramLogProb]]) is a
+    * stand-in for. Absolute discount D = 3/4 (Chen & Goodman 1999's
+    * fixed-discount variant, exact in quarters), continuation backoff:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N_bi
+    *
+    * with c(w1) the CONTEXT total (Σ_w2 c(w1w2)), N1+(w1·)/N1+(·w2) the
+    * distinct successor/predecessor counts, N_bi the distinct bigram
+    * types. Scoring is over the corpus's own bigrams, so c(w1w2) ≥ 1 and
+    * no unseen-event branch is needed.
+    *
+    * Fixed-point: each term is scaled by `scale` and floored
+    * independently (deterministic integer div on both engines):
+    *
+    *   t1 = scale·(4c₁₂ − 3) div 4c₁
+    *   t2 = 3·scale·N1+(w1·)·N1+(·w2) div (4c₁·N_bi)
+    *   lp = flog2(t1 + t2 + 1) − flog2(scale)
+    *
+    * Headroom: `3·scale·N1+(w1·)·N1+(·w2)` and `4·c₁·N_bi` must stay
+    * under 2^63 — at the default 2^20 scale that holds while
+    * N1+(w1·)·N1+(·w2) < 2^41 and c₁·N_bi < 2^61; shrink `scale` for
+    * corpora beyond (the [[TextStats.unigramRarity]] headroom
+    * convention).
+    *
+    * Scale shape: the model is computed at bigram-TYPE level — `bi`
+    * (distinct bigrams) joins its context and predecessor tables and the
+    * one-row N_bi scalar, and the per-type `lp` is what the corpus pair
+    * stream joins (ONE shuffle on the bigram key); the per-doc fold is a
+    * partial-aggregated groupBy. The corpus stream is never joined more
+    * than once.
+    *
+    * Output: (idCol, n_bigrams, kn_logprob) for every input row; < 2
+    * tokens → (0, 0). */
+  def kneserNeyLogProb(
+      docs: DataFrame, textCol: Column, idCol: String,
+      scale: Long = 1L << 20): DataFrame = {
+    require(scale >= 1, s"kneserNeyLogProb: scale must be >= 1, got $scale")
+    val pairs = docs.select(col(idCol), explode(bigrams(textCol)).as("f"))
+    val bi = pairs.groupBy(col("f")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("f"), " ", 1))
+      .withColumn("w2", substring_index(col("f"), " ", -1))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
+    val pre = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1w2"))
+    val nbi = bi.agg(count(lit(1)).as("nb"))
+    val typeLp = bi
+      .join(ctx, Seq("w1"))
+      .join(pre, Seq("w2"))
+      .crossJoin(broadcast(nbi)) // one-row scalar, broadcast by design
+      .withColumn("t1", expr(s"($scale * (4 * c12 - 3)) div (4 * c1)"))
+      .withColumn("t2", expr(s"(3 * $scale * n1w1 * n1w2) div (4 * c1 * nb)"))
+      .select(col("f"),
+        (flog2Col(col("t1") + col("t2") + 1L) - lit(flog2(scale))).as("lp"))
+    val scored = pairs
+      .join(typeLp, Seq("f"))
+      .groupBy(col(idCol))
+      .agg(sum(col("lp")).as("kn_logprob"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_logprob"), lit(0L)).as("kn_logprob"))
+  }
 }

@@ -64,6 +64,32 @@ class ImportanceSpec extends SparkSpec {
     assert(abLp < 0 && acLp < abLp) // rarer transition = more surprising
   }
 
+  test("kneserNeyLogProb matches the hand-computed discounted model") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bigrams: "a b"x2, "a c"x1 -> types {ab, ac}, nb=2;
+    // ctx a: c1=3, n1w1=2; pre: b->1, c->1; S=2^20, D=3/4
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = Importance.kneserNeyLogProb(docs, col("text"), "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    import Importance.flog2
+    val S = 1L << 20
+    def lp(c12: Long): Long = {
+      val t1 = S * (4 * c12 - 3) / (4 * 3)
+      val t2 = 3 * S * 2 * 1 / (4 * 3 * 2)
+      flog2(t1 + t2 + 1) - flog2(S)
+    }
+    assert(out.toSeq === Seq(
+      (1L, 1L, lp(2)), (2L, 1L, lp(2)), (3L, 1L, lp(1)), (4L, 0L, 0L)))
+    // discounted probabilities over a context nearly sum to 1 (floor loss
+    // only): P(b|a) + P(c|a) in scale units within 2 of S
+    val mass = (S * 5 / 12 + S / 4) + (S / 12 + S / 4)
+    assert(S - mass <= 2, s"mass $mass vs $S")
+    // the more frequent transition is less surprising
+    assert(lp(2) > lp(1) && lp(1) < 0)
+  }
+
   test("editConfirmedPairs recalls band candidates and confirms by bounded distance") {
     val spark2 = spark
     import spark2.implicits._
