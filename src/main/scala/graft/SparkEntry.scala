@@ -1816,6 +1816,20 @@ object SparkEntry {
       Importance.kneserNeyLogProb(t(s, dir, "documents"), col("text"), "doc_id")
         .orderBy(col("doc_id"))
     }),
+
+    // ---- per-frame decode plane (video frames, no content duplication) --
+    "q136_frame_features" -> ((s, dir) => {
+      // frames generated INSIDE the partition from duration metadata —
+      // content read once, never joined/duplicated per frame
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        .where(col("modality") === "video")
+      Multimodal.extractFrameFeatures(media, everyMs = 20000L, dims = 3)
+        .select(col("media_id"), col("frame_ms"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          element_at(col("embedding"), 2).cast("double").as("e1"),
+          element_at(col("embedding"), 3).cast("double").as("e2"))
+        .orderBy(col("media_id"), col("frame_ms"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3745,6 +3759,21 @@ object SparkEntry {
           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
           | COALESCE(a.kn_logprob, 0) AS kn_logprob
           |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q136: the q54 md5->float mapping seeded by (text, frame offset);
+      // frames = 0..duration step 20000, duration = n_chars*40 (the
+      // mediaFromDocuments contract)
+      "q136_frame_features" ->
+        """WITH v AS (SELECT doc_id AS media_id, text, n_chars * 40 AS duration_ms
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |f AS (SELECT media_id, text,
+          |  unnest(generate_series(0, duration_ms, 20000)) AS frame_ms FROM v),
+          |h AS (SELECT media_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+          |  md5(text || ':' || CAST(frame_ms AS VARCHAR)) AS d FROM f)
+          |SELECT media_id, frame_ms,
+          | CAST(CAST(('0x' || substr(d, 1, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e0,
+          | CAST(CAST(('0x' || substr(d, 3, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e1,
+          | CAST(CAST(('0x' || substr(d, 5, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e2
+          |FROM h ORDER BY media_id, frame_ms""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -243,6 +243,123 @@ object Multimodal {
     }
   }
 
+  /** Frame-addressable codec: decode features at a TIME OFFSET inside
+    * the content — the video/audio contract [[sampleFrames]]' metadata
+    * plan needs a decode plane for. Extends [[MediaCodec]] so one codec
+    * object can serve both whole-content and per-frame extraction. */
+  trait FrameCodec extends MediaCodec {
+    /** Features for the frame at `frameMs` into the content. */
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float]
+  }
+
+  /** STUB frame codec: deterministic fake seeded by (content, frame) —
+    * the md5 derivation is expressible in SQL (`md5(text || ':' || ms)`),
+    * which keeps the frame plumbing oracle-gated like [[StubCodec]]/q54. */
+  object StubFrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      StubCodec.decode(content, dims)
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] =
+      StubCodec.decode(content ++ s":$frameMs".getBytes("UTF-8"), dims)
+  }
+
+  /** REAL frame codec: WAV PCM RMS envelope over a `windowMs` window
+    * starting at the frame offset — [[WavCodec]]'s whole-content features
+    * restricted to a time slice, using the `fmt ` chunk's sample rate to
+    * map milliseconds to sample frames. Out-of-range or truncated
+    * windows clamp to the available samples; everything else (chunk
+    * walking, 8/16-bit paths, poison policy) matches [[WavCodec]]. */
+  class WavFrameCodec(windowMs: Long) extends FrameCodec {
+    require(windowMs >= 1, s"WavFrameCodec: windowMs must be >= 1, got $windowMs")
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      WavCodec.decode(content, dims)
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || content.length < 12 || dims <= 0 || frameMs < 0)
+        return zero
+      def u16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+      def tag(o: Int, s: String): Boolean =
+        (0 until 4).forall(i => content(o + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) return zero
+      var pos = 12
+      var fmtCode = -1; var channels = 0; var bits = 0; var rate = 0L
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= content.length && (fmtCode < 0 || dataOff < 0)) {
+        val sz = u32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8 || pos + 8 + sz > content.length)
+          return zero
+        if (tag(pos, "fmt ") && sz >= 16) {
+          fmtCode = u16(pos + 8); channels = u16(pos + 10)
+          rate = u32(pos + 12); bits = u16(pos + 22)
+        } else if (tag(pos, "data")) { dataOff = pos + 8; dataLen = sz.toInt }
+        pos += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
+          (bits != 8 && bits != 16) || dataOff < 0) return zero
+      val bytesPerSample = bits / 8
+      val bytesPerFrame = channels * bytesPerSample
+      val total = dataLen / bytesPerFrame
+      val first = math.min(frameMs * rate / 1000, total.toLong).toInt
+      val until = math.min((frameMs + windowMs) * rate / 1000, total.toLong).toInt
+      val n = until - first
+      if (n <= 0) return zero
+      val sumSq = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var f = 0
+      while (f < n) {
+        var c = 0
+        var acc = 0.0
+        while (c < channels) {
+          val o = dataOff + (first + f) * bytesPerFrame + c * bytesPerSample
+          val s =
+            if (bits == 8) ((content(o) & 0xff) - 128) / 128.0
+            else ((content(o) & 0xff) | (content(o + 1) << 8)).toShort / 32768.0
+          acc += s
+          c += 1
+        }
+        val m = acc / channels
+        val slot = (f.toLong * dims / n).toInt
+        sumSq(slot) += m * m
+        counts(slot) += 1
+        f += 1
+      }
+      Array.tabulate(dims) { j =>
+        if (counts(j) > 0) math.sqrt(sumSq(j) / counts(j)).toFloat else 0f
+      }
+    }
+  }
+
+  case class FrameFeatures(media_id: Long, frame_ms: Long, embedding: Array[Float])
+
+  /** Per-frame feature extraction — the decode plane behind
+    * [[sampleFrames]]' metadata plan, WITHOUT its join shape: joining
+    * the frame plan back to content would duplicate multi-MB content
+    * rows once per frame through a shuffle. Instead each partition reads
+    * a content row ONCE and generates its frames in place (frame offsets
+    * derive from `meta.duration_ms`, the same `0 to duration by everyMs`
+    * contract as [[sampleFrames]]); content bytes never cross an
+    * exchange and never exist twice. */
+  def extractFrameFeatures(
+      media: DataFrame, everyMs: Long, dims: Int = 16,
+      codec: FrameCodec = StubFrameCodec): Dataset[FrameFeatures] = {
+    require(everyMs >= 1, s"extractFrameFeatures: everyMs must be >= 1, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .where(col("meta.duration_ms").isNotNull)
+      .select(col("media_id"), col("content"), col("meta.duration_ms"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        codec.init()
+        rows.flatMap { case (id, content, durationMs) =>
+          val bytes = if (content == null) Array.emptyByteArray else content
+          (0L to durationMs by everyMs).iterator.map { ms =>
+            FrameFeatures(id, ms, codec.decodeFrame(bytes, ms, dims))
+          }
+        }
+      }
+  }
+
   /** Feature extraction over media batches: the `mapPartitions` boundary
     * initializes the codec once per partition — the batch shape a real
     * codec needs. Content bytes never survive this projection. The codec

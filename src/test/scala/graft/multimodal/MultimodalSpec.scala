@@ -190,6 +190,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.decode(truncated, 2).toSeq === Seq(0.0f, 0.0f))
   }
 
+  test("frame features generate in-partition; WAV frame codec slices time") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8000 Hz mono PCM16, 2 s: first second loud square wave, then silence
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Array.tabulate(16000) { i =>
+      if (i < 8000) (if (i % 2 == 0) Short.MinValue else Short.MaxValue) else 0: Short
+    }
+    val data = samples.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val codec = new Multimodal.WavFrameCodec(windowMs = 500)
+    // frame at 0 ms: loud; at 1500 ms: silent; window straddling 1000 ms
+    // mixes; past the end clamps to empty -> zeros
+    assert(math.abs(codec.decodeFrame(wav, 0L, 1)(0) - 1.0f) < 1e-3f)
+    assert(codec.decodeFrame(wav, 1500L, 1)(0) === 0.0f)
+    val straddle = codec.decodeFrame(wav, 750L, 2) // [750,1250): half loud
+    assert(math.abs(straddle(0) - 1.0f) < 1e-3f && straddle(1) === 0.0f)
+    assert(codec.decodeFrame(wav, 5000L, 1).toSeq === Seq(0.0f))
+    // whole-content decode delegates to WavCodec
+    assert(codec.decode(wav, 2).toSeq === Multimodal.WavCodec.decode(wav, 2).toSeq)
+
+    // extractFrameFeatures: frames derive from duration metadata, one
+    // content read per row, stub codec deterministic per (content, ms)
+    val media = Seq((1L, "video", "payload".getBytes("UTF-8"), ("v", 0, 0, 40000L)))
+      .toDF("media_id", "modality", "content", "meta")
+      .withColumn("meta", col("meta").cast(Multimodal.mediaSchema("meta").dataType))
+    val frames = Multimodal.extractFrameFeatures(media, everyMs = 20000L, dims = 2)
+      .collect().sortBy(_.frame_ms)
+    assert(frames.map(_.frame_ms).toSeq === Seq(0L, 20000L, 40000L))
+    val expect0 = Multimodal.StubCodec.decode("payload:0".getBytes("UTF-8"), 2)
+    assert(frames(0).embedding.toSeq === expect0.toSeq)
+    assert(frames(0).embedding.toSeq !== frames(1).embedding.toSeq)
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
