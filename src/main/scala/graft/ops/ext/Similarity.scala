@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Element-wise dot product of two float-array columns, accumulated in
-    * double, sequential order — deterministic and engine-portable. */
+  /** Element-wise dot product of two numeric-array columns, accumulated
+    * in double, sequential order — deterministic and engine-portable.
+    * Codegen kernel ([[graft.functions.DotProductExpr]]): bit-identical
+    * to the interpreted
+    * `aggregate(zip_with(a, b, (x, y) => x.double * y.double), 0.0, _+_)`
+    * fold it replaced (per-element double widening, left-to-right sum;
+    * equivalence property-tested in ExprSpec), without the per-pair
+    * zipped-array allocation and per-element boxing — this sits in the
+    * per-CANDIDATE-PAIR loop of every similarity query. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CleanTextExpr, ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -151,6 +151,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_token_ngram_hashes(text, n) takes 2 arguments")
         TokenNgramHashExpr(children.head, intLiteral(children(1), "n"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProductExpr].getName,
+        null,
+        "graft_dot",
+        "graft_dot(a, b) - double dot product of two numeric arrays",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(a, b) takes 2 arguments")
+        DotProductExpr(children.head, children(1))
       }))
 
     ext.injectFunction((
