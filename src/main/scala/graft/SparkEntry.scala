@@ -1830,6 +1830,30 @@ object SparkEntry {
           element_at(col("embedding"), 3).cast("double").as("e2"))
         .orderBy(col("media_id"), col("frame_ms"))
     }),
+
+    // ---- contrastive pair mining (positives + hard negatives) -----------
+    "q137_contrastive_pairs" -> ((s, dir) => {
+      // 10 anchors; 2 nearest same-label positives + 3 nearest
+      // different-label hard negatives each
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      Similarity.contrastivePairs(e, e.where(col("id") < 10), kPos = 2, kNeg = 3)
+        .orderBy(col("q_id"), col("kind"), col("rnk"))
+    }),
+
+    // ---- leakage-safe train/eval split (near-dups co-travel) ------------
+    "q138_cluster_split" -> ((s, dir) => {
+      // q124's cluster machinery, split hashed on the CANONICAL id —
+      // a near-dup pair can never straddle train/eval
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
+        maxBucketSize = Some(1000))
+      Sampling.clusterSafeSplit(
+          Components.dedupClusters(docs, pairs, "doc_id"), "canonical_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3774,6 +3798,39 @@ object SparkEntry {
           | CAST(CAST(('0x' || substr(d, 3, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e1,
           | CAST(CAST(('0x' || substr(d, 5, 2)) AS INT) - 128 AS DOUBLE) / 128 AS e2
           |FROM h ORDER BY media_id, frame_ms""".stripMargin.replace("\n", " "),
+      // q137: q25's cosine pair shape with kind-partitioned ranking
+      "q137_contrastive_pairs" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+          |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |  CASE WHEN q.label = c.label THEN 'pos' ELSE 'neg' END AS kind,
+          |  COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) AS cos
+          | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          |r AS (SELECT q_id, kind, n_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id, kind ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+          | FROM s)
+          |SELECT q_id, kind, n_id, rnk FROM r
+          |WHERE rnk <= CASE WHEN kind = 'pos' THEN 2 ELSE 3 END
+          |ORDER BY q_id, kind, rnk""".stripMargin.replace("\n", " "),
+      // q138: q124's recursive cluster CTEs + q78's md5-fraction split
+      // hashed on the CANONICAL id
+      "q138_cluster_split" ->
+        s"""WITH RECURSIVE sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")}) AS band FROM documents),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM documents
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cl AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id),
+          |h AS (SELECT doc_id, canonical_id,
+          |  CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS f
+          | FROM cl)
+          |SELECT doc_id, canonical_id,
+          | CASE WHEN f < 0.8 THEN 'train' WHEN f < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
+          |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

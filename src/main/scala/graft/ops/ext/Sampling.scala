@@ -49,6 +49,24 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER's
+    * canonical id instead of the document's own — every member of a
+    * cluster lands in the SAME split, so a training document's
+    * near-duplicate can never sit in the eval split inflating the
+    * number the split exists to measure (the within-corpus sibling of
+    * benchmark decontamination: q59 guards against OUTSIDE overlap,
+    * this guards the corpus's own train/eval cut). Input is a
+    * clustered frame (`Components.dedupClusters` output or any
+    * (id, canonical) mapping); singleton docs are their own canonical,
+    * so un-clustered corpora degrade to plain [[hashSplit]].
+    *
+    * Map-side: the split is a hash of a column that already exists —
+    * no join, no shuffle beyond what produced the clusters. */
+  def clusterSafeSplit(
+      clustered: DataFrame, canonicalCol: String,
+      fractions: Seq[(String, Double)]): DataFrame =
+    hashSplit(clustered, col(canonicalCol).cast("string"), fractions)
+
   /** Stratified sample: per-stratum rates (e.g. per language/source),
     * with `defaultRate` for strata not in the map — the downsample-the-
     * overrepresented-language step of corpus curation. */

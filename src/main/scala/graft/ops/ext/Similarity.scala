@@ -699,6 +699,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** Contrastive pair mining over a labeled embedding set — the
+    * triplet/InfoNCE training-data builder: per anchor, the `kPos`
+    * most-similar SAME-label items (positives) and the `kNeg`
+    * most-similar DIFFERENT-label items (HARD negatives — the
+    * near-boundary examples that carry gradient; random negatives are
+    * mostly easy and learn nothing). Output `(q_id, kind, n_id, rnk)`
+    * with `kind ∈ {pos, neg}` and `rnk` dense within kind.
+    *
+    * Scale shape: [[cosineTopK]]'s join (anchors broadcast, corpus
+    * streams map-side — dot/cosine via the codegen kernel), ONE window
+    * shuffle partitioned by (anchor, kind); Spark 4's WindowGroupLimit
+    * prunes beyond-rank rows below the exchange at the LARGER of the
+    * two k's, the filter trims per kind above it. */
+  def contrastivePairs(
+      corpus: DataFrame, anchors: DataFrame,
+      kPos: Int, kNeg: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kPos >= 1 && kNeg >= 1,
+      s"contrastivePairs: kPos/kNeg must be >= 1, got $kPos/$kNeg")
+    val q = anchors.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      col("label").as("q_label"))
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      col("label").as("n_label"))
+    val w = Window.partitionBy(col("q_id"), col("kind"))
+      .orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("kind",
+        when(col("q_label") === col("n_label"), "pos").otherwise("neg"))
+      .withColumn("cos", cosineSafe(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= when(col("kind") === "pos", kPos).otherwise(kNeg))
+      .select(col("q_id"), col("kind"), col("n_id"), col("rnk"))
+  }
+
   /** Fixed-point DCG position weights for [[knnLabelEval]]: `W(i) =
     * floor(1e6 / log2(i + 1))` for ranks 1..k — integer literals baked
     * into the plan (and mirrored verbatim into the oracle SQL), so DCG

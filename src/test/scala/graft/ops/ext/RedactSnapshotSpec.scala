@@ -287,6 +287,43 @@ class EvalOpsSpec extends SparkSpec {
     assert(w.contains(dcg) && ndcg === 10000L * dcg / w.head)
   }
 
+  test("contrastivePairs mines same-label positives and hard negatives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.8f, 0.2f), 1),
+      (20L, Array(0.6f, 0.7f), 2),   // nearest wrong-label: HARD negative
+      (21L, Array(0.0f, 1.0f), 2)    // far wrong-label: easy
+    ).toDF("id", "vec", "label")
+    val anchors = Seq((0L, Array(1.0f, 0.05f), 1)).toDF("id", "vec", "label")
+    val out = Similarity.contrastivePairs(corpus, anchors, kPos = 2, kNeg = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._4))
+    assert(out.toSeq === Seq(
+      (0L, "neg", 20L, 1L), (0L, "neg", 21L, 2L),  // hard negative ranks first
+      (0L, "pos", 10L, 1L), (0L, "pos", 11L, 2L))) // 12 pruned at kPos=2
+  }
+
+  test("clusterSafeSplit: cluster members co-travel; matches hashSplit on canonical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clustered = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),  // one cluster
+      (4L, 4L), (5L, 5L), (6L, 5L)
+    ).toDF("doc_id", "canonical_id")
+    val out = Sampling.clusterSafeSplit(clustered, "canonical_id",
+        Seq("train" -> 0.5, "eval" -> 0.5))
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect()
+    // every cluster maps to exactly one split
+    for ((_, g) <- out.groupBy(_._2)) assert(g.map(_._3).distinct.length === 1)
+    // and the split equals hashSplit applied to the canonical key
+    val ref = Sampling.hashSplit(clustered, col("canonical_id").cast("string"),
+        Seq("train" -> 0.5, "eval" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.map(r => r._1 -> r._3).toMap === ref)
+  }
+
   test("prCurve: cumulative confusion over descending bins") {
     val spark2 = spark
     import spark2.implicits._
