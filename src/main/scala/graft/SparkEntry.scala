@@ -1854,6 +1854,30 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- incremental curation (daily-ingest vs standing corpus) ---------
+    "q139_curate_incremental" -> ((s, dir) => {
+      // q73's PII injection over all docs; batch = %11 slice, corpus =
+      // the rest, benchmark = the %37 slice; batch-sized source gate
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1 and +1 555 0100 "), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").withColumn("text", injected)
+      val batch = docs.where(col("doc_id") % 11 === 0)
+      val corpus = docs.where(col("doc_id") % 11 =!= 0)
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      graft.pipeline.Curation.curateIncremental(batch, corpus,
+          col("text"), "doc_id", "source", bench,
+          minDocs = 2, minAlphaBp = 8100, numHashes = 8,
+          maxBucketSize = 1000, n = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3831,6 +3855,53 @@ object SparkEntry {
           |SELECT doc_id, canonical_id,
           | CASE WHEN f < 0.8 THEN 'train' WHEN f < (0.8 + 0.1) THEN 'val' ELSE 'test' END AS split
           |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q139: q73's injection/gate/PII/exact CTEs restricted to the %11
+      // batch, then the two corpus anti joins (content md5, q70's band
+      // key), then the within-batch recursive clusters, then the q73
+      // benchmark-hit CTE — stage order mirrors curateIncremental
+      "q139_curate_incremental" ->
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang, source, text ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.1 and +1 555 0100 ' || (doc_id % 100) ELSE '' END AS text
+          | FROM documents),
+          |pool AS (SELECT * FROM d WHERE doc_id % 11 = 0),
+          |corp AS (SELECT * FROM d WHERE doc_id % 11 <> 0),
+          |g AS (SELECT source FROM pool GROUP BY source
+          | HAVING COUNT(*) >= 2
+          |  AND SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) * 10000 >= SUM(length(text)) * 8100),
+          |s1 AS (SELECT * FROM pool WHERE source IN (SELECT source FROM g)),
+          |s2 AS (SELECT * FROM s1
+          | WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) = 0
+          |  AND len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) = 0
+          |  AND len(regexp_extract_all(text, '\\+[0-9][0-9 -]{7,}[0-9]')) = 0),
+          |ex AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ex)),
+          |cx AS (SELECT DISTINCT md5(text) AS h FROM corp),
+          |s3b AS (SELECT * FROM s3 WHERE md5(text) NOT IN (SELECT h FROM cx)),
+          |ck AS (SELECT DISTINCT '0#' || md5(${mh("0")} || '|' || ${mh("1")} || '|' || ${mh("2")} || '|' || ${mh("3")} || '|' || ${mh("4")} || '|' || ${mh("5")} || '|' || ${mh("6")} || '|' || ${mh("7")}) AS k FROM corp),
+          |s3c AS (SELECT * FROM s3b
+          | WHERE '0#' || md5(${mh("0")} || '|' || ${mh("1")} || '|' || ${mh("2")} || '|' || ${mh("3")} || '|' || ${mh("4")} || '|' || ${mh("5")} || '|' || ${mh("6")} || '|' || ${mh("7")}) NOT IN (SELECT k FROM ck)),
+          |sig AS (SELECT doc_id, md5(${mh("0")} || '|' || ${mh("1")} || '|' || ${mh("2")} || '|' || ${mh("3")} || '|' || ${mh("4")} || '|' || ${mh("5")} || '|' || ${mh("6")} || '|' || ${mh("7")}) AS band FROM s3c),
+          |ok AS (SELECT band FROM sig GROUP BY band HAVING COUNT(*) <= 1000),
+          |e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM sig a JOIN sig b USING (band)
+          | WHERE a.doc_id < b.doc_id AND a.band IN (SELECT band FROM ok)),
+          |ee AS (SELECT id_a AS src, id_b AS dst FROM e UNION SELECT id_b, id_a FROM e),
+          |reach AS (
+          | SELECT doc_id AS id, doc_id AS lab FROM s3c
+          | UNION
+          | SELECT ee.dst AS id, reach.lab FROM reach JOIN ee ON reach.id = ee.src),
+          |cc AS (SELECT id, MIN(lab) AS canon FROM reach GROUP BY id),
+          |s4 AS (SELECT s3c.* FROM s3c JOIN cc ON s3c.doc_id = cc.id AND s3c.doc_id = cc.canon),
+          |bg AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM d WHERE doc_id % 37 = 0),
+          |hit AS (SELECT DISTINCT doc_id FROM (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(unnest(list_transform(generate_series(1, len($toks) - 7),
+          |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          |  FROM s4) x WHERE ngh IN (SELECT ngh FROM bg))
+          |SELECT doc_id, lang, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

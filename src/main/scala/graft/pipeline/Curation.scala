@@ -198,4 +198,74 @@ object Curation {
     exactDeduped.unpersist(false)
     survivors
   }
+
+  /** INCREMENTAL curation — the daily-ingest shape: curate a NEW BATCH
+    * against a STANDING corpus. [[curate]] answers "what survives from
+    * this corpus"; this answers "what is genuinely new AND clean in
+    * today's crawl", which is the question a continuously-fed pipeline
+    * actually asks. Stages, cheapest first, with both corpus
+    * comparisons BEFORE within-batch clustering (an already-known row
+    * must not seed a batch cluster and shield its batch-mates):
+    *
+    *  1-3. source gate, PII gate, exact dedup WITHIN the batch
+    *       ([[gateAndExactDedup]] — batch-level source statistics, the
+    *       same contract as [[curate]] on its input frame);
+    *  4. exact anti join against corpus content hashes — the corpus
+    *     ships one 32-byte distinct md5 per unique text, never text;
+    *  5. near-dup anti join against corpus MinHash band keys
+    *     ([[Dedup.dedupAgainstCorpus]] — distinct tagged keys only);
+    *  6. near-dup clusters WITHIN the remaining batch (guarded pairs →
+    *     connected components), min-id canonical survives;
+    *  7. benchmark decontamination.
+    *
+    * Scale shape: every corpus-sized frame reduces to short keys before
+    * crossing an exchange (md5s, band keys, benchmark n-gram hashes);
+    * batch-side work is batch-sized throughout. Same eager
+    * checkpoint-and-release lifecycle as [[curate]]. Returns surviving
+    * batch rows with their input columns. */
+  def curateIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: Column,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      minDocs: Long = 20,
+      minAlphaBp: Int = 8000,
+      numHashes: Int = 2,
+      maxBucketSize: Int = 1000,
+      n: Int = 8): DataFrame = {
+
+    val exactDeduped = gateAndExactDedup(
+      batch, textCol, idCol, sourceCol, minDocs, minAlphaBp, None)
+
+    // 4. exact against corpus: 32-byte hash anti join
+    val corpusHashes = corpus.select(md5(textCol).as("_h")).distinct()
+    val freshExact = exactDeduped.withColumn("_h", md5(textCol))
+      .join(corpusHashes, Seq("_h"), "left_anti")
+      .drop("_h")
+
+    // 5. near-dup against corpus: one tagged band of all hashes
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    val sigNew = Dedup.withMinhashSignature(freshExact, textCol, numHashes)
+    val sigCorpus = Dedup.withMinhashSignature(corpus, textCol, numHashes)
+    val fresh = Dedup.dedupAgainstCorpus(sigNew, sigCorpus, idCol, Seq(mhCols))
+
+    // 6. within-batch clusters over what is left
+    val pairs = Dedup.lshCandidatePairs(fresh, idCol, mhCols,
+      maxBucketSize = Some(maxBucketSize))
+    val clusters = Components.dedupClusters(fresh, pairs, idCol)
+    val canonical = clusters
+      .where(col(idCol) === col("canonical_id")).select(col(idCol))
+    val nearDeduped = fresh.join(canonical, Seq(idCol), "left_semi")
+      .drop(mhCols: _*)
+
+    // 7. decontaminate; eager materialize + release (the curate contract)
+    val lazySurvivors = Contamination.decontaminate(nearDeduped, textCol, idCol,
+      benchmark, textCol, n)
+    val survivors = lazySurvivors.localCheckpoint(true)
+    graft.core.Checkpoints.releaseExcept(lazySurvivors, batch, corpus, benchmark)
+    exactDeduped.unpersist(false)
+    survivors
+  }
 }

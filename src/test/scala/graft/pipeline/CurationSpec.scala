@@ -37,6 +37,45 @@ class CurationSpec extends SparkSpec {
     assert(noBench === Array(1L, 5L))
   }
 
+  test("curateIncremental: every stage drops its victim against the corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    // batch victims, one per stage:
+    //  1 genuinely new -> survives
+    //  2 contains an email (PII gate)
+    //  3 exact duplicate of 1 WITHIN the batch (higher id)
+    //  4 exact duplicate of corpus doc 100
+    //  5 near duplicate (reordered tokens, same band) of corpus doc 101
+    //  6 near duplicate of batch doc 1 (within-batch cluster, higher id)
+    //  7 shares an 8-gram with the benchmark
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "clean words here but mail me at someone@example.com today", "good"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (4L, "this exact sentence already lives in the corpus", "good"),
+      (5L, "nu mu lambda kappa iota psi chi phi", "good"),
+      (6L, "theta eta zeta epsilon delta gamma beta alpha", "good"),
+      (7L, "prefix the quick brown fox jumps over the lazy dog suffix", "good")
+    ).toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (100L, "this exact sentence already lives in the corpus", "good"),
+      (101L, "phi chi psi iota kappa lambda mu nu", "good")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val out = Curation.curateIncremental(batch, corpus, col("text"), "doc_id",
+        "source", bench, minDocs = 1, minAlphaBp = 5000, numHashes = 2,
+        maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out === Array(1L))
+    // with an empty corpus and benchmark, only batch-internal stages act
+    val emptyCorpus = corpus.where(lit(false))
+    val out2 = Curation.curateIncremental(batch, emptyCorpus, col("text"),
+        "doc_id", "source", bench.where(lit(false)), minDocs = 1,
+        minAlphaBp = 5000, numHashes = 2, maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out2 === Array(1L, 4L, 5L, 7L))
+  }
+
   test("curate keepBest elects the longest cluster member, not the min id") {
     val spark2 = spark
     import spark2.implicits._
