@@ -321,10 +321,13 @@ object TextStats {
     * Both seed classes must be non-empty (flog2 needs args ≥ 1).
     * Output: `(idCol, n_iv, score, pred)` — in-vocab token count, the
     * fixed-point log-odds (BIGINT), and the boolean verdict. */
-  def nbClassify(
-      docs: DataFrame, textCol: Column, idCol: String,
+  /** The three [[nbClassify]] model frames — `(model(w, w_tok), norm,
+    * prior)` — shared with [[trainNb]] so the collected literal model is
+    * the aggregate model by construction. */
+  private def nbModelFrames(
+      docs: DataFrame, textCol: Column,
       isSeed: Column, seedLabel: Column,
-      topV: Int = 1000): DataFrame = {
+      topV: Int): (DataFrame, DataFrame, DataFrame) = {
     val seeds = docs.where(isSeed)
       .select(explode(tokens(textCol)).as("w"), seedLabel.as("_pos"))
     val model = seeds
@@ -351,6 +354,15 @@ object TextStats {
         sum(when(!seedLabel, 1L).otherwise(0L)).as("n_neg"))
       .select((Importance.flog2Col(col("n_pos")) -
         Importance.flog2Col(col("n_neg"))).as("prior"))
+    (model, totals, prior)
+  }
+
+  def nbClassify(
+      docs: DataFrame, textCol: Column, idCol: String,
+      isSeed: Column, seedLabel: Column,
+      topV: Int = 1000): DataFrame = {
+    val (model, totals, prior) =
+      nbModelFrames(docs, textCol, isSeed, seedLabel, topV)
     docs.select(col(idCol), explode_outer(tokens(textCol)).as("w"))
       .join(broadcast(model), Seq("w"), "left")
       .groupBy(col(idCol))
@@ -360,6 +372,48 @@ object TextStats {
       .crossJoin(broadcast(prior))
       .select(col(idCol), col("n_iv"),
         (col("prior") + col("_s") + col("n_iv") * col("norm")).as("score"))
+      .withColumn("pred", col("score") > 0L)
+  }
+
+  /** Trained [[nbClassify]] model in literal form: ≤ `topV` token
+    * weights plus the two scalars — the bounded-driver-state class DSIR
+    * models sit in ([[Importance.DsirModel]]'s ≤4096 buckets). */
+  case class NbModel(weights: Map[String, Long], norm: Long, prior: Long)
+
+  /** Train the NB model once (offline / batch) into an [[NbModel]] —
+    * same frames as [[nbClassify]] by construction, collected under the
+    * `topV` bound. Both seed classes must be non-empty. */
+  def trainNb(
+      docs: DataFrame, textCol: Column,
+      isSeed: Column, seedLabel: Column,
+      topV: Int = 1000): NbModel = {
+    val (model, totals, prior) =
+      nbModelFrames(docs, textCol, isSeed, seedLabel, topV)
+    NbModel(
+      model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      totals.collect().head.getLong(0),
+      prior.collect().head.getLong(0))
+  }
+
+  /** Score documents under a trained [[NbModel]] — ONE map-side fold
+    * per row against the literal weight map: no explode, no join, no
+    * shuffle, which is what makes it the stream-safe form
+    * ([[graft.streaming.Streams.nbScoreStream]] delegates here).
+    * Integer sums are order-free, so scores equal [[nbClassify]]'s
+    * aggregate formulation exactly (spec-held). Same output columns. */
+  def applyNb(
+      docs: DataFrame, textCol: Column, idCol: String,
+      model: NbModel): DataFrame = {
+    val m = typedLit(model.weights)
+    docs
+      .withColumn("_hits", filter(
+        transform(tokens(textCol), t => element_at(m, t)),
+        w => w.isNotNull))
+      .select(col("*"),
+        size(col("_hits")).cast("long").as("n_iv"),
+        aggregate(col("_hits"), lit(0L), (acc, w) => acc + w).as("_s"))
+      .select(col(idCol), col("n_iv"),
+        (lit(model.prior) + col("_s") + col("n_iv") * lit(model.norm)).as("score"))
       .withColumn("pred", col("score") > 0L)
   }
 

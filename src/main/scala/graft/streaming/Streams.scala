@@ -382,6 +382,19 @@ object Streams {
       model: graft.ops.ext.Importance.DsirModel): DataFrame =
     graft.ops.ext.Importance.applyDsir(docs, col(textCol), idCol, model)
 
+  /** Streaming NB classification: every arriving document scored under
+    * a model trained OFFLINE ([[graft.ops.ext.TextStats.trainNb]]) —
+    * the fastText-classifier half of live ingestion (route/drop crawl
+    * documents by domain/quality class as they arrive). Delegates to
+    * the map-side [[graft.ops.ext.TextStats.applyNb]] fold (no explode,
+    * no join, no shuffle), so batch and stream can never score
+    * differently; out-of-vocabulary tokens contribute nothing, exactly
+    * as in the batch scorer. */
+  def nbScoreStream(
+      docs: DataFrame, textCol: String, idCol: String,
+      model: graft.ops.ext.TextStats.NbModel): DataFrame =
+    graft.ops.ext.TextStats.applyNb(docs, col(textCol), idCol, model)
+
   def qualityGateStream(
       docs: DataFrame, textCol: String,
       t: graft.ops.ext.TextStats.QualityThresholds,

@@ -122,6 +122,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nbScoreStream scores arriving docs identically to the batch classifier") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seeds = Seq(
+      (1L, "good clean prose text", true, true),
+      (2L, "spam junk noise click", true, false)
+    ).toDF("doc_id", "text", "seed", "label")
+    val model = graft.ops.ext.TextStats.trainNb(seeds, col("text"),
+      col("seed"), col("label"), topV = 50)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nbScoreStream(input.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", model)
+      .writeStream.format("memory").queryName("nbscores")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "clean prose here"), (11L, "spam click spam"))
+      q.processAllAvailable()
+      val streamed = spark.table("nbscores")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val batch = graft.ops.ext.TextStats.applyNb(
+          Seq((10L, "clean prose here"), (11L, "spam click spam"))
+            .toDF("doc_id", "text"), col("text"), "doc_id", model)
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed.find(_._1 == 10L).get._4 === true)
+      assert(streamed.find(_._1 == 11L).get._4 === false)
+    } finally q.stop()
+  }
+
   test("applyChangelogStream maintains the last-writer-wins view across batches") {
     val spark2 = spark
     import spark2.implicits._
