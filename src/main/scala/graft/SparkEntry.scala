@@ -1878,6 +1878,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- packed training sequences (the samples, not just the layout) ---
+    "q140_packed_sequences" -> ((s, dir) => {
+      // 64-token sequences per language stream; docs split at
+      // boundaries, every sequence full except each stratum's last
+      Packing.packedSequences(
+          t(s, dir, "documents"), col("text"), "doc_id", "lang", seqLen = 64L)
+        .orderBy(col("stratum"), col("seq_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3902,6 +3911,25 @@ object SparkEntry {
           |  FROM s4) x WHERE ngh IN (SELECT ngh FROM bg))
           |SELECT doc_id, lang, source FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hit)
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+      // q140: the window-cumsum reference layout + per-(doc, seq) slices
+      // reassembled in offset order — q102's prefix sums materialized
+      "q140_packed_sequences" ->
+        s"""WITH q AS (SELECT doc_id, lang AS stratum, $toks AS toks,
+          |  CAST(len($toks) AS BIGINT) AS n FROM documents),
+          |w AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY stratum ORDER BY doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS running FROM q),
+          |s AS (SELECT stratum, running, toks, n,
+          |  unnest(generate_series(running // 64, (running + n - 1) // 64)) AS seq_id
+          | FROM w WHERE n > 0),
+          |p AS (SELECT stratum, CAST(seq_id AS BIGINT) AS seq_id, running,
+          |  list_slice(toks, CAST(GREATEST(0, seq_id*64 - running) + 1 AS BIGINT),
+          |   CAST(LEAST(n, (seq_id+1)*64 - running) AS BIGINT)) AS piece
+          | FROM s),
+          |g AS (SELECT stratum, seq_id,
+          |  CAST(SUM(len(piece)) AS BIGINT) AS n_toks,
+          |  array_to_string(flatten(list(piece ORDER BY running)), ' ') AS text
+          | FROM p GROUP BY stratum, seq_id)
+          |SELECT stratum, seq_id, n_toks, text FROM g ORDER BY stratum, seq_id""".stripMargin.replace("\n", " "),
     )
   }
 }

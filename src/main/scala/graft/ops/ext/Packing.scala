@@ -171,6 +171,57 @@ object Packing {
           .otherwise(lit(0L)))
   }
 
+  /** Materialized packed training sequences — [[sequenceLayout]] emits
+    * the layout TABLE; this emits the SAMPLES: one row per
+    * `seqLen`-token sequence of each stratum's packed token stream,
+    * documents split at boundaries per the packed-pretraining contract
+    * (the text a fixed-length training loader actually reads).
+    *
+    * Plan: the layout join ships each document's token array once; the
+    * explode yields one row per (document × overlapped sequence) —
+    * bounded by `total_tokens/seqLen + n_docs`, NOT quadratic — with
+    * the piece slice computed map-side; the single (stratum, seq)
+    * shuffle then assembles pieces, each group bounded by `seqLen`
+    * tokens across its pieces (per-group state is capped by
+    * construction, the opposite of an unbounded collect_list). Piece
+    * order inside a sequence is pinned by the prefix-sum offset
+    * (strictly increasing across a stratum's contributing docs), so
+    * `sort_array` makes the assembly deterministic under any task
+    * order.
+    *
+    * Output: `(stratum, seq_id, n_toks, text)`; every sequence holds
+    * exactly `seqLen` tokens except each stratum's last. */
+  def packedSequences(
+      docs: DataFrame, textCol: Column, idCol: String, stratumCol: String,
+      seqLen: Long, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"packedSequences: seqLen must be positive, got $seqLen")
+    val toks = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(stratumCol).cast("string").as("stratum"),
+      Dedup.tokens(textCol).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+    val layout = sequenceLayout(
+      toks.select(col("id"), col("stratum"), col("_n").as("n_tok")),
+      "id", "stratum", "n_tok", seqLen, partitions)
+      .select(col("id"), col("running"), col("seq_first"), col("seq_last"))
+    val pieces = toks.where(col("_n") > 0)
+      .join(layout, Seq("id"))
+      .select(col("stratum"), col("running"), col("_toks"), col("_n"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .withColumn("_st", greatest(lit(0L), col("seq_id") * seqLen - col("running")))
+      .withColumn("_en", least(col("_n"), (col("seq_id") + 1) * seqLen - col("running")))
+      .select(col("stratum"), col("seq_id"), col("running"),
+        slice(col("_toks"), (col("_st") + 1).cast("int"),
+          (col("_en") - col("_st")).cast("int")).as("_piece"))
+    pieces
+      .groupBy(col("stratum"), col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("running"), col("_piece")))).as("_ps"))
+      .select(col("stratum"), col("seq_id"),
+        aggregate(col("_ps"), lit(0L),
+          (acc, p) => acc + size(p.getField("_piece"))).as("n_toks"),
+        array_join(flatten(transform(col("_ps"), _.getField("_piece"))), " ").as("text"))
+  }
+
   /** Distributed global rank: every row's 1-based position in `(key, id)`
     * order (`key` descending when `desc`; `id` ascending breaks ties) —
     * the same two-phase scan as [[tokenShards]], never a single-task

@@ -792,6 +792,33 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
   }
 
+  test("packedSequences materializes the layout: boundary splits, full coverage") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3 t4"),
+      (2L, "a", (1 to 10).map("u" + _).mkString(" ")),
+      (3L, "a", "v1 v2 v3"),
+      (5L, "a", " "),                                  // zero-ish: one "" token? no — single empty token
+      (4L, "b", (1 to 25).map("w" + _).mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = Packing.packedSequences(docs, col("text"), "doc_id", "lang", seqLen = 10L)
+      .as[(String, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val a = out.filter(_._1 == "a")
+    val b = out.filter(_._1 == "b")
+    // NOTE doc 5's "text" of one space still tokenizes to [""] (split
+    // semantics) -> it contributes one empty token to the stream
+    assert(a.map(_._4).mkString(" ").split(" ", -1).filter(_.nonEmpty).toSeq ===
+      ("t1 t2 t3 t4 " + (1 to 10).map("u" + _).mkString(" ") + " v1 v2 v3")
+        .split(" ").toSeq)
+    // every sequence is full except the stratum's last
+    assert(a.dropRight(1).forall(_._3 === 10L), a.toSeq)
+    assert(b.map(_._3).toSeq === Seq(10L, 10L, 5L))
+    assert(b.head._4 === (1 to 10).map("w" + _).mkString(" "))
+    // boundary split: doc 2's tokens straddle sequences 0 and 1
+    assert(a(0)._4.endsWith("u6") && a(1)._4.startsWith("u7"), a.toSeq)
+  }
+
   test("sequenceLayout: boundary splits, offsets, and zero-token docs") {
     val spark2 = spark
     import spark2.implicits._
