@@ -1887,6 +1887,14 @@ object SparkEntry {
           t(s, dir, "documents"), col("text"), "doc_id", "lang", seqLen = 64L)
         .orderBy(col("stratum"), col("seq_id"))
     }),
+
+    // ---- multiclass NB language ID (trained; q26 is the heuristic) ------
+    "q141_nb_langid" -> ((s, dir) => {
+      TextStats.nbClassifyMulti(t(s, dir, "documents"), col("text"), "doc_id",
+          isSeed = col("doc_id") < 250, classCol = col("lang"),
+          classes = Seq("de", "en", "es", "fr", "zh"), topV = 500)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3930,6 +3938,43 @@ object SparkEntry {
           |  array_to_string(flatten(list(piece ORDER BY running)), ' ') AS text
           | FROM p GROUP BY stratum, seq_id)
           |SELECT stratum, seq_id, n_toks, text FROM g ORDER BY stratum, seq_id""".stripMargin.replace("\n", " "),
+      // q141: the K-way NB, per-class CTEs generated from the same class
+      // list the Spark plan bakes in; argmax tie = first class in order
+      "q141_nb_langid" -> {
+        val cls = Seq("de", "en", "es", "fr", "zh")
+        val ix = cls.indices
+        val cdefs = cls.zipWithIndex.map { case (c, i) =>
+          s"CAST(SUM(CASE WHEN c = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+        }.mkString(", ")
+        val total = ix.map(i => s"c$i").mkString(" + ")
+        val norms = ix.map(i =>
+          fl2(s"(CAST(SUM(c$i) AS BIGINT) + 500)") + s" AS norm$i").mkString(", ")
+        val pris = cls.zipWithIndex.map { case (c, i) =>
+          fl2(s"(CAST(COUNT(CASE WHEN lang = '$c' THEN 1 END) AS BIGINT))") + s" AS p$i"
+        }.mkString(", ")
+        val ss = ix.map(i =>
+          s"CAST(COALESCE(SUM(${fl2(s"(m.c$i + 1)")}), 0) AS BIGINT) AS s$i").mkString(", ")
+        val scs = ix.map(i => s"p$i + s$i - n_iv * norm$i AS sc$i").mkString(", ")
+        val scList = ix.map(i => s"sc$i").mkString(", ")
+        val caseChain = cls.zipWithIndex.dropRight(1)
+          .map { case (c, i) => s"WHEN sc$i = mx THEN '$c'" }.mkString(" ")
+        s"""WITH seedtok AS (SELECT lang AS c, unnest($toks) AS w
+          |  FROM documents WHERE doc_id < 250),
+          |cnt AS (SELECT w, $cdefs FROM seedtok GROUP BY w),
+          |model AS (SELECT * FROM (
+          |  SELECT *, ROW_NUMBER() OVER (ORDER BY ($total) DESC, w) AS rn FROM cnt)
+          | WHERE rn <= 500),
+          |tot AS (SELECT $norms FROM model),
+          |pri AS (SELECT $pris FROM documents WHERE doc_id < 250),
+          |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+          |sc AS (SELECT t.doc_id, CAST(COUNT(m.w) AS BIGINT) AS n_iv, $ss
+          | FROM tok t LEFT JOIN model m ON t.w = m.w GROUP BY t.doc_id),
+          |f AS (SELECT doc_id, n_iv, $scs FROM sc, tot, pri),
+          |g AS (SELECT doc_id, n_iv, GREATEST($scList) AS mx, $scList FROM f)
+          |SELECT doc_id, n_iv,
+          | CASE $caseChain ELSE '${cls.last}' END AS pred, mx AS score
+          |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
     )
   }
 }

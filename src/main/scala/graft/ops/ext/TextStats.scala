@@ -375,6 +375,72 @@ object TextStats {
       .withColumn("pred", col("score") > 0L)
   }
 
+  /** MULTICLASS Naive Bayes — [[nbClassify]]'s K-way form: the TRAINED
+    * language/domain identifier (q26's `langId` is a fixed marker
+    * heuristic; this learns its lexicon from a rule-labeled seed
+    * slice). `classes` is the caller's explicit label set, so the model
+    * shape and the plan are fixed at build time, never data-dependent;
+    * every class must appear in the seeds (flog2 domain). Per class:
+    *
+    *   score_c = flog2(n_c) + Σ_iv flog2(cnt_c(w)+1) − n_iv·flog2(t_c+topV)
+    *
+    * (seed-doc prior, add-1 token likelihoods, restricted-vocabulary
+    * normalizer — all Mitchell-log2 fixed point, engine-exact);
+    * `pred` = argmax, ties to the FIRST class in `classes` order.
+    *
+    * Scale shape = [[nbClassify]]: one TakeOrdered-bounded model
+    * (topV rows × K counts) broadcast into the exploded corpus's LEFT
+    * join (never a token shuffle), K per-class sums in one
+    * partial-aggregated per-doc fold, scalars broadcast.
+    * Output: `(idCol, n_iv, pred, score)`. */
+  def nbClassifyMulti(
+      docs: DataFrame, textCol: Column, idCol: String,
+      isSeed: Column, classCol: Column, classes: Seq[String],
+      topV: Int = 1000): DataFrame = {
+    require(classes.nonEmpty && classes.distinct == classes,
+      s"nbClassifyMulti: classes must be non-empty and distinct, got $classes")
+    val ks = classes.indices
+    val seeds = docs.where(isSeed)
+      .select(explode(tokens(textCol)).as("w"), classCol.as("_c"))
+    val counts = classes.zipWithIndex.map { case (c, i) =>
+      sum(when(col("_c") === c, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val model = seeds.groupBy(col("w"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy(ks.map(i => col(s"c$i")).reduce(_ + _).desc, col("w"))
+      .limit(topV)
+    val weighted = ks.foldLeft(model) { (m, i) =>
+        m.withColumn(s"w$i", Importance.flog2Col(col(s"c$i") + 1L))
+      }
+      .select((col("w") +: ks.map(i => col(s"w$i"))): _*)
+    val totals = model
+      .agg(sum(col("c0")).as("t0"),
+        ks.tail.map(i => sum(col(s"c$i")).as(s"t$i")): _*)
+      .select(ks.map(i =>
+        Importance.flog2Col(col(s"t$i") + topV.toLong).as(s"norm$i")): _*)
+    val priors = docs.where(isSeed)
+      .agg(sum(when(classCol === classes.head, 1L).otherwise(0L)).as("n0"),
+        classes.zipWithIndex.tail.map { case (c, i) =>
+          sum(when(classCol === c, 1L).otherwise(0L)).as(s"n$i")
+        }: _*)
+      .select(ks.map(i => Importance.flog2Col(col(s"n$i")).as(s"p$i")): _*)
+    val perDoc = docs.select(col(idCol), explode_outer(tokens(textCol)).as("w"))
+      .join(broadcast(weighted), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("w0").isNotNull, 1L).otherwise(0L)).as("n_iv"),
+        ks.map(i => coalesce(sum(col(s"w$i")), lit(0L)).as(s"s$i")): _*)
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+    val scored = ks.foldLeft(perDoc) { (d, i) =>
+      d.withColumn(s"sc$i",
+        col(s"p$i") + col(s"s$i") - col("n_iv") * col(s"norm$i"))
+    }.withColumn("_arr", array(ks.map(i => col(s"sc$i")): _*))
+    scored.select(col(idCol), col("n_iv"),
+      element_at(typedLit(classes),
+        array_position(col("_arr"), array_max(col("_arr"))).cast("int")).as("pred"),
+      array_max(col("_arr")).as("score"))
+  }
+
   /** Trained [[nbClassify]] model in literal form: ≤ `topV` token
     * weights plus the two scalars — the bounded-driver-state class DSIR
     * models sit in ([[Importance.DsirModel]]'s ≤4096 buckets). */

@@ -239,6 +239,34 @@ class NbClassifySpec extends SparkSpec {
     assert(byId(1L)._4 === true && byId(3L)._4 === false, out)
   }
 
+  test("nbClassifyMulti learns a K-way lexicon and classifies holdouts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "der hund und die katze", true, "de"),
+      (2L, "die sonne und der mond", true, "de"),
+      (3L, "the cat and the dog", true, "en"),
+      (4L, "the sun and the moon", true, "en"),
+      (5L, "el gato y el perro", true, "es"),
+      (6L, "el sol y la luna", true, "es"),
+      (7L, "der mond und die sterne", false, ""),  // de holdout
+      (8L, "the stars and the sky", false, ""),    // en holdout
+      (9L, "la luna y el cielo", false, ""),       // es holdout
+      (10L, "zzz qqq xxx", false, "")              // OOV -> prior argmax
+    ).toDF("doc_id", "text", "seed", "lang")
+    val out = TextStats.nbClassifyMulti(docs, col("text"), "doc_id",
+        col("seed"), col("lang"), classes = Seq("de", "en", "es"), topV = 100)
+      .select("doc_id", "n_iv", "pred")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val pred = out.map(r => r._1 -> r._3).toMap
+    assert(pred(7L) === "de" && pred(8L) === "en" && pred(9L) === "es", out.toSeq)
+    // seeds classify to their own class
+    assert(pred(1L) === "de" && pred(3L) === "en" && pred(5L) === "es")
+    // fully-OOV doc: n_iv = 0, argmax of priors alone -> FIRST class wins
+    // the balanced tie (2/2/2 seeds)
+    assert(out.find(_._1 == 10L).get._2 === 0L && pred(10L) === "de")
+  }
+
   test("trainNb + applyNb equals nbClassify exactly (map-side literal form)") {
     val spark2 = spark
     import spark2.implicits._
