@@ -152,6 +152,68 @@ object TokenNgramHashExpr {
     GraftColumnBridge.column(TokenNgramHashExpr(GraftColumnBridge.expression(c), n))
 }
 
+/** `size(split(trim(text), "\s+"))` as one codegen'd byte walk — the
+  * token-count column every budget/packing/layout query projects; the
+  * declarative form materializes the full token array per row only to
+  * take its length. */
+case class TokenCountExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_count"
+}
+
+object TokenCountExpr {
+  /** Column-level entry point: `token_count($"text")`. Also registered
+    * as SQL function `graft_token_count` by
+    * [[graft.plans.GraftExtensions]]. */
+  def token_count(c: Column): Column =
+    GraftColumnBridge.column(TokenCountExpr(GraftColumnBridge.expression(c)))
+}
+
+/** `length(regexp_replace(s, "[^A-Za-z]", ""))` as one codegen'd byte
+  * walk — the alphabetic-count column of every quality gate; the
+  * declarative form runs the regex engine AND allocates the stripped
+  * string per row only to take its length. */
+case class AlphaCountExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.alphaCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.alphaCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_alpha_count"
+}
+
+object AlphaCountExpr {
+  /** Column-level entry point: `alpha_count($"text")`. Also registered
+    * as SQL function `graft_alpha_count` by
+    * [[graft.plans.GraftExtensions]]. */
+  def alpha_count(c: Column): Column =
+    GraftColumnBridge.column(AlphaCountExpr(GraftColumnBridge.expression(c)))
+}
+
 case class TokenHashSetExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -340,6 +402,35 @@ object TokenHash {
     var j = 0
     while (j < bits) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
     sig
+  }
+
+  /** Token COUNT under the same split semantics as every kernel here —
+    * `size(split(trim(text), "\s+"))` without materializing the array:
+    * empty text counts 1 (the `[""]` quirk), leading/trailing separators
+    * count their empty tokens. */
+  def tokenCount(text: UTF8String): Int = {
+    val bytes = normalizedBytes(text)
+    var c = 0
+    forEachToken(bytes)((_, _) => c += 1)
+    c
+  }
+
+  /** ASCII-letter count — `length(regexp_replace(s, "[^A-Za-z]", ""))`
+    * as a raw byte walk: letters are single-byte in UTF-8 and multi-byte
+    * sequences never contain ASCII-range bytes, so the byte count equals
+    * the char count (invalid UTF-8 decodes to U+FFFD on the interpreted
+    * path — also not a letter). No copy, no regex engine, no stripped
+    * string allocated. */
+  def alphaCount(text: UTF8String): Int = {
+    val n = text.numBytes
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val x = text.getByte(i)
+      if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')) c += 1
+      i += 1
+    }
+    c
   }
 
   /** 60-bit n-gram hashes in n-gram order: for each window of `n`

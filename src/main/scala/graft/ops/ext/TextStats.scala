@@ -17,8 +17,11 @@ object TextStats {
     * tokenize differently. */
   def tokens(text: Column): Column = Dedup.tokens(text)
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count — codegen byte-walk kernel
+    * ([[graft.functions.TokenCountExpr]]), exactly `size(tokens(text))`
+    * without materializing the array. */
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenCountExpr.token_count(text)
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * punctuation characters each count as one token (a cheap, deterministic
@@ -38,7 +41,7 @@ object TextStats {
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
     val nChar = length(textCol)
-    val nAlpha = length(regexp_replace(textCol, "[^A-Za-z]", ""))
+    val nAlpha = graft.functions.AlphaCountExpr.alpha_count(textCol)
     // true mean token length: total non-whitespace chars / token count
     val nNonWs = length(regexp_replace(textCol, "\\s", ""))
     df.withColumn("n_chars_m", nChar.cast("long"))
@@ -559,7 +562,7 @@ object TextStats {
       minDocs: Long, minAlphaBp: Int): DataFrame =
     docs.select(col(sourceCol),
         length(textCol).cast("long").as("nc"),
-        length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("na"))
+        graft.functions.AlphaCountExpr.alpha_count(textCol).cast("long").as("na"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("na")).as("sa"), sum(col("nc")).as("sc"))
       .where(col("n_docs") >= minDocs &&
@@ -597,7 +600,7 @@ object TextStats {
         (size(regexp_extract_all(textCol, lit(EmailRe), lit(0))) +
           size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))) +
           size(regexp_extract_all(textCol, lit(PhoneRe), lit(0)))).cast("long"))
-      .withColumn("_na", length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long"))
+      .withColumn("_na", graft.functions.AlphaCountExpr.alpha_count(textCol).cast("long"))
       .withColumn("_nc", length(textCol).cast("long"))
       .withColumn("_len_ok",
         col("_ntok") >= t.minTokens && col("_ntok") <= t.maxTokens)

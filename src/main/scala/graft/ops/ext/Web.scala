@@ -175,7 +175,7 @@ object Web {
       docs: DataFrame, domain: Column, textCol: Column): DataFrame =
     docs.select(domain.as("domain"),
         length(textCol).cast("long").as("_nc"),
-        length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("_na"))
+        graft.functions.AlphaCountExpr.alpha_count(textCol).cast("long").as("_na"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_nc")).as("sum_chars"),
         sum(col("_na")).as("_sum_alpha"))

@@ -36,7 +36,7 @@ object Reports {
       col(idCol).as("_id"),
       size(Dedup.tokens(textCol)).cast("long").as("_ntok"),
       length(textCol).cast("long").as("_nchar"),
-      length(regexp_replace(textCol, "[^A-Za-z]", "")).cast("long").as("_nalpha"),
+      graft.functions.AlphaCountExpr.alpha_count(textCol).cast("long").as("_nalpha"),
       md5(textCol).as("_h"))
     val firsts = base.groupBy(col("_h")).agg(min(col("_id")).as("_keep"))
     val hits = Contamination

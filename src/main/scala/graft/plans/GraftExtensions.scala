@@ -154,6 +154,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.TokenCountExpr].getName,
+        null,
+        "graft_token_count",
+        "graft_token_count(text) - whitespace token count (split semantics)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_token_count(text) takes 1 argument")
+        graft.functions.TokenCountExpr(children.head)
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_alpha_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.AlphaCountExpr].getName,
+        null,
+        "graft_alpha_count",
+        "graft_alpha_count(s) - count of ASCII letters",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_alpha_count(s) takes 1 argument")
+        graft.functions.AlphaCountExpr(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(
         classOf[DotProductExpr].getName,

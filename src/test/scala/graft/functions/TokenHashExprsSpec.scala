@@ -172,6 +172,25 @@ class TokenHashExprsSpec extends SparkSpec {
     assert(pairs(0)._3 === 3.0 / 5.0) // |{a,b,c}| / |{a,b,c,d,e}|
   }
 
+  test("token_count and alpha_count match their interpreted forms, nulls included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (inputs :+ "mixés Ünïcode 北京 a1b2 -- ::").toDF("text")
+    val tc = df.select(
+      TokenCountExpr.token_count(col("text")).as("k"),
+      size(split(trim(col("text")), "\\s+")).as("i"))
+      .as[(Option[Int], Option[Int])].collect()
+    tc.foreach { case (k, i) => assert(k === i, s"token_count $k vs $i") }
+    val ac = df.select(
+      AlphaCountExpr.alpha_count(col("text")).as("k"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("i"))
+      .as[(Option[Int], Option[Int])].collect()
+    ac.foreach { case (k, i) => assert(k === i, s"alpha_count $k vs $i") }
+    // SQL registration
+    assert(spark.sql("SELECT graft_token_count('a  b'), graft_alpha_count('ab1é北')")
+      .collect().head.toSeq === Seq(2, 2)) // é/北 are not ASCII letters
+  }
+
   test("withMinhashSignature keeps ONE kernel instance in the optimized plan") {
     val spark2 = spark
     import spark2.implicits._
