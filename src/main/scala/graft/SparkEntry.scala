@@ -1895,6 +1895,24 @@ object SparkEntry {
           classes = Seq("de", "en", "es", "fr", "zh"), topV = 500)
         .orderBy(col("doc_id"))
     }),
+
+    // ---- per-benchmark-item coverage (the eval owner's view) ------------
+    "q142_bench_coverage" -> ((s, dir) => {
+      // reverse of q109: per %37 benchmark item, how much of IT the
+      // corpus already holds
+      val docs = t(s, dir, "documents")
+      Contamination.benchmarkCoverage(
+          docs.where(col("doc_id") % 37 =!= 0), col("text"),
+          docs.where(col("doc_id") % 37 === 0), col("text"), "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source vocabulary divergence (mix drift monitor) -----------
+    "q143_source_divergence" -> ((s, dir) => {
+      TextStats.sourceDivergence(t(s, dir, "documents"), col("text"),
+          "source", topV = 500)
+        .orderBy(col("source"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3975,6 +3993,47 @@ object SparkEntry {
           | CASE $caseChain ELSE '${cls.last}' END AS pred, mx AS score
           |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " ")
       },
+      // q142: per-benchmark-item distinct 8-grams vs the corpus's hash
+      // set — q109's join flipped to the benchmark side
+      "q142_bench_coverage" ->
+        s"""WITH bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |   generate_series(1, len($toks) - 7),
+          |   i -> CAST(('0x' || substr(md5(array_to_string(list_slice($toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)))) AS ngh
+          | FROM documents WHERE doc_id % 37 = 0),
+          |cx AS (SELECT DISTINCT CAST(('0x' || substr(md5(unnest(list_transform(
+          |   generate_series(1, len($toks) - 7),
+          |   i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
+          | FROM documents WHERE doc_id % 37 <> 0),
+          |g AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+          |  CAST(SUM(CASE WHEN cx.ngh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+          | FROM bg LEFT JOIN cx USING (ngh) GROUP BY bg.doc_id)
+          |SELECT d.doc_id, COALESCE(g.n_ngrams, 0) AS n_ngrams,
+          | COALESCE(g.n_covered, 0) AS n_covered,
+          | CASE WHEN COALESCE(g.n_ngrams, 0) > 0
+          |  THEN (10000 * g.n_covered) // g.n_ngrams ELSE CAST(0 AS BIGINT) END AS coverage_bp
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 37 = 0) d
+          |LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
+      // q143: add-1 KL surrogate over the corpus top-500 vocabulary,
+      // Mitchell-log2 fixed point, one (source, token) count table
+      "q143_source_divergence" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS w FROM documents),
+          |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM tok GROUP BY w),
+          |topv AS (SELECT w, c_w FROM (
+          |  SELECT *, ROW_NUMBER() OVER (ORDER BY c_w DESC, w) AS rn FROM cnt) WHERE rn <= 500),
+          |t AS (SELECT CAST(SUM(c_w) AS BIGINT) AS t_all FROM topv),
+          |sw AS (SELECT source, tok.w, CAST(COUNT(*) AS BIGINT) AS c_sw, MAX(topv.c_w) AS c_w
+          | FROM tok JOIN topv ON tok.w = topv.w GROUP BY source, tok.w),
+          |ts AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY source),
+          |terms AS (SELECT sw.source,
+          |  sw.c_sw * (${fl2("(c_sw + 1)")} + ${fl2("(t_all + 500)")}
+          |    - ${fl2("(c_w + 1)")} - ${fl2("(t_s + 500)")}) AS term, ts.t_s
+          | FROM sw JOIN ts USING (source), t),
+          |g AS (SELECT source, MAX(t_s) AS n_top_tokens,
+          |  CAST(SUM(term) AS BIGINT) AS kl_sum FROM terms GROUP BY source)
+          |SELECT source, n_top_tokens, kl_sum,
+          | CASE WHEN n_top_tokens > 0 THEN kl_sum // n_top_tokens
+          |  ELSE CAST(0 AS BIGINT) END AS kl_per_token
+          |FROM g ORDER BY source""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -312,6 +312,46 @@ object Contamination {
           expr("(10000 * n_hits) div n_ngrams")).otherwise(lit(0L)).as("contam_bp"))
   }
 
+  /** Per-BENCHMARK-item coverage — [[contaminationFraction]]'s mirror
+    * image, answering the question an eval owner asks: for each
+    * benchmark document, what fraction of ITS distinct n-grams appear
+    * anywhere in the training corpus (`coverage_bp` near 10⁴ = this
+    * eval item is effectively memorizable; the decontamination ops
+    * protect the corpus, this measures what the corpus already holds).
+    *
+    * Scale shape FLIPS from the forward direction: here the BENCHMARK
+    * side is small and broadcasts; the corpus stream is filtered
+    * map-side against the broadcast benchmark-hash set, and only the
+    * matched hashes — bounded by the benchmark's distinct n-gram count,
+    * never corpus size — reach the distinct + join. The corpus is
+    * scanned once with zero corpus-sized shuffles. */
+  def benchmarkCoverage(
+      corpus: DataFrame, corpusText: Column,
+      benchmark: DataFrame, benchmarkText: Column, idCol: String,
+      n: Int = 8): DataFrame = {
+    val bg = benchmark
+      .select(col(idCol), explode(array_distinct(ngramHashes(benchmarkText, n))).as("ngh"))
+    val benchKeys = bg.select(col("ngh")).distinct()
+    val found = corpus
+      .select(explode(ngramHashes(corpusText, n)).as("ngh"))
+      .join(broadcast(benchKeys), Seq("ngh"), "left_semi")
+      .distinct() // ≤ benchmark's distinct n-grams — small by contract
+      .withColumn("_hit", lit(1L))
+    val per = bg.join(broadcast(found), Seq("ngh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_covered"))
+    // items too short to have any n-gram still report (0, 0, 0)
+    benchmark.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0,
+          expr("(10000 * n_covered) div n_ngrams")).otherwise(lit(0L))
+          .as("coverage_bp"))
+  }
+
   /** Per-document n-gram NOVELTY — how much of each document is text the
     * corpus has not seen in any earlier document (by id order): the
     * count of its distinct n-grams whose corpus-wide FIRST occurrence is

@@ -531,6 +531,53 @@ object TextStats {
           .otherwise(lit(0L)).as("recall_bp"))
   }
 
+  /** Per-source vocabulary divergence from the corpus-wide token
+    * distribution — the mix-health monitor behind "which slice drifted":
+    * a KL-style surrogate over the corpus's top-`topV` vocabulary,
+    * add-1 smoothed, in Mitchell-log2 2^16 fixed point so the number is
+    * engine-exact. Per token w of source s:
+    *
+    *   term_w = c_sw · (flog2(c_sw+1) + flog2(T+V) − flog2(c_w+1) − flog2(T_s+V))
+    *
+    * (c_sw / c_w the source / corpus counts of w over the restricted
+    * vocabulary, T_s / T their totals); `kl_per_token = Σ term div T_s`
+    * ≈ T_s·KL(p_s‖p)/T_s in 2^16-scaled log2 units. A high value =
+    * this source's word mix diverges from the corpus (drifted crawl,
+    * wrong language, spam injection); the restricted-vocabulary add-1
+    * surrogate can go slightly negative on near-identical mixes — it
+    * is a monitoring statistic, not a true KL.
+    *
+    * Scale shape: ONE corpus-stream shuffle — the (source, token)
+    * partial-aggregated count, restricted map-side to the broadcast
+    * top-V cut first; totals derive from the (≤ sources × topV)-row
+    * count frame, never a second corpus pass.
+    * Output: `(source, n_top_tokens, kl_sum, kl_per_token)`. */
+  def sourceDivergence(
+      docs: DataFrame, textCol: Column, sourceCol: String,
+      topV: Int = 1000): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(tokens(textCol)).as("w"))
+    val topv = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .orderBy(col("c_w").desc, col("w")).limit(topV)
+    val t = topv.agg(sum(col("c_w")).as("t_all"))
+    val sw = tok.join(broadcast(topv), Seq("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"), max(col("c_w")).as("c_w"))
+    val ts = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    sw.join(ts, Seq("source"))
+      .crossJoin(broadcast(t))
+      .withColumn("term", col("c_sw") * (
+        Importance.flog2Col(col("c_sw") + 1L) +
+          Importance.flog2Col(col("t_all") + topV.toLong) -
+          Importance.flog2Col(col("c_w") + 1L) -
+          Importance.flog2Col(col("t_s") + topV.toLong)))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_top_tokens"), sum(col("term")).as("kl_sum"))
+      .withColumn("kl_per_token",
+        when(col("n_top_tokens") > 0, expr("kl_sum div n_top_tokens"))
+          .otherwise(lit(0L)))
+  }
+
   /** Source-level quality gating (the C4/Gopher "drop bad domains" pass):
     * keep documents whose SOURCE passes corpus-level quality thresholds —
     * at least `minDocs` documents and an aggregate alphabetic ratio of at

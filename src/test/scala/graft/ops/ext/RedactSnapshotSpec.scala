@@ -209,6 +209,51 @@ class LengthBucketSpec extends SparkSpec {
   }
 }
 
+class CorpusHealthSpec extends SparkSpec {
+
+  test("benchmarkCoverage grades each eval item against the corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),       // fully in corpus
+      (2L, "alpha beta gamma delta epsilon zeta eta theta NEW tail"), // partial
+      (3L, "utterly different words that the corpus never saw here"), // uncovered
+      (4L, "too short")                                              // < n tokens
+    ).toDF("doc_id", "text")
+    val out = Contamination.benchmarkCoverage(corpus, col("text"),
+        bench, col("text"), "doc_id", n = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === (1L, 1L, 1L, 10000L))
+    val (_, n2, c2, bp2) = out(1)
+    assert(n2 === 3L && c2 === 1L && bp2 === 3333L) // 1 of its 3 8-grams known
+    assert(out(2)._3 === 0L && out(2)._4 === 0L)
+    assert(out(3) === (4L, 0L, 0L, 0L)) // too short: reported, not dropped
+  }
+
+  test("sourceDivergence flags the drifted source, not the matched ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    // srcA/srcB share the corpus-dominant mix; srcC is disjoint spam
+    def rep(s: String, k: Int) = Seq.fill(k)(s).mkString(" ")
+    val docs = Seq(
+      (1L, "a", rep("the cat sat on the mat", 5)),
+      (2L, "a", rep("the dog sat on the rug", 5)),
+      (3L, "b", rep("the cat sat on the rug", 5)),
+      (4L, "b", rep("the dog sat on the mat", 5)),
+      (5L, "c", rep("zzz qqq xxx www vvv uuu", 5))
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.sourceDivergence(docs, col("text"), "source", topV = 50)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byS = out.map(r => r._1 -> r._4).toMap
+    // the disjoint source diverges far above the matched pair
+    assert(byS("c") > byS("a") && byS("c") > byS("b"), out)
+    assert(byS("c") > 2 * math.max(byS("a"), byS("b")).max(1L), out)
+  }
+}
+
 class NbClassifySpec extends SparkSpec {
 
   test("nbClassify learns seed token odds and scores all docs map-side") {
