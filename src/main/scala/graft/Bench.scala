@@ -127,7 +127,15 @@ object Bench {
     // quiet Spark's shutdown logging so nothing lands after the JSON line
     // inside the harness's tail window
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+    // hard guard: the harness parses the line from a ~2000-char output
+    // tail — a silently over-long line cost round 8 its bench artifact
+    // (BENCH_r08 parsed:null). Fail loudly instead.
+    require(line.length <= 1900,
+      s"bench line ${line.length} chars exceeds the harness tail budget " +
+        "(drop a digit or shorten keys before adding more queries)")
+    println(line)
     spark.stop()
   }
 }

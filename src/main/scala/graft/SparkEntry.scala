@@ -1913,6 +1913,15 @@ object SparkEntry {
           "source", topV = 500)
         .orderBy(col("source"))
     }),
+
+    // ---- containment (overlap-coefficient) pairs: quote detection -------
+    "q144_containment_pairs" -> ((s, dir) => {
+      // winnow-prefiltered (the substring guarantee is the right recall
+      // path for inclusion); q57's k=5/w=8/cap=50 fingerprint config
+      Dedup.containmentPairs(t(s, dir, "documents"), col("text"), "doc_id",
+          threshold = 0.8, k = 5, w = 8, maxBucketSize = Some(50))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4034,6 +4043,34 @@ object SparkEntry {
           | CASE WHEN n_top_tokens > 0 THEN kl_sum // n_top_tokens
           |  ELSE CAST(0 AS BIGINT) END AS kl_per_token
           |FROM g ORDER BY source""".stripMargin.replace("\n", " "),
+      // q144: q57's winnow candidate CTEs + q24's token-hash sets,
+      // scored by the overlap coefficient |A∩B| / min(|A|,|B|)
+      "q144_containment_pairs" ->
+        s"""WITH s AS (SELECT doc_id,
+          |  list_transform(generate_series(1, length(text) - 4), i ->
+          |    CAST(('0x' || substr(md5(substr(text, i, 5)), 1, 8)) AS BIGINT)) AS h
+          | FROM documents),
+          |f AS (SELECT doc_id,
+          |  CASE WHEN len(h) >= 8 THEN
+          |    list_sort(list_distinct(list_transform(generate_series(1, len(h) - 7), i -> list_min(h[i:i+7]))))
+          |  ELSE NULL END AS fp
+          | FROM s),
+          |e AS (SELECT doc_id, unnest(fp) AS band FROM f WHERE fp IS NOT NULL),
+          |ok AS (SELECT band FROM e GROUP BY band HAVING COUNT(*) <= 50),
+          |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          | FROM e a JOIN e b ON a.band = b.band AND a.doc_id < b.doc_id
+          | WHERE a.band IN (SELECT band FROM ok)),
+          |d AS (SELECT doc_id,
+          |  list_distinct(list_transform($toks, w -> CAST(('0x' || substr(md5(w),1,8)) AS BIGINT))) AS tk
+          | FROM documents),
+          |x AS (SELECT p.id_a, p.id_b,
+          |  CAST(len(da.tk) AS BIGINT) AS n_a, CAST(len(db.tk) AS BIGINT) AS n_b,
+          |  CAST(len(list_filter(da.tk, t -> list_contains(db.tk, t))) AS BIGINT) AS inter
+          | FROM p JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b)
+          |SELECT id_a, id_b, n_a, n_b, inter,
+          | CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE) AS overlap
+          |FROM x WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE) >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     )
   }
 }

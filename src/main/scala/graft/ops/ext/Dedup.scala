@@ -307,6 +307,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs — the QUOTE /
+    * inclusion detector symmetric Jaccard structurally misses: a short
+    * document fully quoted inside a long one has overlap
+    * `|A∩B| / min(|A|,|B|)` = 1 while its Jaccard `|A∩B| / |A∪B|` ≈
+    * `|A| / |B|` — arbitrarily small. Candidates come from WINNOWING
+    * fingerprints, whose shared-substring guarantee is the right
+    * prefilter for inclusion (MinHash bands target Jaccard and
+    * systematically miss containment pairs — the small side's signature
+    * is dominated by the big side's extra tokens); the exact pass scores
+    * the overlap coefficient on sorted token-hash sets with the merge
+    * kernel.
+    *
+    * Scale shape: candidates are guard-bounded ([[guardBuckets]] via
+    * [[winnowCandidatePairs]] — linear under the cap); the two set
+    * attachments join the pair frame on 8-byte ids, each document's set
+    * computed and sorted ONCE below them; the per-pair loop is the
+    * allocation-free merge walk. Output: `(id_a, id_b, n_a, n_b, inter,
+    * overlap)` for pairs with `overlap >= threshold`. */
+  def containmentPairs(
+      docs: DataFrame, textCol: Column, idCol: String,
+      threshold: Double,
+      k: Int = 5, w: Int = 8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val cand = winnowCandidatePairs(docs, idCol,
+      graft.functions.WinnowFingerprintExpr.winnow(textCol, k, w), maxBucketSize)
+    val sets = docs.select(col(idCol).as("_sid"),
+      array_sort(graft.functions.TokenHashSetExpr.token_hash_set(textCol)).as("_set"))
+    cand
+      .join(sets.select(col("_sid").as("id_a"), col("_set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("_sid").as("id_b"), col("_set").as("set_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"),
+        graft.functions.SortedIntersectCountExpr
+          .sorted_intersect_count(col("set_a"), col("set_b"))
+          .cast("long").as("inter"))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("overlap") >= threshold)
+  }
+
   /** 32-bit SimHash from token hashes: per bit position, the majority vote
     * of all token hashes' bits, weighted +1/-1.
     *

@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("containmentPairs catches the quoted document Jaccard misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val docs = Seq(
+      (1L, quote), // short doc...
+      (2L, ("intro paragraph with many extra tokens here now " * 4) + quote +
+        (" and a long trailing discussion of unrelated matters " * 4)), // ...quoted inside
+      (3L, "completely different content about other topics entirely friends")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, col("text"), "doc_id",
+        threshold = 0.8, maxBucketSize = Some(100))
+      .select("id_a", "id_b", "overlap")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    assert(out.head._3 >= 0.9) // every token of the quote is in doc 2
+    // the SAME pair under symmetric Jaccard sits far below threshold:
+    // containment is a different semantic, not a tuned-down Jaccard
+    val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
+    val jac = Dedup.lshJaccardPairs(
+      sig.withColumn("set",
+        array_sort(graft.functions.TokenHashSetExpr.token_hash_set(col("text")))),
+      "doc_id", Seq("mh0", "mh1"), "set", threshold = 0.0)
+      .where(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jac").as[Double].collect()
+    assert(jac.isEmpty || jac.head < 0.5, jac.toSeq)
+  }
+
   test("exact dedup groups identical texts and keeps the min id") {
     val spark2 = spark
     import spark2.implicits._
