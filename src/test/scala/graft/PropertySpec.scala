@@ -132,6 +132,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: count kernels match interpreted forms on random unicode text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val atomGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(4)),
+      3 -> Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", "  ", " \t "),
+      2 -> Gen.oneOf("é", "ü", "ß", "日本", "語", "😀", "🎉", "A-Z.az"),
+      1 -> Gen.const(""))
+    val texts = samples(Gen.listOfN(12, atomGen).map(_.mkString), 24).distinct
+    val rows = texts.toDF("text").select(
+      col("text"),
+      size(split(trim(col("text")), "\\s+")).as("itc"),
+      graft.functions.TokenCountExpr.token_count(col("text")).as("ktc"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("iac"),
+      graft.functions.AlphaCountExpr.alpha_count(col("text")).as("kac"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getInt(1) === r.getInt(2), s"token count for '$t'")
+      assert(r.getInt(3) === r.getInt(4), s"alpha count for '$t'")
+    }
+  }
+
+  test("property: dot kernel equals the interpreted double fold on random float vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecGen = for {
+      n <- Gen.choose(0, 24)
+      v <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_ / 7.0f))
+    } yield v
+    val pairs = samples(Gen.zip(vecGen, vecGen), 30)
+    val rows = pairs.toDF("a", "b").select(
+      graft.functions.DotProductExpr.dot_product(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("i"))
+      .as[(Option[Double], Option[Double])].collect()
+    rows.foreach { case (k, i) => assert(k === i) } // exact, incl. mismatch->null
+  }
+
   test("property: n-gram hash kernel matches the interpreted composition on random unicode text") {
     val spark2 = spark
     import spark2.implicits._
