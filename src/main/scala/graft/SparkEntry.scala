@@ -1922,6 +1922,14 @@ object SparkEntry {
           threshold = 0.8, k = 5, w = 8, maxBucketSize = Some(50))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // ---- ordered funnel (view -> click -> purchase) ---------------------
+    "q145_funnel" -> ((s, dir) => {
+      // step i counts only strictly after step i-1's first reach — the
+      // product-analytics semantics; per-user state is one timestamp
+      Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4071,6 +4079,23 @@ object SparkEntry {
           | CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE) AS overlap
           |FROM x WHERE CAST(inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE) >= 0.8
           |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+      // q145: the cascade inherently carries the ordered semantics — u_i
+      // only exists for users who reached stage i, strictly-after by ts
+      "q145_funnel" ->
+        """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+          |  WHERE event_type = 'view' GROUP BY user_id),
+          |u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+          |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id),
+          |u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+          |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id),
+          |u AS (SELECT DISTINCT user_id FROM events)
+          |SELECT u.user_id,
+          | CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+          |  WHEN u2.user_id IS NOT NULL THEN 2
+          |  WHEN u1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+          | u3.user_id IS NOT NULL AS completed
+          |FROM u LEFT JOIN u1 USING (user_id) LEFT JOIN u2 USING (user_id)
+          |LEFT JOIN u3 USING (user_id) ORDER BY u.user_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -47,4 +47,49 @@ object Events {
         sum(col("session_start")).as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** ORDERED funnel analysis: per user, how deep into the step sequence
+    * they progressed, where step i counts only if it happens STRICTLY
+    * AFTER the time step i−1 was first reached (the product-analytics
+    * semantics — a purchase before the first view does not complete a
+    * view→purchase funnel). `depth` = number of steps reached, 0 for
+    * users who never performed `steps.head`.
+    *
+    * Shape: one cascade stage per step — stage i filters the event scan
+    * to that step's type (scan-pushed `In`/`=` predicate, so each stage
+    * reads only its step's events), joins the previous stage's
+    * per-user reach times (user-keyed), and takes the per-user `min(ts)`
+    * past the threshold. All k−1 joins and k aggregations key on
+    * `user_id`; no per-user window, no event-list collection — per-user
+    * state everywhere is ONE timestamp, so a million-event user costs
+    * the same as a ten-event user. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel: steps must be non-empty and distinct, got $steps")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var reach = e.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
+      .withColumn("_depth", lit(1L))
+    var stage = 1L
+    for (s <- steps.tail) {
+      // only users exactly AT the previous stage can advance: a user who
+      // missed step i must not have step i+1 counted (ordered semantics)
+      val prev = reach.where(col("_depth") === stage)
+        .select(col("user_id"), col("_t").as("_prev"))
+      val next = e.where(col("event_type") === s)
+        .join(prev, Seq("user_id"))
+        .where(col("ts") > col("_prev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("_tn"))
+      reach = reach.join(next, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("_tn"), col("_t")).as("_t"),
+          (col("_depth") + when(col("_tn").isNotNull, 1L).otherwise(0L)).as("_depth"))
+      stage += 1
+    }
+    val users = events.select(col("user_id")).distinct()
+    users.join(reach.select(col("user_id"), col("_depth")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("_depth"), lit(0L)).as("depth"),
+        (coalesce(col("_depth"), lit(0L)) === steps.length).as("completed"))
+  }
 }

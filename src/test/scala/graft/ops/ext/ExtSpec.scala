@@ -1425,6 +1425,39 @@ class TextStatsSpec extends SparkSpec {
 
 class EventsSpec extends SparkSpec {
 
+  test("funnel enforces strict step order and stalls on the missed step") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ev(u: Long, t: String, ty: String) = (u, t, ty)
+    val events = Seq(
+      // user 1 completes in order
+      ev(1L, "2024-01-01 00:00:00", "view"),
+      ev(1L, "2024-01-01 00:01:00", "click"),
+      ev(1L, "2024-01-01 00:02:00", "purchase"),
+      // user 2: purchase BEFORE the click -> depth 2, not completed
+      ev(2L, "2024-01-01 00:00:00", "view"),
+      ev(2L, "2024-01-01 00:00:30", "purchase"),
+      ev(2L, "2024-01-01 00:01:00", "click"),
+      // user 3: view and purchase but never clicks -> the missed middle
+      // step stalls the funnel at depth 1
+      ev(3L, "2024-01-01 00:00:00", "view"),
+      ev(3L, "2024-01-01 00:05:00", "purchase"),
+      // user 4: clicks without ever viewing -> depth 0
+      ev(4L, "2024-01-01 00:00:00", "click"),
+      // user 5: a LATER second purchase after the click does complete
+      ev(5L, "2024-01-01 00:00:00", "view"),
+      ev(5L, "2024-01-01 00:00:10", "purchase"),
+      ev(5L, "2024-01-01 00:01:00", "click"),
+      ev(5L, "2024-01-01 00:02:00", "purchase")
+    ).toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val out = Events.funnel(events, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 3L, true), (2L, 2L, false), (3L, 1L, false),
+      (4L, 0L, false), (5L, 3L, true)))
+  }
+
   test("sessionize counts gap-separated sessions per user") {
     val spark2 = spark
     import spark2.implicits._
