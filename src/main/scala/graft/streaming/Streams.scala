@@ -13,6 +13,9 @@ case class SessionState(nEvents: Long, start: Long, last: Long)
   * for the state encoder, like [[SessionState]]). */
 case class LatestVersion(version: Long, op: String, text: String)
 
+/** Per-user funnel progression state for [[Streams.funnelStream]]. */
+case class FunnelState(depth: Int, reachedMs: Long)
+
 /** Structured Streaming duals of the batch event ops
   * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
   * late-data handling, session windows, and custom keyed state via
@@ -95,6 +98,44 @@ object Streams {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Per-user funnel progress emitted by [[funnelStream]]. */
+  case class FunnelProgress(user_id: Long, depth: Long, completed: Boolean)
+
+  /** Streaming dual of [[graft.ops.ext.Events.funnel]]: per-user funnel
+    * depth maintained in keyed state and re-emitted whenever it
+    * advances (run in `update` mode). Each micro-batch's events are
+    * processed in ts order per user; the state is `(depth, reach time)`
+    * — one small row per user, the batch operator's exact per-user
+    * bound.
+    *
+    * Ordering caveat (the honest streaming contract): within a batch
+    * the ts sort reproduces batch semantics exactly, but an event
+    * arriving in a LATER batch with an EARLIER timestamp than the
+    * current reach time cannot retroactively advance a stalled funnel
+    * the way a batch recompute would — streaming progression is
+    * append-only. In-order streams match [[graft.ops.ext.Events.funnel]]
+    * row for row (spec-held). */
+  def funnelStream(
+      events: Dataset[Event], steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnelStream: steps must be non-empty and distinct, got $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (s.depth < steps.length && e.event_type == steps(s.depth) &&
+                (s.depth == 0 || e.ts.getTime > s.reachedMs)) {
+              s = FunnelState(s.depth + 1, e.ts.getTime)
+            }
+          }
+          state.update(s)
+          FunnelProgress(userId, s.depth.toLong, s.depth == steps.length)
       }
   }
 

@@ -122,6 +122,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream tracks per-user depth and matches the batch funnel in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.funnelStream(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 purchases before viewing
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 00:00:00"), "view", 0),
+        Streams.Event(1L, ts("2024-01-01 00:01:00"), "click", 0),
+        Streams.Event(2L, ts("2024-01-01 00:00:00"), "purchase", 0),
+        Streams.Event(2L, ts("2024-01-01 00:01:00"), "view", 0))
+      q.processAllAvailable()
+      // batch 2: user 1 completes; user 2 clicks (still no valid purchase)
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 00:02:00"), "purchase", 0),
+        Streams.Event(2L, ts("2024-01-01 00:02:00"), "click", 0))
+      q.processAllAvailable()
+      val live = spark.table("funnel").as[Streams.FunnelProgress].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.map(_.depth).max }
+      assert(live === Map(1L -> 3L, 2L -> 2L))
+      // the batch operator agrees on the same (in-order) event set
+      val batch = graft.ops.ext.Events.funnel(
+          Seq((1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-01 00:01:00", "click"),
+            (1L, "2024-01-01 00:02:00", "purchase"),
+            (2L, "2024-01-01 00:00:00", "purchase"), (2L, "2024-01-01 00:01:00", "view"),
+            (2L, "2024-01-01 00:02:00", "click"))
+            .toDF("user_id", "ts_s", "event_type")
+            .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("event_type")),
+          Seq("view", "click", "purchase"))
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+      assert(batch === Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("nbScoreStream scores arriving docs identically to the batch classifier") {
     val spark2 = spark
     import spark2.implicits._
