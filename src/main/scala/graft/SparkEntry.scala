@@ -1930,6 +1930,12 @@ object SparkEntry {
       Events.funnel(events(s, dir), Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
     }),
+
+    // ---- retention cohort triangle --------------------------------------
+    "q146_retention" -> ((s, dir) => {
+      Events.retentionCohorts(events(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4096,6 +4102,14 @@ object SparkEntry {
           | u3.user_id IS NOT NULL AS completed
           |FROM u LEFT JOIN u1 USING (user_id) LEFT JOIN u2 USING (user_id)
           |LEFT JOIN u3 USING (user_id) ORDER BY u.user_id""".stripMargin.replace("\n", " "),
+      // q146: integer epoch-day arithmetic on both engines
+      "q146_retention" ->
+        """WITH d AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+          |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+          |x AS (SELECT DISTINCT f.cohort_day, d.day - f.cohort_day AS day_offset, d.user_id
+          | FROM d JOIN f USING (user_id))
+          |SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+          |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -92,4 +92,28 @@ object Events {
         coalesce(col("_depth"), lit(0L)).as("depth"),
         (coalesce(col("_depth"), lit(0L)) === steps.length).as("completed"))
   }
+
+  /** Retention cohort table: users grouped by the epoch DAY of their
+    * first event (`cohort_day`), counted distinct on each later day
+    * offset — the classic triangle behind every retention curve.
+    * `day_offset` 0 is the cohort's own size.
+    *
+    * Shape: per-user first day is one user-keyed aggregate; the join
+    * back is user-keyed (co-partitioned with the aggregate's exchange);
+    * the (cohort, offset, user) distinct and final count partial-
+    * aggregate on short integer keys. Days are integer epoch-day
+    * arithmetic — timezone-representation-proof across engines. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val day = expr("unix_timestamp(ts) div 86400")
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(day).as("cohort_day"))
+    events.select(col("user_id"), day.as("_day"))
+      .join(firstDay, Seq("user_id"))
+      .select(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

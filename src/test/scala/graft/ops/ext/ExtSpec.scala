@@ -1458,6 +1458,25 @@ class EventsSpec extends SparkSpec {
       (4L, 0L, false), (5L, 3L, true)))
   }
 
+  test("retentionCohorts builds the day-offset triangle on distinct users") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"), // same day: one cell
+      (1L, "2024-01-03 01:00:00"),                              // day 2 offset
+      (2L, "2024-01-01 00:00:00"), (2L, "2024-01-02 00:00:00"),
+      (3L, "2024-01-02 12:00:00")                               // later cohort
+    ).toDF("user_id", "ts_s").select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Events.retentionCohorts(events)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val day0 = 19723L // 2024-01-01 in epoch days
+    assert(out === Seq(
+      (day0, 0L, 2L),      // users 1 and 2 join on day 0
+      (day0, 1L, 1L),      // user 2 returns next day
+      (day0, 2L, 1L),      // user 1 returns two days later
+      (day0 + 1, 0L, 1L))) // user 3's own cohort
+  }
+
   test("sessionize counts gap-separated sessions per user") {
     val spark2 = spark
     import spark2.implicits._
