@@ -62,7 +62,14 @@ object Events {
     * past the threshold. All k−1 joins and k aggregations key on
     * `user_id`; no per-user window, no event-list collection — per-user
     * state everywhere is ONE timestamp, so a million-event user costs
-    * the same as a ten-event user. */
+    * the same as a ten-event user.
+    *
+    * Each stage's reach frame is referenced TWICE (to filter the next
+    * step's events and to carry non-advancing users), so without a cut
+    * the lazy plan re-derives stage 1 2^(k−1) times — the iterative-
+    * loop lineage rule. Stages are therefore EAGERLY materialized
+    * (`localCheckpoint`, per-user-row-sized frames) and superseded
+    * stages released, the Packing/Curation contract. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct == steps,
       s"funnel: steps must be non-empty and distinct, got $steps")
@@ -70,6 +77,7 @@ object Events {
     var reach = e.where(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("_t"))
       .withColumn("_depth", lit(1L))
+      .localCheckpoint(true)
     var stage = 1L
     for (s <- steps.tail) {
       // only users exactly AT the previous stage can advance: a user who
@@ -80,10 +88,13 @@ object Events {
         .join(prev, Seq("user_id"))
         .where(col("ts") > col("_prev"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("_tn"))
-      reach = reach.join(next, Seq("user_id"), "left")
+      val updated = reach.join(next, Seq("user_id"), "left")
         .select(col("user_id"),
           coalesce(col("_tn"), col("_t")).as("_t"),
           (col("_depth") + when(col("_tn").isNotNull, 1L).otherwise(0L)).as("_depth"))
+        .localCheckpoint(true)
+      graft.core.Checkpoints.release(reach) // superseded stage's only use is gone
+      reach = updated
       stage += 1
     }
     val users = events.select(col("user_id")).distinct()
