@@ -1936,6 +1936,16 @@ object SparkEntry {
       Events.retentionCohorts(events(s, dir))
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
+
+    // ---- deterministic weighted sampling (A-Res, integer keys) ----------
+    "q147_weighted_sample" -> ((s, dir) => {
+      // inclusion odds ~ token count; TakeOrdered top-k, no global sort
+      Sampling.weightedSample(
+          t(s, dir, "documents")
+            .withColumn("n_tok", TextStats.tokenCount(col("text"))),
+          "doc_id", col("n_tok"), k = 100, seed = 7L)
+        .orderBy(col("skey"), col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4110,6 +4120,18 @@ object SparkEntry {
           | FROM d JOIN f USING (user_id))
           |SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
           |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " "),
+      // q147: the integer A-Res key — 60-bit md5 folded mod 2^46,
+      // F = flog2(2^46) = 3014656; smallest k keys win, ties by id
+      "q147_weighted_sample" ->
+        s"""WITH q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w FROM documents),
+          |h AS (SELECT doc_id, w,
+          |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 70368744177664 AS u
+          | FROM q),
+          |s AS (SELECT doc_id, w,
+          |  ((3014656 - ${fl2("(u + 1)")}) * 1048576) // w AS skey FROM h)
+          |SELECT doc_id, w AS weight, skey FROM s
+          |ORDER BY skey, doc_id LIMIT 100""".stripMargin.replace("\n", " "),
     )
   }
 }

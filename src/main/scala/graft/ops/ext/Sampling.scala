@@ -49,6 +49,48 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * quality-weighted subsample step (keep k documents with inclusion
+    * odds ∝ weight: rarity score, curation weight, token count).
+    * Efraimidis–Spirakis A-Res reservoir keys (item key `u^(1/w)`,
+    * keep the k largest) made integer-exact: with `u` the 60-bit md5
+    * of (seed, id) folded into flog2's domain (mod 2^46) and
+    * F = flog2(2^46),
+    *
+    *   s = ((F − flog2(u + 1)) · 2^20) div w     (≈ −log2(u)/w scaled)
+    *
+    * and the sample is the k SMALLEST s (ties by id) — a monotone
+    * transform of the A-Res key under Mitchell's piecewise-linear log2,
+    * so the weighted-inclusion argument carries (approximately, as with
+    * every fixed-point surrogate here), computed entirely in BIGINT so
+    * both engines rank identically (a float `pow(u, 1/w)` would be
+    * ulp-hazardous). Weights must be ≥ 1 (integer; scale fractional
+    * quality weights up before calling).
+    *
+    * Scale shape: `s` is a map-side expression; the top-k is
+    * `orderBy(...).limit(k)` = TakeOrderedAndProject — per-partition
+    * heaps of k, one k-row collect to the driver-side final heap, no
+    * global sort, no shuffle of the corpus. Like [[hashFraction]], the
+    * outcome is a function of row identity + seed, reproducible across
+    * runs, engines, and partition layouts. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val u = conv(substring(md5(
+      concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val fMax = Importance.flog2(1L << 46) // u folded into flog2's domain
+    df
+      .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
+      .withColumn("_u", pmod(u, lit(1L << 46)))
+      .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
+      .withColumn("_s", expr(s"(($fMax - _f) * 1048576) div _w"))
+      .orderBy(col("_s").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("_w").as("weight"), col("_s").as("skey"))
+  }
+
   /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER's
     * canonical id instead of the document's own — every member of a
     * cluster lands in the SAME split, so a training document's

@@ -866,6 +866,31 @@ class PackingSpec extends SparkSpec {
   }
 }
 
+class WeightedSampleSpec extends SparkSpec {
+
+  test("weightedSample is deterministic and favors heavy items") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 200 light items (w=1) + 200 heavy (w=50): a 100-sample should be
+    // dominated by heavy items under A-Res inclusion odds
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+      .toDF("doc_id", "w")
+    def run(parts: Int) = Sampling.weightedSample(
+        df.repartition(parts), "doc_id", col("w"), k = 100, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val a = run(2)
+    assert(a.size === 100)
+    val heavy = a.count(_ >= 200L)
+    assert(heavy > 80, s"heavy items in sample: $heavy") // odds 50:1
+    // layout-independent: identical sample under a different partitioning
+    assert(run(13) === a)
+    // different seed -> different sample
+    val b = Sampling.weightedSample(df, "doc_id", col("w"), k = 100, seed = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(b !== a)
+  }
+}
+
 class ContaminationSpec extends SparkSpec {
 
   test("tokenNgrams: sliding n-grams, empty under n tokens") {
