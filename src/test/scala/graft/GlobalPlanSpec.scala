@@ -1,0 +1,24 @@
+package graft
+
+/** Whole-surface plan invariant: NO query may plan a non-broadcast
+  * cartesian product — the one join shape that is never acceptable at
+  * corpus scale. Every `SparkEntry.queries` entry is built (at the
+  * sf0.001 smoke scale — eager operators materialize their tiny
+  * inputs) and its optimized plan scanned. `BroadcastNestedLoopJoin`
+  * is allowed: the engine uses it deliberately for one-row scalar
+  * attachments and bounded probe×model crosses (q80's ADC LUTs), where
+  * the broadcast side is bounded by contract; `CartesianProduct` (the
+  * shuffle-based unbounded cross) is not.
+  */
+class GlobalPlanSpec extends SparkSpec {
+
+  test("no query plans a shuffle cartesian product (sf0.001, all queries)") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      if (plan.contains("Cartesian")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products planned by: $offenders")
+  }
+}
