@@ -21,4 +21,21 @@ class GlobalPlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products planned by: $offenders")
   }
+
+  test("oracle contract: every query oracled (one documented sketch exception), every oracle ordered") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // the HLL estimator cannot match another engine — the ONE allowed gap
+    assert((q -- o) === Set("q33_approx_distinct"), s"un-oracled: ${q -- o}")
+    assert((o -- q) === Set.empty, s"orphan oracles: ${o -- q}")
+    // the driver hash-compares row streams: every oracle must pin a total
+    // order (the Spark side's orderBy is part of each query's contract)
+    val unordered = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }.toSet
+    // single-row scalar outputs: order is vacuous (1 row by construction)
+    val singleRow = Set("q06_filter_agg", "q101_lsh_recall")
+    assert((unordered -- singleRow).isEmpty,
+      s"oracles without ORDER BY: ${unordered -- singleRow}")
+  }
 }
