@@ -1946,6 +1946,17 @@ object SparkEntry {
           "doc_id", col("n_tok"), k = 100, seed = 7L)
         .orderBy(col("skey"), col("doc_id"))
     }),
+
+    // ---- exact-k weighted sampling per stratum --------------------------
+    "q148_weighted_stratified" -> ((s, dir) => {
+      // 20 token-weighted picks per language; WindowGroupLimit prunes
+      // beyond-rank rows below the stratum exchange
+      Sampling.weightedSampleStratified(
+          t(s, dir, "documents")
+            .withColumn("n_tok", TextStats.tokenCount(col("text"))),
+          "doc_id", "lang", col("n_tok"), k = 20, seed = 7L)
+        .orderBy(col("stratum"), col("skey"), col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4132,6 +4143,19 @@ object SparkEntry {
           |  ((3014656 - ${fl2("(u + 1)")}) * 1048576) // w AS skey FROM h)
           |SELECT doc_id, w AS weight, skey FROM s
           |ORDER BY skey, doc_id LIMIT 100""".stripMargin.replace("\n", " "),
+      // q148: q147's key ranked within each language
+      "q148_weighted_stratified" ->
+        s"""WITH q AS (SELECT doc_id, lang AS stratum,
+          |  CAST(len($toks) AS BIGINT) AS w FROM documents),
+          |h AS (SELECT doc_id, stratum, w,
+          |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 70368744177664 AS u
+          | FROM q),
+          |s AS (SELECT doc_id, stratum, w,
+          |  ((3014656 - ${fl2("(u + 1)")}) * 1048576) // w AS skey FROM h),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY skey, doc_id) AS rn FROM s)
+          |SELECT doc_id, stratum, w AS weight, skey FROM r WHERE rn <= 20
+          |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -91,6 +91,36 @@ object Sampling {
       .select(col(idCol), col("_w").as("weight"), col("_s").as("skey"))
   }
 
+  /** Per-stratum [[weightedSample]] — exactly `k` weighted picks per
+    * stratum (quality-weighted per-language subsampling, the
+    * production combination of the exact-k and weighted samplers): the
+    * same integer A-Res key, ranked within each stratum. The
+    * per-stratum top-k is a rank window whose partial
+    * `WindowGroupLimit` prunes beyond-rank rows BELOW the exchange
+    * (the exact-k sampler's shape) — ~k rows per stratum per task
+    * shuffle, never a stratum funnel of raw rows. */
+  def weightedSampleStratified(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weightedSampleStratified: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(
+      concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val fMax = Importance.flog2(1L << 46)
+    val byStratum = Window.partitionBy(col("stratum"))
+      .orderBy(col("skey").asc, col(idCol).asc)
+    df
+      .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
+      .withColumn("stratum", col(stratumCol).cast("string"))
+      .withColumn("_u", pmod(u, lit(1L << 46)))
+      .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
+      .withColumn("skey", expr(s"(($fMax - _f) * 1048576) div _w"))
+      .withColumn("_rnk", row_number().over(byStratum))
+      .where(col("_rnk") <= k)
+      .select(col(idCol), col("stratum"), col("_w").as("weight"), col("skey"))
+  }
+
   /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER's
     * canonical id instead of the document's own — every member of a
     * cluster lands in the SAME split, so a training document's

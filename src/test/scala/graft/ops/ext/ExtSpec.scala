@@ -889,6 +889,24 @@ class WeightedSampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(b !== a)
   }
+
+  test("weightedSampleStratified takes exactly k per stratum with the same keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 300L).map(i => (i, Seq("x", "y", "z")((i % 3).toInt), i % 7 + 1))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.weightedSampleStratified(df, "doc_id", "lang", col("w"),
+        k = 10, seed = 7L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("x" -> 10, "y" -> 10, "z" -> 10))
+    // per-stratum picks are that stratum's k smallest GLOBAL keys: the
+    // stratified sampler agrees with the flat sampler restricted to x
+    val flatX = Sampling.weightedSample(df.where(col("lang") === "x"),
+        "doc_id", col("w"), k = 10, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "x").map(_._1).toSet === flatX)
+  }
 }
 
 class ContaminationSpec extends SparkSpec {
