@@ -28,10 +28,39 @@ import org.apache.spark.sql.SparkSession
   * line out of it (build.sbt sets `run / outputStrategy := StdoutOutput`
   * so sbt does not prefix it with "[info] "). Hence per-query keys in the
   * printed line are the short "qNN" prefix (full names in the stats
-  * file), values are 3-decimal seconds, and the per-query spread map is
-  * NOT printed.
+  * file), values are 1-decimal seconds (3-decimal fidelity lives in the
+  * stats file), and the per-query spread map is NOT printed.
+  *
+  * Line construction is factored into [[buildLine]] so BenchLineSpec can
+  * assert the capacity budget (>=160 queries inside the 1900-char guard)
+  * without running a single query — round 8 lost its artifact to a silent
+  * overflow and round 9's fix left only ~9 queries of headroom at
+  * 2-decimal, so the budget is now a spec, not a hope.
   */
 object Bench {
+
+  /** Printed keys are the short "qNN" prefix; full names live in the
+    * stats file. */
+  def shortKey(n: String): String = n.takeWhile(_ != '_')
+
+  /** The ONE bare JSON line the harness parses from its ~2000-char output
+    * tail. Per-query values at 1 decimal: the headline `value` (total) and
+    * the stats file keep 3 decimals, so nothing is lost — the printed map
+    * exists for cross-round per-query diffing where 0.1 s resolution is
+    * already below the box's same-day noise floor. */
+  def buildLine(mins: Seq[(String, Double)], runsPerQuery: Int,
+                failures: Int, sfDir: String): String = {
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    val qs = mins.map { case (k, mn) => "\"" + shortKey(k) + "\":" + f"$mn%.1f" }
+      .mkString("{", ",", "}")
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+  }
+
+  /** Hard cap from the harness's ~2000-char tail window (with margin). */
+  val MaxLineChars = 1900
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -101,20 +130,11 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runStats(n))
     def fmt(v: Double): String = f"$v%.3f"
-    // 2 decimals in the PRINTED line only (the stats file keeps 3): at
-    // 130+ queries the extra digit alone is ~130 chars of tail budget
-    def fmt2(v: Double): String = f"$v%.2f"
-    // printed keys are the short "qNN" prefix to keep the line inside the
-    // harness's ~2000-char tail window; full names live in the stats file
-    def shortKey(n: String): String = n.takeWhile(_ != '_')
     require(results.map(x => shortKey(x._1)).distinct.size == results.size,
       "short qNN bench keys must stay unique")
-    val qs = results.map { case (k, (mn, _, _)) => "\"" + shortKey(k) + "\":" + fmt2(mn) }
-      .mkString("{", ",", "}")
     val st = results.map { case (k, (mn, med, mx)) =>
       "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) + ",\"max\":" + fmt(mx) + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
     // failures are -1.0 per query AND surfaced as an explicit count, so a
     // query that starts throwing can never read as a speedup
     val failures = results.count(_._2._1 < 0)
@@ -127,12 +147,13 @@ object Bench {
     // quiet Spark's shutdown logging so nothing lands after the JSON line
     // inside the harness's tail window
     spark.sparkContext.setLogLevel("ERROR")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+    val line = buildLine(results.map { case (k, (mn, _, _)) => k -> mn },
+      runsPerQuery, failures, sfDir)
     // hard guard: the harness parses the line from a ~2000-char output
     // tail — a silently over-long line cost round 8 its bench artifact
-    // (BENCH_r08 parsed:null). Fail loudly instead.
-    require(line.length <= 1900,
+    // (BENCH_r08 parsed:null). Fail loudly instead. BenchLineSpec asserts
+    // the >=160-query capacity ahead of time.
+    require(line.length <= MaxLineChars,
       s"bench line ${line.length} chars exceeds the harness tail budget " +
         "(drop a digit or shorten keys before adding more queries)")
     println(line)

@@ -32,10 +32,23 @@ case class DotProductExpr(left: Expression, right: Expression)
       s"graft_dot: needs array<float|double>, got $other")
   }
 
+  /** A mistyped call (e.g. `graft_dot` over `array<int>`) must surface as
+    * an AnalysisException with this message, not a raw internal throw from
+    * [[elemType]] during analysis (round-9 advice). Integer arrays are
+    * rejected rather than silently cast: the caller decides the widening
+    * (and pays its allocation) explicitly via `cast("array<double>")`. */
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    elemType(left); elemType(right)
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float|double> arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
   override def dataType: DataType = DoubleType

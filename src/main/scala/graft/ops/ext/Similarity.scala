@@ -711,7 +711,12 @@ object Similarity {
     * streams map-side — dot/cosine via the codegen kernel), ONE window
     * shuffle partitioned by (anchor, kind); Spark 4's WindowGroupLimit
     * prunes beyond-rank rows below the exchange at the LARGER of the
-    * two k's, the filter trims per kind above it. */
+    * two k's — via an explicit LITERAL `rnk <= max(kPos, kNeg)` conjunct,
+    * because InferWindowGroupLimit can only extract a limit from a
+    * foldable bound and the per-kind `when()` condition is not one
+    * (round-9 advice: without the literal the full anchors×corpus row
+    * set shuffled into the window). The per-kind filter trims above it;
+    * the spec asserts WindowGroupLimit is in the physical plan. */
   def contrastivePairs(
       corpus: DataFrame, anchors: DataFrame,
       kPos: Int, kNeg: Int): DataFrame = {
@@ -729,6 +734,7 @@ object Similarity {
         when(col("q_label") === col("n_label"), "pos").otherwise("neg"))
       .withColumn("cos", cosineSafe(col("q_vec"), col("n_vec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= lit(math.max(kPos, kNeg).toLong))
       .where(col("rnk") <= when(col("kind") === "pos", kPos).otherwise(kNeg))
       .select(col("q_id"), col("kind"), col("n_id"), col("rnk"))
   }

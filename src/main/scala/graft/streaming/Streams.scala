@@ -160,8 +160,17 @@ object Streams {
   def applyChangelogStream(log: Dataset[LogEntry]): Dataset[LogEntry] = {
     val spark = log.sparkSession
     import spark.implicits._
+    // the batch operator's max(struct) compares strings as UTF8String
+    // BYTES (code-point order); Scala's Ordering.String compares UTF-16
+    // code units, which disagrees when a (version, op) tie is broken by
+    // payloads mixing supplementary and U+E000–U+FFFF characters
+    // (round-9 advice). Compare through UTF8String so a malformed
+    // duplicate-version log resolves identically to a batch replay.
+    val utf8: Ordering[String] = (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+      Ordering.Tuple3(Ordering.Long, utf8, utf8)
     log.groupByKey(_.doc_id)
       .mapGroupsWithState[LatestVersion, LogEntry](GroupStateTimeout.NoTimeout()) {
         (id: Long, rows: Iterator[LogEntry], state: GroupState[LatestVersion]) =>

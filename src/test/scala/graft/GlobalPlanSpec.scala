@@ -12,14 +12,31 @@ package graft
   */
 class GlobalPlanSpec extends SparkSpec {
 
+  /** CartesianProduct is a PHYSICAL node — the logical plan prints cross
+    * joins as "Join Cross", so a logical-plan scan can never fire (round-9
+    * advice). `sparkPlan` (pre-AQE) is scanned: AQE's executedPlan wraps
+    * stages lazily and would hide the join until execution. */
+  private def plansCartesian(name: String, dir: String): Boolean =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.sparkPlan.toString.contains("CartesianProduct")
+
   test("no query plans a shuffle cartesian product (sf0.001, all queries)") {
     val dir = "/root/testdata/sf0.001"
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.optimizedPlan.toString
-      if (plan.contains("Cartesian")) Some(name) else None
-    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(plansCartesian(_, dir))
     assert(offenders.isEmpty, s"cartesian products planned by: $offenders")
+  }
+
+  test("the cartesian detector actually fires (negative self-test)") {
+    // a large-large non-equi join that Spark MUST plan as CartesianProduct:
+    // both sides over the 10 MB broadcast threshold (range stats are
+    // 8 bytes/row, so 5M rows ≈ 40 MB), no equi keys. Plan-only — never
+    // executed.
+    val big = spark.range(0, 5000000).toDF("a")
+    val big2 = spark.range(0, 5000000).toDF("b")
+    val cross = big.join(big2, big("a") * 2 < big2("b"))
+    assert(cross.queryExecution.sparkPlan.toString.contains("CartesianProduct"),
+      "detector failed to flag a deliberate shuffle cartesian product")
   }
 
   test("oracle contract: every query oracled (one documented sketch exception), every oracle ordered") {

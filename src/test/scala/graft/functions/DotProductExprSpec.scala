@@ -68,4 +68,14 @@ class DotProductExprSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), plan)
     assert(!plan.contains("zip_with"), plan)
   }
+
+  test("mistyped call fails analysis as AnalysisException, not an internal throw") {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b").createOrReplaceTempView("dot_int_t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(a, b) FROM dot_int_t").collect()
+    }
+    assert(e.getMessage.contains("array<float|double>"), e.getMessage)
+  }
 }

@@ -403,6 +403,19 @@ class EvalOpsSpec extends SparkSpec {
       (0L, "pos", 10L, 1L), (0L, "pos", 11L, 2L))) // 12 pruned at kPos=2
   }
 
+  test("contrastivePairs prunes beyond-rank rows below the exchange (WindowGroupLimit)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq((10L, Array(1.0f, 0.0f), 1)).toDF("id", "vec", "label")
+    val anchors = Seq((0L, Array(1.0f, 0.05f), 1)).toDF("id", "vec", "label")
+    // the per-kind rank cap is a non-foldable when(); only the explicit
+    // literal max(kPos, kNeg) conjunct lets InferWindowGroupLimit fire —
+    // without it the full anchors×corpus row set shuffles into the window
+    val plan = Similarity.contrastivePairs(corpus, anchors, kPos = 2, kNeg = 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("clusterSafeSplit: cluster members co-travel; matches hashSplit on canonical") {
     val spark2 = spark
     import spark2.implicits._

@@ -242,6 +242,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("applyChangelogStream tie-break matches batch UTF8String order on non-BMP payloads") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a malformed duplicate-version log where (version, op) tie and the
+    // payloads differ in supplementary vs private-use characters: U+10000
+    // (surrogate pair, UTF-16 units 0xD800 0xDC00) vs U+E000 (single unit
+    // 0xE000). Scala's Ordering.String (code units) ranks U+E000 higher;
+    // UTF8String bytes (code points) rank U+10000 higher — the stream must
+    // agree with the batch operator's max(struct), i.e. pick U+10000.
+    val supplementary = new String(Character.toChars(0x10000))
+    val privateUse = "\uE000"
+    val input = MemoryStream[Streams.LogEntry]
+    val q = Streams.applyChangelogStream(input.toDS())
+      .writeStream.format("memory").queryName("changelog_utf8")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Streams.LogEntry(1L, 1L, "upsert", privateUse),
+        Streams.LogEntry(1L, 1L, "upsert", supplementary))
+      q.processAllAvailable()
+      val live = spark.table("changelog_utf8").as[Streams.LogEntry]
+        .collect().last
+      val base = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val log = Seq((1L, 1L, "upsert", privateUse),
+        (1L, 1L, "upsert", supplementary)).toDF("doc_id", "version", "op", "text")
+      val batch = graft.ops.ext.Snapshots
+        .applyChangelog(base, log, "doc_id", "version", "op")
+        .as[(Long, Long, String)].collect().head
+      assert(live.text === batch._3)
+      assert(live.text === supplementary) // code-point order, both engines
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops benchmark-overlapping documents statelessly") {
     val spark2 = spark
     import spark2.implicits._
