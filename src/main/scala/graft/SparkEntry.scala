@@ -1957,6 +1957,15 @@ object SparkEntry {
           "doc_id", "lang", col("n_tok"), k = 20, seed = 7L)
         .orderBy(col("stratum"), col("skey"), col("doc_id"))
     }),
+
+    // ---- per-group exact heavy hitters (TypedImperativeAggregate) -------
+    "q149_heavy_hitters_by" -> ((s, dir) => {
+      // k=50 counters PER SOURCE via the Misra-Gries typed aggregate;
+      // exact confirm makes the threshold set plain-SQL-oracleable
+      TextStats.heavyHittersBy(t(s, dir, "documents"), col("text"),
+          Seq("source"), k = 50)
+        .orderBy(col("source"), col("token"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4156,6 +4165,17 @@ object SparkEntry {
           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY skey, doc_id) AS rn FROM s)
           |SELECT doc_id, stratum, w AS weight, skey FROM r WHERE rn <= 20
           |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
+      // q149: q120's confirm threshold per source — cnt*(k+1) > N_source
+      // with k = 50; the sketch only proposes candidates, so the oracle
+      // is the plain per-group frequency threshold
+      "q149_heavy_hitters_by" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS token FROM documents),
+          |tot AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source)
+          |SELECT tok.source, token, COUNT(*) AS cnt
+          |FROM tok JOIN tot ON tok.source = tot.source
+          |GROUP BY tok.source, token, tot.n
+          |HAVING COUNT(*) * 51 > tot.n
+          |ORDER BY tok.source, token""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -186,16 +186,34 @@ object Dedup {
     * buckets larger than the cap contribute no candidate pairs (their
     * members can still pair in the other bands) — or, with
     * `saltOversized`, are split into capped sub-buckets ([[saltBuckets]])
-    * for bounded cost with partial in-bucket recall. */
+    * for bounded cost with partial in-bucket recall.
+    *
+    * `persistSignatures` (multi-band only): each band leg re-plans
+    * `signatures` on BOTH sides of its self-join, so a DERIVED signature
+    * frame (e.g. [[withMinhashSignature]]'s kernel over an upstream
+    * transform) is planned 2x per band (plan-asserted in CorpusOpsSpec). The flag materializes the (id + band
+    * columns) projection ONCE via an eager `localCheckpoint` and every
+    * leg reads the checkpointed rows — upstream runs exactly once. The
+    * checkpoint blocks are the result's ONLY data copy: after fully
+    * consuming the result, free them with
+    * `graft.core.Checkpoints.release(result)`. Leave the flag off when
+    * `signatures` is already a bare scan — a parquet re-read per leg is
+    * cheaper than pinning the projection in executor storage. */
   def lshCandidatePairsMultiBand(
       signatures: DataFrame,
       idCol: String,
       bands: Seq[Seq[String]],
       maxBucketSize: Option[Int] = None,
-      saltOversized: Boolean = false): DataFrame = {
+      saltOversized: Boolean = false,
+      persistSignatures: Boolean = false): DataFrame = {
+    val src =
+      if (persistSignatures && bands.size > 1)
+        signatures.select((idCol +: bands.flatten).distinct.map(col): _*)
+          .localCheckpoint(true)
+      else signatures
     val perBand = bands.map { bandCols =>
       val keyed = guardBuckets(
-        signatures.select(bandKey(bandCols).as("band"), col(idCol).as("id")),
+        src.select(bandKey(bandCols).as("band"), col(idCol).as("id")),
         maxBucketSize, saltOversized)
       val l = keyed.select(col("band"), col("id").as("id_a"))
       val r = keyed.select(col("band"), col("id").as("id_b"))
@@ -408,12 +426,23 @@ object Dedup {
       textCol: Column,
       maxDist: Int = 3,
       bits: Int = 32,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      persistSignatures: Boolean = false): DataFrame = {
     val blocks = maxDist + 1
     require(bits % blocks == 0,
       s"simhashHammingPairs: bits ($bits) must divide into maxDist+1 ($blocks) blocks")
     val w = bits / blocks
-    val sig = df.select(col(idCol).as("id"), simhashText(textCol, bits).as("sim"))
+    // each of the maxDist+1 block legs re-plans `sig` on BOTH sides of
+    // its self-join, i.e. the simhash kernel (and everything upstream of
+    // `df`) is planned 2x per leg — 8 evaluations at d=3.
+    // `persistSignatures` materializes the (id, sim) projection ONCE via
+    // an eager localCheckpoint — 16 bytes/row — and the legs read the
+    // checkpointed rows; after consuming the result, free the blocks
+    // with `graft.core.Checkpoints.release(result)`. Off by default:
+    // over a bare parquet scan the per-leg kernel re-run is cheap and
+    // needs no executor storage.
+    val sigPlan = df.select(col(idCol).as("id"), simhashText(textCol, bits).as("sim"))
+    val sig = if (persistSignatures) sigPlan.localCheckpoint(true) else sigPlan
     val perBlock = (0 until blocks).map { j =>
       // block j's value; the literal index in the key keeps block j of one
       // doc from colliding with block i of another

@@ -989,4 +989,49 @@ object TextStats {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * lit((k + 1).toLong) > lit(n))
   }
+
+  /** Exact PER-GROUP heavy hitters — the per-source / per-language
+    * heavy-hitter table the flat [[heavyHitters]] pass structurally
+    * cannot express (its Misra–Gries sketch is a whole-corpus
+    * `mapPartitions`). Same sketch, re-housed as the engine's first
+    * `TypedImperativeAggregate` ([[graft.functions.MisraGriesAgg]]):
+    * usable inside `groupBy`, partial-aggregated map-side, only
+    * bounded `<= k`-entry sketches cross the shuffle.
+    *
+    * Same two-phase contract as the flat operator:
+    *  1. SKETCH — `groupBy(groupCols).agg(mg_candidates(token, k),
+    *     count(*))` in ONE corpus pass: per-group candidate superset
+    *     (Misra–Gries guarantee per group — merges preserve it, see the
+    *     aggregate's Scaladoc) plus the group's exact token total.
+    *  2. CONFIRM — exact counts for candidate (group, token) pairs only:
+    *     the exploded candidate frame (`<= k x groups` short rows — the
+    *     same broadcast-bounded model contract as the NB topV table) is
+    *     broadcast-joined against the token stream, so the only shuffle
+    *     carries candidate keys; then the exact integer threshold
+    *     `cnt * (k+1) > N_group`.
+    *
+    * Output: `(groupCols..., token, cnt BIGINT)` — per group, tokens
+    * with `cnt * (k+1) > N_group`. Deterministic (the sketch pass only
+    * ever affects WHICH extras get confirm-counted away) and plain-SQL
+    * oracleable, like the flat operator. */
+  def heavyHittersBy(
+      docs: DataFrame, textCol: Column, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"heavyHittersBy: k must be >= 1, got $k")
+    require(groupCols.nonEmpty,
+      "heavyHittersBy: no group columns — use heavyHitters for the flat pass")
+    val gcols = groupCols.map(col)
+    val tok = docs.select(gcols :+ explode(tokens(textCol)).as("token"): _*)
+    val sketch = tok.groupBy(gcols: _*)
+      .agg(graft.functions.MisraGriesAgg.mg_candidates(col("token"), k).as("cands"),
+        count(lit(1)).as("n"))
+    // n rides the candidate rows so `sketch` is planned ONCE (a second
+    // reference would re-run the sketch pass over the corpus)
+    val cand = sketch.select(gcols ++ Seq(col("n"), explode(col("cands")).as("token")): _*)
+    tok.join(broadcast(cand), groupCols :+ "token")
+      .groupBy(gcols :+ col("token"): _*)
+      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n")) // n constant/group
+      .where(col("cnt") * lit((k + 1).toLong) > col("n"))
+      .select(gcols ++ Seq(col("token"), col("cnt")): _*)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -205,6 +205,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowFingerprintExpr(children.head,
           intLiteral(children(1), "shingle size k"),
           intLiteral(children(2), "window size w"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mg_candidates"),
+      new ExpressionInfo(
+        classOf[MisraGriesAgg].getName,
+        null,
+        "graft_mg_candidates",
+        "graft_mg_candidates(token, k) - aggregate: Misra-Gries heavy-hitter " +
+          "candidate tokens (superset of freq > 1/(k+1); exact-confirm downstream)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_mg_candidates(token, k) takes 2 arguments")
+        // the analyzer wraps a bare AggregateFunction in AggregateExpression
+        MisraGriesAgg(children.head, intLiteral(children(1), "counter budget k"))
       }))
   }
 }

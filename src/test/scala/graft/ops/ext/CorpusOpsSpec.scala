@@ -50,6 +50,60 @@ class CorpusOpsSpec extends SparkSpec {
     assert(uncapped.count() === 15L) // 6 choose 2
   }
 
+  test("persistSignatures: block legs read ONE checkpointed signature projection") {
+    val spark2 = spark
+    import spark2.implicits._
+    // repartition blocks ConvertToLocalRelation: over a bare LocalRelation
+    // the optimizer would constant-fold the kernel out of the plan
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "entirely different content about astronomy telescopes and stars"))
+      .toDF("doc_id", "text").repartition(2)
+    // flag OFF: each of the maxDist+1 = 4 block legs re-plans the kernel
+    // on BOTH self-join sides — 8 planned kernel evaluations total
+    val off = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxDist = 3)
+    val kernelCountOff = "graft_simhash".r
+      .findAllIn(off.queryExecution.optimizedPlan.toString).length
+    assert(kernelCountOff === 8, s"expected 2x4 kernel legs, got $kernelCountOff")
+    // flag ON: the kernel ran ONCE during checkpoint materialization —
+    // the result plan reads the checkpointed rows and plans ZERO kernels
+    val on = Dedup.simhashHammingPairs(docs, "doc_id", col("text"), maxDist = 3,
+      persistSignatures = true)
+    val planOn = on.queryExecution.optimizedPlan.toString
+    assert(!planOn.contains("graft_simhash"), planOn)
+    assert(planOn.contains("LogicalRDD"), planOn)
+    // identical output, then release the operator-owned checkpoint
+    val offRows = off.as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val onRows = on.as[(Long, Long, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(onRows === offRows)
+    graft.core.Checkpoints.release(on)
+  }
+
+  test("persistSignatures: multi-band LSH computes a derived signature frame once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "unrelated words entirely here now")).toDF("doc_id", "text")
+      .repartition(2) // block ConvertToLocalRelation (see above)
+    val sig = Dedup.withMinhashSignature(docs, col("text"), numHashes = 4)
+    val bands = Seq(Seq("mh0", "mh1"), Seq("mh2", "mh3"))
+    // 2 bands x both self-join sides = 4 planned kernel evaluations
+    val off = Dedup.lshCandidatePairsMultiBand(sig, "doc_id", bands)
+    assert("graft_token_minhash".r
+      .findAllIn(off.queryExecution.optimizedPlan.toString).length === 4)
+    val on = Dedup.lshCandidatePairsMultiBand(sig, "doc_id", bands,
+      persistSignatures = true)
+    val planOn = on.queryExecution.optimizedPlan.toString
+    assert(!planOn.contains("graft_token_minhash"), planOn)
+    val offRows = off.as[(Long, Long)].collect().sortBy(identity).toSeq
+    val onRows = on.as[(Long, Long)].collect().sortBy(identity).toSeq
+    assert(onRows === offRows)
+    graft.core.Checkpoints.release(on)
+  }
+
   test("heavyHitters returns exactly the frequency-threshold set, any layout") {
     val spark2 = spark
     import spark2.implicits._
