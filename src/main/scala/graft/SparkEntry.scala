@@ -1958,6 +1958,23 @@ object SparkEntry {
         .orderBy(col("stratum"), col("skey"), col("doc_id"))
     }),
 
+    // ---- PSL-snapshot domain rollup (2/3/4-label registered domains) ----
+    "q150_psl4_domains" -> ((s, dir) => {
+      // hosts rotate a 3-label public suffix (.pref.aichi.jp -> 4-label
+      // registered domain), a 2-label one (.co.uk -> 3 labels), and plain
+      // .com (2 labels); the suffix list comes from the CHECKED-IN PSL
+      // snapshot via the classpath loader, not a hand-typed Seq
+      val url = concat(lit("https://www.shop"), (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".pref.aichi.jp"))
+          .when(col("doc_id") % 3 === 1, lit(".co.uk"))
+          .otherwise(lit(".com")),
+        lit("/item"), (col("doc_id") % 3).cast("string"))
+      val docs = t(s, dir, "documents").withColumn("url", url)
+      Web.domainStats(docs, col("url"), col("text"),
+          suffixes = Web.bundledPublicSuffixes())
+        .orderBy(col("domain"))
+    }),
+
     // ---- per-group exact heavy hitters (TypedImperativeAggregate) -------
     "q149_heavy_hitters_by" -> ((s, dir) => {
       // k=50 counters PER SOURCE via the Misra-Gries typed aggregate;
@@ -4165,6 +4182,23 @@ object SparkEntry {
           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY skey, doc_id) AS rn FROM s)
           |SELECT doc_id, stratum, w AS weight, skey FROM r WHERE rn <= 20
           |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
+      // q150: like q103, the oracle constructs the PSL-aware domain from
+      // the injection parity — 4 labels under the 3-label .pref.aichi.jp
+      // suffix, 3 under .co.uk, 2 under .com — independently verifying
+      // the loaded-snapshot cascade
+      "q150_psl4_domains" ->
+        """WITH d AS (SELECT text,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.pref.aichi.jp'
+          |   WHEN doc_id % 3 = 1 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+          |   ELSE 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com' END AS domain
+          | FROM documents),
+          |g AS (SELECT domain, COUNT(*) AS n_docs,
+          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+          |  CAST(SUM(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS sum_alpha
+          | FROM d GROUP BY domain)
+          |SELECT domain, n_docs, sum_chars,
+          | CAST(CASE WHEN sum_chars > 0 THEN sum_alpha * 10000 // sum_chars ELSE 0 END AS BIGINT) AS alpha_bp
+          |FROM g ORDER BY domain""".stripMargin.replace("\n", " "),
       // q149: q120's confirm threshold per source — cnt*(k+1) > N_source
       // with k = 50; the sketch only proposes candidates, so the oracle
       // is the plain per-group frequency threshold

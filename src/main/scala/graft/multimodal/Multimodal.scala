@@ -329,6 +329,128 @@ object Multimodal {
     }
   }
 
+  /** REAL video frame codec: YUV4MPEG2 (y4m) — the first MULTI-FRAME
+    * container through the [[FrameCodec]] seam, proving frame SEEKING
+    * (WavFrameCodec time-slices a single sample stream). The format is
+    * public and needs no native library: an ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> ...\n` followed by frames, each an
+    * ASCII `FRAME[params]\n` marker and a fixed-size raw planar YCbCr
+    * payload (C420: w*h luma + 2 quarter chroma planes; C422 / C444 /
+    * Cmono scale the chroma planes accordingly).
+    *
+    * Seeking: `frameMs` maps to the NEAREST frame index via the header's
+    * fps (`round(ms * num / (1000 * den))`, clamped to the stream), then
+    * the codec walks frame markers by OFFSET ARITHMETIC — each hop reads
+    * only the marker line, never the payload — and decodes exactly one
+    * frame's luma plane: mean luminance over `dims` equal pixel blocks in
+    * raster order, scaled to [0, 1] (the PpmCodec feature, per frame).
+    *
+    * Failure policy matches the other real codecs: malformed header,
+    * unknown colorspace, or a truncated / out-of-range frame decodes to
+    * the zero vector instead of throwing. */
+  object Y4mFrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims) // whole-content = the first frame
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0) return zero
+      val magic = "YUV4MPEG2"
+      if (content.length < magic.length + 1 ||
+          !(0 until magic.length).forall(i => content(i) == magic.charAt(i).toByte))
+        return zero
+      // header line: space-separated tagged params, terminated by 0x0A
+      var eol = magic.length
+      while (eol < content.length && content(eol) != '\n') eol += 1
+      if (eol >= content.length) return zero
+      var w = -1; var h = -1; var fpsNum = -1L; var fpsDen = -1L
+      var chromaShift = -1 // chroma plane bytes = (w*h) >> shift per plane
+      var p = magic.length
+      def parseInt(from: Int, until: Int): Long = {
+        var v = 0L; var i = from
+        while (i < until && content(i) >= '0' && content(i) <= '9') {
+          v = v * 10 + (content(i) - '0'); i += 1
+        }
+        if (i == from) -1L else v
+      }
+      while (p < eol) {
+        while (p < eol && content(p) == ' ') p += 1
+        val start = p
+        while (p < eol && content(p) != ' ') p += 1
+        if (p > start + 1) {
+          val v = start + 1
+          content(start) match {
+            case 'W' => w = parseInt(v, p).toInt
+            case 'H' => h = parseInt(v, p).toInt
+            case 'F' =>
+              var colon = v
+              while (colon < p && content(colon) != ':') colon += 1
+              fpsNum = parseInt(v, colon)
+              fpsDen = if (colon < p) parseInt(colon + 1, p) else -1L
+            case 'C' =>
+              val cs = new String(content, v, p - v, "US-ASCII")
+              chromaShift =
+                if (cs.startsWith("420")) 2      // two (w/2 x h/2) planes
+                else if (cs.startsWith("422")) 1 // two (w/2 x h) planes
+                else if (cs.startsWith("444")) 0 // two full planes
+                else if (cs == "mono") Int.MaxValue // no chroma planes
+                else -2                          // unknown colorspace
+            case _ => () // I/A/X params don't affect the layout
+          }
+        }
+      }
+      if (chromaShift == -1) chromaShift = 2 // spec default is 4:2:0
+      if (w <= 0 || h <= 0 || fpsNum <= 0 || fpsDen <= 0 || chromaShift == -2)
+        return zero
+      val lumaBytes = w.toLong * h
+      val frameBytes = lumaBytes +
+        (if (chromaShift == Int.MaxValue) 0L else 2L * (lumaBytes >> chromaShift))
+      if (frameBytes <= 0 || frameBytes > Int.MaxValue) return zero
+      // nearest frame for frameMs at num/den fps, clamped below to the
+      // stream's actual frame count while walking
+      val target = ((frameMs * fpsNum + 500L * fpsDen) / (1000L * fpsDen)).toInt
+      var off = eol + 1
+      var idx = 0
+      var lumaOff = -1L
+      var lastLumaOff = -1L
+      while (lumaOff < 0 && off < content.length) {
+        // FRAME marker line (optional params), terminated by 0x0A
+        val fm = "FRAME"
+        if (content.length < off + fm.length ||
+            !(0 until fm.length).forall(i => content(off + i) == fm.charAt(i).toByte))
+          return if (lastLumaOff >= 0 && idx > 0) blockLuma(content, lastLumaOff, w, h, dims)
+            else zero
+        var fe = off + fm.length
+        while (fe < content.length && content(fe) != '\n') fe += 1
+        if (fe >= content.length || content.length < fe + 1 + frameBytes) return zero
+        if (idx == target) lumaOff = fe + 1
+        else { lastLumaOff = fe + 1; idx += 1; off = fe + 1 + frameBytes.toInt }
+      }
+      // target beyond the stream: clamp to the last complete frame
+      if (lumaOff < 0) {
+        if (lastLumaOff < 0) return zero
+        lumaOff = lastLumaOff
+      }
+      blockLuma(content, lumaOff, w, h, dims)
+    }
+
+    /** Mean luma over `dims` equal raster-order pixel blocks, /255. */
+    private def blockLuma(
+        content: Array[Byte], lumaOff: Long, w: Int, h: Int, dims: Int): Array[Float] = {
+      val n = w * h
+      val sums = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var k = 0
+      while (k < n) {
+        val slot = (k.toLong * dims / n).toInt
+        sums(slot) += (content((lumaOff + k).toInt) & 0xff)
+        counts(slot) += 1
+        k += 1
+      }
+      Array.tabulate(dims)(j =>
+        if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
+    }
+  }
+
   case class FrameFeatures(media_id: Long, frame_ms: Long, embedding: Array[Float])
 
   /** Per-frame feature extraction — the decode plane behind

@@ -1,6 +1,6 @@
 package graft.ops.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** URL extraction and canonicalization — the web-curation pass of a
@@ -84,22 +84,63 @@ object Web {
 
   /** [[registeredDomain]] with a public-suffix list: when the last TWO
     * host labels are themselves a public suffix (`co.uk`, `com.au`, …),
-    * the registered domain is the last THREE labels. This is the
-    * documented fix for the two-label heuristic; `suffixes` is the
-    * caller's PSL slice as a plan literal — at the full list's ~10k
-    * entries it stays a literal `In` over a short string (or swaps to a
-    * broadcast join) without changing the rollup's shape. Multi-label
-    * suffixes beyond two (`pref.aichi.jp`) would extend the same cascade
-    * one more `when`. */
+    * the registered domain is the last THREE labels; when the last THREE
+    * are (`pref.aichi.jp`), it is the last FOUR. This is the documented
+    * fix for the two-label heuristic; `suffixes` is the caller's PSL
+    * slice as a plan literal — at the full list's ~10k entries it stays
+    * a literal `In` over a short string (or swaps to a broadcast join)
+    * without changing the rollup's shape. Load a snapshot with
+    * [[loadPublicSuffixes]] / [[bundledPublicSuffixes]]. A host that IS
+    * a public suffix (no extra label) falls through the cascade and
+    * reports its trailing labels — PSL semantics would say "no
+    * registered domain"; crawl URLs virtually never hit it. */
   def registeredDomain(canonical: Column, suffixes: Seq[String]): Column = {
     require(suffixes.nonEmpty,
       "registeredDomain: empty suffix list — use the 1-arg overload")
     val host = regexp_extract(canonical, "^[^/]*", 0)
-    val last2 = regexp_extract(host, "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$", 0)
-    val last3 = regexp_extract(host,
-      "[A-Za-z0-9-]+\\.[A-Za-z0-9-]+\\.[A-Za-z0-9-]+$", 0)
-    when(last2.isInCollection(suffixes) && last3 =!= "", last3)
-      .otherwise(last2)
+    val lab = "[A-Za-z0-9-]+"
+    val last2 = regexp_extract(host, s"$lab\\.$lab$$", 0)
+    val last3 = regexp_extract(host, s"$lab\\.$lab\\.$lab$$", 0)
+    val last4 = regexp_extract(host, s"$lab\\.$lab\\.$lab\\.$lab$$", 0)
+    when(last3.isInCollection(suffixes) && last4 =!= "", last4)
+      .otherwise(when(last2.isInCollection(suffixes) && last3 =!= "", last3)
+        .otherwise(last2))
+  }
+
+  /** Parse PSL-format lines (publicsuffix.org/list): blank lines and
+    * `//` comments skipped; exact rules kept lowercased. Wildcard
+    * (`*.ck`) and exception (`!www.ck`) rules are SKIPPED — the cascade
+    * is exact-set membership and cannot express them (a documented
+    * limitation; they cover a handful of ccTLDs). */
+  private def parsePsl(lines: Iterator[String]): Seq[String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//") &&
+        !l.startsWith("*") && !l.startsWith("!"))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .distinct.toSeq
+
+  /** Load a public-suffix snapshot from any filesystem path (raw lines
+    * through Hadoop FS, like the `_manifest.jsonl` read-back — an
+    * underscore-prefixed snapshot would be invisible to Spark's path
+    * readers). Driver-side: the list is plan-literal-sized by
+    * contract (~10k short strings). */
+  def loadPublicSuffixes(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** The checked-in snapshot (a small public-list subset including the
+    * 2- and 3-label rules the specs and q150 exercise), bundled as a
+    * classpath resource so every entry point — tests, Verify, Bench —
+    * resolves it regardless of working directory. */
+  def bundledPublicSuffixes(): Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "bundled public-suffix snapshot missing from classpath")
+    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
   }
 
   /** Canonical-URL inventory over a corpus: one row per canonical key with

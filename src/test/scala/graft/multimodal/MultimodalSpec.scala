@@ -230,6 +230,56 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).embedding.toSeq !== frames(1).embedding.toSeq)
   }
 
+  test("Y4M frame codec seeks the nearest frame in a multi-frame container") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4x4 C420 at 25 fps (40 ms/frame), three frames: dark (0x10),
+    // bright (0xE0), left-dark/right-bright gradient. Chroma planes are
+    // 2 x (16 >> 2) = 8 bytes of 0x80 per frame (never read by the
+    // luminance feature).
+    def frame(luma: Int => Int): Array[Byte] =
+      "FRAME\n".getBytes("US-ASCII") ++
+        Array.tabulate(16)(k => luma(k).toByte) ++ Array.fill(8)(0x80.toByte)
+    val y4m = "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n".getBytes("US-ASCII") ++
+      frame(_ => 0x10) ++ frame(_ => 0xE0) ++
+      frame(k => if (k % 4 < 2) 0x10 else 0xE0)
+    val c = Multimodal.Y4mFrameCodec
+    // frame 0 at 0 ms: dark everywhere
+    assert(math.abs(c.decodeFrame(y4m, 0L, 1)(0) - 0x10 / 255f) < 1e-6f)
+    // 40 ms = frame 1: bright; NEAREST rounding: 19 ms -> frame 0,
+    // 21 ms -> frame 1
+    assert(math.abs(c.decodeFrame(y4m, 40L, 1)(0) - 0xE0 / 255f) < 1e-6f)
+    assert(math.abs(c.decodeFrame(y4m, 19L, 1)(0) - 0x10 / 255f) < 1e-6f)
+    assert(math.abs(c.decodeFrame(y4m, 21L, 1)(0) - 0xE0 / 255f) < 1e-6f)
+    // frame 2's gradient shows up in raster-order blocks: first half of
+    // each row dark, second half bright -> dims=2 splits rows 0-1 / 2-3,
+    // both mixed equally; dims=16 isolates single pixels
+    val g16 = c.decodeFrame(y4m, 80L, 16)
+    assert(math.abs(g16(0) - 0x10 / 255f) < 1e-6f) // pixel (0,0): dark
+    assert(math.abs(g16(3) - 0xE0 / 255f) < 1e-6f) // pixel (0,3): bright
+    // past the end clamps to the LAST complete frame (the gradient)
+    assert(c.decodeFrame(y4m, 100000L, 16).toSeq === g16.toSeq)
+    // whole-content decode = first frame
+    assert(c.decode(y4m, 1).toSeq === c.decodeFrame(y4m, 0L, 1).toSeq)
+    // poison policy: junk magic, unknown colorspace, truncated payload
+    assert(c.decodeFrame("JUNK".getBytes, 0L, 2).toSeq === Seq(0f, 0f))
+    val badCs = new String(y4m, "ISO-8859-1").replace("C420", "C999")
+    assert(c.decodeFrame(badCs.getBytes("ISO-8859-1"), 0L, 1).toSeq === Seq(0f))
+    assert(c.decodeFrame(y4m.dropRight(4), 80L, 1).toSeq === Seq(0f))
+
+    // the same mapPartitions seam as every frame codec: frames generate
+    // in-partition from duration metadata, content read once per row
+    val media = Seq((7L, "video", y4m, ("v", 4, 4, 80L)))
+      .toDF("media_id", "modality", "content", "meta")
+      .withColumn("meta", col("meta").cast(Multimodal.mediaSchema("meta").dataType))
+    val frames = Multimodal
+      .extractFrameFeatures(media, everyMs = 40L, dims = 1, codec = c)
+      .collect().sortBy(_.frame_ms)
+    assert(frames.map(_.frame_ms).toSeq === Seq(0L, 40L, 80L))
+    assert(frames.map(_.embedding(0)).toSeq ===
+      Seq(0L, 40L, 80L).map(ms => c.decodeFrame(y4m, ms, 1)(0)))
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)

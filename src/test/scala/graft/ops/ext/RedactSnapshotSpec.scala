@@ -406,7 +406,10 @@ class EvalOpsSpec extends SparkSpec {
   test("contrastivePairs prunes beyond-rank rows below the exchange (WindowGroupLimit)") {
     val spark2 = spark
     import spark2.implicits._
-    val corpus = Seq((10L, Array(1.0f, 0.0f), 1)).toDF("id", "vec", "label")
+    // the corpus must exceed the rank cap: InferWindowGroupLimit skips
+    // plans whose known maxRows is already <= the limit (nothing to prune)
+    val corpus = (1L to 10L).map(i => (i, Array(i.toFloat, 1.0f), (i % 2).toInt))
+      .toDF("id", "vec", "label")
     val anchors = Seq((0L, Array(1.0f, 0.05f), 1)).toDF("id", "vec", "label")
     // the per-kind rank cap is a non-foldable when(); only the explicit
     // literal max(kPos, kNeg) conjunct lets InferWindowGroupLimit fire —

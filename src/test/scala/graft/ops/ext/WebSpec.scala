@@ -81,6 +81,39 @@ class WebSpec extends SparkSpec {
     assert(out === Array("shop.co.uk", "example.com", "co.uk", "news.com.au"))
   }
 
+  test("registeredDomain takes four labels under a 3-label suffix (pref.aichi.jp)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val psl = Seq("co.uk", "aichi.jp", "pref.aichi.jp")
+    val out = Seq(
+      "shop.pref.aichi.jp/x",    // 3-label suffix -> 4-label registered
+      "a.shop.pref.aichi.jp/x",  // deeper host: still the last four
+      "city.aichi.jp/x",         // only the 2-label suffix applies here
+      "pref.aichi.jp",           // bare 3-label suffix: cascade falls back
+      "example.com/x"            // unlisted: plain two labels
+    ).toDF("c").select(Web.registeredDomain(col("c"), psl)).as[String].collect()
+    assert(out === Array("shop.pref.aichi.jp", "shop.pref.aichi.jp",
+      "city.aichi.jp", "pref.aichi.jp", "example.com"))
+  }
+
+  test("PSL snapshot loads from classpath and filesystem; wildcard/exception rules skipped") {
+    val bundled = Web.bundledPublicSuffixes()
+    assert(bundled.contains("co.uk") && bundled.contains("pref.aichi.jp"))
+    assert(bundled.contains("ck")) // exact rule kept
+    assert(!bundled.exists(_.contains("*")), "wildcard rules must be skipped")
+    assert(!bundled.exists(_.startsWith("!")), "exception rules must be skipped")
+    assert(!bundled.exists(_.startsWith("//")), "comments must be skipped")
+    assert(bundled.distinct.size === bundled.size)
+    // the FS loader parses the same format from any Hadoop path
+    val tmp = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.writeString(tmp,
+      "// comment\n\nCOM\nco.uk\n*.ck\n!www.ck\npref.aichi.jp\n")
+    try {
+      val loaded = Web.loadPublicSuffixes(spark, tmp.toString)
+      assert(loaded === Seq("com", "co.uk", "pref.aichi.jp")) // lowercased
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("dedupByUrl keeps the lowest-id doc per canonical key") {
     val spark2 = spark
     import spark2.implicits._
