@@ -119,21 +119,25 @@ object ParquetToRdf {
       writeSchema(SchemaGen.schemaLines(schema, indexed = true), s"$outBase/schema.indexed.dgraph")
     }
 
-    // RDF writes with read-back (reference :401-407). Lazy plans execute
-    // inside their sink's write, so the per-phase wall-clock printed here
-    // attributes transform cost to the dataset that runs it (the
-    // operational gauge the reference gets from its per-dataset stats).
-    val written = Seq(
-      "labels" -> labels,
-      "infobox_properties" -> infobox,
-      "interlanguage_links" -> interlang,
-      "page_links" -> pageLinks,
-      "article_categories" -> categories,
-      "skos_categories" -> skosCategories,
-      "geo_coordinates" -> geoCoordinates
-    ).map { case (name, df) =>
-      name -> timed(s"write $name")(Rdf.write(df, s"$outBase/$name.rdf"))
-    }.toMap
+    // RDF writes with read-back (reference :401-407), FUSED: all seven
+    // dataset sinks run as ONE job over a single range-shuffle (each
+    // dataset's cleanup plan is a branch of the union — still evaluated
+    // exactly once, inside this job) and land via metadata-only renames
+    // (Rdf.writeAll). The per-dataset form paid seven job boundaries +
+    // seven shuffles, with small datasets underfilling their tasks —
+    // measured 22.0 s -> fused at the 2 GB protocol point (PLANS.md).
+    // The trade: per-dataset wall-clock attribution collapses into one
+    // phase line (per-dataset ROW counts survive in the audit below).
+    val written = timed("write datasets (fused)") {
+      Rdf.writeAll(Seq(
+        "labels" -> labels,
+        "infobox_properties" -> infobox,
+        "interlanguage_links" -> interlang,
+        "page_links" -> pageLinks,
+        "article_categories" -> categories,
+        "skos_categories" -> skosCategories,
+        "geo_coordinates" -> geoCoordinates), outBase)
+    }
 
     // types + xids derive from ONE fused (s, lang) aggregation (IdTypes):
     // the legacy shape ran two global distincts over ~the same domain,

@@ -64,4 +64,50 @@ class ParquetIOSpec extends SparkSpec {
       ("<s1>", "<p>", "\"a b\"", "de"),
       ("<s3>", "<q>", "<o>", "fr")))
   }
+
+  test("fused writeAll equals per-dataset writes: layout, sort, filter, empty handling") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(
+      ("<s2>", "<p>", "<o2>", "de"),
+      ("<s1>", "<p>", "<o1>", "de"),
+      ("<s1>", "<bad@p>", "<x>", "de"), // invalid predicate: dropped
+      ("<s9>", "<q>", "<o9>", "fr")).toDF("s", "p", "o", "lang")
+    val b = Seq(("<t1>", "<r>", "\"v w\"", "en")).toDF("s", "p", "o", "lang")
+    val none = a.where($"s" === "<nope>")
+
+    val dirFused = Files.createTempDirectory("graft-rdf-fused").toString
+    val dirSolo = Files.createTempDirectory("graft-rdf-solo").toString
+    // pre-existing output for the EMPTY dataset must be cleared, like write()
+    assert(Rdf.write(b, s"$dirFused/cc.rdf").count() === 1)
+    val fused = Rdf.writeAll(
+      Seq("aa" -> a, "bb" -> b, "cc" -> none), dirFused)
+    val solo = Seq("aa" -> a, "bb" -> b, "cc" -> none)
+      .map { case (n, df) => n -> Rdf.write(df, s"$dirSolo/$n.rdf") }.toMap
+    for (n <- Seq("aa", "bb", "cc")) {
+      val f = fused(n).orderBy("s", "p", "o")
+        .as[(String, String, String, String)].collect().toSeq
+      val s = solo(n).orderBy("s", "p", "o")
+        .as[(String, String, String, String)].collect().toSeq
+      assert(f === s, s"dataset $n: fused read-back diverges from write()")
+    }
+    assert(fused("cc").isEmpty) // the stale cc.rdf was cleared
+    // identical directory layout: <name>.rdf/lang=<code>, gzip text files,
+    // no staging remnants
+    val root = new java.io.File(dirFused)
+    assert(root.listFiles().map(_.getName).sorted.toSeq === Seq("aa.rdf", "bb.rdf"))
+    val aaLangs = new java.io.File(dirFused, "aa.rdf").listFiles()
+      .map(_.getName).filter(_.startsWith("lang=")).sorted.toSeq
+    assert(aaLangs === Seq("lang=de", "lang=fr"))
+    val gzFiles = new java.io.File(s"$dirFused/aa.rdf/lang=de").listFiles()
+      .map(_.getName).filter(_.endsWith(".txt.gz"))
+    assert(gzFiles.nonEmpty)
+    // within-file sort: lines ordered by (p, s, o) like write()
+    val src = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(
+        s"$dirFused/aa.rdf/lang=de/${gzFiles.head}")))
+    val lines = try src.getLines().toList finally src.close()
+    assert(lines === lines.sorted)
+    assert(lines === List("<s1> <p> <o1> .", "<s2> <p> <o2> ."))
+  }
 }
