@@ -74,6 +74,20 @@ object Importance {
   def featureBucket(f: Column, buckets: Int): Column =
     conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
 
+  /** Bucket ids of every adjacent-token bigram, via the codegen n-gram
+    * hash kernel — the hot-path form of
+    * `transform(bigrams(text), f => featureBucket(f, buckets))`: the
+    * kernel's 60-bit hash IS the first 15 md5 hex chars of the same
+    * space-joined bigram ([[graft.functions.TokenNgramHashExpr]],
+    * equivalence spec-held), so its top 32 bits (`>> 28`) equal the
+    * first 8 hex chars [[featureBucket]] converts — bit-identical
+    * buckets, zero bigram strings or interpreted md5 trees built
+    * (measured 2.9 s → see PLANS.md q107). Oracle SQL is unchanged. */
+  def bigramBuckets(text: Column, buckets: Int): Column =
+    transform(
+      graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, 2),
+      h => shiftright(h, 28) % buckets)
+
   /** A trained DSIR model: per-bucket log-likelihood-ratio weights, the
     * weight an UNSEEN bucket gets (both counts zero — just the smoothing
     * constant), and the bucket count the features hash into. ≤ `buckets`
@@ -97,8 +111,7 @@ object Importance {
       isTarget: Column, buckets: Int = 4096): DsirModel = {
     require(buckets >= 2, s"trainDsir: buckets must be >= 2, got $buckets")
     val counts = docs
-      .select(isTarget.as("_t"), explode(bigrams(textCol)).as("f"))
-      .select(col("_t"), featureBucket(col("f"), buckets).as("bkt"))
+      .select(isTarget.as("_t"), explode(bigramBuckets(textCol, buckets)).as("bkt"))
       .groupBy(col("bkt"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("tc"))
@@ -129,13 +142,11 @@ object Importance {
       model: DsirModel): DataFrame = {
     val wmap = typedLit(model.weights)
     df
-      .withColumn("_bg", bigrams(textCol))
+      .withColumn("_bk", bigramBuckets(textCol, model.buckets))
       .select(col(idCol),
-        size(col("_bg")).cast("long").as("n_feats"),
-        aggregate(col("_bg"), lit(0L),
-          (acc, f) => acc + coalesce(
-            element_at(wmap, featureBucket(f, model.buckets)),
-            lit(model.default)))
+        size(col("_bk")).cast("long").as("n_feats"),
+        aggregate(col("_bk"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(wmap, b), lit(model.default)))
           .as("dsir_score"))
   }
 

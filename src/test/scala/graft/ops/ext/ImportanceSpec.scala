@@ -25,6 +25,26 @@ class ImportanceSpec extends SparkSpec {
     xs.foreach(x => assert(got(x) === Importance.flog2(x), s"x=$x"))
   }
 
+  test("bigramBuckets matches the interpreted md5 featureBucket form bit for bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial text: multi-byte, emoji, mixed/odd whitespace, single
+    // token (no bigrams), empty — the interpreted reference is the
+    // md5-string chain the oracle replays
+    val texts = Seq(
+      "the quick brown fox", "  leading  and   multi  spaces ",
+      "café naïve über", "emoji 😀 mix 🌍 end",
+      "tab\tsep\nnewline mix", "solo", "", "a b")
+    val df = texts.toDF("text").repartition(2)
+    val ref = df.select(
+      transform(Importance.bigrams(col("text")),
+        f => Importance.featureBucket(f, 64)).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    val got = df.select(Importance.bigramBuckets(col("text"), 64).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === ref)
+  }
+
   test("dsirScores prefers documents resembling the target distribution") {
     val spark2 = spark
     import spark2.implicits._
