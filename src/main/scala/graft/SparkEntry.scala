@@ -3067,16 +3067,21 @@ object SparkEntry {
       // q93: bigram counts via struct_pack over scalar range (the q90
       // pattern); (scale·C1(w1)) // C2(w1,w2) is pure integer division —
       // every doc bigram exists in the counts, so no OOV branch
+      // keys are the 60-bit md5-prefix hashes (round-10 hash-keyed
+      // reshape; collisions merge identically on both engines)
       "q93_bigram_rarity" ->
-        s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w1 FROM documents),
-          |u AS (SELECT w1, COUNT(*) AS cnt1 FROM tok GROUP BY w1),
+        s"""WITH tok AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest($toks)), 1, 15)) AS BIGINT) AS w1h FROM documents),
+          |u AS (SELECT w1h, COUNT(*) AS cnt1 FROM tok GROUP BY w1h),
           |tk AS (SELECT doc_id, $toks AS toks FROM documents),
-          |p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          |p AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(b.w1), 1, 15)) AS BIGINT) AS w1h,
+          |  CAST(('0x' || substr(md5(b.w1 || ' ' || b.w2), 1, 15)) AS BIGINT) AS fh FROM (
           |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
           |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2]))) AS b FROM tk)),
-          |bi AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM p GROUP BY w1, w2),
+          |bi AS (SELECT fh, COUNT(*) AS cnt2 FROM p GROUP BY fh),
           |r AS (SELECT p.doc_id, (1000000 * u.cnt1) // bi.cnt2 AS rar
-          | FROM p JOIN bi USING (w1, w2) JOIN u USING (w1)),
+          | FROM p JOIN bi USING (fh) JOIN u USING (w1h)),
           |a AS (SELECT doc_id, CAST(SUM(rar) AS BIGINT) AS bigram_rarity_sum,
           |  COUNT(*) AS n_bigrams FROM r GROUP BY doc_id)
           |SELECT d.doc_id, COALESCE(a.bigram_rarity_sum, 0) AS bigram_rarity_sum,
@@ -3493,18 +3498,24 @@ object SparkEntry {
           |FROM nw LEFT JOIN reps USING (band)
           |GROUP BY nw.doc_id ORDER BY nw.doc_id""".stripMargin.replace("\n", " "),
       // q111: q93's bigram CTE shapes + add-one smoothing against the
-      // vocabulary-size scalar, summed per doc in Mitchell-log2 fixed point
+      // vocabulary-size scalar, summed per doc in Mitchell-log2 fixed
+      // point. Keys are the engine's 60-bit md5-prefix hashes (first 15
+      // hex chars), so a hash collision merges counts IDENTICALLY on
+      // both engines (round-10 hash-keyed join reshape)
       "q111_lm_logprob" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-          |tok AS (SELECT doc_id, unnest(toks) AS w1 FROM tk),
-          |u AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY w1),
+          |tok AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS w1h FROM tk),
+          |u AS (SELECT w1h, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY w1h),
           |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
-          |p AS (SELECT doc_id, bg.w1 AS w1, bg.f AS f FROM (
+          |p AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(bg.w1), 1, 15)) AS BIGINT) AS w1h,
+          |  CAST(('0x' || substr(md5(bg.f), 1, 15)) AS BIGINT) AS fh FROM (
           |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
           |    i -> struct_pack(w1 := toks[i+1], f := toks[i+1] || ' ' || toks[i+2]))) AS bg FROM tk)),
-          |bi AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM p GROUP BY f),
+          |bi AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM p GROUP BY fh),
           |r AS (SELECT p.doc_id, ${fl2("(bi.cnt2+1)")} - ${fl2("(u.cnt1+vv.v)")} AS lp
-          | FROM p JOIN bi USING (f) JOIN u USING (w1), vv),
+          | FROM p JOIN bi USING (fh) JOIN u USING (w1h), vv),
           |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
           |  CAST(SUM(lp) AS BIGINT) AS lm_logprob FROM r GROUP BY doc_id)
           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
@@ -3893,20 +3904,25 @@ object SparkEntry {
       // 1310720 subtracted as the scale constant
       "q135_kneser_ney" ->
         s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-          |p AS (SELECT doc_id, unnest(list_transform(range(len(toks)-1),
-          |  i -> toks[i+1] || ' ' || toks[i+2])) AS f FROM tk),
-          |bi AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c12 FROM p GROUP BY f),
-          |bw AS (SELECT f, c12, string_split(f, ' ')[1] AS w1, string_split(f, ' ')[-1] AS w2 FROM bi),
-          |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
-          |  CAST(COUNT(*) AS BIGINT) AS n1w1 FROM bw GROUP BY w1),
-          |pre AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2 FROM bw GROUP BY w2),
-          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
-          |tl AS (SELECT bw.f,
+          |p AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(bg.f), 1, 15)) AS BIGINT) AS fh,
+          |  CAST(('0x' || substr(md5(bg.w1), 1, 15)) AS BIGINT) AS w1h,
+          |  CAST(('0x' || substr(md5(bg.w2), 1, 15)) AS BIGINT) AS w2h FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+          |    i -> struct_pack(w1 := toks[i+1], w2 := toks[i+2],
+          |      f := toks[i+1] || ' ' || toks[i+2]))) AS bg FROM tk)),
+          |bw AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS c12,
+          |  MAX(w1h) AS w1h, MAX(w2h) AS w2h FROM p GROUP BY fh),
+          |ctx AS (SELECT w1h, CAST(SUM(c12) AS BIGINT) AS c1,
+          |  CAST(COUNT(*) AS BIGINT) AS n1w1 FROM bw GROUP BY w1h),
+          |pre AS (SELECT w2h, CAST(COUNT(*) AS BIGINT) AS n1w2 FROM bw GROUP BY w2h),
+          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bw),
+          |tl AS (SELECT bw.fh,
           |  (1048576 * (4 * bw.c12 - 3)) // (4 * ctx.c1) AS t1,
           |  (3 * 1048576 * ctx.n1w1 * pre.n1w2) // (4 * ctx.c1 * nn.nb) AS t2
-          | FROM bw JOIN ctx USING (w1) JOIN pre USING (w2), nn),
+          | FROM bw JOIN ctx USING (w1h) JOIN pre USING (w2h), nn),
           |r AS (SELECT p.doc_id, ${fl2("(t1 + t2 + 1)")} - 1310720 AS lp
-          | FROM p JOIN tl USING (f)),
+          | FROM p JOIN tl USING (fh)),
           |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
           |  CAST(SUM(lp) AS BIGINT) AS kn_logprob FROM r GROUP BY doc_id)
           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,

@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   *    state is ≤ `buckets` rows (the trained model, same bound class as
   *    the IVF centroid collect), and scoring is a map-side fold against
   *    the broadcast literal table: the corpus is never shuffled.
-  *  - The bigram-LM pass joins exploded bigrams to corpus count tables on
-  *    short string keys (the q93 shape) — count tables are corpus-sized,
-  *    so nothing broadcasts and both joins shuffle on their natural keys
-  *    with map-side partial aggregation.
+  *  - The bigram-LM passes join exploded bigrams to corpus count tables
+  *    on 8-BYTE KERNEL HASH keys (`bigramHashTriples` — round 10; they
+  *    shuffled "w1 w2" strings before): count tables are corpus-sized,
+  *    so nothing broadcasts and the joins shuffle on their natural keys
+  *    with map-side partial aggregation, but every exploded row and
+  *    count-table key is a long, and no bigram string is ever built.
+  *    The oracle applies the identical md5-prefix hashing, so the
+  *    (astronomically rare) hash-collision count merge is engine-exact.
   */
 object Importance {
 
@@ -87,6 +91,26 @@ object Importance {
     transform(
       graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, 2),
       h => shiftright(h, 28) % buckets)
+
+  /** Per-bigram hash triple `(fh, w1h, w2h)` — the 60-bit kernel hash of
+    * the bigram plus the hashes of its two tokens, positionally aligned
+    * from the 2-gram and 1-gram kernel arrays. The LM operators join and
+    * count on THESE 8-byte keys instead of "w1 w2" strings: the explode
+    * and every count-table shuffle carry longs, and no bigram string or
+    * interpreted md5 tree is ever built. Hash collisions (60-bit md5
+    * prefixes) merge the colliding types' counts — the oracle applies
+    * the identical hashing, so both engines merge identically; at any
+    * real vocabulary the collision odds are ~|V|²/2^60. */
+  private[ext] def bigramHashTriples(text: Column): Column = {
+    val bg = graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, 2)
+    val un = graft.functions.TokenNgramHashExpr.token_ngram_hashes(text, 1)
+    val m = size(bg)
+    zip_with(bg,
+      zip_with(slice(un, lit(1), m), slice(un, lit(2), m),
+        (a, b) => struct(a.as("w1h"), b.as("w2h"))),
+      (f, w) => struct(f.as("fh"),
+        w.getField("w1h").as("w1h"), w.getField("w2h").as("w2h")))
+  }
 
   /** A trained DSIR model: per-bucket log-likelihood-ratio weights, the
     * weight an UNSEEN bucket gets (both counts zero — just the smoothing
@@ -174,18 +198,18 @@ object Importance {
     * tokens → (0, 0).
     */
   def bigramLogProb(docs: DataFrame, textCol: Column, idCol: String): DataFrame = {
-    val toks = Dedup.tokens(textCol)
-    val pairs = docs.select(col(idCol), explode(bigrams(textCol)).as("f"))
-    val uni = docs.select(explode(toks).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
+    val pairs = docs
+      .select(col(idCol), explode(bigramHashTriples(textCol)).as("t"))
+      .select(col(idCol), col("t.fh"), col("t.w1h"))
+    val uni = docs
+      .select(explode(
+        graft.functions.TokenNgramHashExpr.token_ngram_hashes(textCol, 1)).as("w1h"))
+      .groupBy(col("w1h")).agg(count(lit(1)).as("cnt1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = pairs
-      .select(col(idCol), col("f"), substring_index(col("f"), " ", 1).as("w1"))
-      .groupBy(col("f")).agg(count(lit(1)).as("cnt2"))
+    val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("cnt2"))
     val scored = pairs
-      .withColumn("w1", substring_index(col("f"), " ", 1))
-      .join(bi, Seq("f"))
-      .join(uni, Seq("w1"))
+      .join(bi, Seq("fh"))
+      .join(uni, Seq("w1h"))
       .crossJoin(broadcast(vocab)) // one-row scalar, broadcast by design
       .withColumn("lp", flog2Col(col("cnt2") + 1L) - flog2Col(col("cnt1") + col("v")))
       .groupBy(col(idCol))
@@ -235,24 +259,28 @@ object Importance {
       docs: DataFrame, textCol: Column, idCol: String,
       scale: Long = 1L << 20): DataFrame = {
     require(scale >= 1, s"kneserNeyLogProb: scale must be >= 1, got $scale")
-    val pairs = docs.select(col(idCol), explode(bigrams(textCol)).as("f"))
-    val bi = pairs.groupBy(col("f")).agg(count(lit(1)).as("c12"))
-      .withColumn("w1", substring_index(col("f"), " ", 1))
-      .withColumn("w2", substring_index(col("f"), " ", -1))
-    val ctx = bi.groupBy(col("w1"))
+    val pairs = docs
+      .select(col(idCol), explode(bigramHashTriples(textCol)).as("t"))
+      .select(col(idCol), col("t.fh"), col("t.w1h"), col("t.w2h"))
+    // w1h/w2h are functions of the bigram the hash denotes; max() makes
+    // the (astronomically rare, oracle-mirrored) collision case
+    // deterministic rather than first-seen
+    val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("c12"),
+      max(col("w1h")).as("w1h"), max(col("w2h")).as("w2h"))
+    val ctx = bi.groupBy(col("w1h"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
-    val pre = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1w2"))
+    val pre = bi.groupBy(col("w2h")).agg(count(lit(1)).as("n1w2"))
     val nbi = bi.agg(count(lit(1)).as("nb"))
     val typeLp = bi
-      .join(ctx, Seq("w1"))
-      .join(pre, Seq("w2"))
+      .join(ctx, Seq("w1h"))
+      .join(pre, Seq("w2h"))
       .crossJoin(broadcast(nbi)) // one-row scalar, broadcast by design
       .withColumn("t1", expr(s"($scale * (4 * c12 - 3)) div (4 * c1)"))
       .withColumn("t2", expr(s"(3 * $scale * n1w1 * n1w2) div (4 * c1 * nb)"))
-      .select(col("f"),
+      .select(col("fh"),
         (flog2Col(col("t1") + col("t2") + 1L) - lit(flog2(scale))).as("lp"))
     val scored = pairs
-      .join(typeLp, Seq("f"))
+      .join(typeLp, Seq("fh"))
       .groupBy(col(idCol))
       .agg(sum(col("lp")).as("kn_logprob"), count(lit(1)).as("n_bigrams"))
     docs.select(col(idCol))

@@ -739,18 +739,21 @@ object TextStats {
   def bigramRarity(
       docs: DataFrame, textCol: Column, idCol: String,
       scale: Long = 1000000L): DataFrame = {
-    val toks = tokens(textCol)
-    val pairs = docs.select(col(idCol), explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = docs.select(explode(toks).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("cnt1"))
-    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt2"))
+    // join keys are the 60-bit kernel hashes (Importance.bigramHashTriples
+    // — explode and count-table shuffles carry 8-byte longs, no bigram
+    // string is ever built; the oracle applies the identical md5-prefix
+    // hash so a collision merges counts identically on both engines)
+    val pairs = docs
+      .select(col(idCol), explode(Importance.bigramHashTriples(textCol)).as("t"))
+      .select(col(idCol), col("t.fh"), col("t.w1h"))
+    val uni = docs
+      .select(explode(
+        graft.functions.TokenNgramHashExpr.token_ngram_hashes(textCol, 1)).as("w1h"))
+      .groupBy(col("w1h")).agg(count(lit(1)).as("cnt1"))
+    val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("cnt2"))
     val scored = pairs
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+      .join(bi, Seq("fh"))
+      .join(uni, Seq("w1h"))
       .withColumn("rar", expr(s"($scale * cnt1) div cnt2"))
       .groupBy(col(idCol))
       .agg(sum(col("rar")).as("bigram_rarity_sum"),
