@@ -611,7 +611,8 @@ object SparkEntry {
       // the oracle carries the same HAVING clause
       val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
       Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
-          maxBucketSize = Some(1000))
+          maxBucketSize = Some(1000),
+          persistSignatures = true) // kernel once, not census+2 sides
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -638,7 +639,11 @@ object SparkEntry {
         .select(col("doc_id"), col("mh0"), col("mh1"),
           graft.functions.TokenHashSetExpr.token_hash_set(col("text")).as("toks"))
       Dedup.lshJaccardPairs(sig, "doc_id", Seq("mh0", "mh1"), "toks",
-          threshold = 0.5, maxBucketSize = Some(1000))
+          threshold = 0.5, maxBucketSize = Some(1000),
+          // census + guard + both join sides re-plan the two kernels
+          // otherwise — measured 1.22 -> 0.71 s here (q144's big-set/
+          // few-candidate shape measured the OPPOSITE; its flag stays off)
+          persistSignatures = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -784,9 +789,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = Dedup.withMinhashSignature(docs, col("text"), 1)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"),
-        maxBucketSize = Some(100), saltOversized = true)
-      Components.dedupClusters(docs, pairs, algorithm = "star")
+        maxBucketSize = Some(100), saltOversized = true,
+        persistSignatures = true)
+      val out = Components.dedupClusters(docs, pairs, algorithm = "star")
         .orderBy(col("doc_id"))
+      graft.core.Checkpoints.release(pairs) // clusters are materialized
+      out
     }),
 
     // ---- LSH salted guard: oversized buckets split, not dropped --------
@@ -796,7 +804,8 @@ object SparkEntry {
       // stays bounded while in-bucket pairs partially survive
       val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 1)
       Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0"),
-          maxBucketSize = Some(100), saltOversized = true)
+          maxBucketSize = Some(100), saltOversized = true,
+          persistSignatures = true) // kernel once, not census+2 sides
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -842,7 +851,8 @@ object SparkEntry {
       // behavior is oracle-gated, not just spec'd.
       val sig = Dedup.withMinhashSignature(t(s, dir, "documents"), col("text"), 2)
       Dedup.lshCandidatePairsMultiBand(sig, "doc_id",
-          Seq(Seq("mh0"), Seq("mh1")), maxBucketSize = Some(100))
+          Seq(Seq("mh0"), Seq("mh1")), maxBucketSize = Some(100),
+          persistSignatures = true) // kernel once, not 2 legs x 3 refs
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1494,7 +1504,11 @@ object SparkEntry {
       // pairs no dedup policy would call near)
       Dedup.editConfirmedPairs(t(s, dir, "documents"), col("text"), "doc_id",
           numHashes = 2, prefixLen = 64, maxDist = 16,
-          maxBucketSize = Some(1000))
+          maxBucketSize = Some(1000),
+          // the (band, prefix) projection is planned 4x otherwise
+          // (census + guard + both join sides) — measured ~10% here;
+          // the banded levenshtein dominates
+          persistSignatures = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1632,7 +1646,8 @@ object SparkEntry {
       // census guard mirrors q22's contract (the oracle carries the same
       // HAVING per block)
       Dedup.simhashHammingPairs(t(s, dir, "documents"), "doc_id", col("text"),
-          maxDist = 3, bits = 32, maxBucketSize = Some(1000))
+          maxDist = 3, bits = 32, maxBucketSize = Some(1000),
+          persistSignatures = true) // kernel once, not 2x per block leg
         .orderBy(col("id_a"), col("id_b"))
     }),
 

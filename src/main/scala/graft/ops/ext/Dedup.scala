@@ -113,8 +113,10 @@ object Dedup {
       idCol: String,
       bandCols: Seq[String],
       maxBucketSize: Option[Int] = None,
-      saltOversized: Boolean = false): DataFrame =
-    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize, saltOversized)
+      saltOversized: Boolean = false,
+      persistSignatures: Boolean = false): DataFrame =
+    lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize,
+      saltOversized, persistSignatures)
 
   /** LSH band key over signature columns.
     *
@@ -206,8 +208,10 @@ object Dedup {
       maxBucketSize: Option[Int] = None,
       saltOversized: Boolean = false,
       persistSignatures: Boolean = false): DataFrame = {
+    // single-band callers benefit too: the census + guard semi join +
+    // both self-join sides each re-plan `signatures` even with one band
     val src =
-      if (persistSignatures && bands.size > 1)
+      if (persistSignatures)
         signatures.select((idCol +: bands.flatten).distinct.map(col): _*)
           .localCheckpoint(true)
       else signatures
@@ -249,7 +253,8 @@ object Dedup {
       setCol: String,
       threshold: Double,
       maxBucketSize: Option[Int] = None,
-      saltOversized: Boolean = false): DataFrame = {
+      saltOversized: Boolean = false,
+      persistSignatures: Boolean = false): DataFrame = {
     // For LONG-hashed sets (the production currency, TokenHashSetExpr)
     // the sets are sorted ONCE PER DOCUMENT below the join and the
     // per-PAIR intersection is the allocation-free merge walk
@@ -270,8 +275,14 @@ object Dedup {
       case _ => false
     }
     val setExpr = if (sortedMerge) array_sort(col(setCol)) else col(setCol)
+    // the (band, id, sorted set) projection is planned by the census, the
+    // guard semi join, and BOTH self-join sides — `persistSignatures`
+    // materializes it once (eager localCheckpoint; free via
+    // `Checkpoints.release(result)`), the editConfirmedPairs pattern
+    val keyedPlan =
+      sig.select(bandKey(bandCols).as("band"), col(idCol).as("id"), setExpr.as("set"))
     val keyed = guardBuckets(
-      sig.select(bandKey(bandCols).as("band"), col(idCol).as("id"), setExpr.as("set")),
+      if (persistSignatures) keyedPlan.localCheckpoint(true) else keyedPlan,
       maxBucketSize, saltOversized)
     val l = keyed.select(col("band"), col("id").as("id_a"), col("set").as("set_a"))
     val r = keyed.select(col("band"), col("id").as("id_b"), col("set").as("set_b"))
@@ -347,11 +358,21 @@ object Dedup {
       docs: DataFrame, textCol: Column, idCol: String,
       threshold: Double,
       k: Int = 5, w: Int = 8,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      persistSignatures: Boolean = false): DataFrame = {
     val cand = winnowCandidatePairs(docs, idCol,
       graft.functions.WinnowFingerprintExpr.winnow(textCol, k, w), maxBucketSize)
-    val sets = docs.select(col(idCol).as("_sid"),
+    // the sorted-set projection is joined on BOTH pair sides — the
+    // token-hash-set kernel + sort re-run per side unless persisted
+    // (eager localCheckpoint; free via `Checkpoints.release(result)`).
+    // Measured at sf0.1 (cap 50): the flag LOSES here (~1.6 -> 1.7 s) —
+    // few candidates survive the winnow guard, so writing every doc's
+    // multi-KB set to block storage costs more than the duplicate
+    // kernel runs. Turn it on only when candidates are dense relative
+    // to the corpus.
+    val setsPlan = docs.select(col(idCol).as("_sid"),
       array_sort(graft.functions.TokenHashSetExpr.token_hash_set(textCol)).as("_set"))
+    val sets = if (persistSignatures) setsPlan.localCheckpoint(true) else setsPlan
     cand
       .join(sets.select(col("_sid").as("id_a"), col("_set").as("set_a")), Seq("id_a"))
       .join(sets.select(col("_sid").as("id_b"), col("_set").as("set_b")), Seq("id_b"))
@@ -670,7 +691,8 @@ object Dedup {
   def editConfirmedPairs(
       docs: DataFrame, textCol: Column, idCol: String,
       numHashes: Int = 2, prefixLen: Int = 64, maxDist: Int = 16,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      persistSignatures: Boolean = false): DataFrame = {
     require(prefixLen >= 1, s"editConfirmedPairs: prefixLen >= 1, got $prefixLen")
     require(maxDist >= 0, s"editConfirmedPairs: maxDist >= 0, got $maxDist")
     // the prefixes ride THROUGH the single band-key shuffle (the
@@ -681,10 +703,16 @@ object Dedup {
     // (larger) candidate set two more times — measured 7.0 s -> ~1 s at
     // sf0.1
     val bandCols = (0 until numHashes).map("mh" + _)
+    // the (band, id, prefix) projection is planned by the census, the
+    // guard semi join, and BOTH self-join sides — the minhash kernel
+    // over full text re-runs with each. `persistSignatures` materializes
+    // it once (eager localCheckpoint, ~100 bytes/row); free the blocks
+    // with `Checkpoints.release(result)` after consuming the result.
+    val keyedPlan = withMinhashSignature(docs, textCol, numHashes)
+      .select(bandKey(bandCols).as("band"), col(idCol).as("id"),
+        substring(textCol, 1, prefixLen).as("_pfx"))
     val keyed = guardBuckets(
-      withMinhashSignature(docs, textCol, numHashes)
-        .select(bandKey(bandCols).as("band"), col(idCol).as("id"),
-          substring(textCol, 1, prefixLen).as("_pfx")),
+      if (persistSignatures) keyedPlan.localCheckpoint(true) else keyedPlan,
       maxBucketSize)
     val l = keyed.select(col("band"), col("id").as("id_a"), col("_pfx").as("_pa"))
     val r = keyed.select(col("band"), col("id").as("id_b"), col("_pfx").as("_pb"))

@@ -104,9 +104,16 @@ object Curation {
     // elects the highest-token-count member ([[Components.representatives]]
     // — keep the longest/cleanest copy, not whichever crawled first)
     val sig = Dedup.withMinhashSignature(exactDeduped, textCol, numHashes)
+    // persistSignatures: the census + guard + both self-join sides would
+    // otherwise re-run the minhash kernel over the (cached) corpus 3x;
+    // the checkpointed (id, bands) projection is released right after the
+    // cluster build materializes (dedupClusters is eager), so nothing
+    // outlives the stage
     val pairs = Dedup.lshCandidatePairs(sig, idCol,
-      (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize))
+      (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize),
+      persistSignatures = true)
     val clusters = Components.dedupClusters(exactDeduped, pairs, idCol)
+    graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
     val canonical =
       if (keepBest) {
         val quality = exactDeduped.select(col(idCol),
@@ -184,9 +191,11 @@ object Curation {
     // components, partial-aggregated size counts
     val sig = Dedup.withMinhashSignature(exactDeduped, textCol, numHashes)
     val pairs = Dedup.lshCandidatePairs(sig, idCol,
-      (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize))
-    val weights = Components.clusterWeights(
-      Components.dedupClusters(exactDeduped, pairs, idCol), idCol)
+      (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize),
+      persistSignatures = true) // released below (the curate() pattern)
+    val clusters = Components.dedupClusters(exactDeduped, pairs, idCol)
+    graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
+    val weights = Components.clusterWeights(clusters, idCol)
 
     // 5. decontaminate, then attach the weights (inner join on the doc
     // id: every clean doc has exactly one weight row by construction)
@@ -253,8 +262,10 @@ object Curation {
 
     // 6. within-batch clusters over what is left
     val pairs = Dedup.lshCandidatePairs(fresh, idCol, mhCols,
-      maxBucketSize = Some(maxBucketSize))
+      maxBucketSize = Some(maxBucketSize),
+      persistSignatures = true) // released below (the curate() pattern)
     val clusters = Components.dedupClusters(fresh, pairs, idCol)
+    graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
     val canonical = clusters
       .where(col(idCol) === col("canonical_id")).select(col(idCol))
     val nearDeduped = fresh.join(canonical, Seq(idCol), "left_semi")

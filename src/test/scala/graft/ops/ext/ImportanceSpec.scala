@@ -130,6 +130,13 @@ class ImportanceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("levenshtein"), plan)
     assert(plan.contains("Some(2)"), plan) // threshold arg present
+    // persistSignatures: identical output through the checkpointed
+    // (band, id, prefix) projection (the q108 configuration)
+    val persisted = Dedup.editConfirmedPairs(docs, col("text"), "doc_id",
+        numHashes = 2, prefixLen = 80, maxDist = 2, persistSignatures = true)
+    val got = persisted.as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === confirmed.toSeq)
+    graft.core.Checkpoints.release(persisted)
   }
 
   test("contaminationFraction grades overlap in basis points, keeps clean docs") {
