@@ -1973,20 +1973,24 @@ object SparkEntry {
         .orderBy(col("stratum"), col("skey"), col("doc_id"))
     }),
 
-    // ---- PSL-snapshot domain rollup (2/3/4-label registered domains) ----
+    // ---- PSL-snapshot domain rollup (full rule set) ---------------------
     "q150_psl4_domains" -> ((s, dir) => {
-      // hosts rotate a 3-label public suffix (.pref.aichi.jp -> 4-label
-      // registered domain), a 2-label one (.co.uk -> 3 labels), and plain
-      // .com (2 labels); the suffix list comes from the CHECKED-IN PSL
-      // snapshot via the classpath loader, not a hand-typed Seq
+      // hosts rotate every rule kind in the CHECKED-IN snapshot: a
+      // 3-label exact suffix (.pref.aichi.jp -> 4-label registered), a
+      // 2-label one (.co.uk -> 3), a WILDCARD suffix (*.ck: .free.ck ->
+      // 3), an EXCEPTION (!www.ck: everything under www.ck registers as
+      // www.ck itself), and plain .com (2); rules come from the
+      // classpath loader, not a hand-typed Seq
       val url = concat(lit("https://www.shop"), (col("doc_id") % 5).cast("string"),
-        when(col("doc_id") % 3 === 0, lit(".pref.aichi.jp"))
-          .when(col("doc_id") % 3 === 1, lit(".co.uk"))
+        when(col("doc_id") % 5 === 0, lit(".pref.aichi.jp"))
+          .when(col("doc_id") % 5 === 1, lit(".co.uk"))
+          .when(col("doc_id") % 5 === 2, lit(".free.ck"))
+          .when(col("doc_id") % 5 === 3, lit(".www.ck"))
           .otherwise(lit(".com")),
         lit("/item"), (col("doc_id") % 3).cast("string"))
       val docs = t(s, dir, "documents").withColumn("url", url)
       Web.domainStats(docs, col("url"), col("text"),
-          suffixes = Web.bundledPublicSuffixes())
+          rules = Web.bundledPublicSuffixRules())
         .orderBy(col("domain"))
     }),
 
@@ -4215,12 +4219,15 @@ object SparkEntry {
           |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
       // q150: like q103, the oracle constructs the PSL-aware domain from
       // the injection parity — 4 labels under the 3-label .pref.aichi.jp
-      // suffix, 3 under .co.uk, 2 under .com — independently verifying
-      // the loaded-snapshot cascade
+      // suffix, 3 under .co.uk, 3 under the *.ck wildcard, the constant
+      // www.ck for the !www.ck exception, 2 under .com — independently
+      // verifying the loaded-snapshot full-rule cascade
       "q150_psl4_domains" ->
         """WITH d AS (SELECT text,
-          |  CASE WHEN doc_id % 3 = 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.pref.aichi.jp'
-          |   WHEN doc_id % 3 = 1 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+          |  CASE WHEN doc_id % 5 = 0 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.pref.aichi.jp'
+          |   WHEN doc_id % 5 = 1 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+          |   WHEN doc_id % 5 = 2 THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.free.ck'
+          |   WHEN doc_id % 5 = 3 THEN 'www.ck'
           |   ELSE 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.com' END AS domain
           | FROM documents),
           |g AS (SELECT domain, COUNT(*) AS n_docs,

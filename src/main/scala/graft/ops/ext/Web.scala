@@ -107,40 +107,91 @@ object Web {
         .otherwise(last2))
   }
 
+  /** A parsed public-suffix list: exact rules (`co.uk`), wildcard rule
+    * BASES (`*.ck` → `"ck"` — any single label under the base is a
+    * suffix), and exception rules (`!www.ck` → `www.ck` is NOT a suffix;
+    * it is itself the registered domain for every host under it). All
+    * three sets are plan literals — the full public list is ~10k short
+    * strings. */
+  final case class PslRules(
+      exact: Set[String], wildcardBases: Set[String], exceptions: Set[String]) {
+    require(exact.nonEmpty || wildcardBases.nonEmpty,
+      "PslRules: no suffix rules — use the 1-arg registeredDomain")
+  }
+
   /** Parse PSL-format lines (publicsuffix.org/list): blank lines and
-    * `//` comments skipped; exact rules kept lowercased. Wildcard
-    * (`*.ck`) and exception (`!www.ck`) rules are SKIPPED — the cascade
-    * is exact-set membership and cannot express them (a documented
-    * limitation; they cover a handful of ccTLDs). */
-  private def parsePsl(lines: Iterator[String]): Seq[String] =
-    lines.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("//") &&
-        !l.startsWith("*") && !l.startsWith("!"))
+    * `//` comments skipped, rules lowercased; `*.x` lines become
+    * wildcard bases, `!x` lines exceptions, the rest exact rules. */
+  private def parsePslRules(lines: Iterator[String]): PslRules = {
+    val rules = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(_.toLowerCase(java.util.Locale.ROOT))
-      .distinct.toSeq
+      .toSeq
+    PslRules(
+      exact = rules.filter(r => !r.startsWith("*") && !r.startsWith("!")).toSet,
+      wildcardBases = rules.collect { case r if r.startsWith("*.") => r.drop(2) }.toSet,
+      exceptions = rules.collect { case r if r.startsWith("!") => r.drop(1) }.toSet)
+  }
 
   /** Load a public-suffix snapshot from any filesystem path (raw lines
     * through Hadoop FS, like the `_manifest.jsonl` read-back — an
     * underscore-prefixed snapshot would be invisible to Spark's path
     * readers). Driver-side: the list is plan-literal-sized by
     * contract (~10k short strings). */
-  def loadPublicSuffixes(spark: SparkSession, path: String): Seq[String] = {
+  def loadPublicSuffixRules(spark: SparkSession, path: String): PslRules = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    try parsePslRules(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
 
-  /** The checked-in snapshot (a small public-list subset including the
-    * 2- and 3-label rules the specs and q150 exercise), bundled as a
-    * classpath resource so every entry point — tests, Verify, Bench —
-    * resolves it regardless of working directory. */
-  def bundledPublicSuffixes(): Seq[String] = {
+  /** [[loadPublicSuffixRules]]' exact rules only — the `Seq` surface the
+    * two-arg [[registeredDomain]] overload takes. */
+  def loadPublicSuffixes(spark: SparkSession, path: String): Seq[String] =
+    loadPublicSuffixRules(spark, path).exact.toSeq.sorted
+
+  /** The checked-in snapshot (a small public-list subset including
+    * 2- and 3-label exact rules plus the `*.ck` / `!www.ck` pair the
+    * specs and q150 exercise), bundled as a classpath resource so every
+    * entry point — tests, Verify, Bench — resolves it regardless of
+    * working directory. */
+  def bundledPublicSuffixRules(): PslRules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
     require(in != null, "bundled public-suffix snapshot missing from classpath")
-    try parsePsl(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    try parsePslRules(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
+  }
+
+  /** [[bundledPublicSuffixRules]]' exact rules only. */
+  def bundledPublicSuffixes(): Seq[String] =
+    bundledPublicSuffixRules().exact.toSeq.sorted
+
+  /** [[registeredDomain]] under the FULL rule set — exact, wildcard, and
+    * exception rules, the complete publicsuffix.org algorithm bounded at
+    * 3-label suffixes (wildcard bases to 2 labels, exceptions to 3 — the
+    * real list's depth for all but a handful of jp city blocks). The
+    * cascade tests longest suffix first; an exception SHORT-CIRCUITS its
+    * level (`!www.ck`: every host at or under `www.ck` registers as
+    * `www.ck` even though `*.ck` would make `www.ck` a suffix). Still a
+    * per-row regexp chain + literal `In`s — map-side, scan-bound, the
+    * same plan shape as the exact-only overload. */
+  def registeredDomain(canonical: Column, rules: PslRules): Column = {
+    val host = regexp_extract(canonical, "^[^/]*", 0)
+    val lab = "[A-Za-z0-9-]+"
+    val last1 = regexp_extract(host, s"$lab$$", 0)
+    val last2 = regexp_extract(host, s"$lab\\.$lab$$", 0)
+    val last3 = regexp_extract(host, s"$lab\\.$lab\\.$lab$$", 0)
+    val last4 = regexp_extract(host, s"$lab\\.$lab\\.$lab\\.$lab$$", 0)
+    def in(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else c.isInCollection(s.toSeq.sorted)
+    val suf3 = in(last3, rules.exact) || in(last2, rules.wildcardBases)
+    val suf2 = in(last2, rules.exact) || in(last1, rules.wildcardBases)
+    when(in(last3, rules.exceptions) && last3 =!= "", last3)
+      .when(suf3 && last4 =!= "", last4)
+      .when(in(last2, rules.exceptions) && last2 =!= "", last2)
+      .when(suf2 && last3 =!= "", last3)
+      .otherwise(last2)
   }
 
   /** Canonical-URL inventory over a corpus: one row per canonical key with
@@ -211,6 +262,12 @@ object Web {
       docs: DataFrame, urlCol: Column, textCol: Column,
       suffixes: Seq[String]): DataFrame =
     domainStatsBy(docs, registeredDomain(canonicalUrl(urlCol), suffixes), textCol)
+
+  /** [[domainStats]] under the full rule set (wildcards + exceptions). */
+  def domainStats(
+      docs: DataFrame, urlCol: Column, textCol: Column,
+      rules: PslRules): DataFrame =
+    domainStatsBy(docs, registeredDomain(canonicalUrl(urlCol), rules), textCol)
 
   private def domainStatsBy(
       docs: DataFrame, domain: Column, textCol: Column): DataFrame =

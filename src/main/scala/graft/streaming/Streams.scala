@@ -16,6 +16,13 @@ case class LatestVersion(version: Long, op: String, text: String)
 /** Per-user funnel progression state for [[Streams.funnelStream]]. */
 case class FunnelState(depth: Int, reachedMs: Long)
 
+/** Per-group Misra–Gries counter state for
+  * [[Streams.heavyHittersStream]] — the bounded `<= k`-entry counter map
+  * (plain Strings: state encoders need a public product of encodable
+  * fields; the byte-order subtleties of the batch aggregate's UTF8String
+  * keys don't matter here because candidates are an unordered SET). */
+case class MgGroupState(counters: Map[String, Long])
+
 /** Structured Streaming duals of the batch event ops
   * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
   * late-data handling, session windows, and custom keyed state via
@@ -431,6 +438,53 @@ object Streams {
       docs: DataFrame, textCol: String, idCol: String,
       model: graft.ops.ext.Importance.DsirModel): DataFrame =
     graft.ops.ext.Importance.applyDsir(docs, col(textCol), idCol, model)
+
+  /** Streaming PER-GROUP heavy-hitter CANDIDATES — the live dual of the
+    * [[graft.functions.MisraGriesAgg]] typed aggregate
+    * ([[graft.ops.ext.TextStats.heavyHittersBy]]'s sketch phase): one
+    * bounded `k`-counter Misra–Gries summary per group key, maintained in
+    * keyed state across micro-batches by the classic streaming update
+    * (count if tracked or free, else decrement all). Each batch emits the
+    * group's CURRENT candidate array (sorted) — a SUPERSET of every token
+    * above `1/(k+1)` of the group's stream so far, the same guarantee the
+    * batch sketch gives (which extras survive is arrival-order-dependent,
+    * there as here). Run in `update` mode; exact confirmation needs a
+    * batch pass over stored data ([[graft.ops.ext.TextStats
+    * .heavyHittersBy]]) — a stream cannot recount history it dropped.
+    *
+    * State is `<= k` short strings per group — bounded by construction,
+    * never by stream volume; no timeout (a group's hitters stay
+    * addressable; clear state downstream of a re-aggregation if
+    * retention is needed). Tokenization matches [[graft.ops.ext
+    * .TextStats.tokens]] (trim + split `\s+`). */
+  def heavyHittersStream(
+      docs: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"heavyHittersStream: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(groupCol).cast("string").as("g"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[MgGroupState, (String, Seq[String])](
+        GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[MgGroupState]) =>
+          val sk = new graft.functions.MisraGriesAgg.Sketch(k)
+          state.getOption.foreach(_.counters.foreach { case (w, c) =>
+            sk.counters.update(
+              org.apache.spark.unsafe.types.UTF8String.fromString(w), c)
+          })
+          rows.foreach { case (_, t) =>
+            t.trim.split("\\s+").foreach(w =>
+              sk.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+          }
+          state.update(MgGroupState(
+            sk.counters.map { case (u, c) => u.toString -> c }.toMap))
+          (g, sk.counters.keysIterator.map(_.toString).toSeq.sorted)
+      }
+      .toDF(groupCol, "candidates")
+  }
 
   /** Streaming NB classification: every arriving document scored under
     * a model trained OFFLINE ([[graft.ops.ext.TextStats.trainNb]]) —

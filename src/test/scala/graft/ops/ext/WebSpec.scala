@@ -96,22 +96,44 @@ class WebSpec extends SparkSpec {
       "city.aichi.jp", "pref.aichi.jp", "example.com"))
   }
 
-  test("PSL snapshot loads from classpath and filesystem; wildcard/exception rules skipped") {
-    val bundled = Web.bundledPublicSuffixes()
-    assert(bundled.contains("co.uk") && bundled.contains("pref.aichi.jp"))
-    assert(bundled.contains("ck")) // exact rule kept
-    assert(!bundled.exists(_.contains("*")), "wildcard rules must be skipped")
-    assert(!bundled.exists(_.startsWith("!")), "exception rules must be skipped")
-    assert(!bundled.exists(_.startsWith("//")), "comments must be skipped")
-    assert(bundled.distinct.size === bundled.size)
+  test("PSL snapshot loads from classpath and filesystem; rules structured by kind") {
+    val bundled = Web.bundledPublicSuffixRules()
+    assert(bundled.exact.contains("co.uk") && bundled.exact.contains("pref.aichi.jp"))
+    assert(bundled.exact.contains("ck"))
+    assert(bundled.wildcardBases === Set("ck"))
+    assert(bundled.exceptions === Set("www.ck"))
+    assert(!bundled.exact.exists(r => r.contains("*") || r.startsWith("!") || r.startsWith("//")))
+    // the exact-only Seq surface stays available for the 2-arg overload
+    assert(Web.bundledPublicSuffixes().contains("co.uk"))
     // the FS loader parses the same format from any Hadoop path
     val tmp = java.nio.file.Files.createTempFile("psl", ".dat")
     java.nio.file.Files.writeString(tmp,
       "// comment\n\nCOM\nco.uk\n*.ck\n!www.ck\npref.aichi.jp\n")
     try {
-      val loaded = Web.loadPublicSuffixes(spark, tmp.toString)
-      assert(loaded === Seq("com", "co.uk", "pref.aichi.jp")) // lowercased
+      val loaded = Web.loadPublicSuffixRules(spark, tmp.toString)
+      assert(loaded === Web.PslRules(Set("com", "co.uk", "pref.aichi.jp"),
+        Set("ck"), Set("www.ck"))) // lowercased, structured
     } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("registeredDomain full-rule cascade: wildcards and exceptions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rules = Web.PslRules(
+      exact = Set("com", "co.uk", "kawasaki.jp"),
+      wildcardBases = Set("ck", "kawasaki.jp"),
+      exceptions = Set("www.ck", "city.kawasaki.jp"))
+    val out = Seq(
+      "shop.free.ck/x",        // *.ck: free.ck is a suffix -> 3 labels
+      "a.shop.free.ck/x",      // deeper host, same suffix -> last three
+      "foo.www.ck/x",          // !www.ck: registers as www.ck itself
+      "www.ck",                // the exception host itself
+      "x.y.kawasaki.jp/x",     // *.kawasaki.jp -> y.kawasaki.jp suffix -> 4
+      "a.city.kawasaki.jp/x",  // !city.kawasaki.jp beats the wildcard
+      "example.com/x"          // plain exact 1-label suffix
+    ).toDF("c").select(Web.registeredDomain(col("c"), rules)).as[String].collect()
+    assert(out === Array("shop.free.ck", "shop.free.ck", "www.ck", "www.ck",
+      "x.y.kawasaki.jp", "city.kawasaki.jp", "example.com"))
   }
 
   test("dedupByUrl keeps the lowest-id doc per canonical key") {

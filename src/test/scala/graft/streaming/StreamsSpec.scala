@@ -276,6 +276,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream keeps per-group majority tokens across batches, bounded state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("source", "text")
+    val q = Streams.heavyHittersStream(docs, "text", "source", k = 3)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: source A skewed to "hot"; source B uniform noise
+      input.addData(
+        ("A", "hot hot hot cold1 cold2"),
+        ("B", "n1 n2 n3"))
+      q.processAllAvailable()
+      // batch 2: A's majority persists through state; B gains "warm"
+      input.addData(
+        ("A", "hot hot filler3 filler4"),
+        ("B", "warm warm warm warm"))
+      q.processAllAvailable()
+      val rows = spark.table("mg_stream").as[(String, Seq[String])].collect()
+      val byG = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2) }
+      // the Misra-Gries superset guarantee per group: A's majority token
+      // survives EVERY emitted update (it can never be evicted), B's
+      // batch-2 flood evicts the uniform noise and leaves exactly it,
+      // and candidates stay <= k everywhere
+      assert(byG("A").forall(_.contains("hot")), byG("A"))
+      assert(byG("B").exists(_ == Seq("warm")), byG("B"))
+      assert(rows.forall(_._2.size <= 3))
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops benchmark-overlapping documents statelessly") {
     val spark2 = spark
     import spark2.implicits._
