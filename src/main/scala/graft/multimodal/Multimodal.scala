@@ -451,6 +451,168 @@ object Multimodal {
     }
   }
 
+  /** One probed-metadata row ([[probeMeta]]'s output): nulls where the
+    * format doesn't carry the field or the content is malformed. */
+  case class ProbedMeta(
+      media_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int], duration_ms: Option[Long])
+
+  /** Header-only metadata inspection — the probe that FILLS the
+    * `meta` struct the frame-sampling plans consume: real pipelines
+    * receive untagged bytes, and `sampleFrames` / [[extractFrameFeatures]]
+    * need `duration_ms` before any decode is planned. A probe reads
+    * headers (and, for framed containers, walks marker offsets), never
+    * payload. */
+  trait MediaProbe extends Serializable {
+    def init(): Unit = ()
+    /** (format, width, height, duration_ms); all-None for unrecognized
+      * or malformed content. */
+    def probe(content: Array[Byte]): ProbedMeta
+  }
+
+  /** Dispatch on magic bytes: YUV4MPEG2 (y4m), RIFF/WAVE (wav), P6
+    * (ppm). The real-world entry point — crawled bytes arrive untagged. */
+  object SniffProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      def starts(s: String): Boolean =
+        content != null && content.length >= s.length &&
+          (0 until s.length).forall(i => content(i) == s.charAt(i).toByte)
+      if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
+      else if (starts("RIFF") && content.length >= 12 &&
+        (8 until 12).forall(i => content(i) == "WAVE".charAt(i - 8).toByte))
+        WavProbe.probe(content)
+      else if (starts("P6")) PpmProbe.probe(content)
+      else ProbedMeta(0L, None, None, None, None)
+    }
+  }
+
+  /** Y4M: width/height/fps from the stream header; duration from the
+    * frame COUNT — markers walked by offset arithmetic (headers only,
+    * payloads never read), the same walk [[Y4mFrameCodec]] seeks with. */
+  object Y4mProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 10) return none
+      val magic = "YUV4MPEG2"
+      if (!(0 until magic.length).forall(i => content(i) == magic.charAt(i).toByte))
+        return none
+      var eol = magic.length
+      while (eol < content.length && content(eol) != '\n') eol += 1
+      if (eol >= content.length) return none
+      val header = new String(content, 0, eol, "US-ASCII")
+      def tag(t: Char): Option[String] =
+        header.split(' ').find(p => p.nonEmpty && p.head == t).map(_.tail)
+      val w = tag('W').flatMap(_.toIntOption)
+      val h = tag('H').flatMap(_.toIntOption)
+      val fps = tag('F').map(_.split(':')).collect {
+        case Array(n, d) if n.forall(_.isDigit) && d.forall(_.isDigit) =>
+          (n.toLong, d.toLong)
+      }
+      val chromaShift = tag('C').map { cs =>
+        if (cs.startsWith("420")) 2 else if (cs.startsWith("422")) 1
+        else if (cs.startsWith("444")) 0 else if (cs == "mono") Int.MaxValue
+        else -2
+      }.getOrElse(2)
+      if (w.isEmpty || h.isEmpty || fps.isEmpty || chromaShift == -2 ||
+          w.exists(_ <= 0) || h.exists(_ <= 0) || fps.exists(f => f._1 <= 0 || f._2 <= 0))
+        return none
+      val luma = w.get.toLong * h.get
+      val frameBytes = luma +
+        (if (chromaShift == Int.MaxValue) 0L else 2L * (luma >> chromaShift))
+      var off = eol + 1
+      var frames = 0L
+      var ok = true
+      while (ok && off < content.length) {
+        val fm = "FRAME"
+        if (content.length < off + fm.length ||
+            !(0 until fm.length).forall(i => content(off + i) == fm.charAt(i).toByte))
+          ok = false
+        else {
+          var fe = off + fm.length
+          while (fe < content.length && content(fe) != '\n') fe += 1
+          if (fe >= content.length || content.length < fe + 1 + frameBytes) ok = false
+          else { frames += 1; off = fe + 1 + frameBytes.toInt }
+        }
+      }
+      val (num, den) = fps.get
+      ProbedMeta(0L, Some("y4m"), w, h, Some(frames * 1000L * den / num))
+    }
+  }
+
+  /** WAV: sample rate + data-chunk length → duration (the fmt-chunk walk
+    * [[WavCodec]] decodes with, headers only). */
+  object WavProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 12) return none
+      def u16(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+      def tag(o: Int, s: String): Boolean =
+        (0 until 4).forall(i => content(o + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE")) return none
+      var pos = 12
+      var channels = 0; var bits = 0; var rate = 0L; var dataLen = -1L
+      while (pos + 8 <= content.length && (rate <= 0 || dataLen < 0)) {
+        val sz = u32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 8 || pos + 8 + sz > content.length)
+          return none
+        if (tag(pos, "fmt ") && sz >= 16) {
+          channels = u16(pos + 10); rate = u32(pos + 12); bits = u16(pos + 22)
+        } else if (tag(pos, "data")) dataLen = sz
+        pos += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) return none
+      val frames = dataLen / (channels.toLong * (bits / 8).max(1))
+      ProbedMeta(0L, Some("wav"), None, None, Some(frames * 1000L / rate))
+    }
+  }
+
+  /** PPM (P6): width/height from the text header; no time axis. */
+  object PpmProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 2 ||
+          content(0) != 'P' || content(1) != '6') return none
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+      def nextInt(): Int = {
+        var seen = false
+        while (pos < content.length &&
+            (isWs(content(pos)) || content(pos) == '#')) {
+          if (content(pos) == '#')
+            while (pos < content.length && content(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0
+        while (pos < content.length && content(pos) >= '0' && content(pos) <= '9') {
+          v = v * 10 + (content(pos) - '0'); seen = true; pos += 1
+        }
+        if (seen) v else -1
+      }
+      val w = nextInt(); val h = nextInt()
+      if (w <= 0 || h <= 0) return none
+      ProbedMeta(0L, Some("ppm"), Some(w), Some(h), None)
+    }
+  }
+
+  /** Probe every media row's metadata from its content bytes — the
+    * ingestion step that DERIVES the `meta` struct [[sampleFrames]] /
+    * [[extractFrameFeatures]] consume, for corpora whose metadata is
+    * missing or untrusted. Same `mapPartitions` seam as the decode
+    * plane (per-partition `init`, content projected away in the same
+    * stage — bytes never survive into the output, never shuffle). */
+  def probeMeta(
+      media: DataFrame, probe: MediaProbe = SniffProbe): Dataset[ProbedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        probe.init()
+        rows.map { case (id, c) => probe.probe(c).copy(media_id = id) }
+      }
+  }
+
   case class FrameFeatures(media_id: Long, frame_ms: Long, embedding: Array[Float])
 
   /** Per-frame feature extraction — the decode plane behind

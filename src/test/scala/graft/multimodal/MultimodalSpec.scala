@@ -280,6 +280,51 @@ class MultimodalSpec extends SparkSpec {
       Seq(0L, 40L, 80L).map(ms => c.decodeFrame(y4m, ms, 1)(0)))
   }
 
+  test("probeMeta derives format/dims/duration from untagged bytes; drives the frame plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the q136-family fixtures: a 3-frame 4x4 y4m at 25 fps (120 ms), a
+    // 2 s 8 kHz mono PCM16 wav, a 3x2 ppm, and junk
+    def frame(l: Int): Array[Byte] =
+      "FRAME\n".getBytes("US-ASCII") ++ Array.fill(16)(l.toByte) ++ Array.fill(8)(0x80.toByte)
+    val y4m = "YUV4MPEG2 W4 H4 F25:1 C420\n".getBytes("US-ASCII") ++
+      frame(0x10) ++ frame(0xE0) ++ frame(0x80)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = Array.fill(32000)(0.toByte) // 16000 PCM16 mono frames @8kHz = 2 s
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val ppm = ("P6\n# c\n3 2\n255\n" + "x" * 18).getBytes("ISO-8859-1")
+    val media = Seq(
+      (1L, y4m), (2L, wav), (3L, ppm), (4L, "garbage".getBytes("US-ASCII")))
+      .toDF("media_id", "content")
+    val out = Multimodal.probeMeta(media).collect().sortBy(_.media_id)
+    assert(out(0) === Multimodal.ProbedMeta(1L, Some("y4m"), Some(4), Some(4), Some(120L)))
+    assert(out(1) === Multimodal.ProbedMeta(2L, Some("wav"), None, None, Some(2000L)))
+    assert(out(2) === Multimodal.ProbedMeta(3L, Some("ppm"), Some(3), Some(2), None))
+    assert(out(3) === Multimodal.ProbedMeta(4L, None, None, None, None))
+    // the probed duration drives the frame plan end to end: 120 ms at
+    // everyMs=40 -> frames 0/40/80/120 (120 clamps to the last frame)
+    val probed = Multimodal.probeMeta(media).toDF()
+      .where(col("duration_ms").isNotNull && col("format") === "y4m")
+      .select(col("media_id"), col("duration_ms"))
+    val withMeta = media.join(probed, Seq("media_id"))
+      .select(col("media_id"), col("content"),
+        struct(lit("y4m").as("format"), lit(4).as("width"), lit(4).as("height"),
+          col("duration_ms")).as("meta"))
+    val frames = Multimodal.extractFrameFeatures(withMeta, everyMs = 40L,
+        dims = 1, codec = Multimodal.Y4mFrameCodec)
+      .collect().sortBy(_.frame_ms)
+    assert(frames.map(_.frame_ms).toSeq === Seq(0L, 40L, 80L, 120L))
+    assert(math.abs(frames(0).embedding(0) - 0x10 / 255f) < 1e-6f)
+    assert(math.abs(frames(1).embedding(0) - 0xE0 / 255f) < 1e-6f)
+    assert(frames(2).embedding(0) === frames(3).embedding(0)) // clamp
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
