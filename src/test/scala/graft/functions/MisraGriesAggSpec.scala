@@ -72,6 +72,24 @@ class MisraGriesAggSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("heavyHittersBy plan shape: one sketch pass, broadcast candidate confirm") {
+    val spark2 = spark
+    import spark2.implicits._
+    val plan = TextStats
+      .heavyHittersBy(docs.repartition(2), col("text"), Seq("source"), k = 2)
+      .queryExecution.sparkPlan.toString
+    // the sketch phase is the typed aggregate (ObjectHashAggregate with a
+    // map-side partial stage), planned ONCE — group totals ride the
+    // candidate rows instead of re-referencing the sketch frame
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan) // partial+final
+    assert("graft_mg_candidates".r.findAllIn(
+      plan.replace("partial_graft_mg_candidates", "P")).length <= 2, plan)
+    // the confirm join broadcasts the <= k x groups candidate frame; the
+    // corpus token stream is never on the build side of anything
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("mistyped token column fails analysis, not execution") {
     val spark2 = spark
     import spark2.implicits._

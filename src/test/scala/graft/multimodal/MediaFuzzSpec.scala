@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzz invariants for the byte-walking media code — pure JVM, no Spark
+  * session needed. At corpus scale every malformed-byte branch WILL be
+  * hit; the poison contract is "zero vector / all-None metadata, never a
+  * throw", and these properties hold it over random garbage, truncations
+  * and corruptions of VALID fixtures (the nastier case: plausible
+  * headers, impossible payloads), and magic-prefixed junk. */
+class MediaFuzzSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def frame(l: Int): Array[Byte] =
+    "FRAME\n".getBytes("US-ASCII") ++ Array.fill(16)(l.toByte) ++
+      Array.fill(8)(0x80.toByte)
+  private val y4m = "YUV4MPEG2 W4 H4 F25:1 C420\n".getBytes("US-ASCII") ++
+    frame(0x10) ++ frame(0xE0)
+  private def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + 64) ++
+    "WAVE".getBytes("US-ASCII") ++
+    "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+    le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+    "data".getBytes("US-ASCII") ++ le32(64) ++ Array.fill(64)(7.toByte)
+  private val ppm = ("P6\n4 2\n255\n" + "x" * 24).getBytes("ISO-8859-1")
+
+  private val garbage: Gen[Array[Byte]] =
+    Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  /** Truncations, single-byte corruptions, and magic-preserving
+    * corruptions of each valid fixture. */
+  private def mangled(base: Array[Byte]): Gen[Array[Byte]] = Gen.oneOf(
+    Gen.choose(0, base.length).map(base.take),
+    for {
+      i <- Gen.choose(0, base.length - 1)
+      b <- Gen.choose(-128, 127)
+    } yield { val c = base.clone(); c(i) = b.toByte; c },
+    for { // keep the magic, scramble the rest — the nastiest class
+      tail <- Gen.listOfN(base.length - 10, Gen.choose(-128, 127))
+    } yield base.take(10) ++ tail.map(_.toByte))
+
+  private val cases: Seq[Array[Byte]] =
+    samples(garbage, 40) ++
+      Seq(y4m, wav, ppm).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(Array.emptyByteArray, null)
+
+  test("fuzz: probes never throw; fields are sane when present") {
+    cases.foreach { bytes =>
+      for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
+          Multimodal.WavProbe, Multimodal.PpmProbe)) {
+        val m = p.probe(bytes) // must not throw
+        m.width.foreach(w => assert(w > 0))
+        m.height.foreach(h => assert(h > 0))
+        m.duration_ms.foreach(d => assert(d >= 0))
+      }
+    }
+  }
+
+  test("fuzz: frame codecs and media codecs never throw, output length = dims") {
+    cases.foreach { bytes =>
+      for (ms <- Seq(0L, 40L, 999999L)) {
+        assert(Multimodal.Y4mFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
+        assert(new Multimodal.WavFrameCodec(500L).decodeFrame(bytes, ms, 4).length === 4)
+      }
+      assert(Multimodal.PpmCodec.decode(
+        if (bytes == null) Array.emptyByteArray else bytes, 4).length === 4)
+      assert(Multimodal.WavCodec.decode(
+        if (bytes == null) Array.emptyByteArray else bytes, 4).length === 4)
+    }
+  }
+
+  test("fuzz: valid fixtures still probe correctly after the fuzz pass (no shared state)") {
+    assert(Multimodal.SniffProbe.probe(y4m).format === Some("y4m"))
+    assert(Multimodal.SniffProbe.probe(wav).format === Some("wav"))
+    assert(Multimodal.SniffProbe.probe(ppm).format === Some("ppm"))
+  }
+}
