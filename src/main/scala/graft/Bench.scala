@@ -92,9 +92,15 @@ object Bench {
       // the timed region.
       System.gc()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        // some builders materialize internal localCheckpoints
+        // (persistSignatures, eager curation stages); the frame is fully
+        // consumed here, so release them now instead of waiting for the
+        // ContextCleaner to notice the dropped reference
+        graft.core.Checkpoints.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9

@@ -33,9 +33,13 @@ object Verify {
         target.listFiles().foreach(_.delete())
         target.delete()
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // release builder-internal localCheckpoints (persistSignatures,
+        // eager curation stages) now that the frame is fully consumed
+        graft.core.Checkpoints.release(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
