@@ -519,6 +519,9 @@ object Multimodal {
       val luma = w.get.toLong * h.get
       val frameBytes = luma +
         (if (chromaShift == Int.MaxValue) 0L else 2L * (luma >> chromaShift))
+      // a plausible header declaring absurd dims must not wrap the Int
+      // offset walk below (the codec has the same guard)
+      if (frameBytes <= 0 || frameBytes > Int.MaxValue) return none
       var off = eol + 1
       var frames = 0L
       var ok = true

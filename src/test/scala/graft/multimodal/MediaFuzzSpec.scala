@@ -76,6 +76,14 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("absurd declared dims poison cleanly (no Int-offset wrap)") {
+    val huge = "YUV4MPEG2 W99999999 H99999999 F25:1 C420\nFRAME\nxx"
+      .getBytes("US-ASCII")
+    assert(Multimodal.Y4mProbe.probe(huge) ===
+      Multimodal.ProbedMeta(0L, None, None, None, None))
+    assert(Multimodal.Y4mFrameCodec.decodeFrame(huge, 0L, 2).toSeq === Seq(0f, 0f))
+  }
+
   test("fuzz: valid fixtures still probe correctly after the fuzz pass (no shared state)") {
     assert(Multimodal.SniffProbe.probe(y4m).format === Some("y4m"))
     assert(Multimodal.SniffProbe.probe(wav).format === Some("wav"))
