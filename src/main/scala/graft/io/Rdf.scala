@@ -82,6 +82,13 @@ object Rdf {
     require(named.nonEmpty, "writeAll: no datasets given")
     require(named.map(_._1).distinct.size == named.size,
       "writeAll: dataset names must be unique")
+    // names become `dataset=<name>` partition dirs and are renamed by
+    // LITERAL path below — a name needing Hive escaping (space, '%', '=')
+    // would be written escaped and missed by the rename
+    named.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_.-]+"),
+        s"writeAll: dataset name '$name' must be [A-Za-z0-9_.-]+")
+    }
     val spark = named.head._2.sparkSession
     val tagged = named.map { case (name, df) =>
       validPredicates(df).select(
@@ -102,7 +109,12 @@ object Rdf {
       val target = new org.apache.hadoop.fs.Path(s"$outBase/$name.rdf")
       if (fs.exists(target)) fs.delete(target, true)
       val src = new org.apache.hadoop.fs.Path(staging, s"dataset=$name")
-      if (fs.exists(src)) fs.rename(src, target)
+      // rename reports several FS failure modes as `false`, not an
+      // exception — silently reading back an empty dataset (and then
+      // deleting the staging dir holding the stranded data) must not
+      // pass for success
+      if (fs.exists(src))
+        require(fs.rename(src, target), s"writeAll: rename $src -> $target failed")
       name -> read(spark, target.toString)
     }.toMap
     fs.delete(staging, true) // _SUCCESS + any empty remnants

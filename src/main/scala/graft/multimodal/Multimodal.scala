@@ -348,29 +348,38 @@ object Multimodal {
     * Failure policy matches the other real codecs: malformed header,
     * unknown colorspace, or a truncated / out-of-range frame decodes to
     * the zero vector instead of throwing. */
-  object Y4mFrameCodec extends FrameCodec {
-    def decode(content: Array[Byte], dims: Int): Array[Float] =
-      decodeFrame(content, 0L, dims) // whole-content = the first frame
-    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
-      val zero = new Array[Float](dims)
-      if (content == null || dims <= 0 || frameMs < 0) return zero
+  /** The SINGLE YUV4MPEG2 header parse + frame-marker walk shared by
+    * [[Y4mFrameCodec]] (seek) and [[Y4mProbe]] (count) — one parser, so
+    * the probe's `duration_ms` and the codec's seek offsets can never
+    * diverge (and there is exactly one place to harden: the byte-walk
+    * `parseInt` is overflow-capped, never `String.toLong`). */
+  private[multimodal] object Y4m {
+    /** frameBytes fits an Int by [[parseHeader]]'s guard. */
+    final case class Header(
+        w: Int, h: Int, fpsNum: Long, fpsDen: Long, frameBytes: Int, bodyStart: Int)
+
+    /** None for anything malformed: bad magic, missing/zero/overlong
+      * numeric tags, unknown colorspace, absurd frame size. */
+    def parseHeader(content: Array[Byte]): Option[Header] = {
+      if (content == null) return None
       val magic = "YUV4MPEG2"
       if (content.length < magic.length + 1 ||
           !(0 until magic.length).forall(i => content(i) == magic.charAt(i).toByte))
-        return zero
-      // header line: space-separated tagged params, terminated by 0x0A
+        return None
       var eol = magic.length
       while (eol < content.length && content(eol) != '\n') eol += 1
-      if (eol >= content.length) return zero
+      if (eol >= content.length) return None
       var w = -1; var h = -1; var fpsNum = -1L; var fpsDen = -1L
       var chromaShift = -1 // chroma plane bytes = (w*h) >> shift per plane
       var p = magic.length
+      // digits only, at most 9 (a 10+-digit dimension or fps term is
+      // malformed by fiat — and can never overflow anything downstream)
       def parseInt(from: Int, until: Int): Long = {
         var v = 0L; var i = from
         while (i < until && content(i) >= '0' && content(i) <= '9') {
           v = v * 10 + (content(i) - '0'); i += 1
         }
-        if (i == from) -1L else v
+        if (i == from || i < until || i - from > 9) -1L else v
       }
       while (p < eol) {
         while (p < eol && content(p) == ' ') p += 1
@@ -400,37 +409,65 @@ object Multimodal {
       }
       if (chromaShift == -1) chromaShift = 2 // spec default is 4:2:0
       if (w <= 0 || h <= 0 || fpsNum <= 0 || fpsDen <= 0 || chromaShift == -2)
-        return zero
+        return None
       val lumaBytes = w.toLong * h
       val frameBytes = lumaBytes +
         (if (chromaShift == Int.MaxValue) 0L else 2L * (lumaBytes >> chromaShift))
-      if (frameBytes <= 0 || frameBytes > Int.MaxValue) return zero
-      // nearest frame for frameMs at num/den fps, clamped below to the
-      // stream's actual frame count while walking
-      val target = ((frameMs * fpsNum + 500L * fpsDen) / (1000L * fpsDen)).toInt
-      var off = eol + 1
-      var idx = 0
-      var lumaOff = -1L
-      var lastLumaOff = -1L
-      while (lumaOff < 0 && off < content.length) {
-        // FRAME marker line (optional params), terminated by 0x0A
-        val fm = "FRAME"
+      if (frameBytes <= 0 || frameBytes > Int.MaxValue) return None
+      Some(Header(w, h, fpsNum, fpsDen, frameBytes.toInt, eol + 1))
+    }
+
+    /** Walk FRAME markers by offset arithmetic (marker lines read, payload
+      * bytes never touched), stopping at the first malformed marker or
+      * truncated payload. Returns `(completeFrames, targetLumaOff,
+      * lastCompleteLumaOff)` — offsets are −1 when absent. `target < 0`
+      * counts only. */
+    def walk(content: Array[Byte], hdr: Header, target: Long): (Long, Long, Long) = {
+      val fm = "FRAME"
+      var off = hdr.bodyStart
+      var idx = 0L
+      var tgt = -1L
+      var last = -1L
+      var ok = true
+      while (ok && off < content.length) {
         if (content.length < off + fm.length ||
             !(0 until fm.length).forall(i => content(off + i) == fm.charAt(i).toByte))
-          return if (lastLumaOff >= 0 && idx > 0) blockLuma(content, lastLumaOff, w, h, dims)
-            else zero
-        var fe = off + fm.length
-        while (fe < content.length && content(fe) != '\n') fe += 1
-        if (fe >= content.length || content.length < fe + 1 + frameBytes) return zero
-        if (idx == target) lumaOff = fe + 1
-        else { lastLumaOff = fe + 1; idx += 1; off = fe + 1 + frameBytes.toInt }
+          ok = false
+        else {
+          var fe = off + fm.length
+          while (fe < content.length && content(fe) != '\n') fe += 1
+          if (fe >= content.length || content.length < fe + 1L + hdr.frameBytes)
+            ok = false // truncated final frame: not counted, walk ends
+          else {
+            if (idx == target) tgt = fe + 1
+            last = fe + 1
+            idx += 1
+            off = fe + 1 + hdr.frameBytes
+          }
+        }
       }
-      // target beyond the stream: clamp to the last complete frame
-      if (lumaOff < 0) {
-        if (lastLumaOff < 0) return zero
-        lumaOff = lastLumaOff
+      (idx, tgt, last)
+    }
+  }
+
+  object Y4mFrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims) // whole-content = the first frame
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0) return zero
+      Y4m.parseHeader(content) match {
+        case None => zero
+        case Some(hdr) =>
+          // nearest frame for frameMs at num/den fps; anything past the
+          // last COMPLETE frame (including a truncated final payload —
+          // the normal crawl corruption) clamps to it
+          val target = (frameMs * hdr.fpsNum + 500L * hdr.fpsDen) / (1000L * hdr.fpsDen)
+          val (_, tgt, last) = Y4m.walk(content, hdr, target)
+          val lumaOff = if (tgt >= 0) tgt else last
+          if (lumaOff < 0) zero
+          else blockLuma(content, lumaOff, hdr.w, hdr.h, dims)
       }
-      blockLuma(content, lumaOff, w, h, dims)
     }
 
     /** Mean luma over `dims` equal raster-order pixel blocks, /255. */
@@ -487,59 +524,19 @@ object Multimodal {
   }
 
   /** Y4M: width/height/fps from the stream header; duration from the
-    * frame COUNT — markers walked by offset arithmetic (headers only,
-    * payloads never read), the same walk [[Y4mFrameCodec]] seeks with. */
+    * COMPLETE-frame count. Both come from the SAME parser and marker
+    * walk the codec seeks with ([[Y4m]]) — probe and codec cannot
+    * disagree on layout, and the parse is the hardened byte walk (no
+    * `String.toLong`, overflow-capped numerics). */
   object Y4mProbe extends MediaProbe {
-    def probe(content: Array[Byte]): ProbedMeta = {
-      val none = ProbedMeta(0L, None, None, None, None)
-      if (content == null || content.length < 10) return none
-      val magic = "YUV4MPEG2"
-      if (!(0 until magic.length).forall(i => content(i) == magic.charAt(i).toByte))
-        return none
-      var eol = magic.length
-      while (eol < content.length && content(eol) != '\n') eol += 1
-      if (eol >= content.length) return none
-      val header = new String(content, 0, eol, "US-ASCII")
-      def tag(t: Char): Option[String] =
-        header.split(' ').find(p => p.nonEmpty && p.head == t).map(_.tail)
-      val w = tag('W').flatMap(_.toIntOption)
-      val h = tag('H').flatMap(_.toIntOption)
-      val fps = tag('F').map(_.split(':')).collect {
-        case Array(n, d) if n.forall(_.isDigit) && d.forall(_.isDigit) =>
-          (n.toLong, d.toLong)
+    def probe(content: Array[Byte]): ProbedMeta =
+      Y4m.parseHeader(content) match {
+        case None => ProbedMeta(0L, None, None, None, None)
+        case Some(hdr) =>
+          val (frames, _, _) = Y4m.walk(content, hdr, target = -1L)
+          ProbedMeta(0L, Some("y4m"), Some(hdr.w), Some(hdr.h),
+            Some(frames * 1000L * hdr.fpsDen / hdr.fpsNum))
       }
-      val chromaShift = tag('C').map { cs =>
-        if (cs.startsWith("420")) 2 else if (cs.startsWith("422")) 1
-        else if (cs.startsWith("444")) 0 else if (cs == "mono") Int.MaxValue
-        else -2
-      }.getOrElse(2)
-      if (w.isEmpty || h.isEmpty || fps.isEmpty || chromaShift == -2 ||
-          w.exists(_ <= 0) || h.exists(_ <= 0) || fps.exists(f => f._1 <= 0 || f._2 <= 0))
-        return none
-      val luma = w.get.toLong * h.get
-      val frameBytes = luma +
-        (if (chromaShift == Int.MaxValue) 0L else 2L * (luma >> chromaShift))
-      // a plausible header declaring absurd dims must not wrap the Int
-      // offset walk below (the codec has the same guard)
-      if (frameBytes <= 0 || frameBytes > Int.MaxValue) return none
-      var off = eol + 1
-      var frames = 0L
-      var ok = true
-      while (ok && off < content.length) {
-        val fm = "FRAME"
-        if (content.length < off + fm.length ||
-            !(0 until fm.length).forall(i => content(off + i) == fm.charAt(i).toByte))
-          ok = false
-        else {
-          var fe = off + fm.length
-          while (fe < content.length && content(fe) != '\n') fe += 1
-          if (fe >= content.length || content.length < fe + 1 + frameBytes) ok = false
-          else { frames += 1; off = fe + 1 + frameBytes.toInt }
-        }
-      }
-      val (num, den) = fps.get
-      ProbedMeta(0L, Some("y4m"), w, h, Some(frames * 1000L * den / num))
-    }
   }
 
   /** WAV: sample rate + data-chunk length → duration (the fmt-chunk walk

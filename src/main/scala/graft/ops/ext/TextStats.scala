@@ -1030,10 +1030,18 @@ object TextStats {
         count(lit(1)).as("n"))
     // n rides the candidate rows so `sketch` is planned ONCE (a second
     // reference would re-run the sketch pass over the corpus)
-    val cand = sketch.select(gcols ++ Seq(col("n"), explode(col("cands")).as("token")): _*)
-    tok.join(broadcast(cand), groupCols :+ "token")
+    val cand = sketch.select(
+      groupCols.map(c => col(c).as(s"_c_$c")) ++
+        Seq(col("n").as("_c_n"), explode(col("cands")).as("_c_token")): _*)
+    // null-safe on the GROUP keys: groupBy keeps a null group and sketches
+    // it, so the confirm join must not drop it (a plain equi join's
+    // EqualTo never matches NULL = NULL); tokens are non-null by the
+    // exploded-tokens contract
+    val joinCond = groupCols.map(c => col(c) <=> col(s"_c_$c"))
+      .reduce(_ && _) && col("token") === col("_c_token")
+    tok.join(broadcast(cand), joinCond)
       .groupBy(gcols :+ col("token"): _*)
-      .agg(count(lit(1)).as("cnt"), max(col("n")).as("n")) // n constant/group
+      .agg(count(lit(1)).as("cnt"), max(col("_c_n")).as("n")) // n constant/group
       .where(col("cnt") * lit((k + 1).toLong) > col("n"))
       .select(gcols ++ Seq(col("token"), col("cnt")): _*)
   }

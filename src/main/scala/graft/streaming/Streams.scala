@@ -464,7 +464,7 @@ object Streams {
     import spark.implicits._
     docs
       .select(col(groupCol).cast("string").as("g"),
-        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+        col(textCol).cast("string").as("t"))
       .as[(String, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[MgGroupState, (String, Seq[String])](
@@ -475,8 +475,11 @@ object Streams {
             sk.counters.update(
               org.apache.spark.unsafe.types.UTF8String.fromString(w), c)
           })
+          // NULL text contributes no tokens — `explode(tokens(text))`
+          // parity with the batch path (empty text still yields one ""
+          // token, also matching the batch tokenizer)
           rows.foreach { case (_, t) =>
-            t.trim.split("\\s+").foreach(w =>
+            if (t != null) t.trim.split("\\s+").foreach(w =>
               sk.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
           }
           state.update(MgGroupState(

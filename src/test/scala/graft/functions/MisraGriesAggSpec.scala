@@ -72,6 +72,21 @@ class MisraGriesAggSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("heavyHittersBy keeps NULL group keys (null-safe confirm join)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val withNull = Seq(
+      (Some("A"), "alpha alpha alpha x1 y1 alpha"),
+      (None, "ghost ghost ghost z1 z2 ghost"),
+      (None, "ghost w1")
+    ).toDF("source", "text")
+    val out = TextStats.heavyHittersBy(withNull, col("text"), Seq("source"), k = 2)
+      .as[(Option[String], String, Long)].collect().toSet
+    // the NULL group's majority token must survive the confirm join
+    assert(out.contains((None, "ghost", 5L)), out)
+    assert(out.contains((Some("A"), "alpha", 4L)), out)
+  }
+
   test("heavyHittersBy plan shape: one sketch pass, broadcast candidate confirm") {
     val spark2 = spark
     import spark2.implicits._

@@ -82,6 +82,33 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(Multimodal.Y4mProbe.probe(huge) ===
       Multimodal.ProbedMeta(0L, None, None, None, None))
     assert(Multimodal.Y4mFrameCodec.decodeFrame(huge, 0L, 2).toSeq === Seq(0f, 0f))
+    // overlong (10+-digit) numerics are malformed by fiat, never overflow
+    val overlong = "YUV4MPEG2 W4 H4 F99999999999999999999:1 C420\nFRAME\n"
+      .getBytes("US-ASCII")
+    assert(Multimodal.Y4mProbe.probe(overlong).format === None)
+  }
+
+  test("malformed F tag and truncated final frame: probe poisons, codec clamps") {
+    // 'F:30' (empty numerator) must return all-None, not throw — the
+    // crash class a String.split/toLong parser had
+    val badF = "YUV4MPEG2 W4 H4 F:30 C420\nFRAME\n".getBytes("US-ASCII")
+    assert(Multimodal.Y4mProbe.probe(badF) ===
+      Multimodal.ProbedMeta(0L, None, None, None, None))
+    assert(Multimodal.Y4mFrameCodec.decodeFrame(badF, 0L, 1).toSeq === Seq(0f))
+    // a stream ending in a TRUNCATED final payload (normal crawl
+    // corruption): the probe counts only complete frames, and a seek
+    // past the end clamps to the last COMPLETE frame, exactly like
+    // trailing garbage would
+    val f1 = "FRAME\n".getBytes("US-ASCII") ++
+      Array.fill(16)(0x10.toByte) ++ Array.fill(8)(0x80.toByte)
+    val f2 = "FRAME\n".getBytes("US-ASCII") ++
+      Array.fill(16)(0xE0.toByte) ++ Array.fill(8)(0x80.toByte)
+    val truncated = "YUV4MPEG2 W4 H4 F25:1 C420\n".getBytes("US-ASCII") ++
+      f1 ++ f2.dropRight(5)
+    val m = Multimodal.Y4mProbe.probe(truncated)
+    assert(m.duration_ms === Some(40L), m) // ONE complete frame at 25 fps
+    val v = Multimodal.Y4mFrameCodec.decodeFrame(truncated, 99999L, 1)
+    assert(math.abs(v(0) - 0x10 / 255f) < 1e-6f, v.toSeq) // clamped to frame 0
   }
 
   test("fuzz: valid fixtures still probe correctly after the fuzz pass (no shared state)") {

@@ -261,11 +261,13 @@ class MultimodalSpec extends SparkSpec {
     assert(c.decodeFrame(y4m, 100000L, 16).toSeq === g16.toSeq)
     // whole-content decode = first frame
     assert(c.decode(y4m, 1).toSeq === c.decodeFrame(y4m, 0L, 1).toSeq)
-    // poison policy: junk magic, unknown colorspace, truncated payload
+    // poison policy: junk magic and unknown colorspace zero out; a
+    // TRUNCATED target frame clamps to the last complete one (frame 1,
+    // bright) — same treatment as trailing garbage (MediaFuzzSpec)
     assert(c.decodeFrame("JUNK".getBytes, 0L, 2).toSeq === Seq(0f, 0f))
     val badCs = new String(y4m, "ISO-8859-1").replace("C420", "C999")
     assert(c.decodeFrame(badCs.getBytes("ISO-8859-1"), 0L, 1).toSeq === Seq(0f))
-    assert(c.decodeFrame(y4m.dropRight(4), 80L, 1).toSeq === Seq(0f))
+    assert(math.abs(c.decodeFrame(y4m.dropRight(4), 80L, 1)(0) - 0xE0 / 255f) < 1e-6f)
 
     // the same mapPartitions seam as every frame codec: frames generate
     // in-partition from duration metadata, content read once per row
