@@ -2002,6 +2002,29 @@ object SparkEntry {
           Seq("source"), k = 50)
         .orderBy(col("source"), col("token"))
     }),
+
+    // ---- DQL acceptance: near(geo) — box prefilter + ranked top-k -------
+    "q151_geo_near" -> ((s, dir) => {
+      // georss "lat lon" literals on a deterministic micro-degree grid,
+      // round-tripped through the string parse (the same literal shape
+      // q31 synthesizes GeoJSON from), then near((37.25, -100.5), 10deg
+      // box, top 25) — integer-exact equirectangular ranking
+      def gs(c: String): Column = concat(
+        when(col(c) < 0, lit("-")).otherwise(lit("")),
+        expr(s"abs($c) div 1000000").cast("string"), lit("."),
+        lpad(expr(s"abs($c) % 1000000").cast("string"), 6, "0"))
+      val pts = t(s, dir, "part")
+        .withColumn("id", col("p_partkey").cast("long"))
+        .withColumn("_la", (col("id") * 96064793L) % 180000001L - 90000000L)
+        .withColumn("_lo", (col("id") * 144721393L) % 360000001L - 180000000L)
+        .withColumn("o", concat(lit("\""), gs("_la"), lit(" "), gs("_lo"), lit("\"")))
+        .select("id", "o")
+      val (latm, lonm) = graft.ops.Geo.pointMicro(col("o"))
+      graft.ops.Geo.near(pts, "id", latm, lonm,
+          qLatMicro = 37250000L, qLonMicro = -100500000L,
+          boxMicro = 10000000L, k = 25)
+        .orderBy(col("dist2"), col("id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4248,6 +4271,33 @@ object SparkEntry {
           |GROUP BY tok.source, token, tot.n
           |HAVING COUNT(*) * 51 > tot.n
           |ORDER BY tok.source, token""".stripMargin.replace("\n", " "),
+
+      // q151: the same micro-degree grid, string round-trip, box filter,
+      // and BIGINT distance surrogate — cosScale is the shared
+      // driver-computed literal; all divisions on non-negative operands
+      // so `div` (Spark, truncating) and `//` (DuckDB, flooring) agree
+      "q151_geo_near" -> {
+        val c = graft.ops.Geo.cosScale(37250000L)
+        s"""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+          |  (CAST(p_partkey AS BIGINT) * 96064793) % 180000001 - 90000000 AS la,
+          |  (CAST(p_partkey AS BIGINT) * 144721393) % 360000001 - 180000000 AS lo FROM part),
+          |g AS (SELECT id, '"' ||
+          |  CASE WHEN la < 0 THEN '-' ELSE '' END || CAST(abs(la) // 1000000 AS VARCHAR)
+          |  || '.' || lpad(CAST(abs(la) % 1000000 AS VARCHAR), 6, '0') || ' ' ||
+          |  CASE WHEN lo < 0 THEN '-' ELSE '' END || CAST(abs(lo) // 1000000 AS VARCHAR)
+          |  || '.' || lpad(CAST(abs(lo) % 1000000 AS VARCHAR), 6, '0') || '"' AS o FROM p),
+          |pt AS (SELECT id,
+          |  CAST(CAST(split_part(trim(o, '"'), ' ', 1) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS latm,
+          |  CAST(CAST(split_part(trim(o, '"'), ' ', 2) AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS lonm
+          | FROM g),
+          |nb AS (SELECT id, latm, lonm,
+          |  abs(latm - 37250000) AS dlat, abs(lonm - (-100500000)) AS dlon FROM pt
+          | WHERE latm BETWEEN 27250000 AND 47250000
+          |   AND lonm BETWEEN -110500000 AND -90500000)
+          |SELECT id, latm, lonm,
+          |  dlat*dlat + ((dlon * $c) // 1048576) * ((dlon * $c) // 1048576) AS dist2
+          |FROM nb ORDER BY dist2, id LIMIT 25""".stripMargin.replace("\n", " ")
+      },
     )
   }
 }
