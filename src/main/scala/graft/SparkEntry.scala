@@ -2025,6 +2025,18 @@ object SparkEntry {
           boxMicro = 10000000L, k = 25)
         .orderBy(col("dist2"), col("id"))
     }),
+
+    // ---- q148's semantics through the exact top-k typed aggregate -------
+    "q152_weighted_agg" -> ((s, dir) => {
+      // same A-Res keys and tie-break as q148, but per-stratum selection
+      // is the k-entry-heap ObjectHashAggregate (no sort, no window) —
+      // the aggregate dual; identical rows, so the oracle is q148's
+      Sampling.weightedSampleStratifiedAgg(
+          t(s, dir, "documents")
+            .withColumn("n_tok", TextStats.tokenCount(col("text"))),
+          "doc_id", "lang", col("n_tok"), k = 20, seed = 7L)
+        .orderBy(col("stratum"), col("skey"), col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4298,6 +4310,21 @@ object SparkEntry {
           |  dlat*dlat + ((dlon * $c) // 1048576) * ((dlon * $c) // 1048576) AS dist2
           |FROM nb ORDER BY dist2, id LIMIT 25""".stripMargin.replace("\n", " ")
       },
+
+      // q152: the aggregate path computes the SAME rows as q148 (exact
+      // top-k under the same total order) — the oracle is q148's
+      "q152_weighted_agg" ->
+        s"""WITH q AS (SELECT doc_id, lang AS stratum,
+          |  CAST(len($toks) AS BIGINT) AS w FROM documents),
+          |h AS (SELECT doc_id, stratum, w,
+          |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |    % 70368744177664 AS u
+          | FROM q),
+          |s AS (SELECT doc_id, stratum, w,
+          |  ((3014656 - ${fl2("(u + 1)")}) * 1048576) // w AS skey FROM h),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY skey, doc_id) AS rn FROM s)
+          |SELECT doc_id, stratum, w AS weight, skey FROM r WHERE rn <= 20
+          |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

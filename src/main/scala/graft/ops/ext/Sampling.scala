@@ -121,6 +121,40 @@ object Sampling {
       .select(col(idCol), col("stratum"), col("_w").as("weight"), col("skey"))
   }
 
+  /** [[weightedSampleStratified]] through the exact
+    * [[graft.functions.TopKByKeyAgg]] typed aggregate instead of the
+    * rank window — identical output (same integer A-Res keys, same
+    * numeric id tie-break; equivalence spec-gated), different physical
+    * shape: the window path sorts within tasks, prunes with
+    * `InferWindowGroupLimit`, then sorts again to rank; the aggregate
+    * path keeps a k-entry heap per stratum in an `ObjectHashAggregate`
+    * — NO sort anywhere before the ≤k-row-per-stratum explode, and the
+    * only corpus-sized work is the map-side partial fold. Prefer this
+    * form when strata are few and wide (the window's per-task sort is
+    * pure overhead); the window form when `df` is already partitioned
+    * by the stratum. Requires a BIGINT-castable id. */
+  def weightedSampleStratifiedAgg(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weightedSampleStratifiedAgg: k must be >= 1, got $k")
+    val u = conv(substring(md5(
+      concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val fMax = Importance.flog2(1L << 46)
+    df
+      .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
+      .withColumn("stratum", col(stratumCol).cast("string"))
+      .withColumn("_u", pmod(u, lit(1L << 46)))
+      .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
+      .withColumn("skey", expr(s"(($fMax - _f) * 1048576) div _w"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKByKeyAgg.topKByKey(
+        col("skey"), col(idCol).cast("long"), col("_w"), k).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("e"))
+      .select(col("e.id").as(idCol), col("stratum"),
+        col("e.weight").as("weight"), col("e.skey").as("skey"))
+  }
+
   /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER's
     * canonical id instead of the document's own — every member of a
     * cluster lands in the SAME split, so a training document's

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, TopKByKeyAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -220,6 +220,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_mg_candidates(token, k) takes 2 arguments")
         // the analyzer wraps a bare AggregateFunction in AggregateExpression
         MisraGriesAgg(children.head, intLiteral(children(1), "counter budget k"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_by_key"),
+      new ExpressionInfo(
+        classOf[TopKByKeyAgg].getName,
+        null,
+        "graft_topk_by_key",
+        "graft_topk_by_key(key, id, payload, k) - aggregate: exact k smallest " +
+          "(key, id) entries with payload, as sorted array<struct<skey,id,weight>>",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "graft_topk_by_key(key, id, payload, k) takes 4 arguments")
+        TopKByKeyAgg(children(0), children(1), children(2), intLiteral(children(3), "k"))
       }))
   }
 }

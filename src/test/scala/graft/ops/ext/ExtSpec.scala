@@ -907,6 +907,52 @@ class WeightedSampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out.filter(_._2 == "x").map(_._1).toSet === flatX)
   }
+
+  test("weightedSampleStratifiedAgg: row-identical to the window path, no sort in plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // weights repeat, so skey COLLISIONS happen and the id tie-break is
+    // actually exercised across the two paths
+    val df = (0L until 300L).map(i => (i, Seq("x", "y", "z")((i % 3).toInt), i % 7 + 1))
+      .toDF("doc_id", "lang", "w")
+    val win = Sampling.weightedSampleStratified(df, "doc_id", "lang", col("w"),
+        k = 10, seed = 7L)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._4, r._1))
+    val agg = Sampling.weightedSampleStratifiedAgg(df.repartition(5), "doc_id", "lang",
+        col("w"), k = 10, seed = 7L)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._4, r._1))
+    assert(agg === win)
+    // physical shape: ObjectHashAggregate (partial + final), zero Sort
+    val plan = Sampling.weightedSampleStratifiedAgg(df.repartition(5), "doc_id",
+        "lang", col("w"), k = 10, seed = 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Sort "), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("graft_topk_by_key: exact k smallest under merge, SQL-callable, typed errors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // many partitions force partial heaps + merges; duplicate keys check
+    // the (key, id) tie-break inside the heap
+    val df = (0L until 500L).map(i => (i % 50, i, i * 2)).toDF("k", "id", "p")
+      .repartition(7)
+    df.createOrReplaceTempView("tkk_in")
+    val out = spark.sql(
+      "SELECT explode(graft_topk_by_key(k, id, p, 5)) AS e FROM tkk_in")
+      .select("e.skey", "e.id", "e.weight")
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = (0L until 500L).map(i => (i % 50, i, i * 2))
+      .sortBy(r => (r._1, r._2)).take(5)
+    assert(out === exp)
+    // mistyped call fails analysis with the aggregate's own message
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk_by_key(CAST(k AS STRING), id, p, 5) FROM tkk_in")
+        .collect()
+    }
+    assert(err.getMessage.contains("graft_topk_by_key"), err.getMessage)
+  }
 }
 
 class ContaminationSpec extends SparkSpec {
