@@ -73,10 +73,13 @@ object Sampling {
     * global sort, no shuffle of the corpus. Like [[hashFraction]], the
     * outcome is a function of row identity + seed, reproducible across
     * runs, engines, and partition layouts. */
-  def weightedSample(
+  /** The integer A-Res key derivation EVERY weighted sampler (batch
+    * window, batch aggregate, streaming) shares — one definition, so no
+    * two paths can rank differently. Adds `_w` (weight, contract >= 1),
+    * `_u`/`_f` intermediates, and the ranking key as `keyName`. */
+  private[graft] def withAresKey(
       df: DataFrame, idCol: String, weightCol: Column,
-      k: Int, seed: Long): DataFrame = {
-    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+      seed: Long, keyName: String): DataFrame = {
     val u = conv(substring(md5(
       concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long")
@@ -85,7 +88,14 @@ object Sampling {
       .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
       .withColumn("_u", pmod(u, lit(1L << 46)))
       .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
-      .withColumn("_s", expr(s"(($fMax - _f) * 1048576) div _w"))
+      .withColumn(keyName, expr(s"(($fMax - _f) * 1048576) div _w"))
+  }
+
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    withAresKey(df, idCol, weightCol, seed, "_s")
       .orderBy(col("_s").asc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("_w").as("weight"), col("_s").as("skey"))
@@ -104,18 +114,10 @@ object Sampling {
       k: Int, seed: Long): DataFrame = {
     require(k >= 1, s"weightedSampleStratified: k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val u = conv(substring(md5(
-      concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long")
-    val fMax = Importance.flog2(1L << 46)
     val byStratum = Window.partitionBy(col("stratum"))
       .orderBy(col("skey").asc, col(idCol).asc)
-    df
-      .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
+    withAresKey(df, idCol, weightCol, seed, "skey")
       .withColumn("stratum", col(stratumCol).cast("string"))
-      .withColumn("_u", pmod(u, lit(1L << 46)))
-      .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
-      .withColumn("skey", expr(s"(($fMax - _f) * 1048576) div _w"))
       .withColumn("_rnk", row_number().over(byStratum))
       .where(col("_rnk") <= k)
       .select(col(idCol), col("stratum"), col("_w").as("weight"), col("skey"))
@@ -137,16 +139,8 @@ object Sampling {
       df: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
       k: Int, seed: Long): DataFrame = {
     require(k >= 1, s"weightedSampleStratifiedAgg: k must be >= 1, got $k")
-    val u = conv(substring(md5(
-      concat_ws("#", lit(seed.toString), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long")
-    val fMax = Importance.flog2(1L << 46)
-    df
-      .withColumn("_w", weightCol.cast("long")) // contract: weights >= 1
+    withAresKey(df, idCol, weightCol, seed, "skey")
       .withColumn("stratum", col(stratumCol).cast("string"))
-      .withColumn("_u", pmod(u, lit(1L << 46)))
-      .withColumn("_f", Importance.flog2Col(col("_u") + 1L))
-      .withColumn("skey", expr(s"(($fMax - _f) * 1048576) div _w"))
       .groupBy(col("stratum"))
       .agg(graft.functions.TopKByKeyAgg.topKByKey(
         col("skey"), col(idCol).cast("long"), col("_w"), k).as("picks"))

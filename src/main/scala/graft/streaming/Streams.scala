@@ -23,6 +23,10 @@ case class FunnelState(depth: Int, reachedMs: Long)
   * keys don't matter here because candidates are an unordered SET). */
 case class MgGroupState(counters: Map[String, Long])
 
+/** Current per-stratum weighted-sample picks: (skey, id, weight),
+  * ascending (skey, id) — ≤ k entries by construction. */
+case class TopKState(picks: Seq[(Long, Long, Long)])
+
 /** Structured Streaming duals of the batch event ops
   * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
   * late-data handling, session windows, and custom keyed state via
@@ -487,6 +491,49 @@ object Streams {
           (g, sk.counters.keysIterator.map(_.toString).toSeq.sorted)
       }
       .toDF(groupCol, "candidates")
+  }
+
+  /** Streaming per-stratum weighted sampling — the live dual of
+    * [[graft.ops.ext.Sampling.weightedSampleStratifiedAgg]]: maintain
+    * the CURRENT k weighted picks per stratum as documents arrive
+    * (sample maintenance over live ingestion — "a fresh quality-weighted
+    * subsample of everything seen so far", the streaming sibling of the
+    * batch sampler's one-shot cut).
+    *
+    * The A-Res keys come from the SHARED
+    * [[graft.ops.ext.Sampling.withAresKey]] Column derivation and fold
+    * into the SAME bounded heap ([[graft.functions.TopKByKeyAgg.Heap]])
+    * kept in keyed state — so unlike the Misra–Gries dual this is EXACT:
+    * the k smallest keys under a total order are arrival-order-
+    * independent, and each batch's emitted picks equal the batch
+    * sampler run over the stream's prefix (spec-asserted). Run in
+    * `update` mode. State: 3·k longs per stratum — bounded by
+    * construction, never by stream volume. */
+  def weightedSampleStream(
+      docs: DataFrame, idCol: String, stratumCol: String, weightCol: Column,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weightedSampleStream: k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.ext.Sampling.withAresKey(docs, idCol, weightCol, seed, "skey")
+      .select(col(stratumCol).cast("string").as("g"), col("skey"),
+        col(idCol).cast("long").as("id"), col("_w"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TopKState, (String, Seq[(Long, Long, Long)])](
+        GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[TopKState]) =>
+          val h = new graft.functions.TopKByKeyAgg.Heap(k)
+          state.getOption.foreach(_.picks.foreach { case (s, i, w) => h.add(s, i, w) })
+          rows.foreach { case (_, s, i, w) => h.add(s, i, w) }
+          val picks = (0 until h.size)
+            .map(j => (h.keys(j), h.ids(j), h.pays(j)))
+            .sortBy(e => (e._1, e._2))
+          state.update(TopKState(picks))
+          (g, picks)
+      }
+      .toDF(stratumCol, "picks")
   }
 
   /** Streaming NB classification: every arriving document scored under

@@ -308,6 +308,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weightedSampleStream: emitted picks equal the batch sampler over the prefix") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (0L until 60L).map(i => (i, Seq("x", "y")((i % 2).toInt), i % 7 + 1))
+    val b2 = (60L until 150L).map(i => (i, Seq("x", "y")((i % 2).toInt), i % 7 + 1))
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "lang", "w")
+    val q = Streams.weightedSampleStream(docs, "doc_id", "lang", col("w"),
+        k = 8, seed = 7L)
+      .writeStream.format("memory").queryName("ws_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // last update per stratum = the stream's current sample; it must
+      // equal the batch aggregate sampler run on everything seen so far
+      val updates = spark.table("ws_stream")
+        .as[(String, Seq[(Long, Long, Long)])].collect()
+      val last = updates.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1._2 }
+      val batch = graft.ops.ext.Sampling.weightedSampleStratifiedAgg(
+          (b1 ++ b2).toDF("doc_id", "lang", "w"), "doc_id", "lang", col("w"),
+          k = 8, seed = 7L)
+        .as[(Long, String, Long, Long)].collect()
+        .groupBy(_._2)
+        .map { case (g, rs) => g -> rs.map(r => (r._4, r._1, r._3)).toSeq
+          .sortBy(e => (e._1, e._2)) }
+      assert(last === batch)
+      assert(updates.forall(_._2.size <= 8))
+    } finally q.stop()
+  }
+
   test("streaming decontamination drops benchmark-overlapping documents statelessly") {
     val spark2 = spark
     import spark2.implicits._
