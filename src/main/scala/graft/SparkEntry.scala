@@ -2037,6 +2037,18 @@ object SparkEntry {
           "doc_id", "lang", col("n_tok"), k = 20, seed = 7L)
         .orderBy(col("stratum"), col("skey"), col("doc_id"))
     }),
+
+    // ---- Gopher n-gram repetition (top-2-gram + dup-5-gram fractions) ---
+    "q153_ngram_repetition" -> ((s, dir) => {
+      // the Rae et al. §A1.1 pair the token-level q62 doesn't cover:
+      // top n-gram char fraction (small n) + duplicated n-gram char
+      // fraction (large n), integer ppm
+      val d2 = TextStats.ngramRepetition(t(s, dir, "documents"), col("text"), 2)
+      val d5 = TextStats.ngramRepetition(d2, col("text"), 5)
+      d5.select(col("doc_id"), col("top2gram_ppm"), col("dup2gram_ppm"),
+          col("top5gram_ppm"), col("dup5gram_ppm"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4325,6 +4337,43 @@ object SparkEntry {
           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY skey, doc_id) AS rn FROM s)
           |SELECT doc_id, stratum, w AS weight, skey FROM r WHERE rn <= 20
           |ORDER BY stratum, skey, doc_id""".stripMargin.replace("\n", " "),
+
+      // q153: per-n CTE chain — n-grams by list slice, per-(doc, gram)
+      // counts, dup/total char sums, top gram by (cnt DESC, gram) = the
+      // fold's first-in-sorted-order strict-greater tie-break; docs with
+      // fewer than n tokens coalesce to 0; SUM() is HUGEINT so every
+      // output casts BIGINT
+      "q153_ngram_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          |g2 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+          |  i -> array_to_string(toks[(i+1):(i+2)], ' '))) AS gram FROM t WHERE len(toks) >= 2),
+          |c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt, len(gram) AS glen
+          | FROM g2 GROUP BY doc_id, gram),
+          |r2 AS (SELECT doc_id, SUM(cnt*glen) AS tot,
+          |  SUM(CASE WHEN cnt >= 2 THEN cnt*glen ELSE 0 END) AS dup FROM c2 GROUP BY doc_id),
+          |b2 AS (SELECT doc_id, cnt*glen AS topchars FROM (
+          |  SELECT doc_id, cnt, glen,
+          |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c2)
+          | WHERE rn = 1),
+          |g5 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+          |  i -> array_to_string(toks[(i+1):(i+5)], ' '))) AS gram FROM t WHERE len(toks) >= 5),
+          |c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt, len(gram) AS glen
+          | FROM g5 GROUP BY doc_id, gram),
+          |r5 AS (SELECT doc_id, SUM(cnt*glen) AS tot,
+          |  SUM(CASE WHEN cnt >= 2 THEN cnt*glen ELSE 0 END) AS dup FROM c5 GROUP BY doc_id),
+          |b5 AS (SELECT doc_id, cnt*glen AS topchars FROM (
+          |  SELECT doc_id, cnt, glen,
+          |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c5)
+          | WHERE rn = 1)
+          |SELECT d.doc_id,
+          |  CAST(COALESCE((b2.topchars * 1000000) // r2.tot, 0) AS BIGINT) AS top2gram_ppm,
+          |  CAST(COALESCE((r2.dup * 1000000) // r2.tot, 0) AS BIGINT) AS dup2gram_ppm,
+          |  CAST(COALESCE((b5.topchars * 1000000) // r5.tot, 0) AS BIGINT) AS top5gram_ppm,
+          |  CAST(COALESCE((r5.dup * 1000000) // r5.tot, 0) AS BIGINT) AS dup5gram_ppm
+          |FROM documents d
+          |LEFT JOIN r2 USING(doc_id) LEFT JOIN b2 USING(doc_id)
+          |LEFT JOIN r5 USING(doc_id) LEFT JOIN b5 USING(doc_id)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

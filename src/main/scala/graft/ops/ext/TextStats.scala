@@ -155,6 +155,81 @@ object TextStats {
       .withColumn("top_token_frac", topRunLength(toks).cast("double") / n.cast("double"))
   }
 
+  /** N-gram repetition metrics — the rest of the Gopher repetition rule
+    * family (Rae et al. 2021 §A1.1: top n-gram character fraction for
+    * small n, duplicated n-gram character fraction for large n;
+    * [[withRepetition]] covers the token-level pair). Adds
+    * `top{n}gram_ppm` (characters in occurrences of the MOST FREQUENT
+    * n-gram / total n-gram characters, parts-per-million) and
+    * `dup{n}gram_ppm` (characters in occurrences of every n-gram seen
+    * >= 2 times / total). Fractions are integer ppm — `(chars * 10^6)
+    * div total` — so every engine computes the identical BIGINT.
+    *
+    * Ties for most-frequent resolve to the LEXICALLY SMALLEST n-gram
+    * (first in sorted order, strict-greater replacement) — mirrored by
+    * `ORDER BY cnt DESC, gram` in the oracle.
+    *
+    * Shape: per-row fold over the SORTED n-gram array — ONE
+    * `aggregate` with a wide accumulator settling each equal-run as it
+    * ends (HOFs are interpreted; never fold twice), map-side and
+    * scan-bound like every quality metric. The relational alternative
+    * (explode n-grams, groupBy(doc, gram)) shuffles ~n× the corpus
+    * text. */
+  def ngramRepetition(df: DataFrame, textCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"ngramRepetition: n must be >= 1, got $n")
+    val toks = tokens(textCol)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    // exact integer division for non-negative operands (no `div` Column
+    // function, and double `/` + cast mis-truncates near-exact quotients)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val zero = lit(0L)
+    val rep = aggregate(
+      array_sort(grams),
+      struct(lit(null).cast("string").as("prev"), zero.as("plen"), zero.as("run"),
+        zero.as("best"), zero.as("blen"), zero.as("dup"), zero.as("tot")),
+      (acc, g) => {
+        val glen = length(g).cast("long")
+        val run0 = acc.getField("run"); val plen0 = acc.getField("plen")
+        val same = acc.getField("prev") === g // null prev -> null -> otherwise
+        // run ends: fold prev's run into dup/best before starting g's
+        val settledDup = acc.getField("dup") +
+          when(run0 >= 2L, run0 * plen0).otherwise(zero)
+        val settledBest = when(run0 > acc.getField("best"), run0)
+          .otherwise(acc.getField("best"))
+        val settledBlen = when(run0 > acc.getField("best"), plen0)
+          .otherwise(acc.getField("blen"))
+        struct(g.as("prev"),
+          glen.as("plen"),
+          when(same, run0 + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("best")).otherwise(settledBest).as("best"),
+          when(same, acc.getField("blen")).otherwise(settledBlen).as("blen"),
+          when(same, acc.getField("dup")).otherwise(settledDup).as("dup"),
+          (acc.getField("tot") + glen).as("tot"))
+      },
+      acc => {
+        // settle the final run, then scale
+        val run0 = acc.getField("run"); val plen0 = acc.getField("plen")
+        val dup = acc.getField("dup") +
+          when(run0 >= 2L, run0 * plen0).otherwise(zero)
+        val best = when(run0 > acc.getField("best"), run0)
+          .otherwise(acc.getField("best"))
+        val blen = when(run0 > acc.getField("best"), plen0)
+          .otherwise(acc.getField("blen"))
+        val tot = acc.getField("tot")
+        struct(
+          when(tot > 0L, idiv(best * blen * 1000000L, tot)).otherwise(zero).as("top"),
+          when(tot > 0L, idiv(dup * 1000000L, tot)).otherwise(zero).as("dup"))
+      })
+    val repCol = s"_ngrep$n"
+    df.withColumn(repCol, rep)
+      .withColumn(s"top${n}gram_ppm", col(repCol).getField("top"))
+      .withColumn(s"dup${n}gram_ppm", col(repCol).getField("dup"))
+      .drop(repCol)
+  }
+
   /** Top-k characteristic terms per document by tf-idf — the keyword-
     * extraction / topic-tagging pass of a curation pipeline.
     *

@@ -1259,6 +1259,41 @@ class SamplingSpec extends SparkSpec {
 
 class TextStatsSpec extends SparkSpec {
 
+  test("ngramRepetition matches a brute-force run-settling fold, edge cases included") {
+    val spark2 = spark
+    import spark2.implicits._
+    def brute(text: String, n: Int): (Long, Long) = {
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.size < n) return (0L, 0L)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tot = grams.map(_.length.toLong).sum
+      val maxC = cnt.values.max
+      val top = cnt.filter(_._2 == maxC).keys.min // ties: lexically smallest
+      val dup = cnt.collect { case (g, c) if c >= 2 => c * g.length }.sum
+      (maxC * top.length * 1000000L / tot, dup * 1000000L / tot)
+    }
+    val texts = Seq(
+      "a b a b c",              // dominant bigram
+      "b a b a",                // top gram not first in text order
+      "x y z x",                // all-distinct: tie -> lexically smallest
+      "hello",                  // shorter than n
+      "",                       // empty text -> one empty token
+      "a b c d e a b c d e a b c d e", // 5-gram repetition
+      "w w w w w w")            // single token repeated
+    for (n <- Seq(2, 5)) {
+      val out = TextStats.ngramRepetition(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+          col("text"), n)
+        .select(col("doc_id"), col(s"top${n}gram_ppm"), col(s"dup${n}gram_ppm"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (topE, dupE) = brute(t, n)
+        assert(out(i) === ((i.toLong, topE, dupE)), s"n=$n text='$t'")
+      }
+    }
+  }
+
   test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
     val spark2 = spark
     import spark2.implicits._
