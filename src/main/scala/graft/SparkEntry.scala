@@ -2049,6 +2049,34 @@ object SparkEntry {
           col("top5gram_ppm"), col("dup5gram_ppm"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- C4 line-level cleaning (terminal punct, min words, bad strs) ---
+    "q154_c4_lines" -> ((s, dir) => {
+      // the corpus has no newline structure (q90 precedent), so each doc
+      // gets 5 synthesized lines: a real sentence, a bullet fragment, a
+      // javascript boilerplate line (terminal punct + enough words, so
+      // ONLY the bad-substring rule drops it), a short unpunctuated
+      // fragment, and a second real sentence on even ids only — odd ids
+      // keep 1 < minLines=2 lines, so the doc gate fires too
+      // every slice with start > 1 is guarded on token count: DuckDB's
+      // list[a:b] is NULL (not empty) when a > len, and concat_ws SKIPS
+      // null — an unguarded slice would diverge on short docs
+      val toks = Dedup.tokens(col("text"))
+      val l1 = concat(array_join(slice(toks, 1, 6), " "), lit("."))
+      val l2 = when(size(toks) >= 7,
+        concat(lit("- "), array_join(slice(toks, 7, 3), " "))).otherwise(lit("- "))
+      val l3 = lit("please enable javascript to view this page.")
+      val l4 = when(size(toks) >= 10, array_join(slice(toks, 10, 2), " "))
+        .otherwise(lit(""))
+      val l5 = when(col("doc_id") % 2 === 0 && size(toks) >= 12,
+        concat(array_join(slice(toks, 12, 8), " "), lit("!"))).otherwise(lit(""))
+      val lined = t(s, dir, "documents")
+        .withColumn("text", concat_ws("\n", l1, l2, l3, l4, l5))
+      TextStats.c4LineFilter(lined, col("text"), minWords = 3, minLines = 2)
+        .select(col("doc_id"), col("c4_lines"), col("c4_kept"),
+          col("c4_text"), col("c4_pass"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4374,6 +4402,38 @@ object SparkEntry {
           |LEFT JOIN r2 USING(doc_id) LEFT JOIN b2 USING(doc_id)
           |LEFT JOIN r5 USING(doc_id) LEFT JOIN b5 USING(doc_id)
           |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+      // q154: mirror the 5-line synthesis, then the same three line
+      // rules (terminal punct, >= 3 words, no bad substring) and the
+      // >= 2 kept-lines doc gate
+      "q154_c4_lines" -> {
+        // plain string: \s must not go through s-interpolation escapes
+        val lineWords = """len(string_split_regex(trim(l), '\s+'))"""
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          |ln AS (SELECT doc_id, concat_ws(chr(10),
+          |  array_to_string(toks[1:6], ' ') || '.',
+          |  CASE WHEN len(toks) >= 7 THEN '- ' || array_to_string(toks[7:9], ' ')
+          |   ELSE '- ' END,
+          |  'please enable javascript to view this page.',
+          |  CASE WHEN len(toks) >= 10 THEN array_to_string(toks[10:11], ' ')
+          |   ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0 AND len(toks) >= 12
+          |   THEN array_to_string(toks[12:19], ' ') || '!'
+          |   ELSE '' END) AS text FROM t),
+          |f AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+          |  list_filter(string_split(text, chr(10)), l ->
+          |    regexp_matches(trim(l), '[.!?"]$$')
+          |    AND $lineWords >= 3
+          |    AND NOT contains(lower(trim(l)), 'javascript')
+          |    AND NOT contains(lower(trim(l)), 'lorem ipsum')
+          |    AND NOT contains(lower(trim(l)), '{')) AS keep
+          | FROM ln)
+          |SELECT doc_id, CAST(len(ls) AS BIGINT) AS c4_lines,
+          |  CAST(len(keep) AS BIGINT) AS c4_kept,
+          |  array_to_string(keep, chr(10)) AS c4_text,
+          |  len(keep) >= 2 AS c4_pass
+          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
     )
   }
 }

@@ -155,6 +155,42 @@ object TextStats {
       .withColumn("top_token_frac", topRunLength(toks).cast("double") / n.cast("double"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that (a) end in terminal punctuation (`. ! ? "`), (b) have at
+    * least `minWords` whitespace words, and (c) contain none of
+    * `badSubstrings` (case-insensitive — the "javascript" / boilerplate
+    * rule); then gate the DOCUMENT on retaining at least `minLines`
+    * lines (C4's three-sentence page rule). Adds `c4_lines` / `c4_kept`
+    * (BIGINT counts), `c4_text` (kept lines rejoined), and `c4_pass`.
+    *
+    * Filtering, not scoring: the dropped navigation/menu/footer lines
+    * never reach tokenization, dedup, or packing downstream — run it
+    * FIRST in a curation chain so later stages price only real prose.
+    *
+    * Shape: one `filter` lambda over the split line array per row —
+    * map-side, scan-bound, no shuffle (interpreted HOF; the predicate
+    * is cheap string ops, and the array is built once). */
+  def c4LineFilter(
+      df: DataFrame, textCol: Column, minWords: Int = 3, minLines: Int = 1,
+      badSubstrings: Seq[String] = Seq("javascript", "lorem ipsum", "{")): DataFrame = {
+    require(minWords >= 1 && minLines >= 0,
+      s"c4LineFilter: bad minWords=$minWords / minLines=$minLines")
+    val lines = split(textCol, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val endsOk = t.rlike("[.!?\"]$")
+      val enoughWords = size(split(t, "\\s+")) >= minWords
+      val lowered = lower(t)
+      val noBad = badSubstrings
+        .map(b => !lowered.contains(b.toLowerCase)).reduce(_ && _)
+      endsOk && enoughWords && noBad
+    })
+    df.withColumn("c4_lines", size(lines).cast("long"))
+      .withColumn("c4_kept", size(kept).cast("long"))
+      .withColumn("c4_text", array_join(kept, "\n"))
+      .withColumn("c4_pass", col("c4_kept") >= minLines)
+  }
+
   /** N-gram repetition metrics — the rest of the Gopher repetition rule
     * family (Rae et al. 2021 §A1.1: top n-gram character fraction for
     * small n, duplicated n-gram character fraction for large n;

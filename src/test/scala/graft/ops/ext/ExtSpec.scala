@@ -1294,6 +1294,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("c4LineFilter applies the three line rules and the min-lines doc gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "This is a proper sentence.\n- bullet nav\nshort\n" +
+        "please enable javascript now.\nAnother good sentence here!"),
+      (2L, "Only one good sentence here.\nnothing else"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.c4LineFilter(df, col("text"), minWords = 3, minLines = 2)
+      .select("doc_id", "c4_lines", "c4_kept", "c4_text", "c4_pass")
+      .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1)
+    // doc 1: bullet (no terminal punct), short fragment, and the
+    // javascript line (punct + words OK — only the substring rule drops
+    // it) all go; the two real sentences stay -> passes the 2-line gate
+    assert(out(0) === ((1L, 5L, 2L,
+      "This is a proper sentence.\nAnother good sentence here!", true)))
+    assert(out(1) === ((2L, 2L, 1L, "Only one good sentence here.", false)))
+    assert(out(2) === ((3L, 1L, 0L, "", false)))
+  }
+
   test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
     val spark2 = spark
     import spark2.implicits._
