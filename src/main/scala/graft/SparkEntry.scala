@@ -2077,6 +2077,20 @@ object SparkEntry {
           col("c4_text"), col("c4_pass"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- explicit IVF cell assignment under a trained model -------------
+    "q155_ivf_assign" -> ((s, dir) => {
+      // the q42/q98 assignment as a first-class surface: train the
+      // first-8 quantizer once, assign every vector map-side (zero
+      // shuffle before the final ORDER BY) — the batch half of
+      // Streams.ivfAssignStream, same fold on both
+      val e = t(s, dir, "embeddings")
+        .where(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.assignCells(e, Similarity.trainIvfSeed(e, numCentroids = 8))
+        .select(col("id"), col("cid"))
+        .orderBy(col("id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4434,6 +4448,19 @@ object SparkEntry {
           |  len(keep) >= 2 AS c4_pass
           |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")
       },
+
+      // q155: q98's assignment CTEs, emitted per vector instead of
+      // aggregated into the balance histogram
+      "q155_ivf_assign" ->
+        """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id < 300),
+          |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+          |sim AS (SELECT e.id, c.cid,
+          |  COALESCE(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), -1.0) AS csim
+          | FROM e, c)
+          |SELECT id, cid FROM (SELECT id, cid,
+          |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim)
+          |WHERE rn = 1 ORDER BY id""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -536,6 +536,20 @@ object Streams {
       .toDF(stratumCol, "picks")
   }
 
+  /** Streaming IVF cell assignment — the EMBEDDING-side sibling of
+    * [[dsirScoreStream]]/[[nbScoreStream]]: every arriving vector is
+    * assigned to its coarse cell under a quantizer trained OFFLINE
+    * ([[graft.ops.ext.Similarity.trainIvfSeed]]). Live index routing
+    * (which cell/shard an arriving embedding belongs to) and drift
+    * monitoring (cell shares over time windows) both hang off this.
+    * Stateless map-side fold against the plan-literal centroids;
+    * delegates to the SAME [[graft.ops.ext.Similarity.assignCells]] the
+    * batch index build uses, so batch and stream can never assign
+    * differently. */
+  def ivfAssignStream(
+      embeds: DataFrame, model: graft.ops.ext.Similarity.IvfModel): DataFrame =
+    graft.ops.ext.Similarity.assignCells(embeds, model)
+
   /** Streaming NB classification: every arriving document scored under
     * a model trained OFFLINE ([[graft.ops.ext.TextStats.trainNb]]) —
     * the fastText-classifier half of live ingestion (route/drop crawl

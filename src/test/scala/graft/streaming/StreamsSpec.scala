@@ -308,6 +308,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfAssignStream assigns arriving vectors identically to the batch build") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat)))
+    val batchDf = vecs.toDF("id", "vec")
+    val model = graft.ops.ext.Similarity.trainIvfSeed(batchDf, numCentroids = 4)
+    val expected = graft.ops.ext.Similarity.assignCells(batchDf, model)
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    assert(expected.size === 20 && expected.map(_._2).size > 1)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfAssignStream(input.toDF().toDF("id", "vec"), model)
+      .select("id", "cid")
+      .writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.take(10): _*); q.processAllAvailable()
+      input.addData(vecs.drop(10): _*); q.processAllAvailable()
+      assert(spark.table("ivf_stream").as[(Long, Long)].collect().toSet === expected)
+    } finally q.stop()
+  }
+
   test("weightedSampleStream: emitted picks equal the batch sampler over the prefix") {
     val spark2 = spark
     import spark2.implicits._
