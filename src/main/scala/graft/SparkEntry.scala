@@ -2091,6 +2091,15 @@ object SparkEntry {
         .select(col("id"), col("cid"))
         .orderBy(col("id"))
     }),
+
+    // ---- CCNet perplexity buckets (head / middle / tail per language) ---
+    "q156_ccnet_buckets" -> ((s, dir) => {
+      // q111's calibrated LM score cut into per-language tertiles —
+      // the CCNet keep-head+middle / drop-tail selection signal
+      Importance.perplexityBuckets(
+          t(s, dir, "documents"), col("text"), "doc_id", "lang")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4461,6 +4470,35 @@ object SparkEntry {
           |SELECT id, cid FROM (SELECT id, cid,
           |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim)
           |WHERE rn = 1 ORDER BY id""".stripMargin.replace("\n", " "),
+
+      // q156: q111's scoring CTEs + the fixed-point mean NLL (negate
+      // before the non-negative integer division) + per-language NTILE;
+      // SUM is HUGEINT in DuckDB, so cast before the multiply
+      "q156_ccnet_buckets" ->
+        s"""WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+          |tok AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS w1h FROM tk),
+          |u AS (SELECT w1h, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM tok GROUP BY w1h),
+          |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM u),
+          |p AS (SELECT doc_id,
+          |  CAST(('0x' || substr(md5(bg.w1), 1, 15)) AS BIGINT) AS w1h,
+          |  CAST(('0x' || substr(md5(bg.f), 1, 15)) AS BIGINT) AS fh FROM (
+          |  SELECT doc_id, unnest(list_transform(range(len(toks)-1),
+          |    i -> struct_pack(w1 := toks[i+1], f := toks[i+1] || ' ' || toks[i+2]))) AS bg FROM tk)),
+          |bi AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS cnt2 FROM p GROUP BY fh),
+          |r AS (SELECT p.doc_id, ${fl2("(bi.cnt2+1)")} - ${fl2("(u.cnt1+vv.v)")} AS lp
+          | FROM p JOIN bi USING (fh) JOIN u USING (w1h), vv),
+          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          |  CAST(SUM(lp) AS BIGINT) AS lm_logprob FROM r GROUP BY doc_id),
+          |sc AS (SELECT d.doc_id, d.lang,
+          |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+          |   THEN CAST(((0 - a.lm_logprob) * 65536) // a.n_bigrams AS BIGINT)
+          |   ELSE 4611686018427387904 END AS avg_nll
+          | FROM documents d LEFT JOIN a USING (doc_id))
+          |SELECT doc_id, lang, n_bigrams, avg_nll,
+          | CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
+          |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

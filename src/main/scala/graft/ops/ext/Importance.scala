@@ -221,6 +221,40 @@ object Importance {
         coalesce(col("lm_logprob"), lit(0L)).as("lm_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): rank
+    * every document by its per-bigram LM negative log-probability WITHIN
+    * its language and cut into `nBuckets` equal groups — head (closest
+    * to the LM), middle, tail; CCNet keeps head+middle and drops or
+    * down-weights tail. The cut key is the fixed-point mean NLL
+    * `(−lm_logprob · 2^16) div n_bigrams` — negated FIRST so the integer
+    * division runs on non-negative operands (Spark's truncating `div`
+    * and DuckDB's flooring `//` agree there); add-one smoothing makes
+    * `lm_logprob ≤ 0` always, and bigram-less docs take a sentinel worst
+    * score (deepest tail). Buckets are NTILE semantics (equal sizes,
+    * earlier buckets get the remainder), ties ranked by id — identical
+    * in every engine.
+    *
+    * Output: (idCol, langCol, n_bigrams, avg_nll, bucket), bucket 1 =
+    * head … nBuckets = tail.
+    *
+    * Scale shape: scoring is [[bigramLogProb]]'s (two corpus-token
+    * shuffles on 8-byte hash keys); the bucket cut windows over
+    * (id, lang, two longs) rows only — never text. */
+  def perplexityBuckets(
+      docs: DataFrame, textCol: Column, idCol: String, langCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"perplexityBuckets: nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(docs, textCol, idCol)
+    val w = Window.partitionBy(col(langCol)).orderBy(col("avg_nll"), col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("avg_nll", when(col("n_bigrams") > 0L,
+        expr("((0 - lm_logprob) * 65536) div n_bigrams")).otherwise(lit(1L << 62)))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("avg_nll"), col("bucket"))
+  }
+
   /** Per-document KNESER-NEY smoothed bigram log-probability — the
     * KenLM-class smoothing the add-one model ([[bigramLogProb]]) is a
     * stand-in for. Absolute discount D = 3/4 (Chen & Goodman 1999's

@@ -84,6 +84,36 @@ class ImportanceSpec extends SparkSpec {
     assert(abLp < 0 && acLp < abLp) // rarer transition = more surprising
   }
 
+  test("perplexityBuckets cuts per-language NTILE groups monotone in mean NLL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 docs per language; text repetition level varies the LM score
+    val docs = (0L until 24L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      // lower i -> more repeated (more probable) bigrams
+      val body = (0 until 12).map(j => if (j <= i / 2) s"w$j" else "w0").mkString(" ")
+      (i, lang, body)
+    }.toDF("doc_id", "lang", "text")
+    val out = Importance.perplexityBuckets(
+        docs.repartition(5), col("text"), "doc_id", "lang", nBuckets = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // equal bucket sizes per language (12 docs / 3 = 4 each)
+    val sizes = out.groupBy(r => (r._2, r._5)).view.mapValues(_.length).toMap
+    assert(sizes.values.toSet === Set(4), sizes)
+    // monotone: every head avg_nll <= every middle <= every tail, per lang
+    for (lang <- Seq("en", "de")) {
+      val byBucket = out.filter(_._2 == lang).groupBy(_._5)
+        .view.mapValues(_.map(_._4)).toMap
+      assert(byBucket(1L).max <= byBucket(2L).min)
+      assert(byBucket(2L).max <= byBucket(3L).min)
+    }
+    // deterministic under a different layout
+    val again = Importance.perplexityBuckets(
+        docs.repartition(11), col("text"), "doc_id", "lang", nBuckets = 3)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again === out.sortBy(_._1))
+  }
+
   test("kneserNeyLogProb matches the hand-computed discounted model") {
     val spark2 = spark
     import spark2.implicits._
