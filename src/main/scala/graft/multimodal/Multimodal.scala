@@ -429,7 +429,10 @@ object Multimodal {
       var tgt = -1L
       var last = -1L
       var ok = true
-      while (ok && off < content.length) {
+      // seek mode stops at the target frame (the count in `idx` is then
+      // PARTIAL — seek callers must not read it); count mode (target < 0)
+      // walks everything
+      while (ok && off < content.length && !(target >= 0 && tgt >= 0)) {
         if (content.length < off + fm.length ||
             !(0 until fm.length).forall(i => content(off + i) == fm.charAt(i).toByte))
           ok = false
@@ -535,7 +538,12 @@ object Multimodal {
         case Some(hdr) =>
           val (frames, _, _) = Y4m.walk(content, hdr, target = -1L)
           ProbedMeta(0L, Some("y4m"), Some(hdr.w), Some(hdr.h),
-            Some(frames * 1000L * hdr.fpsDen / hdr.fpsNum))
+            // frames is bounded by content size, not the 9-digit numeric
+            // cap — a pathological 1x1 mono stream at F1:999999999 can
+            // push frames * 1000 * fpsDen past Long; poison rather than
+            // emit a negative duration
+            if (frames > Long.MaxValue / (1000L * hdr.fpsDen)) None
+            else Some(frames * 1000L * hdr.fpsDen / hdr.fpsNum))
       }
   }
 

@@ -178,7 +178,11 @@ object TextStats {
     val lines = split(textCol, "\n")
     val kept = filter(lines, l => {
       val t = trim(l)
-      val endsOk = t.rlike("[.!?\"]$")
+      // \z (absolute end), not $: Java's $ matches BEFORE a final line
+      // terminator, so a CRLF line ("sentence.\r") would pass here while
+      // RE2 engines (DuckDB's regexp_matches with '$') reject it — and
+      // the stray \r would ride into c4_text
+      val endsOk = t.rlike("[.!?\"]\\z")
       val enoughWords = size(split(t, "\\s+")) >= minWords
       val lowered = lower(t)
       val noBad = badSubstrings

@@ -86,6 +86,24 @@ class MediaFuzzSpec extends AnyFunSuite {
     val overlong = "YUV4MPEG2 W4 H4 F99999999999999999999:1 C420\nFRAME\n"
       .getBytes("US-ASCII")
     assert(Multimodal.Y4mProbe.probe(overlong).format === None)
+    // 9-digit fpsDen is VALID per the cap, but frames is bounded by
+    // content size, not the cap: a 1x1 mono stream at F1:999999999 with
+    // 9.3M frames (~65 MB — crawl-blob sized) would put
+    // frames * 1000 * fpsDen past Long.MaxValue. Duration must poison
+    // (None), never wrap negative; the valid header fields survive.
+    val denHuge = 999999999L
+    val overFrames = Long.MaxValue / (1000L * denHuge) + 1
+    val frame = "FRAME\n".getBytes("US-ASCII") :+ 0x40.toByte
+    val big = new java.io.ByteArrayOutputStream()
+    big.write("YUV4MPEG2 W1 H1 F1:999999999 Cmono\n".getBytes("US-ASCII"))
+    (0L until overFrames).foreach(_ => big.write(frame))
+    val pm = Multimodal.Y4mProbe.probe(big.toByteArray)
+    assert(pm.format === Some("y4m") && pm.duration_ms === None, pm)
+    // two frames of the same shape stay in range and positive
+    val small = "YUV4MPEG2 W1 H1 F1:999999999 Cmono\n".getBytes("US-ASCII") ++
+      frame ++ frame
+    assert(Multimodal.Y4mProbe.probe(small).duration_ms ===
+      Some(2L * 1000L * denHuge))
   }
 
   test("malformed F tag and truncated final frame: probe poisons, codec clamps") {

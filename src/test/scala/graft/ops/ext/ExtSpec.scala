@@ -908,6 +908,30 @@ class WeightedSampleSpec extends SparkSpec {
     assert(out.filter(_._2 == "x").map(_._1).toSet === flatX)
   }
 
+  test("null id/weight rows are excluded by EVERY weighted-sample path") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one null weight + one null id among valid rows: without the shared
+    // withAresKey filter the window path would sample the null-skey row
+    // (NULLS FIRST), the aggregate path would skip it, and the streaming
+    // encoder would crash
+    val df = Seq(
+      (Some(1L), "x", Some(5L)), (Some(2L), "x", Some(5L)),
+      (Some(3L), "x", None), (None, "x", Some(5L)), (Some(4L), "x", Some(5L)))
+      .toDF("doc_id", "lang", "w")
+    val win = Sampling.weightedSampleStratified(df, "doc_id", "lang", col("w"),
+        k = 10, seed = 7L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val agg = Sampling.weightedSampleStratifiedAgg(df, "doc_id", "lang", col("w"),
+        k = 10, seed = 7L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(win.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    assert(agg === win)
+    val flat = Sampling.weightedSample(df, "doc_id", col("w"), k = 10, seed = 7L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(flat.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("weightedSampleStratifiedAgg: row-identical to the window path, no sort in plan") {
     val spark2 = spark
     import spark2.implicits._
@@ -1313,6 +1337,14 @@ class TextStatsSpec extends SparkSpec {
       "This is a proper sentence.\nAnother good sentence here!", true)))
     assert(out(1) === ((2L, 2L, 1L, "Only one good sentence here.", false)))
     assert(out(2) === ((3L, 1L, 0L, "", false)))
+    // CRLF text: the line ends "\r" after the \n split — \z (unlike
+    // Java's $) does NOT match before it, agreeing with RE2 engines and
+    // keeping stray \r out of c4_text
+    val crlf = Seq((9L, "A good crlf sentence.\r\nAnother fine sentence here."))
+      .toDF("doc_id", "text")
+    val got = TextStats.c4LineFilter(crlf, col("text"), minWords = 3, minLines = 1)
+      .select("c4_kept", "c4_text").as[(Long, String)].collect().head
+    assert(got === ((1L, "Another fine sentence here.")))
   }
 
   test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
