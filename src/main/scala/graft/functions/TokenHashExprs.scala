@@ -214,6 +214,44 @@ object AlphaCountExpr {
     GraftColumnBridge.column(AlphaCountExpr(GraftColumnBridge.expression(c)))
 }
 
+/** [[graft.ops.ext.TextStats.ngramRepetition]]'s metrics as ONE codegen'd
+  * byte walk — the interpreted form builds an n-gram string array per row
+  * (slice + concat per element), sorts it, and folds a 7-field struct
+  * accumulator through interpreted HOFs; at sf0.1 that priced q153 at
+  * ~12 s, the slowest query in the suite. The kernel does the same math
+  * over token byte spans with a per-row hash map (measured ~10x).
+  * Returns `struct<top: bigint, dup: bigint>` (ppm). */
+case class NgramRepExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"graft_ngram_rep: n must be >= 1, got $n")
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.ngramRep(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.ngramRep($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ngram_rep"
+}
+
+object NgramRepExpr {
+  /** Column-level entry point: `ngram_rep($"text", n)`. Also registered
+    * as SQL function `graft_ngram_rep` by
+    * [[graft.plans.GraftExtensions]]. */
+  def ngram_rep(c: Column, n: Int): Column =
+    GraftColumnBridge.column(NgramRepExpr(GraftColumnBridge.expression(c), n))
+}
+
 case class TokenHashSetExpr(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -473,6 +511,97 @@ object TokenHash {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** N-gram repetition metrics — [[graft.ops.ext.TextStats
+    * .ngramRepetition]]'s kernel: one walk collects per-distinct-gram
+    * occurrence counts and character lengths, then derives
+    *
+    *   top_ppm = chars of the most frequent n-gram's occurrences / total
+    *   dup_ppm = chars of all n-grams occurring >= 2 times / total
+    *
+    * in parts-per-million BIGINT. Gram identity is the byte sequence of
+    * the n tokens joined by single spaces; character length is the
+    * codepoint count (valid UTF-8 after [[normalizedBytes]], so
+    * non-continuation bytes = codepoints — matching `length()` and
+    * DuckDB `len()`); most-frequent ties resolve to the byte-order
+    * smallest gram (`UTF8String.compareTo` = the interpreted
+    * `array_sort` order = DuckDB's binary collation). Fewer than n
+    * tokens yields (0, 0). */
+  def ngramRep(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = normalizedBytes(text)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var count = 0
+    forEachToken(bytes) { (from, until) =>
+      if (count == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, count * 2)
+        ends = java.util.Arrays.copyOf(ends, count * 2)
+      }
+      starts(count) = from
+      ends(count) = until
+      count += 1
+    }
+    val m = count - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val charLens = new Array[Int](count)
+    var t = 0
+    while (t < count) {
+      var c = 0
+      var i = starts(t)
+      while (i < ends(t)) { if ((bytes(i) & 0xc0) != 0x80) c += 1; i += 1 }
+      charLens(t) = c
+      t += 1
+    }
+    // value = [occurrences, gram char length]
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < m) {
+      var blen = n - 1
+      var clen = (n - 1).toLong
+      var j = 0
+      while (j < n) {
+        blen += ends(i + j) - starts(i + j)
+        clen += charLens(i + j)
+        j += 1
+      }
+      val gb = new Array[Byte](blen)
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { gb(off) = ' '; off += 1 }
+        val w = ends(i + j) - starts(i + j)
+        System.arraycopy(bytes, starts(i + j), gb, off, w)
+        off += w
+        j += 1
+      }
+      val g = UTF8String.fromBytes(gb)
+      val e = counts.get(g)
+      if (e == null) counts.put(g, Array(1L, clen)) else e(0) += 1
+      i += 1
+    }
+    var tot = 0L
+    var dup = 0L
+    var bestCnt = 0L
+    var bestLen = 0L
+    var bestGram: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue()(0)
+      val len = e.getValue()(1)
+      tot += cnt * len
+      if (cnt >= 2) dup += cnt * len
+      if (cnt > bestCnt ||
+          (cnt == bestCnt && (bestGram == null || e.getKey.compareTo(bestGram) < 0))) {
+        bestCnt = cnt; bestLen = len; bestGram = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (tot > 0) bestCnt * bestLen * 1000000L / tot else 0L,
+      if (tot > 0) dup * 1000000L / tot else 0L))
   }
 
   /** Space-joined tokens outside every `[span_start, span_end]` 1-based

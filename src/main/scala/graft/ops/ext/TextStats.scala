@@ -209,14 +209,30 @@ object TextStats {
     * (first in sorted order, strict-greater replacement) — mirrored by
     * `ORDER BY cnt DESC, gram` in the oracle.
     *
-    * Shape: per-row fold over the SORTED n-gram array — ONE
-    * `aggregate` with a wide accumulator settling each equal-run as it
-    * ends (HOFs are interpreted; never fold twice), map-side and
-    * scan-bound like every quality metric. The relational alternative
-    * (explode n-grams, groupBy(doc, gram)) shuffles ~n× the corpus
-    * text. */
+    * Shape: ONE codegen'd byte walk per row
+    * ([[graft.functions.NgramRepExpr]]) — map-side, scan-bound like
+    * every quality metric. The relational alternative (explode n-grams,
+    * groupBy(doc, gram)) shuffles ~n× the corpus text; the interpreted
+    * sorted-array fold ([[ngramRepetitionInterpreted]], kept as the
+    * kernel's equivalence reference) priced q153 at ~12 s at sf0.1 —
+    * the house byte-walk move, measured ~10x. */
   def ngramRepetition(df: DataFrame, textCol: Column, n: Int): DataFrame = {
     require(n >= 1, s"ngramRepetition: n must be >= 1, got $n")
+    val repCol = s"_ngrep$n"
+    df.withColumn(repCol, graft.functions.NgramRepExpr.ngram_rep(textCol, n))
+      .withColumn(s"top${n}gram_ppm", col(repCol).getField("top"))
+      .withColumn(s"dup${n}gram_ppm", col(repCol).getField("dup"))
+      .drop(repCol)
+  }
+
+  /** The interpreted sorted-array-fold form of [[ngramRepetition]] —
+    * retained ONLY as the kernel's equivalence reference (spec-gated),
+    * the same pattern as every `graft/functions` kernel's interpreted
+    * twin. One `aggregate` per n, wide run-settling accumulator (the
+    * one-fold rule). */
+  private[graft] def ngramRepetitionInterpreted(
+      df: DataFrame, textCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"ngramRepetitionInterpreted: n must be >= 1, got $n")
     val toks = tokens(textCol)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, TopKByKeyAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, NgramRepExpr, TopKByKeyAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -234,6 +234,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 4, "graft_topk_by_key(key, id, payload, k) takes 4 arguments")
         TopKByKeyAgg(children(0), children(1), children(2), intLiteral(children(3), "k"))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_rep"),
+      new ExpressionInfo(
+        classOf[NgramRepExpr].getName,
+        null,
+        "graft_ngram_rep",
+        "graft_ngram_rep(text, n) - struct<top, dup>: top/duplicated n-gram " +
+          "character fractions in ppm",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_ngram_rep(text, n) takes 2 arguments")
+        NgramRepExpr(children.head, intLiteral(children(1), "n"))
       }))
   }
 }

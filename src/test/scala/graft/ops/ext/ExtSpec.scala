@@ -1304,17 +1304,25 @@ class TextStatsSpec extends SparkSpec {
       "hello",                  // shorter than n
       "",                       // empty text -> one empty token
       "a b c d e a b c d e a b c d e", // 5-gram repetition
-      "w w w w w w")            // single token repeated
+      "w w w w w w",            // single token repeated
+      "héllo wörld héllo wörld naïve",  // multi-byte chars (len = codepoints)
+      "日本 語 日本 語 テスト") // CJK 3-byte codepoints
     for (n <- Seq(2, 5)) {
-      val out = TextStats.ngramRepetition(
-          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
-          col("text"), n)
+      val fixture = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = TextStats.ngramRepetition(fixture, col("text"), n)
         .select(col("doc_id"), col(s"top${n}gram_ppm"), col(s"dup${n}gram_ppm"))
         .as[(Long, Long, Long)].collect().sortBy(_._1)
       texts.zipWithIndex.foreach { case (t, i) =>
         val (topE, dupE) = brute(t, n)
         assert(out(i) === ((i.toLong, topE, dupE)), s"n=$n text='$t'")
       }
+      // the codegen kernel and the interpreted sorted-array fold are the
+      // same function (the house kernel-equivalence gate)
+      val interp = TextStats.ngramRepetitionInterpreted(fixture, col("text"), n)
+        .select(col("doc_id"), col(s"top${n}gram_ppm"), col(s"dup${n}gram_ppm"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(out === interp, s"kernel != interpreted at n=$n")
     }
   }
 
