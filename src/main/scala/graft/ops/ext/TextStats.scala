@@ -234,10 +234,12 @@ object TextStats {
       df: DataFrame, textCol: Column, n: Int): DataFrame = {
     require(n >= 1, s"ngramRepetitionInterpreted: n must be >= 1, got $n")
     val toks = tokens(textCol)
+    // null text -> null grams -> null metrics, matching the kernel's
+    // nullSafeEval (the family's null-in-null-out convention)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
+      .when(textCol.isNotNull, array().cast("array<string>"))
     // exact integer division for non-negative operands (no `div` Column
     // function, and double `/` + cast mis-truncates near-exact quotients)
     def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")

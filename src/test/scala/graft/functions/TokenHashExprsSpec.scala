@@ -191,6 +191,31 @@ class TokenHashExprsSpec extends SparkSpec {
       .collect().head.toSeq === Seq(2, 2)) // é/北 are not ASCII letters
   }
 
+  test("ngram_rep kernel matches the interpreted sorted-fold over the edge corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val kernel = graft.ops.ext.TextStats.ngramRepetition(df, col("text"), n)
+        .select(col("doc_id"), col(s"top${n}gram_ppm"), col(s"dup${n}gram_ppm"))
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+      val interp = graft.ops.ext.TextStats.ngramRepetitionInterpreted(df, col("text"), n)
+        .select(col("doc_id"), col(s"top${n}gram_ppm"), col(s"dup${n}gram_ppm"))
+        .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+      assert(kernel === interp, s"n=$n")
+    }
+  }
+
+  test("ngramRepetition keeps ONE kernel instance per n in the optimized plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text").repartition(2)
+    val out = graft.ops.ext.TextStats.ngramRepetition(df, col("text"), 2)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.split("graft_ngram_rep", -1).length - 1 === 1, plan)
+  }
+
   test("withMinhashSignature keeps ONE kernel instance in the optimized plan") {
     val spark2 = spark
     import spark2.implicits._
