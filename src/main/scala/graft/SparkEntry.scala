@@ -2092,6 +2092,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- spatial kNN join: k nearest points per query point -------------
+    "q157_geo_knn_join" -> ((s, dir) => {
+      // q151's grid; three query points taken AT grid positions
+      // 100/200/300 with their cosScale factors precomputed driver-side
+      // (the nearJoin contract — an in-plan cos() would be
+      // engine-inexact); per-query top-5 through the TopKByKeyAgg heap
+      import s.implicits._
+      def gLat(i: Long) = (i * 96064793L) % 180000001L - 90000000L
+      def gLon(i: Long) = (i * 144721393L) % 360000001L - 180000000L
+      val qs = Seq(100L, 200L, 300L)
+        .map(i => (i, gLat(i), gLon(i), graft.ops.Geo.cosScale(gLat(i))))
+        .toDF("qid", "qlatm", "qlonm", "coss")
+      val pts = t(s, dir, "part")
+        .withColumn("id", col("p_partkey").cast("long"))
+      graft.ops.Geo.nearJoin(pts, "id",
+          (col("id") * 96064793L) % 180000001L - 90000000L,
+          (col("id") * 144721393L) % 360000001L - 180000000L,
+          qs, boxMicro = 15000000L, k = 5)
+        .orderBy(col("qid"), col("dist2"), col("id"))
+    }),
+
     // ---- CCNet perplexity buckets (head / middle / tail per language) ---
     "q156_ccnet_buckets" -> ((s, dir) => {
       // q111's calibrated LM score cut into per-language tertiles —
@@ -4470,6 +4491,31 @@ object SparkEntry {
           |SELECT id, cid FROM (SELECT id, cid,
           |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn FROM sim)
           |WHERE rn = 1 ORDER BY id""".stripMargin.replace("\n", " "),
+
+      // q157: the same grid + a VALUES query set carrying the SAME
+      // driver-computed cosScale literals; per-query box join + exact
+      // BIGINT rank, top 5
+      "q157_geo_knn_join" -> {
+        def gLat(i: Long) = (i * 96064793L) % 180000001L - 90000000L
+        def gLon(i: Long) = (i * 144721393L) % 360000001L - 180000000L
+        val rows = Seq(100L, 200L, 300L)
+          .map(i => s"(${i}, ${gLat(i)}, ${gLon(i)}, ${graft.ops.Geo.cosScale(gLat(i))})")
+          .mkString(", ")
+        s"""WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+          |  (CAST(p_partkey AS BIGINT) * 96064793) % 180000001 - 90000000 AS latm,
+          |  (CAST(p_partkey AS BIGINT) * 144721393) % 360000001 - 180000000 AS lonm FROM part),
+          |q(qid, qlatm, qlonm, coss) AS (VALUES $rows),
+          |j AS (SELECT CAST(q.qid AS BIGINT) AS qid, p.id,
+          |  abs(p.latm - q.qlatm) AS dlat, abs(p.lonm - q.qlonm) AS dlon, q.coss
+          | FROM p, q
+          | WHERE p.latm BETWEEN q.qlatm - 15000000 AND q.qlatm + 15000000
+          |   AND p.lonm BETWEEN q.qlonm - 15000000 AND q.qlonm + 15000000),
+          |d AS (SELECT qid, id,
+          |  dlat*dlat + ((dlon*coss) // 1048576) * ((dlon*coss) // 1048576) AS dist2 FROM j),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, id) AS rn FROM d)
+          |SELECT qid, id, CAST(dist2 AS BIGINT) AS dist2 FROM r WHERE rn <= 5
+          |ORDER BY qid, dist2, id""".stripMargin.replace("\n", " ")
+      },
 
       // q156: q111's scoring CTEs + the fixed-point mean NLL (negate
       // before the non-negative integer division) + per-language NTILE;

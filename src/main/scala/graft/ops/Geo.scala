@@ -80,4 +80,45 @@ object Geo {
       .limit(k)
       .select(col(idCol), col("latm"), col("lonm"), col("dist2"))
   }
+
+  /** Spatial kNN JOIN — the multi-query form of [[near]]: for EACH query
+    * point, the `k` nearest corpus points inside its ±`boxMicro` square.
+    *
+    * `queries` is a SMALL frame (broadcast contract, like every ANN
+    * query set) with columns `(qid: bigint, qlatm: bigint, qlonm:
+    * bigint, coss: bigint)` — `coss` is the per-query [[cosScale]]
+    * factor PRECOMPUTED by the caller: an in-plan float `cos()` would
+    * differ in the last ulp across engines and flip boundary ranks,
+    * exactly the hazard the integer surrogate exists to kill.
+    *
+    * Scale shape: the corpus side is box-filtered in the broadcast
+    * nested-loop join (range conjunction — each corpus row tests Q
+    * boxes, Q small); survivors ship ONLY `(qid, id, dist2)` short rows
+    * into the per-query top-k, which is the
+    * [[graft.functions.TopKByKeyAgg]] typed aggregate — partial k-heaps
+    * per task, no sort, no window, ≤k rows per query cross the
+    * shuffle. */
+  def nearJoin(
+      points: DataFrame, idCol: String, latMicro: Column, lonMicro: Column,
+      queries: DataFrame, boxMicro: Long, k: Int): DataFrame = {
+    require(k >= 1, s"nearJoin: k must be >= 1, got $k")
+    require(boxMicro >= 1, s"nearJoin: boxMicro must be >= 1, got $boxMicro")
+    val pts = points
+      .withColumn("latm", latMicro)
+      .withColumn("lonm", lonMicro)
+      .select(col(idCol).cast("long").as("_pid"), col("latm"), col("lonm"))
+    val joined = pts.join(broadcast(queries),
+      col("latm").between(col("qlatm") - boxMicro, col("qlatm") + boxMicro) &&
+        col("lonm").between(col("qlonm") - boxMicro, col("qlonm") + boxMicro))
+      .withColumn("_dlat", abs(col("latm") - col("qlatm")))
+      .withColumn("_dlon", abs(col("lonm") - col("qlonm")))
+      .withColumn("_dlc", expr(s"(_dlon * coss) div ${1L << CosShift}"))
+      .withColumn("dist2", col("_dlat") * col("_dlat") + col("_dlc") * col("_dlc"))
+    joined
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByKeyAgg.topKByKey(
+        col("dist2"), col("_pid"), col("dist2"), k).as("picks"))
+      .select(col("qid"), explode(col("picks")).as("e"))
+      .select(col("qid"), col("e.id").as(idCol), col("e.skey").as("dist2"))
+  }
 }

@@ -54,6 +54,39 @@ class GeoSpec extends SparkSpec {
     assert(c < (1L << Geo.CosShift) && c > (1L << Geo.CosShift) * 9 / 10)
   }
 
+  test("nearJoin: per-query k nearest in-box points, heap-aggregate path") {
+    val spark2 = spark
+    import spark2.implicits._
+    def gLat(i: Long) = (i * 96064793L) % 180000001L - 90000000L
+    def gLon(i: Long) = (i * 144721393L) % 360000001L - 180000000L
+    val pts = (1L to 400L).map(i => (i, gLat(i), gLon(i))).toDF("id", "latm", "lonm")
+    val qids = Seq(50L, 150L)
+    val qs = qids.map(i => (i, gLat(i), gLon(i), Geo.cosScale(gLat(i))))
+      .toDF("qid", "qlatm", "qlonm", "coss")
+    val box = 30000000L
+    val got = Geo.nearJoin(pts, "id", col("latm"), col("lonm"), qs, box, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val exp = qids.flatMap { q =>
+      val c = Geo.cosScale(gLat(q))
+      (1L to 400L).map(i => (i, gLat(i), gLon(i)))
+        .filter { case (_, la, lo) =>
+          math.abs(la - gLat(q)) <= box && math.abs(lo - gLon(q)) <= box }
+        .map { case (i, la, lo) =>
+          val dlat = math.abs(la - gLat(q)); val dlon = math.abs(lo - gLon(q))
+          val dlc = dlon * c / (1L << Geo.CosShift)
+          (q, i, dlat * dlat + dlc * dlc)
+        }.sortBy(r => (r._3, r._2)).take(4)
+    }.toSet
+    assert(got === exp)
+    assert(exp.size === 8) // both queries found a full top-4
+    // per-query top-k is the heap aggregate: no Sort/Window before it
+    val plan = Geo.nearJoin(pts.repartition(3), "id", col("latm"), col("lonm"),
+        qs, box, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("near plan over stored columns: box reaches PushedFilters, zero Exchanges") {
     val spark2 = spark
     import spark2.implicits._
