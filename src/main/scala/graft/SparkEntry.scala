@@ -4413,8 +4413,9 @@ object SparkEntry {
       // q153: per-n CTE chain — n-grams by list slice, per-(doc, gram)
       // counts, dup/total char sums, top gram by (cnt DESC, gram) = the
       // fold's first-in-sorted-order strict-greater tie-break; docs with
-      // fewer than n tokens coalesce to 0; SUM() is HUGEINT so every
-      // output casts BIGINT
+      // fewer than n tokens coalesce to 0, NULL text mirrors the
+      // kernel's null-in-null-out (NULL metrics, not 0); SUM() is
+      // HUGEINT so every output casts BIGINT
       "q153_ngram_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
           |g2 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
@@ -4438,10 +4439,14 @@ object SparkEntry {
           |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM c5)
           | WHERE rn = 1)
           |SELECT d.doc_id,
-          |  CAST(COALESCE((b2.topchars * 1000000) // r2.tot, 0) AS BIGINT) AS top2gram_ppm,
-          |  CAST(COALESCE((r2.dup * 1000000) // r2.tot, 0) AS BIGINT) AS dup2gram_ppm,
-          |  CAST(COALESCE((b5.topchars * 1000000) // r5.tot, 0) AS BIGINT) AS top5gram_ppm,
-          |  CAST(COALESCE((r5.dup * 1000000) // r5.tot, 0) AS BIGINT) AS dup5gram_ppm
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE
+          |   CAST(COALESCE((b2.topchars * 1000000) // r2.tot, 0) AS BIGINT) END AS top2gram_ppm,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE
+          |   CAST(COALESCE((r2.dup * 1000000) // r2.tot, 0) AS BIGINT) END AS dup2gram_ppm,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE
+          |   CAST(COALESCE((b5.topchars * 1000000) // r5.tot, 0) AS BIGINT) END AS top5gram_ppm,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE
+          |   CAST(COALESCE((r5.dup * 1000000) // r5.tot, 0) AS BIGINT) END AS dup5gram_ppm
           |FROM documents d
           |LEFT JOIN r2 USING(doc_id) LEFT JOIN b2 USING(doc_id)
           |LEFT JOIN r5 USING(doc_id) LEFT JOIN b5 USING(doc_id)

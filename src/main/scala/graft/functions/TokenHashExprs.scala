@@ -479,8 +479,11 @@ object TokenHash {
     * 60 bits = first big-endian long >>> 4). The digest is fed from the
     * token byte ranges plus literal ' ' separators, so no n-gram string
     * is materialized. Fewer than `n` tokens yields an empty array. */
-  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
-    val bytes = normalizedBytes(text)
+  /** Token byte spans of `bytes` as (starts, ends, count) — the
+    * grow-by-doubling collection [[ngramHashes]] and [[ngramRep]] share
+    * (one definition, so span semantics can never drift between the
+    * n-gram kernels). */
+  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var count = 0
@@ -493,6 +496,12 @@ object TokenHash {
       ends(count) = until
       count += 1
     }
+    (starts, ends, count)
+  }
+
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = normalizedBytes(text)
+    val (starts, ends, count) = tokenSpans(bytes)
     val m = count - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val md = Md5Kernel.md
@@ -530,18 +539,7 @@ object TokenHash {
     * tokens yields (0, 0). */
   def ngramRep(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val bytes = normalizedBytes(text)
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var count = 0
-    forEachToken(bytes) { (from, until) =>
-      if (count == starts.length) {
-        starts = java.util.Arrays.copyOf(starts, count * 2)
-        ends = java.util.Arrays.copyOf(ends, count * 2)
-      }
-      starts(count) = from
-      ends(count) = until
-      count += 1
-    }
+    val (starts, ends, count) = tokenSpans(bytes)
     val m = count - n + 1
     if (m <= 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
