@@ -536,6 +536,18 @@ object Streams {
       .toDF(stratumCol, "picks")
   }
 
+  /** Streaming C4 line cleaning — live page scrubbing as documents
+    * arrive (the ingestion-side placement the batch operator's Scaladoc
+    * prescribes: boilerplate lines die BEFORE anything downstream prices
+    * them). Stateless map-side delegate to the SAME
+    * [[graft.ops.ext.TextStats.c4LineFilter]] lambda, so batch and
+    * stream can never clean differently. */
+  def c4CleanStream(
+      docs: DataFrame, textCol: String, minWords: Int = 3, minLines: Int = 1,
+      badSubstrings: Seq[String] = Seq("javascript", "lorem ipsum", "{")): DataFrame =
+    graft.ops.ext.TextStats.c4LineFilter(
+      docs, col(textCol), minWords, minLines, badSubstrings)
+
   /** Streaming IVF cell assignment — the EMBEDDING-side sibling of
     * [[dsirScoreStream]]/[[nbScoreStream]]: every arriving vector is
     * assigned to its coarse cell under a quantizer trained OFFLINE

@@ -308,6 +308,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c4CleanStream scrubs arriving documents identically to the batch filter") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "This is a proper sentence.\n- bullet nav\nAnother good one here!"),
+      (2L, "please enable javascript to continue.\nshort"),
+      (3L, "Only one valid sentence stays."))
+    val expected = graft.ops.ext.TextStats.c4LineFilter(
+        rows.toDF("doc_id", "text"), col("text"), minWords = 3, minLines = 1)
+      .select("doc_id", "c4_kept", "c4_text", "c4_pass")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.c4CleanStream(input.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "c4_kept", "c4_text", "c4_pass")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      assert(spark.table("c4_stream")
+        .as[(Long, Long, String, Boolean)].collect().toSet === expected)
+    } finally q.stop()
+  }
+
   test("ivfAssignStream assigns arriving vectors identically to the batch build") {
     val spark2 = spark
     import spark2.implicits._
