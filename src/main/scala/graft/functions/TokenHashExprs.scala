@@ -214,6 +214,45 @@ object AlphaCountExpr {
     GraftColumnBridge.column(AlphaCountExpr(GraftColumnBridge.expression(c)))
 }
 
+/** [[graft.ops.ext.TextStats.bpeSegmentCounts]]'s subword total as one
+  * codegen'd walk — the interpreted form builds a per-CHARACTER symbol
+  * string through transform+substr inside an aggregate fold (the exact
+  * pattern that priced q153 at 12 s before its kernel) and re-splits it
+  * per word; the kernel does the identical replace-chain math on plain
+  * JVM strings. Merges are plan literals (the trained model is bounded
+  * driver state, like every model the engine bakes into plans). */
+case class BpeSubwordsExpr(child: Expression, merges: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val mergesArr: Array[String] = merges.toArray
+  private val collapsedArr: Array[String] = merges.map(_.replace("  ", "")).toArray
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.bpeSubwordCounts(input.asInstanceOf[UTF8String], mergesArr, collapsedArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[]")
+    val c = ctx.addReferenceObj("bpeCollapsed", collapsedArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.TokenHash.bpeSubwordCounts($in, $m, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe_subwords"
+}
+
+object BpeSubwordsExpr {
+  /** Column-level entry point: `bpe_subwords($"text", merges)`. */
+  def bpe_subwords(c: Column, merges: Seq[String]): Column =
+    GraftColumnBridge.column(BpeSubwordsExpr(GraftColumnBridge.expression(c), merges))
+}
+
 /** [[graft.ops.ext.TextStats.ngramRepetition]]'s metrics as ONE codegen'd
   * byte walk — the interpreted form builds an n-gram string array per row
   * (slice + concat per element), sorts it, and folds a 7-field struct
@@ -600,6 +639,50 @@ object TokenHash {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       if (tot > 0) bestCnt * bestLen * 1000000L / tot else 0L,
       if (tot > 0) dup * 1000000L / tot else 0L))
+  }
+
+  /** Trained-BPE subword count — [[graft.ops.ext.TextStats
+    * .bpeSegmentCounts]]'s kernel: per word, the double-space-joined
+    * CODEPOINT symbol string (Spark `substr` iterates codepoints, so the
+    * kernel must too — `charAt` would split surrogate pairs), the merge
+    * list applied in rank order as literal all-occurrence replaces
+    * (Java `String.replace` = Spark's `replace` = left-to-right
+    * non-overlapping), then `count("  ") + 1` parts — the exact
+    * interpreted-fold semantics including the empty-word/one-subword
+    * quirk. `collapsed(k)` is `merges(k)` with its separators removed,
+    * precomputed by the expression. */
+  def bpeSubwordCounts(
+      text: UTF8String, merges: Array[String], collapsed: Array[String]): Long = {
+    val bytes = normalizedBytes(text)
+    val (starts, ends, count) = tokenSpans(bytes)
+    var total = 0L
+    var t = 0
+    while (t < count) {
+      val w = new String(bytes, starts(t), ends(t) - starts(t), "UTF-8")
+      if (w.isEmpty) total += 1 // split("", "  ") = [""] in the fold
+      else {
+        val sb = new java.lang.StringBuilder(w.length * 3)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          if (i > 0) sb.append("  ")
+          sb.appendCodePoint(cp)
+          i += Character.charCount(cp)
+        }
+        var sym = sb.toString
+        var k = 0
+        while (k < merges.length) {
+          sym = sym.replace(merges(k), collapsed(k))
+          k += 1
+        }
+        var parts = 1L
+        var idx = sym.indexOf("  ")
+        while (idx >= 0) { parts += 1; idx = sym.indexOf("  ", idx + 2) }
+        total += parts
+      }
+      t += 1
+    }
+    total
   }
 
   /** Space-joined tokens outside every `[span_start, span_end]` 1-based

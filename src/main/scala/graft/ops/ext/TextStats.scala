@@ -1002,6 +1002,15 @@ object TextStats {
     * subword each (they never had pairs to merge). */
   def bpeSegmentCounts(
       docs: DataFrame, textCol: Column, idCol: String,
+      merges: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+      tokenCount(textCol).cast("long").as("n_words"),
+      graft.functions.BpeSubwordsExpr.bpe_subwords(textCol, merges).as("n_subwords"))
+
+  /** The interpreted transform+substr fold form of [[bpeSegmentCounts]] —
+    * retained ONLY as the kernel's equivalence reference (spec-gated). */
+  private[graft] def bpeSegmentCountsInterpreted(
+      docs: DataFrame, textCol: Column, idCol: String,
       merges: Seq[String]): DataFrame = {
     val toks = tokens(textCol)
     // chars double-space-joined, then each merge applied in rank order

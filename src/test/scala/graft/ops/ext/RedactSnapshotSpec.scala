@@ -96,6 +96,29 @@ class BpeTrainSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bpe_subwords kernel matches the interpreted fold over edge inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // codepoint symbols (emoji are supplementary — charAt would split
+    // them), multi-byte merges, empty/whitespace text, repeated runs
+    val docs = Seq(
+      (1L, "low lower lowest"), (2L, "ow"), (3L, ""), (4L, "  "),
+      (5L, "héllo héllo wörld"), (6L, "😀😀a b😀"), (7L, "aaa aaaa a"),
+      (8L, "日本語 語語"))
+      .toDF("doc_id", "text")
+    for (merges <- Seq(
+        Seq("l  o", "lo  w", "low  e"),
+        Seq("a  a", "aa  aa"),
+        Seq("😀  😀", "h  é", "語  語"),
+        Seq.empty[String])) {
+      val kernel = TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val interp = TextStats.bpeSegmentCountsInterpreted(docs, col("text"), "doc_id", merges)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(kernel === interp, s"merges=$merges")
+    }
+  }
+
   test("greedy-left merge: an odd run merges non-overlapping from the left") {
     val spark2 = spark
     import spark2.implicits._
