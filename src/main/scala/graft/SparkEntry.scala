@@ -4312,9 +4312,12 @@ object SparkEntry {
           |SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
           |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " "),
       // q147: the integer A-Res key — 60-bit md5 folded mod 2^46,
-      // F = flog2(2^46) = 3014656; smallest k keys win, ties by id
+      // F = flog2(2^46) = 3014656; smallest k keys win, ties by id.
+      // The null filter mirrors withAresKey's (null id / null weight rows
+      // are excluded by the weights>=1 contract, not by data luck)
       "q147_weighted_sample" ->
-        s"""WITH q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w FROM documents),
+        s"""WITH q AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w FROM documents
+          | WHERE doc_id IS NOT NULL AND text IS NOT NULL),
           |h AS (SELECT doc_id, w,
           |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |    % 70368744177664 AS u
@@ -4323,10 +4326,11 @@ object SparkEntry {
           |  ((3014656 - ${fl2("(u + 1)")}) * 1048576) // w AS skey FROM h)
           |SELECT doc_id, w AS weight, skey FROM s
           |ORDER BY skey, doc_id LIMIT 100""".stripMargin.replace("\n", " "),
-      // q148: q147's key ranked within each language
+      // q148: q147's key ranked within each language (same null filter)
       "q148_weighted_stratified" ->
         s"""WITH q AS (SELECT doc_id, lang AS stratum,
-          |  CAST(len($toks) AS BIGINT) AS w FROM documents),
+          |  CAST(len($toks) AS BIGINT) AS w FROM documents
+          | WHERE doc_id IS NOT NULL AND text IS NOT NULL),
           |h AS (SELECT doc_id, stratum, w,
           |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |    % 70368744177664 AS u
@@ -4396,10 +4400,12 @@ object SparkEntry {
       },
 
       // q152: the aggregate path computes the SAME rows as q148 (exact
-      // top-k under the same total order) — the oracle is q148's
+      // top-k under the same total order) — the oracle is q148's,
+      // including withAresKey's null-row filter
       "q152_weighted_agg" ->
         s"""WITH q AS (SELECT doc_id, lang AS stratum,
-          |  CAST(len($toks) AS BIGINT) AS w FROM documents),
+          |  CAST(len($toks) AS BIGINT) AS w FROM documents
+          | WHERE doc_id IS NOT NULL AND text IS NOT NULL),
           |h AS (SELECT doc_id, stratum, w,
           |  CAST(('0x' || substr(md5('7' || '#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
           |    % 70368744177664 AS u

@@ -107,14 +107,24 @@ object Rdf {
       .text(staging.toString)
     val out = named.map { case (name, _) =>
       val target = new org.apache.hadoop.fs.Path(s"$outBase/$name.rdf")
-      if (fs.exists(target)) fs.delete(target, true)
       val src = new org.apache.hadoop.fs.Path(staging, s"dataset=$name")
-      // rename reports several FS failure modes as `false`, not an
-      // exception — silently reading back an empty dataset (and then
-      // deleting the staging dir holding the stranded data) must not
-      // pass for success
-      if (fs.exists(src))
-        require(fs.rename(src, target), s"writeAll: rename $src -> $target failed")
+      // Pre-existing output is renamed ASIDE, not deleted, until the new
+      // data is in place: deleting first meant a failed staging rename
+      // destroyed the old output AND stranded the new one (the failure
+      // mode the per-dataset write() path avoids via SaveMode.Overwrite's
+      // commit protocol). rename reports several FS failure modes as
+      // `false`, not an exception — silently reading back an empty or
+      // stale dataset must not pass for success.
+      val aside = new org.apache.hadoop.fs.Path(s"$outBase/.rdf_old_$name")
+      if (fs.exists(aside)) fs.delete(aside, true) // remnant of a past crash
+      val hadOld = fs.exists(target)
+      if (hadOld)
+        require(fs.rename(target, aside), s"writeAll: set-aside $target -> $aside failed")
+      if (fs.exists(src) && !fs.rename(src, target)) {
+        if (hadOld) fs.rename(aside, target) // restore: leave the OLD output intact
+        throw new IllegalArgumentException(s"writeAll: rename $src -> $target failed")
+      }
+      if (hadOld) fs.delete(aside, true)
       name -> read(spark, target.toString)
     }.toMap
     fs.delete(staging, true) // _SUCCESS + any empty remnants

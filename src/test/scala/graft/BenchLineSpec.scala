@@ -11,26 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchLineSpec extends AnyFunSuite {
 
   /** Worst-case synthetic roster: every key the widest real shape
-    * ("qNNN"), every value 9.9 s — 2x the slowest real per-query min ever
-    * recorded (q139 4.9 s) and the widest value that still prints in 3
-    * chars. A >=10 s min would both be a perf regression worth failing on
-    * AND is still caught by the runtime 1900-char guard; the spec budgets
-    * for the world we actually operate in. */
+    * ("NNN" after the round-11 `q`-drop), every value SATURATED — since
+    * round 11 `printedValue` caps printed values at 99.9 s (true values
+    * in bench_stats.json), so the widest possible printed entry is
+    * structurally bounded: box contention can no longer widen the line
+    * past this spec's budget at runtime (the round-10 ADVICE failure
+    * mode, where a contended >=10 s min tripped the 1900-char guard at
+    * the END of a paid-for suite). */
   private def syntheticLine(n: Int): String = {
     // keys mirror the real roster's shapes exactly: q01..q99 then q100..
-    val mins = (1 to n).map(i => f"q$i%02d_synthetic_name" -> 9.9)
+    val mins = (1 to n).map(i => f"q$i%02d_synthetic_name" -> 1e9)
     Bench.buildLine(mins, runsPerQuery = 3, failures = 0,
       sfDir = "/root/testdata/sf0.1")
   }
 
-  test("160 worst-case queries fit the harness tail budget") {
-    val line = syntheticLine(160)
+  test("170 saturated-worst-case queries fit the harness tail budget") {
+    val line = syntheticLine(170)
     assert(line.length <= Bench.MaxLineChars,
-      s"160-query worst-case line is ${line.length} chars (> ${Bench.MaxLineChars})")
+      s"170-query worst-case line is ${line.length} chars (> ${Bench.MaxLineChars})")
   }
 
   test("the CURRENT roster fits with >=12 queries of worst-case headroom") {
-    val mins = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 9.9)
+    val mins = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1e9)
     val line = Bench.buildLine(mins, 3, 0, "/root/testdata/sf0.1")
     // 11 chars ≈ one worst-case query entry; require a dozen of slack so
     // the NEXT round's additions can't sneak past the guard either
@@ -38,12 +40,18 @@ class BenchLineSpec extends AnyFunSuite {
       s"roster line ${line.length} chars leaves <12 queries of headroom")
   }
 
-  test("short qNN keys stay unique and values are 1-decimal") {
+  test("short keys stay unique and values are 1-decimal, saturated, -1-safe") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.map(Bench.shortKey).distinct.size == names.size,
-      "short qNN bench keys must stay unique")
-    val line = Bench.buildLine(Seq("q01_agg" -> 1.234, "q02_x" -> 0.05), 3, 0, "sf")
-    assert(line.contains("\"q01\":1.2") && line.contains("\"q02\":0.1"),
+      "short bench keys must stay unique")
+    val line = Bench.buildLine(
+      Seq("q01_agg" -> 1.234, "q02_x" -> 0.05, "q103_y" -> 123.4, "q04_z" -> -1.0),
+      3, 1, "sf")
+    assert(line.contains("\"01\":1.2") && line.contains("\"02\":0.1"),
       s"unexpected value formatting in: $line")
+    assert(line.contains("\"103\":99.9"), s"saturation missing in: $line")
+    assert(line.contains("\"04\":-1.0"), s"failure sentinel mangled in: $line")
+    // the failure sentinel must not leak into the printed total
+    assert(line.contains("\"value\":124.684"), s"total wrong in: $line")
   }
 }
