@@ -121,8 +121,13 @@ object Rdf {
       if (hadOld)
         require(fs.rename(target, aside), s"writeAll: set-aside $target -> $aside failed")
       if (fs.exists(src) && !fs.rename(src, target)) {
-        if (hadOld) fs.rename(aside, target) // restore: leave the OLD output intact
-        throw new IllegalArgumentException(s"writeAll: rename $src -> $target failed")
+        // restore: leave the OLD output intact — and if the restore ITSELF
+        // fails, say where the only surviving copy is stranded so the data
+        // stays recoverable by hand instead of hidden behind a dot-path
+        val restored = !hadOld || fs.rename(aside, target)
+        throw new IllegalArgumentException(
+          s"writeAll: rename $src -> $target failed" +
+            (if (restored) "" else s"; restore also failed — old output stranded at $aside"))
       }
       if (hadOld) fs.delete(aside, true)
       name -> read(spark, target.toString)

@@ -27,7 +27,7 @@ object Columns {
     * evaluates it once per row; a native `regexp_extract` keeps codegen and
     * needs no such workaround (deterministic native expressions are cheap to
     * re-evaluate and never leave the generated code). */
-  def nodeLang(c: Column): Column = substring(split(c, "\\.").getItem(0), 9, 1 << 30)
+  def nodeLang(c: Column): Column = substring(element_at(split(c, "\\."), 1), 9, 1 << 30)
 
   /** `en-xx` datasets carry English predicates: map their lang to `en` for
     * predicate matching (reference: DbpediaDgraphSparkApp.scala:134, 322). */
