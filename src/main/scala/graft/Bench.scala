@@ -96,7 +96,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Saturation-path test hook (round-11 verdict item 4), NEVER set by the
+    // driver: SPARK_GRAFT_SYNTH_SLEEP_SECS=N injects a synthetic query
+    // "q00_synth_sleep" that just sleeps N seconds, so the whole chain —
+    // run → stats file (true seconds) → printed line (saturated at 99.9) —
+    // can be exercised end-to-end without a real 100 s workload or a
+    // deliberately contended box. Use with SPARK_GRAFT_ONLY=q00_synth_sleep
+    // SPARK_GRAFT_RUNS=1; the exercise record lives in PLANS.md.
+    val synthSleepSecs = sys.env.get("SPARK_GRAFT_SYNTH_SLEEP_SECS").map(_.toDouble)
+    val SynthName = "q00_synth_sleep"
+
     def run(name: String): Double = {
+      if (name == SynthName) {
+        val t0 = System.nanoTime()
+        Thread.sleep((synthSleepSecs.get * 1000).toLong)
+        return (System.nanoTime() - t0) / 1e9
+      }
       spark.catalog.clearCache() // isolate queries: no cross-query caches
       // nudge the ContextCleaner: it only reclaims shuffle files, broadcast
       // blocks, and released checkpoint blocks when driver GC runs, and an
@@ -139,14 +154,15 @@ object Bench {
 
     // iteration aid: SPARK_GRAFT_ONLY=q41_shingle_minhash,q24_jaccard
     // benches a comma-separated subset (driver runs leave it unset)
+    val known = SparkEntry.queries.keySet ++ synthSleepSecs.map(_ => SynthName)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     only.foreach { o => // a typo'd name would otherwise silently bench nothing
-      val unknown = o -- SparkEntry.queries.keySet
+      val unknown = o -- known
       if (unknown.nonEmpty)
         System.err.println(
           s"[bench] WARNING: unknown queries in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = known.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runStats(n))
     def fmt(v: Double): String = f"$v%.3f"
