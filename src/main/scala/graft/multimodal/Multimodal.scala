@@ -491,6 +491,251 @@ object Multimodal {
     }
   }
 
+  /** The SINGLE RIFF-AVI parse shared by [[AviFrameCodec]] (seek) and
+    * [[AviProbe]] (duration) — the second multi-frame container through
+    * the [[FrameCodec]] seam, and the first with an INDEX-TABLE seek:
+    * unlike Y4M (fixed-size payloads, markers walked by offset
+    * arithmetic), AVI frames are variable-size (`00dc` RLE8 compresses
+    * each frame differently), so frame k's byte position is unknowable
+    * without either a linear chunk walk or the `idx1` index chunk the
+    * container carries. The codec seeks THROUGH the index: one 16-byte
+    * entry read per frame lookup, payload touched only at the target —
+    * the access pattern a real seekable container (MP4 `stsz`/`stco`,
+    * MKV cues) requires at crawl scale.
+    *
+    * Format is public (OpenDML / Microsoft AVI RIFF): `RIFF <sz> AVI `,
+    * a `LIST hdrl` holding the `avih` main header (µs/frame, total
+    * frames, width, height), a `LIST movi` holding `NNdb` (uncompressed
+    * bottom-up 8-bit rows, 4-byte stride) / `NNdc` (BI_RLE8) video
+    * chunks, and the `idx1` chunk of `{ckid, flags, offset, size}`
+    * entries. Both historical `dwChunkOffset` conventions are handled —
+    * absolute from file start, or relative to the `movi` fourcc — by
+    * validating the fourcc at the resolved position against the entry's
+    * ckid (the detection every real demuxer does).
+    *
+    * Failure policy matches the other codecs: malformed structure, a
+    * missing index, or an out-of-bounds entry decodes to the zero
+    * vector / all-None metadata, never a throw. RLE8 is a decompressor,
+    * so dimensions are additionally capped (4M pixels) against
+    * decompression bombs — a frame can't allocate more than the cap no
+    * matter what the bytes claim. */
+  private[multimodal] object Avi {
+    /** `moviBase` is the offset of the `movi` fourcc; idx1 payload at
+      * `idxOff` for `idxLen` bytes. */
+    final case class Header(
+        w: Int, h: Int, usPerFrame: Long, moviBase: Int, idxOff: Int, idxLen: Int)
+
+    private def u16(c: Array[Byte], o: Int): Int =
+      (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
+    private def u32(c: Array[Byte], o: Int): Long =
+      u16(c, o).toLong | (u16(c, o + 2).toLong << 16)
+    private def tag(c: Array[Byte], o: Int, s: String): Boolean =
+      o >= 0 && o + 4 <= c.length &&
+        (0 until 4).forall(i => c(o + i) == s.charAt(i).toByte)
+
+    /** 4M-pixel anti-bomb cap: RLE8 can inflate far past the content
+      * size, and the decode plane allocates `w*h` bytes per frame. */
+    val MaxPixels: Long = 1L << 22
+
+    def parse(content: Array[Byte]): Option[Header] = {
+      if (content == null || content.length < 12 ||
+          !tag(content, 0, "RIFF") || !tag(content, 8, "AVI ")) return None
+      var pos = 12
+      var w = -1; var h = -1; var usPerFrame = -1L
+      var moviBase = -1; var idxOff = -1; var idxLen = 0
+      while (pos + 8 <= content.length) {
+        val sz = u32(content, pos + 4)
+        // truncated final chunk (normal crawl corruption): stop the walk,
+        // keep what parsed — the index bounds-checks every entry anyway
+        if (sz < 0 || sz > Int.MaxValue - 8 || pos + 8 + sz > content.length) {
+          pos = content.length
+        } else {
+          if (tag(content, pos, "LIST") && sz >= 4) {
+            if (tag(content, pos + 8, "hdrl")) {
+              // walk hdrl sub-chunks for avih; strl sub-lists skip by size
+              var p = pos + 12
+              val end = pos + 8 + sz.toInt
+              while (p + 8 <= end && usPerFrame < 0) {
+                val ssz = u32(content, p + 4)
+                if (ssz < 0 || p + 8 + ssz > end) p = end
+                else {
+                  if (tag(content, p, "avih") && ssz >= 40) {
+                    usPerFrame = u32(content, p + 8)
+                    w = u32(content, p + 8 + 32).toInt
+                    h = u32(content, p + 8 + 36).toInt
+                  }
+                  p += 8 + ssz.toInt + (ssz.toInt & 1)
+                }
+              }
+            } else if (tag(content, pos + 8, "movi")) moviBase = pos + 8
+          } else if (tag(content, pos, "idx1")) {
+            idxOff = pos + 8; idxLen = sz.toInt
+          }
+          pos += 8 + sz.toInt + (sz.toInt & 1)
+        }
+      }
+      if (w <= 0 || h <= 0 || usPerFrame <= 0 || moviBase < 0 ||
+          idxOff < 0 || w.toLong * h > MaxPixels) None
+      else Some(Header(w, h, usPerFrame, moviBase, idxOff, idxLen))
+    }
+
+    /** Is index entry `e` (byte offset into idx1) a video chunk —
+      * `NNdb` / `NNdc` for any two-digit stream number. */
+    private def isVideo(c: Array[Byte], e: Int): Boolean = {
+      def digit(b: Byte) = b >= '0' && b <= '9'
+      digit(c(e)) && digit(c(e + 1)) && c(e + 2) == 'd' &&
+        (c(e + 3) == 'b' || c(e + 3) == 'c')
+    }
+
+    /** Count of video entries in idx1 (= seekable frames). */
+    def videoFrames(content: Array[Byte], hdr: Header): Int = {
+      val n = math.min(hdr.idxLen / 16,
+        (content.length - hdr.idxOff).max(0) / 16)
+      var k = 0; var count = 0
+      while (k < n) {
+        if (isVideo(content, hdr.idxOff + k * 16)) count += 1
+        k += 1
+      }
+      count
+    }
+
+    /** Resolve the `target`-th VIDEO frame through the index: returns
+      * `(fourccByte3, payloadOff, payloadLen)` — `fourccByte3` is 'b'
+      * (raw DIB) or 'c' (RLE8) — or null when the entry is absent or
+      * resolves out of bounds under BOTH offset conventions. One pass
+      * over 16-byte entries; payload bytes untouched. */
+    def videoChunk(content: Array[Byte], hdr: Header, target: Int): (Byte, Int, Int) = {
+      val n = math.min(hdr.idxLen / 16,
+        (content.length - hdr.idxOff).max(0) / 16)
+      var k = 0; var seen = 0
+      while (k < n) {
+        val e = hdr.idxOff + k * 16
+        if (isVideo(content, e)) {
+          if (seen == target) {
+            val off = u32(content, e + 8)
+            val len = u32(content, e + 12)
+            if (off > Int.MaxValue - 8 || len > Int.MaxValue - 8) return null
+            // offset convention: absolute from file start, else relative
+            // to the movi fourcc — validated by fourcc match at the
+            // resolved chunk header (its ckid must equal the entry's)
+            val ckid = new String(content, e, 4, "US-ASCII")
+            val abs = off.toInt
+            val rel = hdr.moviBase + off.toInt
+            val base =
+              if (tag(content, abs, ckid)) abs
+              else if (tag(content, rel, ckid)) rel
+              else -1
+            if (base < 0 || base + 8L + len > content.length) return null
+            return (content(e + 3), base + 8, len.toInt)
+          }
+          seen += 1
+        }
+        k += 1
+      }
+      null
+    }
+
+    /** Decode one frame payload into a TOP-DOWN `w*h` luma plane (8-bit
+      * grayscale convention: palette indices are luminance). DIB rows
+      * are stored bottom-up; `raw` rows are padded to 4-byte stride.
+      * Clamps every out-of-range write (poison tolerance). */
+    def decodePlane(
+        content: Array[Byte], kind: Byte, off: Int, len: Int,
+        w: Int, h: Int): Array[Byte] = {
+      val plane = new Array[Byte](w * h)
+      if (kind == 'b') { // raw bottom-up rows, 4-byte stride
+        val stride = (w + 3) & ~3
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val src = off + y * stride + x
+            if (src < off + len && src < content.length)
+              plane((h - 1 - y) * w + x) = content(src)
+            x += 1
+          }
+          y += 1
+        }
+      } else { // BI_RLE8
+        var i = off
+        val end = math.min(off + len, content.length)
+        var x = 0; var yUp = 0
+        var done = false
+        while (!done && i + 2 <= end && yUp < h) {
+          val c = content(i) & 0xff; val v = content(i + 1); i += 2
+          if (c > 0) { // run of c pixels of value v
+            var t = 0
+            while (t < c) {
+              if (x < w) plane((h - 1 - yUp) * w + x) = v
+              x += 1; t += 1
+            }
+          } else (v & 0xff) match {
+            case 0 => x = 0; yUp += 1 // end of line
+            case 1 => done = true     // end of bitmap
+            case 2 => // delta: skip dx right, dy up
+              if (i + 2 <= end) { x += content(i) & 0xff; yUp += content(i + 1) & 0xff; i += 2 }
+              else done = true
+            case n => // absolute: n literal pixels, word-aligned
+              var t = 0
+              while (t < n && i < end) {
+                if (x < w && yUp < h) plane((h - 1 - yUp) * w + x) = content(i)
+                x += 1; i += 1; t += 1
+              }
+              i += (n & 1)
+          }
+        }
+      }
+      plane
+    }
+  }
+
+  object AviFrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims) // whole-content = the first frame
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0) return zero
+      Avi.parse(content) match {
+        case None => zero
+        case Some(hdr) =>
+          val frames = Avi.videoFrames(content, hdr)
+          if (frames == 0) return zero
+          // nearest frame for frameMs at 1e6/usPerFrame fps, clamped to
+          // the index (a truncated tail drops its entries' chunks, which
+          // then resolve out of bounds — fall back toward the last
+          // resolvable frame, the Y4M clamp policy through an index)
+          val ideal = ((frameMs * 1000L + hdr.usPerFrame / 2) / hdr.usPerFrame)
+            .min(frames - 1L).toInt
+          var target = ideal
+          var chunk: (Byte, Int, Int) = null
+          while (target >= 0 && { chunk = Avi.videoChunk(content, hdr, target); chunk == null })
+            target -= 1
+          if (chunk == null) zero
+          else {
+            val plane = Avi.decodePlane(
+              content, chunk._1, chunk._2, chunk._3, hdr.w, hdr.h)
+            blockMean(plane, hdr.w * hdr.h, dims)
+          }
+      }
+    }
+
+    /** Mean value over `dims` equal raster-order blocks, /255 — the
+      * [[PpmCodec]]/[[Y4mFrameCodec]] feature over a decoded plane. */
+    private def blockMean(plane: Array[Byte], n: Int, dims: Int): Array[Float] = {
+      val sums = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var k = 0
+      while (k < n) {
+        val slot = (k.toLong * dims / n).toInt
+        sums(slot) += (plane(k) & 0xff)
+        counts(slot) += 1
+        k += 1
+      }
+      Array.tabulate(dims)(j =>
+        if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
+    }
+  }
+
   /** One probed-metadata row ([[probeMeta]]'s output): nulls where the
     * format doesn't carry the field or the content is malformed. */
   case class ProbedMeta(
@@ -517,10 +762,11 @@ object Multimodal {
       def starts(s: String): Boolean =
         content != null && content.length >= s.length &&
           (0 until s.length).forall(i => content(i) == s.charAt(i).toByte)
+      def riffForm(s: String): Boolean = starts("RIFF") && content.length >= 12 &&
+        (8 until 12).forall(i => content(i) == s.charAt(i - 8).toByte)
       if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
-      else if (starts("RIFF") && content.length >= 12 &&
-        (8 until 12).forall(i => content(i) == "WAVE".charAt(i - 8).toByte))
-        WavProbe.probe(content)
+      else if (riffForm("WAVE")) WavProbe.probe(content)
+      else if (riffForm("AVI ")) AviProbe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
@@ -544,6 +790,25 @@ object Multimodal {
             // emit a negative duration
             if (frames > Long.MaxValue / (1000L * hdr.fpsDen)) None
             else Some(frames * 1000L * hdr.fpsDen / hdr.fpsNum))
+      }
+  }
+
+  /** AVI: width/height/µs-per-frame from `avih`; duration from the
+    * `idx1` VIDEO-entry count × frame duration — the index is the
+    * complete-frame truth the codec seeks by ([[Avi]] is the single
+    * shared parser, so probe and codec cannot disagree), exactly as
+    * [[Y4mProbe]] counts its marker walk. A file with no index probes
+    * all-None: it is not seekable by this codec's contract. */
+  object AviProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta =
+      Avi.parse(content) match {
+        case None => ProbedMeta(0L, None, None, None, None)
+        case Some(hdr) =>
+          val frames = Avi.videoFrames(content, hdr).toLong
+          // frames bounded by content size / 16, usPerFrame by u32:
+          // frames * usPerFrame caps well under Long overflow
+          ProbedMeta(0L, Some("avi"), Some(hdr.w), Some(hdr.h),
+            Some(frames * hdr.usPerFrame / 1000L))
       }
   }
 

@@ -29,6 +29,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
     "data".getBytes("US-ASCII") ++ le32(64) ++ Array.fill(64)(7.toByte)
   private val ppm = ("P6\n4 2\n255\n" + "x" * 24).getBytes("ISO-8859-1")
+  private val avi = AviFixtures.avi(4, 4, 100000, Seq(
+    "dc" -> AviFixtures.rle8(Array.fill(16)(0x10.toByte), 4, 4),
+    "db" -> AviFixtures.rawDb(Array.fill(16)(0xE0.toByte), 4, 4)))
 
   private val garbage: Gen[Array[Byte]] =
     Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
@@ -48,13 +51,13 @@ class MediaFuzzSpec extends AnyFunSuite {
 
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
-      Seq(y4m, wav, ppm).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(y4m, wav, ppm, avi).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
     cases.foreach { bytes =>
       for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
-          Multimodal.WavProbe, Multimodal.PpmProbe)) {
+          Multimodal.WavProbe, Multimodal.PpmProbe, Multimodal.AviProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
@@ -68,6 +71,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       for (ms <- Seq(0L, 40L, 999999L)) {
         assert(Multimodal.Y4mFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(new Multimodal.WavFrameCodec(500L).decodeFrame(bytes, ms, 4).length === 4)
+        assert(Multimodal.AviFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
       }
       assert(Multimodal.PpmCodec.decode(
         if (bytes == null) Array.emptyByteArray else bytes, 4).length === 4)
@@ -133,5 +137,6 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(Multimodal.SniffProbe.probe(y4m).format === Some("y4m"))
     assert(Multimodal.SniffProbe.probe(wav).format === Some("wav"))
     assert(Multimodal.SniffProbe.probe(ppm).format === Some("ppm"))
+    assert(Multimodal.SniffProbe.probe(avi).format === Some("avi"))
   }
 }
