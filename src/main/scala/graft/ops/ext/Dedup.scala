@@ -118,6 +118,42 @@ object Dedup {
     lshCandidatePairsMultiBand(signatures, idCol, Seq(bandCols), maxBucketSize,
       saltOversized, persistSignatures)
 
+  /** Default for the `persistSignatures` flag when the caller has NOT
+    * measured their shape: true iff recomputing `signatures` is
+    * non-trivial — the plan contains (a) any operator beyond
+    * scan/project/filter (joins, aggregates, generates, unions: real
+    * recompute), or (b) an EXPENSIVE expression inside a project/filter
+    * (graft codegen kernels, regex, higher-order folds, UDFs — the
+    * minhash/simhash signature kernels that made persistence a measured
+    * 1.7-1.9x on q22/q24/q119's derived upstreams). A bare
+    * scan+project+filter of cheap columns returns false: a parquet
+    * re-read per band leg is cheaper than pinning the projection in
+    * executor storage.
+    *
+    * This is a HEURISTIC over the plan, not a measurement — callers
+    * with a measured shape keep passing the flag explicitly (q144's
+    * containment shape loses with persistence despite an expensive
+    * upstream, because the persisted payload is big and the candidate
+    * set winnow-capped; no static test sees payload-to-candidate
+    * ratios). Driver-side plan inspection only; nothing executes. */
+  def autoPersistSignatures(signatures: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Expression, HigherOrderFunction, Like, RLike, RegExpExtract,
+      RegExpExtractAll, RegExpReplace, ScalaUDF}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    val plan = signatures.queryExecution.optimizedPlan
+    def expensive(e: Expression): Boolean = e.exists {
+      case _: HigherOrderFunction | _: ScalaUDF => true
+      case _: RegExpExtract | _: RegExpExtractAll | _: RegExpReplace => true
+      case _: Like | _: RLike => true
+      case k => k.getClass.getName.startsWith("graft.functions.")
+    }
+    plan.exists {
+      case p @ (_: Project | _: Filter) => p.expressions.exists(expensive)
+      case p => p.children.nonEmpty // any non-leaf beyond project/filter
+    }
+  }
+
   /** LSH band key over signature columns.
     *
     * coalesce: concat_ws silently SKIPS nulls, which would let signatures
