@@ -61,7 +61,12 @@ object Bench {
     * tail. Per-query values at 1 decimal: the headline `value` (total) and
     * the stats file keep 3 decimals, so nothing is lost — the printed map
     * exists for cross-round per-query diffing where 0.1 s resolution is
-    * already below the box's same-day noise floor. */
+    * already below the box's same-day noise floor. The `sf` field prints
+    * the scale-factor BASENAME ("sf0.1"), not the full dir (round-12
+    * re-budget for q158/q159: −15 chars restores the 12-query worst-case
+    * headroom without another per-query key change; the driver's artifact
+    * already records the numeric sf at top level, and the full dir stays
+    * in bench_stats.json). */
   def buildLine(mins: Seq[(String, Double)], runsPerQuery: Int,
                 failures: Int, sfDir: String): String = {
     def esc(s: String): String =
@@ -69,7 +74,8 @@ object Bench {
     val qs = mins.map { case (k, mn) => "\"" + shortKey(k) + "\":" + printedValue(mn) }
       .mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfDir)}"}"""
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs_per_query":$runsPerQuery,"failures":$failures,"queries":$qs,"sf":"${esc(sfShort)}"}"""
   }
 
   /** Hard cap from the harness's ~2000-char tail window (with margin). */

@@ -2121,6 +2121,36 @@ object SparkEntry {
           t(s, dir, "documents"), col("text"), "doc_id", "lang")
         .orderBy(col("doc_id"))
     }),
+
+    // ---- KS distribution-shift audit between sources --------------------
+    "q158_ks_source_drift" -> ((s, dir) => {
+      // binned two-sample KS over per-doc token counts, every source
+      // pair: the "is this slice drawn from a different distribution"
+      // signal that decides source re-weighting. Exact on 64 bins of
+      // width 2; corpus work is one (source, bin) partial count.
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("source").isNotNull)
+      graft.pipeline.Reports.ksDistance(docs,
+          TextStats.tokenCount(col("text")).cast("long"),
+          col("source"), bins = 64, binWidth = 2L)
+        .select(col("group_a").as("src_a"), col("group_b").as("src_b"),
+          col("ks_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // ---- Cohen's kappa label agreement ----------------------------------
+    "q159_label_kappa" -> ((s, dir) => {
+      // agreement between two deterministic binary labelers (a token-
+      // length rule vs a char-length rule) corrected for chance — the
+      // annotation-QC statistic, all-BIGINT ppm
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+      TextStats.cohenKappa(docs,
+        TextStats.tokenCount(col("text")).cast("long") >= 40L,
+        col("n_chars") >= 250L)
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -4556,6 +4586,51 @@ object SparkEntry {
           |SELECT doc_id, lang, n_bigrams, avg_nll,
           | CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS bucket
           |FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " "),
+
+      // q158: binned two-sample KS between sources — dense (source, bin)
+      // grid, integer-ppm CDFs (floor division, non-negative operands),
+      // max |cdf_a - cdf_b| per pair. SUM windows are HUGEINT in DuckDB:
+      // cast before the multiply.
+      "q158_ks_source_drift" ->
+        s"""WITH docs AS (SELECT source, CAST(len($toks) AS BIGINT) AS tok
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND source IS NOT NULL),
+          |cnt AS (SELECT source, least(63, tok // 2) AS bin, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM docs GROUP BY 1, 2),
+          |grid AS (SELECT s.source, g.bin
+          |  FROM (SELECT DISTINCT source FROM cnt) s
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bin) g),
+          |dense AS (SELECT g.source, g.bin, COALESCE(c.c, 0) AS c
+          |  FROM grid g LEFT JOIN cnt c ON g.source = c.source AND g.bin = c.bin),
+          |cdf AS (SELECT source, bin,
+          |  CAST(SUM(c) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) * 1000000
+          |    // CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cdf_ppm
+          |  FROM dense)
+          |SELECT a.source AS src_a, b.source AS src_b,
+          |  CAST(MAX(ABS(a.cdf_ppm - b.cdf_ppm)) AS BIGINT) AS ks_ppm
+          |FROM cdf a JOIN cdf b ON a.bin = b.bin AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin.replace("\n", " "),
+
+      // q159: 2x2 contingency in one aggregate, ppm marginals, chance
+      // agreement pe = pa*pb + (1-pa)(1-pb); kappa numerator can be
+      // negative — `//` floors, mirrored by the engine's pmod form
+      "q159_label_kappa" ->
+        s"""WITH docs AS (SELECT
+          |  CAST(len($toks) AS BIGINT) >= 40 AS ra, n_chars >= 250 AS rb
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+          |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+          |  CAST(SUM(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+          |  CAST(SUM(CASE WHEN rb THEN 1 ELSE 0 END) AS BIGINT) AS b1 FROM docs),
+          |m AS (SELECT n, agree * 1000000 // n AS po_ppm,
+          |  a1 * 1000000 // n AS pa, b1 * 1000000 // n AS pb FROM agg),
+          |p AS (SELECT n, po_ppm,
+          |  (pa * pb + (1000000 - pa) * (1000000 - pb)) // 1000000 AS pe_ppm FROM m)
+          |SELECT n AS n_docs, po_ppm, pe_ppm,
+          |  CASE WHEN pe_ppm < 1000000
+          |   THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS kappa_ppm
+          |FROM p ORDER BY n_docs""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -1187,4 +1187,45 @@ object TextStats {
       .where(col("cnt") * lit((k + 1).toLong) > col("n"))
       .select(gcols ++ Seq(col("token"), col("cnt")): _*)
   }
+
+  /** Cohen's kappa agreement between two binary labelers — the
+    * annotation-QC statistic of a labeled-data pipeline (two annotators,
+    * an annotator vs a model, or two model versions): observed agreement
+    * corrected for the agreement their marginals would produce by
+    * chance, `kappa = (po - pe) / (1 - pe)`.
+    *
+    * All-BIGINT fixed point (ppm): `po`, the raters' marginal rates, and
+    * the chance term `pe = pa·pb + (1-pa)(1-pb)` stay in [0, 1e6]; their
+    * products fit comfortably in longs. The kappa numerator CAN be
+    * negative (systematic disagreement) — division here is the pmod
+    * FLOOR form, matching the oracle's `//` on negatives, so no sign
+    * decomposition is needed. `pe = 1` (both raters constant) yields a
+    * NULL kappa, the statistic's undefined case.
+    *
+    * Scale shape: ONE map-side partial aggregate to a single 2x2
+    * contingency row — the shuffle carries four counters per task,
+    * nothing else. Rater columns must be non-null booleans (filter
+    * upstream; a NULL would silently drop from the sums).
+    *
+    * Output, one row: `(n_docs, po_ppm, pe_ppm, kappa_ppm)`. */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val M = 1000000L
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(raterA === raterB, 1L).otherwise(0L)).as("agree"),
+      sum(when(raterA, 1L).otherwise(0L)).as("a1"),
+      sum(when(raterB, 1L).otherwise(0L)).as("b1"))
+    val m = agg.select(col("n"),
+      when(col("n") > 0, idiv(col("agree") * M, col("n"))).as("po_ppm"),
+      when(col("n") > 0, idiv(col("a1") * M, col("n"))).as("_pa"),
+      when(col("n") > 0, idiv(col("b1") * M, col("n"))).as("_pb"))
+    m.select(col("n"), col("po_ppm"),
+        idiv(col("_pa") * col("_pb") + (lit(M) - col("_pa")) * (lit(M) - col("_pb")),
+          lit(M)).as("pe_ppm"))
+      .select(col("n").as("n_docs"), col("po_ppm"), col("pe_ppm"),
+        when(col("pe_ppm") < M,
+          idiv((col("po_ppm") - col("pe_ppm")) * M, lit(M) - col("pe_ppm")))
+          .as("kappa_ppm"))
+  }
 }

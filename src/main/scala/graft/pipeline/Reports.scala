@@ -58,4 +58,73 @@ object Reports {
         when(col("_nc") > 0, expr("_na * 10000 div _nc"))
           .otherwise(lit(0L)).as("alpha_bp"))
   }
+
+  /** Binned two-sample Kolmogorov–Smirnov distance between every pair
+    * of groups — the distribution-shift audit between corpus slices
+    * (sources, crawls, time windows): which slices draw their
+    * lengths/scores from a DIFFERENT distribution and need re-weighting
+    * or investigation before training.
+    *
+    * `valueCol` must be a non-negative integer signal (token count,
+    * quality ppm, …); it is binned to `least(bins-1, value div
+    * binWidth)` and the KS statistic `max |CDF_a - CDF_b|` is EXACT on
+    * the binned distributions (binning error is bounded by the largest
+    * single-bin mass — the classic sketch trade, but deterministic and
+    * engine-exact, unlike a sampled KS). CDFs are integer ppm; division
+    * is floor on both engines (pmod form here, `//` in the oracle), all
+    * operands non-negative.
+    *
+    * Scale shape: the ONLY corpus-sized work is the map-side
+    * `(group, bin)` partial count — the shuffle carries at most
+    * `groups x bins` rows per task. Everything downstream (dense grid,
+    * per-group CDF windows, the pair join) runs on that bounded table:
+    * at any corpus size the pair join is `groups² x bins` rows, a
+    * driver-scale relation for realistic group counts. Window functions
+    * here partition over ≤ `bins` rows — never a corpus window.
+    *
+    * Output: `(group_a, group_b, ks_ppm)` for every unordered group
+    * pair, `group_a < group_b`. */
+  def ksDistance(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column,
+      bins: Int = 64,
+      binWidth: Long = 1L): DataFrame = {
+    require(bins >= 2, s"ksDistance: bins must be >= 2, got $bins")
+    require(binWidth >= 1, s"ksDistance: binWidth must be >= 1, got $binWidth")
+    // floor division, identical to the oracle's `//` (operands here are
+    // non-negative, so truncation would agree too — pmod keeps the form
+    // uniform with the engine's other fixed-point math)
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    // `counts` is referenced by the group census, the dense-grid join,
+    // and BOTH pair-join sides — without materialization the corpus scan
+    // (with the signal kernel) re-plans FOUR times. The table is bounded
+    // at groups x bins rows, so an eager localCheckpoint collapses the
+    // whole operator to ONE corpus pass for negligible pinned storage
+    // (release via `graft.core.Checkpoints.release(result)` after the
+    // result is consumed).
+    val counts = df
+      .select(groupCol.as("group"),
+        least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth))).as("bin"))
+      .groupBy(col("group"), col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // dense (group x bin) grid: a missing bin still carries the running
+    // CDF, and the pair join below needs every bin present on both sides
+    val grid = counts.select(col("group")).distinct()
+      .crossJoin(df.sparkSession.range(bins).select(col("id").as("bin")))
+    val dense = grid.join(counts, Seq("group", "bin"), "left")
+      .select(col("group"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("group").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("group")
+    val cdf = dense.select(col("group"), col("bin"),
+      idiv(sum(col("c")).over(wCum) * 1000000L, sum(col("c")).over(wAll))
+        .as("cdf_ppm"))
+    val a = cdf.select(col("group").as("group_a"), col("bin"), col("cdf_ppm").as("_pa"))
+    val b = cdf.select(col("group").as("group_b"), col("bin"), col("cdf_ppm").as("_pb"))
+    a.join(b, Seq("bin")).where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(max(abs(col("_pa") - col("_pb"))).as("ks_ppm"))
+  }
 }
