@@ -1606,6 +1606,37 @@ class TextStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("cohenKappa: textbook contingency, perfect/constant/adversarial raters") {
+    val spark2 = spark
+    import spark2.implicits._
+    def run(pairs: Seq[(Boolean, Boolean)]): (Long, Long, Long, Option[Long]) = {
+      val df = pairs.toDF("ra", "rb")
+      val r = TextStats.cohenKappa(df, col("ra"), col("rb")).collect().head
+      (r.getLong(1), r.getLong(2),
+        r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    // the textbook 2x2: n=50, both-yes 20, both-no 15, A-only 10, B-only 5
+    // po = 0.70, pa = 0.60, pb = 0.50, pe = 0.50, kappa = 0.40
+    val textbook =
+      Seq.fill(20)((true, true)) ++ Seq.fill(15)((false, false)) ++
+      Seq.fill(10)((true, false)) ++ Seq.fill(5)((false, true))
+    assert(run(textbook) === ((700000L, 500000L, 50L, Some(400000L))))
+    // perfect agreement with mixed marginals: kappa = 1
+    assert(run(Seq((true, true), (false, false)))._4 === Some(1000000L))
+    // both raters constant: pe = 1, kappa undefined -> NULL
+    assert(run(Seq((true, true), (true, true)))._4 === None)
+    // systematic disagreement at uneven marginals: negative kappa, and the
+    // floor-division reference (Math.floorDiv, the oracle's `//`) must
+    // match exactly — the engine's pmod form floors on negatives too
+    val adv = Seq((true, false), (false, true), (true, true))
+    val (po, pe, n, kappa) = run(adv)
+    def floorRef(po: Long, pe: Long): Long =
+      Math.floorDiv((po - pe) * 1000000L, 1000000L - pe)
+    assert(n === 3L && po === 333333L && pe === 555555L)
+    assert(kappa === Some(floorRef(po, pe)))
+    assert(kappa.get < 0L, s"adversarial raters must score negative: $kappa")
+  }
 }
 
 class EventsSpec extends SparkSpec {

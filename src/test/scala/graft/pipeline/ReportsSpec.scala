@@ -30,4 +30,35 @@ class ReportsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq === out.toSeq)
   }
+
+  test("ksDistance: hand-computed binned KS over every group pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bins=4, width=1. CDFs in ppm:
+    //   a: [0,0,1,1]  -> [500000, 1000000, 1000000, 1000000]
+    //   b: [2,2,3,3]  -> [0, 0, 500000, 1000000]       (disjoint from a)
+    //   c: [0,1,2,3]  -> [250000, 500000, 750000, 1000000] (uniform)
+    //   d: [0,0,1,1]  -> identical to a
+    val rows =
+      Seq(0L, 0L, 1L, 1L).map(("a", _)) ++ Seq(2L, 2L, 3L, 3L).map(("b", _)) ++
+      Seq(0L, 1L, 2L, 3L).map(("c", _)) ++ Seq(0L, 0L, 1L, 1L).map(("d", _))
+    val df = rows.toDF("src", "v")
+    val out = Reports.ksDistance(df, col("v"), col("src"), bins = 4, binWidth = 1L)
+    val got = out.as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(got.toSeq === Seq(
+      ("a", "b", 1000000L), ("a", "c", 500000L), ("a", "d", 0L),
+      ("b", "c", 500000L), ("b", "d", 1000000L), ("c", "d", 500000L)))
+    graft.core.Checkpoints.release(out)
+    // values past the last bin clamp into it; layout independence
+    val capped = Reports.ksDistance(
+      (rows ++ Seq(("b", 999L))).toDF("src", "v").repartition(5),
+      col("v"), col("src"), bins = 4, binWidth = 1L)
+    val g2 = capped.as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    // b gains a 5th point in bin 3: CDF [0, 0, 400000, 1000000] -> KS vs a
+    // still 1000000 (bin 1), vs c now 500000 (bin 1), vs d 1000000
+    assert(g2.toSeq === Seq(
+      ("a", "b", 1000000L), ("a", "c", 500000L), ("a", "d", 0L),
+      ("b", "c", 500000L), ("b", "d", 1000000L), ("c", "d", 500000L)))
+    graft.core.Checkpoints.release(capped)
+  }
 }
