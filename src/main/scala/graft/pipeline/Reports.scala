@@ -127,4 +127,59 @@ object Reports {
       .groupBy(col("group_a"), col("group_b"))
       .agg(max(abs(col("_pa") - col("_pb"))).as("ks_ppm"))
   }
+
+  /** A standing corpus's binned CDF as a broadcast-sized model — the
+    * reference distribution [[graft.streaming.Streams.ksDriftStream]]
+    * monitors live ingestion against (the distribution-side sibling of
+    * `DsirModel`/`NbModel`/`IvfModel`: trained once offline, shipped as
+    * plan literals / driver state). `cdfPpm(i)` is the ppm mass at or
+    * below bin `i`, same binning and floor arithmetic as [[ksDistance]]. */
+  final case class KsBaseline(binWidth: Long, cdfPpm: Array[Long]) {
+    def bins: Int = cdfPpm.length
+  }
+
+  /** Train a [[KsBaseline]] from the standing corpus: one map-side
+    * `(bin)` partial count, then a `collect()` bounded by `bins` rows
+    * (driver-metadata scale, like every trained model here). Values
+    * must be non-negative, as in [[ksDistance]]. */
+  def ksBaseline(
+      df: DataFrame, valueCol: Column, bins: Int = 64, binWidth: Long = 1L): KsBaseline = {
+    require(bins >= 2, s"ksBaseline: bins must be >= 2, got $bins")
+    require(binWidth >= 1, s"ksBaseline: binWidth must be >= 1, got $binWidth")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val rows = df
+      .select(least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth))).as("bin"))
+      .where(col("bin").isNotNull)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .collect() // <= bins rows
+    val counts = new Array[Long](bins)
+    rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    val n = counts.sum
+    require(n > 0, "ksBaseline: corpus has no non-null values")
+    val cdf = new Array[Long](bins)
+    var cum = 0L
+    var i = 0
+    while (i < bins) { cum += counts(i); cdf(i) = cum * 1000000L / n; i += 1 }
+    KsBaseline(binWidth, cdf)
+  }
+
+  /** KS statistic of a bin-count histogram against a [[KsBaseline]] —
+    * the ONE fold both the streaming monitor and its batch-parity spec
+    * use, so they cannot diverge. Returns `(n, ks_ppm)`; an empty
+    * histogram scores `(0, 1000000)` (no data = maximal drift, never a
+    * silent 0). */
+  def ksStat(counts: Array[Long], baseline: KsBaseline): (Long, Long) = {
+    require(counts.length == baseline.bins,
+      s"ksStat: ${counts.length} bins vs baseline ${baseline.bins}")
+    val n = counts.sum
+    if (n == 0L) return (0L, 1000000L)
+    var cum = 0L; var ks = 0L; var i = 0
+    while (i < counts.length) {
+      cum += counts(i)
+      val d = math.abs(cum * 1000000L / n - baseline.cdfPpm(i))
+      if (d > ks) ks = d
+      i += 1
+    }
+    (n, ks)
+  }
 }

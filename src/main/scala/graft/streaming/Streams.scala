@@ -27,6 +27,10 @@ case class MgGroupState(counters: Map[String, Long])
   * ascending (skey, id) — ≤ k entries by construction. */
 case class TopKState(picks: Seq[(Long, Long, Long)])
 
+/** Per-window bin histogram for [[Streams.ksDriftStream]]: `bins` longs
+  * per window — bounded by construction, never by stream volume. */
+case class KsBinState(counts: Seq[Long])
+
 /** Structured Streaming duals of the batch event ops
   * ([[graft.ops.ext.Events]]): tumbling-window aggregation with watermarked
   * late-data handling, session windows, and custom keyed state via
@@ -534,6 +538,58 @@ object Streams {
           (g, picks)
       }
       .toDF(stratumCol, "picks")
+  }
+
+  /** One [[ksDriftStream]] row: the window's CURRENT sample size and KS
+    * distance (ppm) from the standing-corpus baseline. */
+  case class KsWindow(window_start: Timestamp, n_values: Long, ks_ppm: Long)
+
+  /** Streaming distribution-drift monitor — the live dual of
+    * [[graft.pipeline.Reports.ksDistance]]: per tumbling window, the
+    * binned two-sample KS distance between the window's value
+    * distribution and a standing-corpus [[graft.pipeline.Reports
+    * .KsBaseline]] trained offline. The ingestion alarm a crawl
+    * pipeline wants: "this hour's documents are not drawn from the
+    * distribution we trained the curation thresholds on".
+    *
+    * Keyed state per window is the `bins`-entry histogram — bounded by
+    * construction, never by stream volume (the heavyHittersStream
+    * shape). Each micro-batch re-emits the window's current
+    * `(n, ks_ppm)` via the SHARED [[graft.pipeline.Reports.ksStat]]
+    * fold (run in `update` mode), so after any prefix the emitted row
+    * equals the batch statistic over that prefix exactly — KS over a
+    * histogram is arrival-order-independent, making this dual EXACT
+    * like the weighted sampler, not candidate-approximate like
+    * Misra–Gries (spec-asserted batch parity). Values are non-negative
+    * by the batch contract; stray negatives clamp to bin 0 rather than
+    * crash a long-running query. */
+  def ksDriftStream(
+      rows: DataFrame, tsCol: String, valueCol: Column,
+      windowMs: Long, baseline: graft.pipeline.Reports.KsBaseline): Dataset[KsWindow] = {
+    require(windowMs >= 1, s"ksDriftStream: windowMs must be >= 1, got $windowMs")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(tsCol).cast("timestamp").as("ts"), valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .as[(Timestamp, Long)]
+      .groupByKey { case (ts, _) =>
+        Math.floorDiv(ts.getTime, windowMs) * windowMs
+      }
+      .mapGroupsWithState[KsBinState, KsWindow](GroupStateTimeout.NoTimeout()) {
+        (wstart: Long, batch: Iterator[(Timestamp, Long)], state: GroupState[KsBinState]) =>
+          val counts = state.getOption
+            .map(_.counts.toArray)
+            .getOrElse(new Array[Long](baseline.bins))
+          batch.foreach { case (_, v) =>
+            val b = math.min(baseline.bins - 1L,
+              math.max(0L, Math.floorDiv(v, baseline.binWidth))).toInt
+            counts(b) += 1L
+          }
+          state.update(KsBinState(counts.toSeq))
+          val (n, ks) = graft.pipeline.Reports.ksStat(counts, baseline)
+          KsWindow(new Timestamp(wstart), n, ks)
+      }
   }
 
   /** Streaming C4 line cleaning — live page scrubbing as documents

@@ -676,4 +676,44 @@ class StreamsSpec extends SparkSpec {
       assert(out.toSeq === Seq((1L, 2L)))
     } finally q.stop()
   }
+
+  test("ksDriftStream: per-window KS vs baseline equals the shared fold over the prefix") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Reports
+    // standing corpus: uniform over bins 0..3
+    val corpus = (0L until 40L).map(i => Tuple1(i % 4)).toDF("v")
+    val base = Reports.ksBaseline(corpus, col("v"), bins = 4, binWidth = 1L)
+    assert(base.cdfPpm.toSeq === Seq(250000L, 500000L, 750000L, 1000000L))
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streams.ksDriftStream(
+        input.toDF().toDF("ts", "v"), "ts", col("v"), windowMs = 1000L, base)
+      .writeStream.format("memory").queryName("ks_stream")
+      .outputMode("update").start()
+    def T(ms: Long) = new Timestamp(ms)
+    try {
+      input.addData(
+        // window 0: all-zero skew (maximal low drift)
+        (T(10), 0L), (T(20), 0L), (T(30), 0L), (T(990), 0L),
+        // window 1: exactly the baseline distribution
+        (T(1010), 0L), (T(1020), 1L), (T(1030), 2L), (T(1040), 3L))
+      q.processAllAvailable()
+      input.addData( // window 0 dilutes; 999 clamps into the last bin
+        (T(500), 2L), (T(600), 3L), (T(700), 999L))
+      q.processAllAvailable()
+      val rows = spark.table("ks_stream").as[(Timestamp, Long, Long)].collect()
+      val last = rows.zipWithIndex.groupBy(_._1._1.getTime)
+        .map { case (w, rs) => w -> rs.maxBy(_._2)._1 }
+      // a perfectly on-distribution window scores 0 drift
+      assert((last(1000L)._2, last(1000L)._3) === ((4L, 0L)))
+      // every emitted update equals the SHARED fold over that prefix
+      val first0 = rows.zipWithIndex.filter(_._1._1.getTime == 0L).minBy(_._2)._1
+      assert((first0._2, first0._3) === Reports.ksStat(Array(4L, 0L, 0L, 0L), base))
+      assert((last(0L)._2, last(0L)._3) ===
+        Reports.ksStat(Array(4L, 0L, 1L, 2L), base))
+      // and the all-zero prefix really was maximal-low drift: |1e6 - 25e4|
+      assert(first0._3 === 750000L)
+    } finally q.stop()
+  }
 }
