@@ -88,6 +88,44 @@ object Contamination {
     corpus.join(broadcast(hits), Seq(idCol), "left_anti")
   }
 
+  /** SEMANTIC contamination: corpus rows whose embedding reaches cosine
+    * `minCos` against ANY benchmark vector — the paraphrase-robust
+    * sibling of the n-gram family above. A reworded benchmark question
+    * shares no 8-gram with the original but keeps its embedding; modern
+    * eval-leakage audits run this embedding-level check alongside the
+    * lexical one.
+    *
+    * Scale shape: benchmark embeddings are eval-set sized, so they
+    * BROADCAST; the corpus streams through a broadcast LEFT-SEMI
+    * nested-loop join whose condition is the codegen'd dot-product
+    * kernel ([[Similarity.cosineSafe]]). The semi join short-circuits at
+    * the FIRST matching benchmark vector per corpus row, no per-pair
+    * rows ever materialize, and the corpus side plans ZERO Exchanges
+    * (spec-asserted) — scan-bound at any corpus size. For benchmark
+    * sets too large to broadcast, prefilter candidates with SRP buckets
+    * ([[Similarity]]'s LSH path) before the exact check. */
+  def semanticContaminationHits(
+      corpus: DataFrame, vecCol: Column,
+      benchmark: DataFrame, benchVecCol: Column, minCos: Double): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"semanticContaminationHits: minCos must be in [-1, 1], got $minCos")
+    val bench = benchmark.select(benchVecCol.as("_bvec"))
+    corpus.join(broadcast(bench),
+      Similarity.cosineSafe(vecCol, col("_bvec")) >= minCos, "left_semi")
+  }
+
+  /** The corpus minus semantically contaminated rows — the anti twin of
+    * [[semanticContaminationHits]], same broadcast short-circuit plan. */
+  def semanticDecontaminate(
+      corpus: DataFrame, vecCol: Column,
+      benchmark: DataFrame, benchVecCol: Column, minCos: Double): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"semanticDecontaminate: minCos must be in [-1, 1], got $minCos")
+    val bench = benchmark.select(benchVecCol.as("_bvec"))
+    corpus.join(broadcast(bench),
+      Similarity.cosineSafe(vecCol, col("_bvec")) >= minCos, "left_anti")
+  }
+
   /** A Bloom filter over the benchmark's n-gram hashes as a PLAIN COLUMN
     * predicate — packed `Array[Long]` bit words shipped as a literal, bit
     * tests via `element_at` + bitwiseAND against a 64-entry power-of-two

@@ -1151,6 +1151,42 @@ class ContaminationSpec extends SparkSpec {
     assert(out.forall(_._2 === 3L))
     assert(out.map(_._1).sorted === out.map(_._1)) // ties ordered by hash asc
   }
+
+  test("semantic decontamination: cosine-threshold hits match brute force, corpus never shuffles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),   // exact benchmark copy: cos 1
+      (2L, Seq(0f, 1f, 0f, 0f)),   // orthogonal to both: cos 0
+      (3L, Seq(1f, 1f, 0f, 0f)),   // cos 1/sqrt(2) ~ 0.707 to b1
+      (4L, Seq(0f, 0f, 0f, 0f)))   // zero vector: cosineSafe pins to -1
+      .toDF("vec_id", "embedding").repartition(2)
+    val bench = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f)).toDF("embedding")
+
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").as[Long].collect().sorted.toSeq
+    val hits = Contamination.semanticContaminationHits(
+      corpus, col("embedding"), bench, col("embedding"), minCos = 0.75)
+    val clean = Contamination.semanticDecontaminate(
+      corpus, col("embedding"), bench, col("embedding"), minCos = 0.75)
+    assert(ids(hits) === Seq(1L))
+    assert(ids(clean) === Seq(2L, 3L, 4L))
+    // lowering the bar below cos(45deg) pulls in the paraphrase-like 3
+    assert(ids(Contamination.semanticContaminationHits(
+      corpus, col("embedding"), bench, col("embedding"), minCos = 0.7)) ===
+      Seq(1L, 3L))
+    // brute-force reference: max cosine per corpus row, any threshold
+    val brute = corpus.crossJoin(bench.select(col("embedding").as("b")))
+      .groupBy(col("vec_id"))
+      .agg(max(graft.ops.ext.Similarity.cosineSafe(col("embedding"), col("b"))).as("mx"))
+      .where(col("mx") >= 0.75)
+    assert(ids(brute.select(col("vec_id"))) === ids(hits))
+    // plan: benchmark broadcast, semi short-circuit, ZERO corpus Exchange
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
