@@ -126,6 +126,39 @@ object Contamination {
       Similarity.cosineSafe(vecCol, col("_bvec")) >= minCos, "left_anti")
   }
 
+  /** [[semanticContaminationHits]] with the SRP-bucket prefilter the
+    * exact form's scaladoc prescribes for LARGE benchmarks: both sides
+    * get a [[Similarity.srpBucket]] signature, the semi join becomes a
+    * broadcast HASH join keyed on the bucket (each corpus row probes one
+    * hash slot instead of scanning every benchmark vector), and the
+    * exact cosine runs only on bucket-sharing pairs. Still zero corpus
+    * Exchanges (spec-asserted).
+    *
+    * Recall trade (the [[Similarity.embeddingNearDupPairs]] contract):
+    * only pairs agreeing on ALL `planes` sign bits are compared, so
+    * borderline paraphrases on the other side of a hyperplane are
+    * missed — but an EXACT embedding copy always shares its own bucket,
+    * so verbatim leakage recall is 1 by construction. Use the exact
+    * form when the benchmark broadcast is affordable; this one when the
+    * per-row benchmark scan is the bottleneck. */
+  def semanticContaminationHitsSrp(
+      corpus: DataFrame, vecCol: Column,
+      benchmark: DataFrame, benchVecCol: Column, minCos: Double,
+      planes: Int = 8): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"semanticContaminationHitsSrp: minCos must be in [-1, 1], got $minCos")
+    require(planes >= 1 && planes <= 62,
+      s"semanticContaminationHitsSrp: planes must be in [1, 62], got $planes")
+    val bench = benchmark.select(benchVecCol.as("_bvec"))
+      .withColumn("_bbkt", Similarity.srpBucket(col("_bvec"), planes))
+    corpus.withColumn("_cbkt", Similarity.srpBucket(vecCol, planes))
+      .join(broadcast(bench),
+        col("_cbkt") === col("_bbkt") &&
+          Similarity.cosineSafe(vecCol, col("_bvec")) >= minCos,
+        "left_semi")
+      .drop("_cbkt")
+  }
+
   /** A Bloom filter over the benchmark's n-gram hashes as a PLAIN COLUMN
     * predicate — packed `Array[Long]` bit words shipped as a literal, bit
     * tests via `element_at` + bitwiseAND against a 64-entry power-of-two

@@ -128,6 +128,38 @@ object Reports {
       .agg(max(abs(col("_pa") - col("_pb"))).as("ks_ppm"))
   }
 
+  /** Empirical-Bayes shrunk per-group rates: the rate of a boolean flag
+    * per group, pulled toward the GLOBAL rate with `pseudoN` pseudo
+    * observations — `shrunk = (x_g + k·p0) / (n_g + k)` in integer ppm.
+    * The quality-prior a curation gate wants for rare slices: a domain
+    * with 3 documents and one bad one should NOT be gated at a "33%"
+    * rate the way a 3-million-document domain at 33% is; small groups
+    * pull to the prior, large groups dominate it.
+    *
+    * All-BIGINT floor math (non-negative operands): `p0` is the global
+    * ppm rate, `shrunk_ppm = (x_g·1e6 + k·p0) div (n_g + k)`.
+    *
+    * Scale shape: one map-side partial-aggregated `groupBy` (the only
+    * corpus-sized work), then a 1-row global rollup of the per-group
+    * table broadcast-cross-joined back — nothing after the first
+    * partial aggregation exceeds the group count. Output:
+    * `(group, n_docs, raw_ppm, shrunk_ppm)`. */
+  def shrunkRates(
+      df: DataFrame, groupCol: Column, flagCol: Column, pseudoN: Long): DataFrame = {
+    require(pseudoN >= 1, s"shrunkRates: pseudoN must be >= 1, got $pseudoN")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val M = 1000000L
+    val per = df.groupBy(groupCol.as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(flagCol, 1L).otherwise(0L)).as("x"))
+    val global = per.agg(sum(col("n")).as("_gn"), sum(col("x")).as("_gx"))
+    per.crossJoin(broadcast(global))
+      .select(col("group"), col("n").as("n_docs"),
+        idiv(col("x") * M, col("n")).as("raw_ppm"),
+        idiv(col("x") * M + lit(pseudoN) * idiv(col("_gx") * M, col("_gn")),
+          col("n") + lit(pseudoN)).as("shrunk_ppm"))
+  }
+
   /** A standing corpus's binned CDF as a broadcast-sized model — the
     * reference distribution [[graft.streaming.Streams.ksDriftStream]]
     * monitors live ingestion against (the distribution-side sibling of

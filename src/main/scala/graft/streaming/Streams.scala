@@ -618,6 +618,18 @@ object Streams {
       embeds: DataFrame, model: graft.ops.ext.Similarity.IvfModel): DataFrame =
     graft.ops.ext.Similarity.assignCells(embeds, model)
 
+  /** Streaming SEMANTIC decontamination — the embedding-side sibling of
+    * [[decontaminate]]: arriving vectors within cosine `minCos` of any
+    * benchmark embedding are dropped before they reach downstream state.
+    * Stateless delegate to the SAME broadcast left-anti short-circuit
+    * join ([[graft.ops.ext.Contamination.semanticDecontaminate]]), so
+    * batch and stream can never disagree on what leaks. */
+  def semanticDecontaminateStream(
+      vectors: DataFrame, vecCol: String,
+      benchmark: DataFrame, benchVecCol: String, minCos: Double): DataFrame =
+    graft.ops.ext.Contamination.semanticDecontaminate(
+      vectors, col(vecCol), benchmark, col(benchVecCol), minCos)
+
   /** Streaming NB classification: every arriving document scored under
     * a model trained OFFLINE ([[graft.ops.ext.TextStats.trainNb]]) —
     * the fastText-classifier half of live ingestion (route/drop crawl

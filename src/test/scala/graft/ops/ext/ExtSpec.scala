@@ -1186,6 +1186,19 @@ class ContaminationSpec extends SparkSpec {
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftSemi"), plan)
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+
+    // the SRP-prefiltered form: an EXACT embedding copy always shares
+    // its own bucket (recall 1 on verbatim leakage), results are a
+    // subset of the exact form's, and the join becomes a broadcast HASH
+    // join on the bucket — still zero corpus Exchanges
+    val srp = Contamination.semanticContaminationHitsSrp(
+      corpus, col("embedding"), bench, col("embedding"), minCos = 0.75)
+    assert(ids(srp) === Seq(1L)) // the verbatim copy
+    assert(ids(srp).toSet.subsetOf(ids(hits).toSet))
+    assert(srp.columns.toSeq === corpus.columns.toSeq) // _cbkt dropped
+    val srpPlan = srp.queryExecution.executedPlan.toString
+    assert(srpPlan.contains("BroadcastHashJoin") && srpPlan.contains("LeftSemi"), srpPlan)
+    assert(!srpPlan.contains("Exchange hashpartitioning"), srpPlan)
   }
 }
 

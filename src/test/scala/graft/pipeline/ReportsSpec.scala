@@ -61,4 +61,30 @@ class ReportsSpec extends SparkSpec {
       ("b", "c", 500000L), ("b", "d", 1000000L), ("c", "d", 500000L)))
     graft.core.Checkpoints.release(capped)
   }
+
+  test("shrunkRates: small groups pull to the global prior, large groups hold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // global: 500 of 1000 flagged (p0 = 500000 ppm). Group "big": 499/998
+    // (~p0); group "tiny": 1/1 (raw 1e6); group "none": 0/1 (raw 0).
+    val rows =
+      (0L until 998L).map(i => ("big", i % 2 == 0)) ++ // 499 true
+      Seq(("tiny", true), ("none", false))
+    val out = Reports.shrunkRates(rows.toDF("src", "flag"), col("src"), col("flag"),
+        pseudoN = 10L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // expected floor math: p0 = 500*1e6 // 1000 = 500000
+    //   big:  raw 499*1e6//998 = 500000; shrunk (499e6 + 10*500000)//1008 = 500000
+    //   none: raw 0;      shrunk (0 + 5e6)//11 = 454545
+    //   tiny: raw 1e6;    shrunk (1e6 + 5e6)//11 = 545454
+    assert(out === Seq(
+      ("big", 998L, 500000L, 500000L),
+      ("none", 1L, 0L, 454545L),
+      ("tiny", 1L, 1000000L, 545454L)))
+    // layout independence
+    val re = Reports.shrunkRates(rows.toDF("src", "flag").repartition(7),
+        col("src"), col("flag"), pseudoN = 10L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re === out)
+  }
 }

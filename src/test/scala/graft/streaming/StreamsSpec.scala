@@ -677,6 +677,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticDecontaminateStream drops leaking vectors identically to batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(Seq(1f, 0f, 0f, 0f)).toDF("embedding")
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),  // verbatim leak: dropped
+      (2L, Seq(0f, 1f, 0f, 0f)),  // orthogonal: kept
+      (3L, Seq(1f, 1f, 0f, 0f)))  // cos ~0.707 < 0.75: kept
+    val expected = graft.ops.ext.Contamination.semanticDecontaminate(
+        vecs.toDF("vec_id", "embedding"), col("embedding"),
+        bench, col("embedding"), minCos = 0.75)
+      .select("vec_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticDecontaminateStream(
+        input.toDF().toDF("vec_id", "embedding"), "embedding",
+        bench, "embedding", minCos = 0.75)
+      .select("vec_id")
+      .writeStream.format("memory").queryName("semdecontam")
+      .outputMode("append").start()
+    try {
+      input.addData(vecs.take(2): _*); q.processAllAvailable()
+      input.addData(vecs.drop(2): _*); q.processAllAvailable()
+      assert(spark.table("semdecontam").as[Long].collect().toSet === expected)
+      assert(expected === Set(2L, 3L))
+    } finally q.stop()
+  }
+
   test("ksDriftStream: per-window KS vs baseline equals the shared fold over the prefix") {
     val spark2 = spark
     import spark2.implicits._
