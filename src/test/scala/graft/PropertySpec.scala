@@ -349,4 +349,62 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === expect.toSeq, s"for $rows")
     }
   }
+
+  test("property: ksDistance ppm tracks the real-valued KS within floor error") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.pipeline.Reports
+    val bins = 8
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 11L))) // values cap into bin 7
+    samples(rowsGen, 4).foreach { rows =>
+      // every group must be non-empty for the reference below
+      val all = rows ++ Seq(("a", 0L), ("b", 0L), ("c", 0L))
+      val out = Reports.ksDistance(all.toDF("g", "v"), col("v"), col("g"),
+        bins = bins, binWidth = 1L)
+      val got = out.as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      graft.core.Checkpoints.release(out)
+      // double-precision reference over the SAME binning
+      def cdf(g: String): Array[Double] = {
+        val vs = all.filter(_._1 == g).map(t => math.min(bins - 1L, t._2))
+        val counts = Array.tabulate(bins)(b => vs.count(_ == b).toDouble)
+        counts.scanLeft(0.0)(_ + _).tail.map(_ / vs.size)
+      }
+      for (ga <- Seq("a", "b"); gb <- Seq("b", "c") if ga < gb) {
+        val ref = cdf(ga).zip(cdf(gb)).map { case (x, y) => math.abs(x - y) }.max
+        val ppm = got((ga, gb))
+        // per-bin CDF floor error < 1 ppm each side -> |diff| within 2 ppm
+        assert(math.abs(ppm - ref * 1e6) <= 2.0, s"($ga,$gb): $ppm vs $ref for $all")
+        assert(ppm >= 0L && ppm <= 1000000L)
+      }
+    }
+  }
+
+  test("property: cohenKappa ppm tracks the real-valued kappa within floor error") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    val pairGen = Gen.listOfN(25, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false)))
+    samples(pairGen, 5).foreach { pairs =>
+      val r = TextStats.cohenKappa(pairs.toDF("ra", "rb"), col("ra"), col("rb"))
+        .collect().head
+      val n = pairs.size.toDouble
+      val po = pairs.count(p => p._1 == p._2) / n
+      val pa = pairs.count(_._1) / n
+      val pb = pairs.count(_._2) / n
+      val pe = pa * pb + (1 - pa) * (1 - pb)
+      assert(math.abs(r.getLong(1) - po * 1e6) <= 1.0, s"po for $pairs")
+      assert(math.abs(r.getLong(2) - pe * 1e6) <= 3.0, s"pe for $pairs") // two floored ppm products
+      if (pe < 1.0 - 1e-9) {
+        val kappa = (po - pe) / (1 - pe)
+        // ppm po/pe carry up to ~3 ppm of floor error each; the division
+        // amplifies by 1/(1-pe) — bound loosely, the exactness contract
+        // is the engine-vs-oracle hash, not this float cross-check
+        val tol = 3.0 + 8.0 / math.max(1e-6, 1 - pe)
+        assert(math.abs(r.getLong(3) - kappa * 1e6) <= tol,
+          s"kappa ${r.getLong(3)} vs ${kappa * 1e6} for $pairs")
+      } else assert(r.isNullAt(3), s"pe=1 must yield NULL kappa for $pairs")
+    }
+  }
 }
