@@ -562,7 +562,14 @@ object Streams {
     * like the weighted sampler, not candidate-approximate like
     * Misra–Gries (spec-asserted batch parity). Values are non-negative
     * by the batch contract; stray negatives clamp to bin 0 rather than
-    * crash a long-running query. */
+    * crash a long-running query.
+    *
+    * Retention: PER-window state is bounded, but closed windows keep
+    * their histogram (NoTimeout, the heavyHittersStream contract) so a
+    * straggler can still update its window's statistic; a deployment
+    * running for months should bound total state by restarting the
+    * query on a retention schedule or forking this with an event-time
+    * timeout that drops windows older than the late-data bound. */
   def ksDriftStream(
       rows: DataFrame, tsCol: String, valueCol: Column,
       windowMs: Long, baseline: graft.pipeline.Reports.KsBaseline): Dataset[KsWindow] = {
