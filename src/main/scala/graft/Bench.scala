@@ -39,13 +39,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Printed keys are the short numeric prefix with the leading `q`
-    * dropped ("q118_bpe_apply" -> "118") — the CLAUDE.md-sanctioned
-    * round-11 re-budget (saves ~1 char/query ≈ +14 worst-case queries of
-    * line capacity; full names live in the stats file). Keys changed
-    * once, in round 11 — noted in the round README for the judge's
-    * cross-round per-query diff. */
-  def shortKey(n: String): String = n.takeWhile(_ != '_').stripPrefix("q")
+  /** Printed keys are the query's numeric prefix rendered in BASE-36,
+    * zero-padded to 2 chars ("q118_bpe_apply" -> "3a", "q09_x" -> "09")
+    * — the CLAUDE.md-ledger lever (c), burned in round 13 when the
+    * worst-case line hit 1,763 of 1,768 budgeted chars at 159 queries
+    * and the next query could not ship. Every query up to #1295 now
+    * prints a uniform 2-char key (decimal keys were 3 chars from #100),
+    * restoring ~19 worst-case queries of headroom. This is the SECOND
+    * and last key change (round 11 dropped the leading `q`): BENCH_r12
+    * "118" rows pair with BENCH_r13+ "3a" rows via
+    * `Integer.parseInt(key, 36)`; full names live in the stats file and
+    * the README carries the legend. */
+  def shortKey(n: String): String = {
+    val b = java.lang.Long.toString(
+      java.lang.Long.parseLong(n.takeWhile(_ != '_').stripPrefix("q")), 36)
+    if (b.length < 2) "0" + b else b
+  }
 
   /** Printed per-query values SATURATE at 99.9 s: a contended box can
     * inflate a min past 10 s (round-9 notes record 3-7x in-suite
