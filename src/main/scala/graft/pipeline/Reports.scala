@@ -65,10 +65,13 @@ object Reports {
     * lengths/scores from a DIFFERENT distribution and need re-weighting
     * or investigation before training.
     *
-    * `valueCol` must be a non-negative integer signal (token count,
-    * quality ppm, …); it is binned to `least(bins-1, value div
-    * binWidth)` and the KS statistic `max |CDF_a - CDF_b|` is EXACT on
-    * the binned distributions (binning error is bounded by the largest
+    * `valueCol` is an integer signal, non-negative by contract (token
+    * count, quality ppm, …); it is binned to `least(bins-1, value div
+    * binWidth)`. Malformed rows follow the family-wide policy (shared
+    * with [[ksBaseline]] and `Streams.ksDriftStream`, so the batch and
+    * streaming halves of the monitor cannot disagree): nulls DROP,
+    * negatives CLAMP to bin 0. The KS statistic `max |CDF_a - CDF_b|`
+    * is EXACT on the binned distributions (binning error is bounded by the largest
     * single-bin mass — the classic sketch trade, but deterministic and
     * engine-exact, unlike a sampled KS). CDFs are integer ppm; division
     * is floor on both engines (pmod form here, `//` in the oracle), all
@@ -103,9 +106,22 @@ object Reports {
     // whole operator to ONE corpus pass for negligible pinned storage
     // (release via `graft.core.Checkpoints.release(result)` after the
     // result is consumed).
+    // Malformed-input policy, unified across the KS family in round 13
+    // (batch and stream are advertised as an exact dual — they must
+    // agree on bad rows too): null values DROP (an all-null group
+    // disappears instead of feeding a 0-denominator ANSI division);
+    // negative values CLAMP to bin 0, exactly as ksDriftStream's
+    // `math.max(0L, ...)` — before this, a negative bin silently missed
+    // the 0..bins-1 grid and shrank the group's CDF denominator.
+    // NB the null filter must hit the VALUE, not the bin: greatest/least
+    // SKIP null operands in Spark, so a null value's "bin" would come
+    // out as bins-1, not null — silently counting missing data as the
+    // top bin.
     val counts = df
+      .where(valueCol.isNotNull)
       .select(groupCol.as("group"),
-        least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth))).as("bin"))
+        greatest(lit(0L),
+          least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth)))).as("bin"))
       .groupBy(col("group"), col("bin")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     // dense (group x bin) grid: a missing bin still carries the running
@@ -172,16 +188,23 @@ object Reports {
 
   /** Train a [[KsBaseline]] from the standing corpus: one map-side
     * `(bin)` partial count, then a `collect()` bounded by `bins` rows
-    * (driver-metadata scale, like every trained model here). Values
-    * must be non-negative, as in [[ksDistance]]. */
+    * (driver-metadata scale, like every trained model here). Malformed
+    * values follow the family policy of [[ksDistance]]: nulls drop,
+    * negatives clamp to bin 0. */
   def ksBaseline(
       df: DataFrame, valueCol: Column, bins: Int = 64, binWidth: Long = 1L): KsBaseline = {
     require(bins >= 2, s"ksBaseline: bins must be >= 2, got $bins")
     require(binWidth >= 1, s"ksBaseline: binWidth must be >= 1, got $binWidth")
     def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    // negatives clamp to bin 0 (the ksDriftStream policy — before round
+    // 13 a negative value was a driver AIOOBE here while the stream
+    // clamped, letting the "exact dual" pair disagree on malformed rows)
+    // null filter on the VALUE, not the bin — greatest/least skip nulls
+    // (see ksDistance)
     val rows = df
-      .select(least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth))).as("bin"))
-      .where(col("bin").isNotNull)
+      .where(valueCol.isNotNull)
+      .select(greatest(lit(0L),
+        least(lit(bins - 1L), idiv(valueCol.cast("long"), lit(binWidth)))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .collect() // <= bins rows
     val counts = new Array[Long](bins)

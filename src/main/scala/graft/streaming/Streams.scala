@@ -578,7 +578,11 @@ object Streams {
     import spark.implicits._
     rows
       .select(col(tsCol).cast("timestamp").as("ts"), valueCol.cast("long").as("v"))
-      .where(col("v").isNotNull)
+      // family-wide malformed-row policy (clamp-or-drop, never crash a
+      // long-running query): null VALUES drop, and so must null
+      // TIMESTAMPS — one null ts used to NPE in `ts.getTime` inside
+      // groupByKey and kill the query (round-12 ADVICE)
+      .where(col("ts").isNotNull && col("v").isNotNull)
       .as[(Timestamp, Long)]
       .groupByKey { case (ts, _) =>
         Math.floorDiv(ts.getTime, windowMs) * windowMs

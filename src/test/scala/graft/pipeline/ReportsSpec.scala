@@ -62,6 +62,41 @@ class ReportsSpec extends SparkSpec {
     graft.core.Checkpoints.release(capped)
   }
 
+  test("KS family malformed-input policy: nulls drop, negatives clamp to bin 0, batch = baseline") {
+    val spark2 = spark
+    import spark2.implicits._
+    // neg and pos are IDENTICAL distributions once the family policy
+    // applies (-5 clamps to bin 0, the null drops); allnull must
+    // disappear entirely (not feed a 0-denominator ANSI division).
+    val rows: Seq[(String, java.lang.Long)] = Seq(
+      ("neg", -5L: java.lang.Long), ("neg", 0L: java.lang.Long),
+      ("neg", 1L: java.lang.Long), ("neg", null),
+      ("pos", 0L: java.lang.Long), ("pos", 0L: java.lang.Long),
+      ("pos", 1L: java.lang.Long),
+      ("far", 2L: java.lang.Long), ("far", 2L: java.lang.Long),
+      ("far", 3L: java.lang.Long),
+      ("allnull", null), ("allnull", null))
+    val df = rows.toDF("src", "v")
+    val out = Reports.ksDistance(df, col("v"), col("src"), bins = 4, binWidth = 1L)
+    val got = out.as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    // exactly the 3 pairs over {far, neg, pos}: allnull is gone
+    assert(got.toSeq === Seq(
+      ("far", "neg", 1000000L), ("far", "pos", 1000000L), ("neg", "pos", 0L)))
+    graft.core.Checkpoints.release(out)
+    // ksBaseline applies the SAME policy (a negative used to be a driver
+    // ArrayIndexOutOfBounds here): neg and pos train identical baselines
+    val bNeg = Reports.ksBaseline(
+      df.where(col("src") === "neg"), col("v"), bins = 4, binWidth = 1L)
+    val bPos = Reports.ksBaseline(
+      df.where(col("src") === "pos"), col("v"), bins = 4, binWidth = 1L)
+    assert(bNeg.cdfPpm.toSeq === Seq(666666L, 1000000L, 1000000L, 1000000L))
+    assert(bNeg.cdfPpm.toSeq === bPos.cdfPpm.toSeq)
+    // and the stream-side fold over the clamped histogram agrees: the
+    // neg slice binned under the policy is (2,1,0,0) — zero drift vs
+    // its own baseline, the three-way agreement the dual contract needs
+    assert(Reports.ksStat(Array(2L, 1L, 0L, 0L), bNeg) === ((3L, 0L)))
+  }
+
   test("shrunkRates: small groups pull to the global prior, large groups hold") {
     val spark2 = spark
     import spark2.implicits._

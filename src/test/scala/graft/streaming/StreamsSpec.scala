@@ -744,4 +744,41 @@ class StreamsSpec extends SparkSpec {
       assert(first0._3 === 750000L)
     } finally q.stop()
   }
+
+  test("ksDriftStream: malformed rows follow the family policy (null ts/value drop, negatives clamp)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Reports
+    val corpus = (0L until 40L).map(i => Tuple1(i % 4)).toDF("v")
+    val base = Reports.ksBaseline(corpus, col("v"), bins = 4, binWidth = 1L)
+    val input = MemoryStream[(Timestamp, java.lang.Long)]
+    val q = Streams.ksDriftStream(
+        input.toDF().toDF("ts", "v"), "ts", col("v"), windowMs = 1000L, base)
+      .writeStream.format("memory").queryName("ks_malformed")
+      .outputMode("update").start()
+    def T(ms: Long) = new Timestamp(ms)
+    try {
+      input.addData(
+        (T(10), -5L: java.lang.Long), // clamps to bin 0 (family policy)
+        (T(20), 0L: java.lang.Long),
+        (T(30), 1L: java.lang.Long),
+        (null, 3L: java.lang.Long), // null ts: dropped, NOT an NPE kill
+        (T(40), null)) // null value: dropped
+      q.processAllAvailable()
+      val rows = spark.table("ks_malformed").as[(Timestamp, Long, Long)].collect()
+      // ONE window survives the drops; its histogram is the clamped
+      // (2,1,0,0) and the emitted stat is the shared fold over it
+      assert(rows.map(_._1.getTime).toSeq === Seq(0L))
+      assert((rows.head._2, rows.head._3) === Reports.ksStat(Array(2L, 1L, 0L, 0L), base))
+      assert((rows.head._2, rows.head._3) === ((3L, 500000L)))
+      // batch parity on the SAME malformed slice: ksBaseline's clamped
+      // CDF is exactly the window histogram's CDF (666666, 1e6, ...)
+      val slice: Seq[java.lang.Long] = Seq(-5L: java.lang.Long, 0L: java.lang.Long,
+        1L: java.lang.Long, null)
+      val b = Reports.ksBaseline(slice.map(Tuple1(_)).toDF("v"), col("v"),
+        bins = 4, binWidth = 1L)
+      assert(b.cdfPpm.toSeq === Seq(666666L, 1000000L, 1000000L, 1000000L))
+    } finally q.stop()
+  }
 }
