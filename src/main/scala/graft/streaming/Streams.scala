@@ -567,9 +567,9 @@ object Streams {
     * Retention: PER-window state is bounded, but closed windows keep
     * their histogram (NoTimeout, the heavyHittersStream contract) so a
     * straggler can still update its window's statistic; a deployment
-    * running for months should bound total state by restarting the
-    * query on a retention schedule or forking this with an event-time
-    * timeout that drops windows older than the late-data bound. */
+    * running for months should use [[ksDriftStreamBounded]], the
+    * event-time-timeout fork that frees windows older than a
+    * late-data bound. */
   def ksDriftStream(
       rows: DataFrame, tsCol: String, valueCol: Column,
       windowMs: Long, baseline: graft.pipeline.Reports.KsBaseline): Dataset[KsWindow] = {
@@ -600,6 +600,76 @@ object Streams {
           state.update(KsBinState(counts.toSeq))
           val (n, ks) = graft.pipeline.Reports.ksStat(counts, baseline)
           KsWindow(new Timestamp(wstart), n, ks)
+      }
+  }
+
+  /** [[ksDriftStream]] with BOUNDED total state — the event-time-timeout
+    * fork the unbounded form's scaladoc prescribes for deployments that
+    * run for months: a window's histogram is freed once the watermark
+    * (event time minus `lateness`) passes the window end, instead of
+    * being retained forever for arbitrarily-late stragglers.
+    *
+    * Semantics vs the unbounded form: identical for every row within
+    * the lateness bound (same clamp-or-drop malformed-row policy, same
+    * shared [[graft.pipeline.Reports.ksStat]] fold, update-mode
+    * re-emission per micro-batch). At the timeout the window emits one
+    * FINAL row (a closure marker equal to the last update — downstream
+    * sees "this window's statistic is now immutable") and its state is
+    * removed. A straggler arriving after its window closed is dropped
+    * without resurrecting state: a fresh one-row histogram would
+    * silently misreport an already-finalized window, the same
+    * first-write-wins reasoning as the dedup streams. Total state is
+    * therefore `bins` longs × only the windows inside the lateness
+    * horizon — bounded by time, not stream lifetime. */
+  def ksDriftStreamBounded(
+      rows: DataFrame, tsCol: String, valueCol: Column, windowMs: Long,
+      baseline: graft.pipeline.Reports.KsBaseline, lateness: String): Dataset[KsWindow] = {
+    require(windowMs >= 1, s"ksDriftStreamBounded: windowMs must be >= 1, got $windowMs")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col(tsCol).cast("timestamp").as("ts"), valueCol.cast("long").as("v"))
+      .where(col("ts").isNotNull && col("v").isNotNull)
+      .withWatermark("ts", lateness)
+      .as[(Timestamp, Long)]
+      .groupByKey { case (ts, _) =>
+        Math.floorDiv(ts.getTime, windowMs) * windowMs
+      }
+      .flatMapGroupsWithState[KsBinState, KsWindow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (wstart: Long, batch: Iterator[(Timestamp, Long)], state: GroupState[KsBinState]) =>
+          if (state.hasTimedOut) {
+            // final flush: re-emit the closed window's immutable stat,
+            // then free the histogram
+            val counts = state.get.counts.toArray
+            state.remove()
+            val (n, ks) = graft.pipeline.Reports.ksStat(counts, baseline)
+            Iterator.single(KsWindow(new Timestamp(wstart), n, ks))
+          } else if (!state.exists &&
+              wstart + windowMs <= math.max(0L, state.getCurrentWatermarkMs())) {
+            // post-closure straggler: its window already emitted a final
+            // row — do not resurrect a fresh (and wrong) one-row
+            // histogram, independent of whether the exec-level late-data
+            // filter caught it first
+            Iterator.empty
+          } else {
+            val counts = state.getOption
+              .map(_.counts.toArray)
+              .getOrElse(new Array[Long](baseline.bins))
+            batch.foreach { case (_, v) =>
+              val b = math.min(baseline.bins - 1L,
+                math.max(0L, Math.floorDiv(v, baseline.binWidth))).toInt
+              counts(b) += 1L
+            }
+            state.update(KsBinState(counts.toSeq))
+            // free the histogram when the watermark passes the window
+            // end; clamped above the current watermark or the set throws
+            // and kills the query (the sessionizer's clamp)
+            state.setTimeoutTimestamp(
+              math.max(wstart + windowMs, state.getCurrentWatermarkMs() + 1))
+            val (n, ks) = graft.pipeline.Reports.ksStat(counts, baseline)
+            Iterator.single(KsWindow(new Timestamp(wstart), n, ks))
+          }
       }
   }
 

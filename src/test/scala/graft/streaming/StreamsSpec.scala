@@ -781,4 +781,45 @@ class StreamsSpec extends SparkSpec {
       assert(b.cdfPpm.toSeq === Seq(666666L, 1000000L, 1000000L, 1000000L))
     } finally q.stop()
   }
+
+  test("ksDriftStreamBounded: in-bound stragglers update, closed windows flush and free state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Reports
+    val corpus = (0L until 40L).map(i => Tuple1(i % 4)).toDF("v")
+    val base = Reports.ksBaseline(corpus, col("v"), bins = 4, binWidth = 1L)
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streams.ksDriftStreamBounded(
+        input.toDF().toDF("ts", "v"), "ts", col("v"), windowMs = 1000L, base,
+        lateness = "2 seconds")
+      .writeStream.format("memory").queryName("ks_bounded")
+      .outputMode("update").start()
+    def T(ms: Long) = new Timestamp(ms)
+    def rows() = spark.table("ks_bounded").as[(Timestamp, Long, Long)].collect().toSeq
+    try {
+      input.addData((T(10), 0L), (T(20), 1L)); q.processAllAvailable()
+      // straggler INSIDE the lateness bound still updates its window
+      input.addData((T(500), 2L)); q.processAllAvailable()
+      assert(rows().filter(_._1.getTime == 0L).map(r => (r._2, r._3)) ===
+        Seq((2L, 500000L), (3L, Reports.ksStat(Array(1L, 1L, 1L, 0L), base)._2)))
+      // advance event time: watermark reaches 5000-2000=3000 > window-0
+      // end, so window 0 times out -> exactly ONE final flush row (equal
+      // to its last update), state freed
+      input.addData((T(5000), 0L)); q.processAllAvailable()
+      input.addData((T(5100), 1L)); q.processAllAvailable()
+      val w0 = rows().filter(_._1.getTime == 0L).map(r => (r._2, r._3))
+      assert(w0.size === 3, s"expected update,update,final-flush — got $w0")
+      assert(w0.last === w0(1)) // the flush re-emits the immutable stat
+      // total state is now the ONE live window (5000): bounded by the
+      // lateness horizon, not stream lifetime
+      val lastState = q.recentProgress.flatMap(_.stateOperators).last
+      assert(lastState.numRowsTotal === 1L,
+        s"closed window's histogram not freed: ${lastState.numRowsTotal} state rows")
+      // straggler BEYOND the bound: dropped, never resurrects a closed
+      // window (no 4th row for window 0, no fresh n=1 histogram)
+      input.addData((T(100), 3L)); q.processAllAvailable()
+      assert(rows().count(_._1.getTime == 0L) === 3)
+    } finally q.stop()
+  }
 }
