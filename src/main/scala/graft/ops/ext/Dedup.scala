@@ -130,12 +130,24 @@ object Dedup {
     * re-read per band leg is cheaper than pinning the projection in
     * executor storage.
     *
+    * Additionally, frames whose estimated row width exceeds
+    * [[MaxAutoPersistRowBytes]] auto-disable even with an expensive
+    * upstream — the payload HALF of the q144 ratio caught statically: a
+    * per-document collection payload (token-hash sets, shingle arrays)
+    * prices pinning at corpus x payload bytes, and when candidates are
+    * few the duplicate kernel runs are cheaper than writing every
+    * document's multi-KB set to block storage. Width is estimated
+    * payload-aware ([[estimatedRowBytes]]): collections are priced at a
+    * nominal 64 elements (Catalyst's defaultSize assumes ONE element and
+    * would call an unbounded set 8 bytes), strings at short-key width.
+    *
     * This is a HEURISTIC over the plan, not a measurement — callers
     * with a measured shape keep passing the flag explicitly (q144's
     * containment shape loses with persistence despite an expensive
-    * upstream, because the persisted payload is big and the candidate
-    * set winnow-capped; no static test sees payload-to-candidate
-    * ratios). Driver-side plan inspection only; nothing executes. */
+    * upstream because the candidate set is winnow-capped, while q24's
+    * same-payload LSH shape wins on dense candidates; no static test
+    * sees the candidate half of the ratio). Driver-side plan inspection
+    * only; nothing executes. */
   def autoPersistSignatures(signatures: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.{
       Expression, HigherOrderFunction, Like, RLike, RegExpExtract,
@@ -148,9 +160,34 @@ object Dedup {
       case _: Like | _: RLike => true
       case k => k.getClass.getName.startsWith("graft.functions.")
     }
-    plan.exists {
+    val worthPersisting = plan.exists {
       case p @ (_: Project | _: Filter) => p.expressions.exists(expensive)
       case p => p.children.nonEmpty // any non-leaf beyond project/filter
+    }
+    worthPersisting &&
+      plan.output.map(a => estimatedRowBytes(a.dataType)).sum <= MaxAutoPersistRowBytes
+  }
+
+  /** Estimated-row-width ceiling past which [[autoPersistSignatures]]
+    * refuses: fixed-width signature rows (ids + minhash/simhash columns)
+    * sit far under it; a per-document collection payload sails past. */
+  val MaxAutoPersistRowBytes = 256L
+
+  /** Payload-aware per-row byte estimate of a column for the auto-persist
+    * guard. Deliberately NOT Catalyst's `defaultSize`, which prices an
+    * array at ONE element: collections here are per-document payloads
+    * (token-hash sets, shingles, embeddings) priced at a nominal 64
+    * elements; strings at the short-key/hex width the signature currency
+    * actually uses; binary as media payload. */
+  private[ext] def estimatedRowBytes(dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => 64L * estimatedRowBytes(et)
+      case MapType(kt, vt, _) => 64L * (estimatedRowBytes(kt) + estimatedRowBytes(vt))
+      case st: StructType => st.fields.map(f => estimatedRowBytes(f.dataType)).sum
+      case StringType => 32L
+      case BinaryType => 1024L
+      case other => other.defaultSize.toLong
     }
   }
 

@@ -130,6 +130,18 @@ class CorpusOpsSpec extends SparkSpec {
       scan.groupBy(col("doc_id")).agg(first(col("text")).as("text"))))
     assert(Dedup.autoPersistSignatures(
       scan.join(scan.select(col("doc_id")), Seq("doc_id"))))
+    // WIDE-payload frame with an expensive kernel (the q144 containment
+    // shape: per-document token-hash SETS): the size guard auto-disables
+    // — pinning corpus x multi-KB payload is the measured loser when
+    // candidates are few, and auto cannot see candidate density
+    assert(!Dedup.autoPersistSignatures(
+      scan.select(col("doc_id"),
+        array_sort(graft.functions.TokenHashSetExpr.token_hash_set(col("text"))).as("_set"))))
+    // same kernel, scalar-width output (a fold of the set): back ON —
+    // it is the payload width, not the kernel, that disables
+    assert(Dedup.autoPersistSignatures(
+      scan.select(col("doc_id"),
+        size(graft.functions.TokenHashSetExpr.token_hash_set(col("text"))).as("_n"))))
     // and the flag plumbs through: auto decision drives the same
     // checkpointed single-kernel plan the explicit flag produces
     val sig = Dedup.withMinhashSignature(
