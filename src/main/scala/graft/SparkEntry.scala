@@ -2151,6 +2151,19 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).cast("long") >= 40L,
         col("n_chars") >= 250L)
     }),
+
+    // ---- empirical-Bayes shrunk gating rates ----------------------------
+    "q160_shrunk_rates" -> ((s, dir) => {
+      // per-source short-document rate pulled toward the global rate
+      // with 25 pseudo observations — the quality-prior a curation gate
+      // thresholds instead of the raw rate (small sources pull to the
+      // prior, large sources dominate it); all-BIGINT floor ppm
+      val docs = t(s, dir, "documents")
+        .where(col("source").isNotNull && col("n_chars").isNotNull)
+      graft.pipeline.Reports.shrunkRates(docs,
+          col("source"), col("n_chars") < 200L, pseudoN = 25L)
+        .orderBy(col("group"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -3958,18 +3971,22 @@ object SparkEntry {
           |    i -> array_to_string(list_slice($toks, i, i + 7), ' ')))), 1, 15)) AS BIGINT) AS ngh
           | FROM documents),
           |bench AS (SELECT DISTINCT ngh FROM ng WHERE doc_id % 37 = 0),
-          |hit AS (SELECT DISTINCT doc_id FROM ng WHERE ngh IN (SELECT ngh FROM bench))
-          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |hit AS (SELECT DISTINCT doc_id FROM ng WHERE ngh IN (SELECT ngh FROM bench)),
+          |rep AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
           | CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-          | CAST(SUM(CASE WHEN base.doc_id <> f.keep THEN 1 ELSE 0 END) AS BIGINT) * 10000
-          |   // CAST(COUNT(*) AS BIGINT) AS dup_bp,
-          | CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
-          |   // CAST(COUNT(*) AS BIGINT) AS contam_bp,
-          | CASE WHEN CAST(SUM(nchar) AS BIGINT) > 0
-          |  THEN CAST(SUM(nalpha) AS BIGINT) * 10000 // CAST(SUM(nchar) AS BIGINT)
-          |  ELSE CAST(0 AS BIGINT) END AS alpha_bp
-          |FROM base JOIN f USING (h) LEFT JOIN hit ON base.doc_id = hit.doc_id
-          |GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
+          | CAST(SUM(CASE WHEN base.doc_id <> f.keep THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+          | CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          | CAST(SUM(nchar) AS BIGINT) AS sc, CAST(SUM(nalpha) AS BIGINT) AS sa
+          | FROM base JOIN f USING (h) LEFT JOIN hit ON base.doc_id = hit.doc_id
+          | GROUP BY source),
+          |g AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS gn,
+          |  CAST(SUM(nc) AS BIGINT) AS gx FROM rep)
+          |SELECT source, n_docs, n_tokens,
+          | nd * 10000 // n_docs AS dup_bp,
+          | nc * 10000 // n_docs AS contam_bp,
+          | (nc * 1000000 + 25 * (gx * 1000000 // gn)) // (n_docs + 25) AS contam_shrunk_ppm,
+          | CASE WHEN sc > 0 THEN sa * 10000 // sc ELSE CAST(0 AS BIGINT) END AS alpha_bp
+          |FROM rep, g ORDER BY source""".stripMargin.replace("\n", " "),
       // q129: last-writer-wins by version; the fixture's versions are
       // unique per id so ORDER BY version DESC is the whole tie-break
       "q129_apply_changelog" ->
@@ -4631,6 +4648,20 @@ object SparkEntry {
           |  CASE WHEN pe_ppm < 1000000
           |   THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS kappa_ppm
           |FROM p ORDER BY n_docs""".stripMargin.replace("\n", " "),
+
+      // q160: per-group flag counts, one-row global rollup, the shrunk
+      // fold (x*1e6 + k*p0) // (n+k) with p0 = gx*1e6 // gn — all-BIGINT
+      // floor math on non-negative operands, mirroring the engine's pmod
+      // form exactly
+      "q160_shrunk_rates" ->
+        """WITH per AS (SELECT source AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS x
+          | FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+          | GROUP BY source),
+          |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(x) AS BIGINT) AS gx FROM per)
+          |SELECT "group", n AS n_docs, x * 1000000 // n AS raw_ppm,
+          |  (x * 1000000 + 25 * (gx * 1000000 // gn)) // (n + 25) AS shrunk_ppm
+          |FROM per, g ORDER BY "group"""".stripMargin.replace("\n", " "),
     )
   }
 }

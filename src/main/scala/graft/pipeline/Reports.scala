@@ -10,19 +10,27 @@ import graft.ops.ext.{Contamination, Dedup}
 object Reports {
 
   /** Per-source corpus report card: document and token counts, exact-dup
-    * rate, benchmark-contamination rate, and alphabetic ratio — each in
-    * integer basis points (engine-exact). The at-a-glance table that
-    * decides which sources get gated, re-crawled, or re-weighted.
+    * rate, benchmark-contamination rate, alphabetic ratio — each in
+    * integer basis points (engine-exact) — and the GATING-RATE column
+    * `contam_shrunk_ppm`: the contamination rate pulled toward the
+    * global rate with `gatePseudoN` pseudo observations (the
+    * [[shrunkRates]] fold). The raw `contam_bp` answers "what fraction
+    * leaked"; the shrunk ppm is what a gate should COMPARE AGAINST A
+    * THRESHOLD — a 3-document source with one leaked doc must not be
+    * gated at the same "33%" a 3-million-document source at 33% is.
     *
     * Scale shape: all per-doc signals (token count, char counts, content
     * hash, n-gram hashes) are map-side; the dup election shuffles 16-byte
     * content hashes and joins back on the SAME key (exchange reuse); the
     * contamination flag is [[Contamination.contaminationHits]]' broadcast-
     * benchmark probe; the final rollup partial-aggregates to one row per
-    * source per task. Nothing shuffles document text.
+    * source per task. The shrinkage global is a one-row rollup OF the
+    * per-source table, broadcast-cross-joined back (the [[shrunkRates]]
+    * shape — identical per-source subtrees, so the exchange is reused,
+    * not recomputed). Nothing shuffles document text.
     *
     * Output, one row per source: `(source, n_docs, n_tokens, dup_bp,
-    * contam_bp, alpha_bp)`, all BIGINT. */
+    * contam_bp, contam_shrunk_ppm, alpha_bp)`, all BIGINT. */
   def sourceReport(
       docs: DataFrame,
       textCol: Column,
@@ -30,7 +38,8 @@ object Reports {
       sourceCol: String,
       benchmark: DataFrame,
       benchmarkText: Column,
-      n: Int = 8): DataFrame = {
+      n: Int = 8,
+      gatePseudoN: Long = 25L): DataFrame = {
     val base = docs.select(
       col(sourceCol).as("source"),
       col(idCol).as("_id"),
@@ -42,7 +51,7 @@ object Reports {
     val hits = Contamination
       .contaminationHits(docs, textCol, idCol, benchmark, benchmarkText, n)
       .select(col(idCol).as("_id"), lit(1L).as("_contam"))
-    base.join(firsts, Seq("_h"))
+    val per = base.join(firsts, Seq("_h"))
       .join(hits, Seq("_id"), "left")
       .groupBy(col("source"))
       .agg(
@@ -52,9 +61,13 @@ object Reports {
         coalesce(sum(col("_contam")), lit(0L)).as("_ncontam"),
         sum(col("_nchar")).as("_nc"),
         sum(col("_nalpha")).as("_na"))
+    val global = per.agg(sum(col("n_docs")).as("_gn"), sum(col("_ncontam")).as("_gx"))
+    per.crossJoin(broadcast(global))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("_ndup * 10000 div n_docs").as("dup_bp"),
         expr("_ncontam * 10000 div n_docs").as("contam_bp"),
+        shrunkPpm(col("_ncontam"), col("n_docs"), col("_gx"), col("_gn"),
+          gatePseudoN).as("contam_shrunk_ppm"),
         when(col("_nc") > 0, expr("_na * 10000 div _nc"))
           .otherwise(lit(0L)).as("alpha_bp"))
   }
@@ -172,8 +185,16 @@ object Reports {
     per.crossJoin(broadcast(global))
       .select(col("group"), col("n").as("n_docs"),
         idiv(col("x") * M, col("n")).as("raw_ppm"),
-        idiv(col("x") * M + lit(pseudoN) * idiv(col("_gx") * M, col("_gn")),
-          col("n") + lit(pseudoN)).as("shrunk_ppm"))
+        shrunkPpm(col("x"), col("n"), col("_gx"), col("_gn"), pseudoN).as("shrunk_ppm"))
+  }
+
+  /** The ONE shrinkage fold ([[shrunkRates]] and [[sourceReport]]'s
+    * gating column): `(x·1e6 + k·p0) div (n + k)` with `p0 = gx·1e6 div
+    * gn`, all-BIGINT floor math on non-negative operands. */
+  private def shrunkPpm(x: Column, n: Column, gx: Column, gn: Column, pseudoN: Long): Column = {
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val M = 1000000L
+    idiv(x * M + lit(pseudoN) * idiv(gx * M, gn), n + lit(pseudoN))
   }
 
   /** A standing corpus's binned CDF as a broadcast-sized model — the

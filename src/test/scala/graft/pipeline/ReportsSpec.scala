@@ -17,17 +17,21 @@ class ReportsSpec extends SparkSpec {
     val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
     val out = Reports.sourceReport(docs, col("text"), "doc_id", "source",
         bench, col("text"), n = 8)
-      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // global contamination p0 = 1*1e6 div 4 = 250000 ppm; pseudoN = 25:
+    //   s1 shrunk = (1*1e6 + 25*250000) div (3+25) = 7250000 div 28 = 258928
+    //   s2 shrunk = (0     + 25*250000) div (1+25) = 6250000 div 26 = 240384
+    // (the 1-doc clean source is NOT gated at 0: it pulls to the prior)
     assert(out.toSeq === Seq(
       // s1: 3 docs, 25 tokens, 1 dup (3333 bp), 1 contaminated (3333 bp),
       // alpha = (8+8+35)*10000 div (15+15+43) = 510000 div 73 = 6986
-      ("s1", 3L, 25L, 3333L, 3333L, 6986L),
+      ("s1", 3L, 25L, 3333L, 3333L, 258928L, 6986L),
       // s2: 1 doc, 4 tokens, clean, alpha = 80000 div 11 = 7272
-      ("s2", 1L, 4L, 0L, 0L, 7272L)))
+      ("s2", 1L, 4L, 0L, 0L, 240384L, 7272L)))
     // layout independence of the dup election and rollup
     val re = Reports.sourceReport(docs.repartition(5), col("text"), "doc_id",
         "source", bench, col("text"), n = 8)
-      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq === out.toSeq)
   }
 
