@@ -755,8 +755,9 @@ object Multimodal {
     def probe(content: Array[Byte]): ProbedMeta
   }
 
-  /** Dispatch on magic bytes: YUV4MPEG2 (y4m), RIFF/WAVE (wav), P6
-    * (ppm). The real-world entry point — crawled bytes arrive untagged. */
+  /** Dispatch on magic bytes: YUV4MPEG2 (y4m), RIFF/WAVE (wav),
+    * RIFF/AVI, `ftyp` at offset 4 (mp4), P6 (ppm). The real-world entry
+    * point — crawled bytes arrive untagged. */
   object SniffProbe extends MediaProbe {
     def probe(content: Array[Byte]): ProbedMeta = {
       def starts(s: String): Boolean =
@@ -767,6 +768,8 @@ object Multimodal {
       if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
       else if (riffForm("WAVE")) WavProbe.probe(content)
       else if (riffForm("AVI ")) AviProbe.probe(content)
+      else if (content != null && content.length >= 12 && Mp4.tag(content, 4, "ftyp"))
+        Mp4Probe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
@@ -809,6 +812,122 @@ object Multimodal {
           // frames * usPerFrame caps well under Long overflow
           ProbedMeta(0L, Some("avi"), Some(hdr.w), Some(hdr.h),
             Some(frames * hdr.usPerFrame / 1000L))
+      }
+  }
+
+  /** ISO-BMFF (MP4) header-only parser — the box walk [[Mp4Probe]]
+    * probes with. Big-endian sizes, `size==1` 64-bit largesize and
+    * `size==0` to-end-of-enclosure both handled; a truncated or absurd
+    * size stops the walk and keeps what parsed (the [[Avi]] crawl-
+    * corruption policy). Payload (`mdat`) is never read — every box is
+    * skipped by size. */
+  private[multimodal] object Mp4 {
+    /** Movie timescale+duration from `mvhd`; (w, h) from the first
+      * VIDEO `tkhd` (16.16 fixed) of a seekable track; `seekable` iff
+      * some track carries BOTH a sample-size table (`stsz`/`stz2`) and
+      * a chunk-offset table (`stco`/`co64`) — the tables an
+      * index-seeking codec needs, the MP4 twin of AVI's `idx1`. */
+    final case class Header(timescale: Long, duration: Long, w: Int, h: Int)
+
+    private def u32(c: Array[Byte], o: Int): Long =
+      ((c(o) & 0xffL) << 24) | ((c(o + 1) & 0xffL) << 16) |
+        ((c(o + 2) & 0xffL) << 8) | (c(o + 3) & 0xffL)
+    private def u64(c: Array[Byte], o: Int): Long = (u32(c, o) << 32) | u32(c, o + 4)
+    private[multimodal] def tag(c: Array[Byte], o: Int, s: String): Boolean =
+      o >= 0 && o + 4 <= c.length &&
+        (0 until 4).forall(i => c(o + i) == s.charAt(i).toByte)
+
+    /** Iterate boxes in `[start, end)`: `f(typeOffset, payloadStart,
+      * payloadEnd)`. Malformed sizes (negative 64-bit, overflow, past
+      * the enclosure) end the walk rather than throw. */
+    private def boxes(c: Array[Byte], start: Int, end: Int)(
+        f: (Int, Int, Int) => Unit): Unit = {
+      var pos = start
+      var done = false
+      while (!done && pos + 8 <= end) {
+        val sz = u32(c, pos)
+        var payload = pos + 8
+        val boxEnd: Long =
+          if (sz == 0L) end.toLong // box extends to the enclosure end
+          else if (sz == 1L) {
+            if (pos + 16 > end) return
+            payload = pos + 16
+            pos + u64(c, pos + 8) // largesize counts from the box start
+          } else pos + sz
+        if (boxEnd < payload || boxEnd > end) done = true
+        else {
+          f(pos + 4, payload, boxEnd.toInt)
+          if (boxEnd.toInt <= pos) done = true else pos = boxEnd.toInt
+        }
+      }
+    }
+
+    def parse(c: Array[Byte]): Option[Header] = {
+      if (c == null || c.length < 12 || !tag(c, 4, "ftyp")) return None
+      var timescale = -1L; var duration = -1L
+      var w = -1; var h = -1; var seekable = false
+      boxes(c, 0, c.length) { (t, ps, pe) =>
+        if (tag(c, t, "moov")) boxes(c, ps, pe) { (t2, ps2, pe2) =>
+          if (tag(c, t2, "mvhd") && pe2 - ps2 >= 20) {
+            val ver = c(ps2) & 0xff
+            if (ver == 1 && pe2 - ps2 >= 32) {
+              timescale = u32(c, ps2 + 20); duration = u64(c, ps2 + 24)
+            } else if (ver == 0) {
+              timescale = u32(c, ps2 + 12); duration = u32(c, ps2 + 16)
+            }
+          } else if (tag(c, t2, "trak")) {
+            var tw = -1; var th = -1; var hasSz = false; var hasCo = false
+            boxes(c, ps2, pe2) { (t3, ps3, pe3) =>
+              if (tag(c, t3, "tkhd")) {
+                val ver = c(ps3) & 0xff
+                // widths are 16.16 fixed at the tkhd tail: v0 payload 84
+                // bytes (w @76), v1 96 (w @88)
+                val (need, off) = if (ver == 1) (96, 88) else (84, 76)
+                if (pe3 - ps3 >= need) {
+                  tw = (u32(c, ps3 + off) >> 16).toInt
+                  th = (u32(c, ps3 + off + 4) >> 16).toInt
+                }
+              } else if (tag(c, t3, "mdia")) boxes(c, ps3, pe3) { (t4, ps4, pe4) =>
+                if (tag(c, t4, "minf")) boxes(c, ps4, pe4) { (t5, ps5, pe5) =>
+                  if (tag(c, t5, "stbl")) boxes(c, ps5, pe5) { (t6, _, _) =>
+                    if (tag(c, t6, "stsz") || tag(c, t6, "stz2")) hasSz = true
+                    if (tag(c, t6, "stco") || tag(c, t6, "co64")) hasCo = true
+                  }
+                }
+              }
+            }
+            if (hasSz && hasCo) {
+              seekable = true
+              if (tw > 0 && th > 0 && w < 0) { w = tw; h = th }
+            }
+          }
+        }
+      }
+      if (timescale <= 0 || duration < 0 || !seekable) None
+      else Some(Header(timescale, duration, w, h))
+    }
+  }
+
+  /** MP4/ISO-BMFF: the container the AVI scaladoc names as the real
+    * target — header-only `moov` walk: `mvhd` movie timescale+duration,
+    * first seekable video `tkhd` width/height, and `stsz`/`stco`
+    * presence as the seekability contract. A file with no sample
+    * tables probes all-None, exactly as an index-less AVI: not
+    * seekable, not usable by an index-seeking codec. An audio-only
+    * file (no video track) keeps its duration with null dimensions.
+    * `mdat` is never touched. */
+  object Mp4Probe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta =
+      Mp4.parse(content) match {
+        case None => ProbedMeta(0L, None, None, None, None)
+        case Some(hdr) =>
+          ProbedMeta(0L, Some("mp4"),
+            if (hdr.w > 0) Some(hdr.w) else None,
+            if (hdr.h > 0) Some(hdr.h) else None,
+            // duration is a crafted-input u64: poison an overflowing
+            // *1000 rather than emit a negative duration (the Y4M cap)
+            if (hdr.duration > Long.MaxValue / 1000L) None
+            else Some(hdr.duration * 1000L / hdr.timescale))
       }
   }
 
