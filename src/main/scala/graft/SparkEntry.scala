@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.ShingleMinhashExpr
 import graft.io.Ttl
 import graft.multimodal.Multimodal
-import graft.ops.{Columns, DataTypes, SchemaGen, TopK}
-import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Importance, Packing, Sampling, Similarity, Snapshots, TextStats, Web}
+import graft.ops.{Columns, DataTypes, SchemaGen, Stats, TopK}
+import graft.ops.ext.{Components, Contamination, Dedup, Events, ExactSubstr, Importance, Packing, Ranking, Sampling, Similarity, Snapshots, TextStats, Web}
 
 /** Driver contract — one query per implemented operator of SURVEY.md §2,
   * each with an equivalent DuckDB oracle SQL over the same parquet tables.
@@ -2164,6 +2164,81 @@ object SparkEntry {
           col("source"), col("n_chars") < 200L, pseudoN = 25L)
         .orderBy(col("group"))
     }),
+
+    // ---- reciprocal-rank fusion (hybrid retrieval) ----------------------
+    "q161_rrf_fusion" -> ((s, dir) => {
+      // BM25 and term-coverage top-10 candidate lists fused by
+      // reciprocal rank (RRF k=60) — the zero-calibration hybrid
+      // combiner; every post-retrieval frame is queries×k rows
+      val docs = t(s, dir, "documents")
+      val qs = Seq((1L, "hash join"), (2L, "window agg stream"),
+        (3L, "vector scan table"))
+      val lex = TextStats.bm25TopK(docs, col("text"), "doc_id", qs, k = 10)
+      val cov = Ranking.coverageTopK(docs, col("text"), "doc_id", qs, k = 10)
+      Ranking.rrfFuse(
+          Seq(lex, cov).map(_.select(col("query_id"), col("doc_id"), col("rnk"))),
+          "doc_id", topK = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- binary-relevance nDCG@k of the exact neighbor ranking ----------
+    "q162_ndcg" -> ((s, dir) => {
+      // label-coherence of the embedding space: q25's brute-force cosine
+      // ranking at k=10 scored against the label ground truth with the
+      // shared literal discount table (no engine evaluates a float log)
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val ranking = Similarity.cosineTopK(vecs.where(col("id") < 5), vecs, k = 10)
+      Ranking.ndcgAtK(ranking, e.select(col("vec_id").as("id"), col("label")),
+          k = 10)
+        .orderBy(col("q_id"))
+    }),
+
+    // ---- Fleiss' kappa: three-rater agreement ---------------------------
+    "q163_fleiss_kappa" -> ((s, dir) => {
+      // q159's two labelers plus an alpha-ratio rule — the multi-rater
+      // agreement statistic, one map-side aggregate to a single row
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+      TextStats.fleissKappa(docs, Seq(
+        TextStats.tokenCount(col("text")).cast("long") >= 40L,
+        col("n_chars") >= 250L,
+        graft.functions.AlphaCountExpr.alpha_count(col("text")).cast("long") * 10L >=
+          col("n_chars") * 7L))
+    }),
+
+    // ---- cross-source content-overlap matrix ----------------------------
+    "q164_source_overlap" -> ((s, dir) => {
+      // 8-token-prefix granularity: shared boilerplate openings between
+      // sources (full-text md5 would only find exact mirrors); the
+      // corpus collapses to distinct (source, hash) keys first
+      val docs = t(s, dir, "documents")
+        .where(col("source").isNotNull && col("text").isNotNull)
+      graft.pipeline.Reports.sourceOverlap(docs, col("source"),
+          array_join(slice(Dedup.tokens(col("text")), 1, 8), " "))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // ---- fixed-point PageRank (3 exact integer rounds) ------------------
+    "q165_pagerank" -> ((s, dir) => {
+      // directed order→part affinity graph folded onto 211 nodes; the
+      // oracle unrolls the identical three rounds as chained CTEs
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 211).as("src"),
+          (col("l_partkey") % 211).as("dst"))
+      Components.pageRank(edges, iterations = 3).orderBy(col("id"))
+    }),
+
+    // ---- MAD-based robust outlier census --------------------------------
+    "q166_mad_outliers" -> ((s, dir) => {
+      // per-source median/MAD of n_chars and the 3.5-robust-z outlier
+      // count — rank-selection medians, engine-exact
+      val docs = t(s, dir, "documents")
+        .where(col("source").isNotNull && col("n_chars").isNotNull)
+      Stats.madOutliers(docs, col("source"), col("n_chars"))
+        .orderBy(col("group"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2258,6 +2333,43 @@ object SparkEntry {
         | '<http://www.w3.org/2001/XMLSchema#double>', '<http://www.w3.org/2001/XMLSchema#integer>',
         | '<http://www.w3.org/2001/XMLSchema#string>') THEN t_raw
         | ELSE '<http://www.w3.org/2001/XMLSchema#string>' END""".stripMargin.replace("\n", " ")
+    // shared BM25 scoring CTEs (q106/q161): query VALUES, query-term
+    // prune, per-(doc,term) tf with dl, df, corpus totals, fixed-point
+    // Okapi per-(query,doc) score — identical text in both oracles
+    val bm25Ctes =
+      s"""q(query_id, qtext) AS (VALUES (CAST(1 AS BIGINT), 'hash join'),
+        |  (CAST(2 AS BIGINT), 'window agg stream'), (CAST(3 AS BIGINT), 'vector scan table')),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term FROM q),
+        |qd AS (SELECT DISTINCT term FROM qt),
+        |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+        |tfq AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf FROM tok JOIN qd USING (term)
+        | GROUP BY tok.doc_id, tok.term),
+        |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len($toks)) AS BIGINT) AS sum_dl FROM documents),
+        |sc AS (SELECT qt.query_id, tfq.doc_id, CAST(SUM(
+        |   ((1000000 * n_docs) // df) *
+        |   ((tf * (1200000 + 1000000) * 1000000) //
+        |    (tf * 1000000 + (1200000 * ((1000000 - 750000) + (750000 * dl.dl * n_docs) // sum_dl)) // 1000000))
+        |  ) AS BIGINT) AS score
+        | FROM tfq JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        | GROUP BY qt.query_id, tfq.doc_id)""".stripMargin.replace("\n", " ")
+    // q162: the Scala-computed literal discount/prefix tables — both
+    // engines consume the SAME integers, no float log anywhere in-plan
+    val ndcgDiscVals = Ranking.ndcgDiscounts(10).zipWithIndex
+      .map { case (d, i) => s"(CAST(${i + 1} AS BIGINT), CAST($d AS BIGINT))" }
+      .mkString(", ")
+    val ndcgPrefVals = Ranking.ndcgDiscounts(10).scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (p, i) => s"(CAST(${i + 1} AS BIGINT), CAST($p AS BIGINT))" }
+      .mkString(", ")
+    // q165: the three unrolled PageRank rounds (contribution fold + rank
+    // update), each the exact SQL twin of one Components.pageRank round
+    val prRounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, SUM(r${i - 1}.r // od.deg) AS s
+        | FROM e JOIN od USING (src) JOIN r${i - 1} ON r${i - 1}.id = e.src GROUP BY e.dst),
+        |r$i AS (SELECT n.id, CAST(150000 + (850000 * COALESCE(c$i.s, 0)) // 1000000 AS BIGINT) AS r
+        | FROM n LEFT JOIN c$i USING (id))""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
     Map(
       "q01_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -3600,23 +3712,7 @@ object SparkEntry {
       // div is BIGINT floor division in both engines; SUM casts back from
       // DuckDB's HUGEINT promotion
       "q106_bm25" ->
-        s"""WITH q(query_id, qtext) AS (VALUES (CAST(1 AS BIGINT), 'hash join'),
-          |  (CAST(2 AS BIGINT), 'window agg stream'), (CAST(3 AS BIGINT), 'vector scan table')),
-          |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS term FROM q),
-          |qd AS (SELECT DISTINCT term FROM qt),
-          |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
-          |tfq AS (SELECT tok.doc_id, tok.term, COUNT(*) AS tf FROM tok JOIN qd USING (term)
-          | GROUP BY tok.doc_id, tok.term),
-          |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-          |dft AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
-          |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len($toks)) AS BIGINT) AS sum_dl FROM documents),
-          |sc AS (SELECT qt.query_id, tfq.doc_id, CAST(SUM(
-          |   ((1000000 * n_docs) // df) *
-          |   ((tf * (1200000 + 1000000) * 1000000) //
-          |    (tf * 1000000 + (1200000 * ((1000000 - 750000) + (750000 * dl.dl * n_docs) // sum_dl)) // 1000000))
-          |  ) AS BIGINT) AS score
-          | FROM tfq JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-          | GROUP BY qt.query_id, tfq.doc_id),
+        s"""WITH $bm25Ctes,
           |r AS (SELECT query_id, doc_id, score,
           |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc)
           |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
@@ -4662,6 +4758,116 @@ object SparkEntry {
           |SELECT "group", n AS n_docs, x * 1000000 // n AS raw_ppm,
           |  (x * 1000000 + 25 * (gx * 1000000 // gn)) // (n + 25) AS shrunk_ppm
           |FROM per, g ORDER BY "group"""".stripMargin.replace("\n", " "),
+
+      // q161: q106's scoring CTEs at k=10 + the coverage ranking, RRF
+      // fold (floor division, non-negative) and final fused top-5
+      "q161_rrf_fusion" ->
+        s"""WITH $bm25Ctes,
+          |lex AS (SELECT query_id, doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc),
+          |dtok AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
+          |cv AS (SELECT qt.query_id, dtok.doc_id, COUNT(*) AS coverage
+          | FROM dtok JOIN qt USING (term) GROUP BY qt.query_id, dtok.doc_id),
+          |cov AS (SELECT query_id, doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coverage DESC, doc_id) AS BIGINT) AS rnk FROM cv),
+          |un AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10
+          | UNION ALL SELECT query_id, doc_id, rnk FROM cov WHERE rnk <= 10),
+          |f AS (SELECT query_id, doc_id,
+          |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_score,
+          |  CAST(COUNT(*) AS BIGINT) AS n_lists FROM un GROUP BY query_id, doc_id),
+          |fr AS (SELECT query_id, doc_id, rrf_score, n_lists,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk FROM f)
+          |SELECT query_id, doc_id, rrf_score, n_lists, rnk FROM fr WHERE rnk <= 5
+          |ORDER BY query_id, rnk""".stripMargin.replace("\n", " "),
+
+      // q162: q25's cosine ranking at k=10 + the Scala-generated literal
+      // discount/prefix tables; IDCG from the per-label census minus self
+      "q162_ndcg" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |  COALESCE(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) AS cos
+          | FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+          |r AS (SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM s),
+          |d(rnk, disc) AS (VALUES $ndcgDiscVals),
+          |pf(j, ps) AS (VALUES $ndcgPrefVals),
+          |lab AS (SELECT vec_id, label FROM embeddings),
+          |cens AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS c FROM embeddings GROUP BY label),
+          |dcg AS (SELECT r.q_id, CAST(SUM(CASE WHEN nl.label = ql.label THEN d.disc ELSE 0 END) AS BIGINT) AS dcg_s,
+          |  MAX(ql.label) AS qlab
+          | FROM r JOIN lab nl ON r.n_id = nl.vec_id JOIN lab ql ON r.q_id = ql.vec_id
+          |  JOIN d ON d.rnk = r.rnk WHERE r.rnk <= 10 GROUP BY r.q_id),
+          |fin AS (SELECT dcg.q_id, dcg.dcg_s,
+          |  CASE WHEN cens.c - 1 > 0 THEN p2.ps ELSE CAST(0 AS BIGINT) END AS idcg_s
+          | FROM dcg JOIN cens ON cens.label = dcg.qlab
+          | LEFT JOIN pf p2 ON p2.j = least(cens.c - 1, 10))
+          |SELECT q_id, dcg_s, idcg_s,
+          | CASE WHEN idcg_s > 0 THEN (1000000 * dcg_s) // idcg_s END AS ndcg_ppm
+          |FROM fin ORDER BY q_id""".stripMargin.replace("\n", " "),
+
+      // q163: per-item true-vote count, the pair-agreement identity
+      // x²+(m−x)², pooled-marginal chance term; kappa numerator can be
+      // negative — `//` floors, mirrored by the engine's pmod form
+      "q163_fleiss_kappa" ->
+        s"""WITH x AS (SELECT (CASE WHEN CAST(len($toks) AS BIGINT) >= 40 THEN 1 ELSE 0 END
+          | + CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END
+          | + CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10 >= n_chars * 7 THEN 1 ELSE 0 END) AS xv
+          | FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+          |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xv) AS BIGINT) AS sx,
+          | CAST(SUM(xv*xv + (3-xv)*(3-xv)) AS BIGINT) AS sq FROM x),
+          |m AS (SELECT n, (sq - n*3) * 1000000 // (n*6) AS po_ppm,
+          | sx * 1000000 // (n*3) AS pt FROM a),
+          |p AS (SELECT n, po_ppm,
+          | (pt*pt + (1000000-pt)*(1000000-pt)) // 1000000 AS pe_ppm FROM m)
+          |SELECT n AS n_docs, CAST(3 AS BIGINT) AS m_raters, po_ppm, pe_ppm,
+          | CASE WHEN pe_ppm < 1000000
+          |  THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) END AS kappa_ppm
+          |FROM p ORDER BY n_docs""".stripMargin.replace("\n", " "),
+
+      // q164: distinct (source, prefix-md5) keys, equi self-join on the
+      // hash, per-pair Jaccard ppm (floor, non-negative)
+      "q164_source_overlap" ->
+        s"""WITH k AS (SELECT DISTINCT source AS g,
+          |  md5(array_to_string(list_slice($toks, 1, 8), ' ')) AS h
+          | FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+          |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM k GROUP BY g),
+          |i AS (SELECT a.g AS source_a, b.g AS source_b, CAST(COUNT(*) AS BIGINT) AS intersection
+          | FROM k a JOIN k b USING (h) WHERE a.g < b.g GROUP BY a.g, b.g)
+          |SELECT i.source_a, i.source_b, sa.sz AS size_a, sb.sz AS size_b, i.intersection,
+          | (1000000 * i.intersection) // (sa.sz + sb.sz - i.intersection) AS jaccard_ppm
+          |FROM i JOIN sz sa ON sa.g = i.source_a JOIN sz sb ON sb.g = i.source_b
+          |ORDER BY source_a, source_b""".stripMargin.replace("\n", " "),
+
+      // q165: deduped modular affinity edges, out-degrees, then the
+      // three unrolled integer rounds (prRounds) — every division has
+      // non-negative operands so `//` = Spark `div` bit-for-bit
+      "q165_pagerank" ->
+        s"""WITH e AS (SELECT DISTINCT l_orderkey % 211 AS src, l_partkey % 211 AS dst
+          |  FROM lineitem WHERE l_orderkey % 211 <> l_partkey % 211),
+          |n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+          |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+          |$prRounds
+          |SELECT id, r AS rank_micro FROM r3 ORDER BY id""".stripMargin.replace("\n", " "),
+
+      // q166: two rank-selection medians (q85's lower rule) + the robust
+      // 3.5-MAD census; all BIGINT, ABS before any division
+      "q166_mad_outliers" ->
+        """WITH t AS (SELECT source AS g, n_chars AS v FROM documents
+          | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+          |r1 AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+          |  COUNT(*) OVER (PARTITION BY g) AS n FROM t),
+          |m1 AS (SELECT g, MAX(CASE WHEN rn = CAST(FLOOR(0.5::DOUBLE*(n-1)) AS BIGINT)+1 THEN v END) AS med
+          | FROM r1 GROUP BY g),
+          |d AS (SELECT t.g, ABS(t.v - m1.med) AS dev FROM t JOIN m1 USING (g)),
+          |r2 AS (SELECT g, dev, ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn,
+          |  COUNT(*) OVER (PARTITION BY g) AS n FROM d),
+          |m2 AS (SELECT g, MAX(CASE WHEN rn = CAST(FLOOR(0.5::DOUBLE*(n-1)) AS BIGINT)+1 THEN dev END) AS mad
+          | FROM r2 GROUP BY g)
+          |SELECT d.g AS "group", MAX(m1.med) AS med, MAX(m2.mad) AS mad,
+          | CAST(COUNT(*) AS BIGINT) AS n,
+          | CAST(SUM(CASE WHEN d.dev * 1000 > 3500 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+          |FROM d JOIN m1 USING (g) JOIN m2 USING (g) GROUP BY d.g
+          |ORDER BY "group"""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -112,4 +112,48 @@ object Stats {
     ranked.groupBy(col("_gq_g")).agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("_gq_g", "group")
   }
+
+  /** Robust per-group outlier census via median absolute deviation — the
+    * distribution gate that survives the exact skew a curation pipeline
+    * exists to catch: a mean/stddev z-score is dragged by the outliers
+    * it is hunting, the median/MAD pair is not. A row is an outlier when
+    * `|x − median| · 1000 > threshMilli · MAD` (default 3500 = the
+    * conventional 3.5 robust-z cut); when MAD = 0 (a majority-constant
+    * group) any deviating row is an outlier — the standard degenerate
+    * case, kept because a 60%-boilerplate group SHOULD flag its tail.
+    *
+    * Both medians use [[groupQuantiles]]' rank-selection rule (lower
+    * interpolation, integer-exact, engine-portable) — MAD inherits the
+    * same cross-engine determinism, so the census is hash-gateable.
+    *
+    * Scale shape: two rank-selection passes (each one shuffle on the
+    * group key + a spill-safe window sort) and one broadcast join of the
+    * per-group medians back onto the rows; the final census is a
+    * partial-aggregated groupBy. Same envelope as [[groupQuantiles]]:
+    * right for per-group thresholds where a group fits a task's sort
+    * spill budget — for a single global gate at 100 TB use
+    * approx_percentile twice instead.
+    *
+    * Output per group: (`group`, `med`, `mad`, `n`, `n_out`), BIGINT.
+    * NULL metric values must be filtered upstream (rank rule). */
+  def madOutliers(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      threshMilli: Long = 3500L): DataFrame = {
+    val rows = df.select(group.as("_g"), value.cast("long").as("_v"))
+    val med = groupQuantiles(rows, col("_g"), col("_v"), Seq(0.5))
+      .select(col("group").as("_g"), col("p50").as("med"))
+    val dev = rows.join(broadcast(med), "_g")
+      .withColumn("_dev", abs(col("_v") - col("med")))
+    val mad = groupQuantiles(dev, col("_g"), col("_dev"), Seq(0.5))
+      .select(col("group").as("_g"), col("p50").as("mad"))
+    dev.join(broadcast(mad), "_g")
+      .groupBy(col("_g"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("_dev") * 1000L > lit(threshMilli) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .withColumnRenamed("_g", "group")
+  }
 }

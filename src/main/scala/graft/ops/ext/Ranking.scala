@@ -1,0 +1,152 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking combination and ranking-quality evaluation — the retrieval
+  * layer of a training-data pipeline (decontamination-by-retrieval,
+  * neighbor audits, hybrid candidate generation for dedup review) needs
+  * both: fuse the lexical and semantic rankers' candidate lists, and
+  * score any ranker against labeled ground truth.
+  *
+  * Both operators follow the house fixed-point discipline: scores are
+  * BIGINT (floor division on non-negative operands — Spark `div` and
+  * DuckDB `//` agree), so results are engine-exact and hash-gateable.
+  * The reference has no ranking layer (its queries are ETL); these are
+  * extension operators in the q106/q25 retrieval family.
+  */
+object Ranking {
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * N per-query candidate rankings: `score(d) = Σ_r floor(scale / (kc +
+    * rank_r(d)))` over the rankings that contain `d`. RRF is the
+    * standard zero-tuning hybrid-retrieval combiner — rank-only, so a
+    * BM25 integer score and a cosine double never need calibrating onto
+    * one scale, and a document missing from one list simply contributes
+    * nothing (no sentinel rank).
+    *
+    * Each input must carry (`query_id`, `idCol`, `rnk`) with `rnk`
+    * 1-based within its query — the `bm25TopK` / `cosineTopK` /
+    * `coverageTopK` output contract. `kc` defaults to the paper's 60.
+    *
+    * Scale shape: the inputs are top-k lists — queries×k rows each, never
+    * corpus-sized — so the union, the (query, doc) fold, and the final
+    * top-k window all run on bounded data. The per-query fold partial-
+    * aggregates before its shuffle; the window's rank filter is a
+    * foldable `rnk <= topK` (InferWindowGroupLimit prunes map-side).
+    *
+    * Output: (`query_id`, idCol, `rrf_score`, `n_lists`, `rnk`), BIGINT
+    * score/count/rank, ties on score broken by id — a total order. */
+  def rrfFuse(
+      rankings: Seq[DataFrame], idCol: String, topK: Int,
+      kc: Long = 60L, scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    val slim = rankings.map(_.select(col("query_id"), col(idCol),
+      col("rnk").cast("long").as("rnk")))
+    val fused = slim.reduce(_ union _)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(expr(s"$scale div ($kc + rnk)")).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fused
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("query_id"), col(idCol), col("rrf_score"),
+        col("n_lists"), col("rnk"))
+  }
+
+  /** Query-term-coverage ranking — the cheap lexical recall baseline
+    * (and RRF fusion partner for [[graft.ops.ext.TextStats.bm25TopK]]):
+    * each document scored by how many DISTINCT query terms it contains,
+    * ties by id. No tf, no idf — exactly the candidate generator a
+    * contamination audit wants when the benchmark string may be quoted
+    * with reordered words.
+    *
+    * Scale shape: the query terms (a literal handful) BROADCAST into the
+    * exploded distinct-token stream — the corpus never shuffles on the
+    * token; the (query, doc) fold partial-aggregates, and the top-k
+    * window is WindowGroupLimit-pruned map-side. Documents matching no
+    * term are absent.
+    *
+    * Output: (`query_id`, idCol, `coverage`, `rnk`), all BIGINT. */
+  def coverageTopK(
+      docs: DataFrame, textCol: Column, idCol: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(Dedup.tokens(col("qtext")))).as("term"))
+    val dtok = docs.select(col(idCol),
+      explode(array_distinct(Dedup.tokens(textCol))).as("term"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("coverage").desc, col(idCol))
+    dtok.join(broadcast(q), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("coverage"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col(idCol), col("coverage"), col("rnk"))
+  }
+
+  /** Binary-relevance nDCG@k of a neighbor ranking against labeled
+    * ground truth — the graded companion to `recallAtK`: recall says how
+    * many relevant neighbors surfaced, nDCG says how HIGH they ranked
+    * (an ANN index that buries every true neighbor at rank k scores the
+    * same recall but much worse nDCG).
+    *
+    * Fixed-point discipline where it matters: the irrational discounts
+    * `1/log2(i+1)` are precomputed ONCE here in Scala as `floor(scale /
+    * log2(i+1))` longs and injected into the plan as literals — the
+    * oracle embeds the SAME constants, so no engine ever evaluates a
+    * float log and the result hashes exactly. `DCG = Σ disc(rnk)` over
+    * relevant hits; `IDCG = Σ disc(1..min(R,k))` where `R` = the query's
+    * corpus-wide relevant count (its label's population, minus itself
+    * when `excludeSelf` — the `cosineTopK` contract, which never ranks
+    * the query); `ndcg_ppm = floor(1e6·DCG/IDCG)`, NULL when R = 0 (no
+    * relevant documents exist — the metric's undefined case).
+    *
+    * Scale shape: `ranking` is queries×k rows. The only corpus-sized
+    * input is `labels`; it contributes one equi join onto the ranking's
+    * neighbor ids and one partial-aggregated per-label census (≤ #labels
+    * rows, broadcast back). The corpus itself never shuffles.
+    *
+    * @param ranking (q_id, n_id, rnk) — `cosineTopK`-shaped, rnk 1-based
+    * @param labels  (id, label) — non-null labels for every ranked id
+    * @return one row per query: (q_id, dcg_s, idcg_s, ndcg_ppm) */
+  def ndcgAtK(
+      ranking: DataFrame, labels: DataFrame, k: Int,
+      excludeSelf: Boolean = true, scale: Long = 1000000000L): DataFrame = {
+    val discs = ndcgDiscounts(k, scale)
+    val prefix = discs.scanLeft(0L)(_ + _).tail // prefix(i) = Σ disc(1..i)
+    val nLab = labels.select(col("id").as("n_id"), col("label").as("_n_lab"))
+    val qLab = labels.select(col("id").as("q_id"), col("label").as("_q_lab"))
+    val census = labels.groupBy(col("label").as("_q_lab"))
+      .agg(count(lit(1)).as("_lab_n"))
+    val self = if (excludeSelf) 1L else 0L
+    ranking
+      .join(nLab, "n_id")
+      .join(qLab, "q_id")
+      .groupBy(col("q_id"), col("_q_lab"))
+      .agg(sum(when(col("_n_lab") === col("_q_lab"),
+        element_at(typedLit(discs), col("rnk").cast("int")))
+        .otherwise(0L)).as("dcg_s"))
+      .join(broadcast(census), "_q_lab")
+      .withColumn("_r", col("_lab_n") - self)
+      .select(col("q_id"), col("dcg_s"),
+        when(col("_r") > 0,
+          element_at(typedLit(prefix), least(col("_r"), lit(k.toLong)).cast("int")))
+          .otherwise(0L).as("idcg_s"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_s") > 0,
+          expr("(1000000 * dcg_s) div idcg_s")))
+  }
+
+  /** The literal discount table [[ndcgAtK]] and its oracle share:
+    * `disc(i) = floor(scale / log2(i+1))` for i = 1..k. */
+  def ndcgDiscounts(k: Int, scale: Long = 1000000000L): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(scale / (math.log(i + 1.0) / math.log(2.0))).toLong)
+}

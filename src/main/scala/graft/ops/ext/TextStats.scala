@@ -1228,4 +1228,44 @@ object TextStats {
           idiv((col("po_ppm") - col("pe_ppm")) * M, lit(M) - col("pe_ppm")))
           .as("kappa_ppm"))
   }
+
+  /** Fleiss' kappa for m >= 2 binary raters — [[cohenKappa]]'s
+    * multi-rater generalization (three annotators, or a rule vs two model
+    * versions): mean pairwise agreement corrected for the chance
+    * agreement of the pooled marginals. Per item with `x` of `m` raters
+    * voting true, the agreeing pair count is `x² + (m−x)² − m` out of
+    * `m(m−1)`; `P̄e = p̄² + (1−p̄)²` on the pooled true-rate `p̄`.
+    *
+    * All-BIGINT ppm like [[cohenKappa]]: the kappa numerator can be
+    * negative, so its division is the pmod FLOOR form (DuckDB `//`
+    * parity); `pe = 1e6` (every rater constant) yields NULL. Rater
+    * columns must be non-null booleans — filter upstream.
+    *
+    * Scale shape: ONE map-side partial aggregate to a single row — the
+    * shuffle carries three counters (n, Σx, Σ(x²+(m−x)²)) per task.
+    *
+    * Output, one row: (n_docs, m_raters, po_ppm, pe_ppm, kappa_ppm). */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa: need at least 2 raters")
+    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val M = 1000000L
+    val m = raters.size.toLong
+    val x = raters.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(x * x + (lit(m) - x) * (lit(m) - x)).as("sq"))
+    val p = agg.select(col("n"),
+        when(col("n") > 0,
+          idiv((col("sq") - col("n") * m) * M, col("n") * (m * (m - 1)))).as("po_ppm"),
+        when(col("n") > 0, idiv(col("sx") * M, col("n") * m)).as("_pt"))
+      .select(col("n"), col("po_ppm"),
+        idiv(col("_pt") * col("_pt") + (lit(M) - col("_pt")) * (lit(M) - col("_pt")),
+          lit(M)).as("pe_ppm"))
+    p.select(col("n").as("n_docs"), lit(m).as("m_raters"),
+      col("po_ppm"), col("pe_ppm"),
+      when(col("pe_ppm") < M,
+        idiv((col("po_ppm") - col("pe_ppm")) * M, lit(M) - col("pe_ppm")))
+        .as("kappa_ppm"))
+  }
 }

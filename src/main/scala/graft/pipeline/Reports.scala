@@ -258,4 +258,46 @@ object Reports {
     }
     (n, ks)
   }
+
+  /** Cross-source content-overlap matrix — the companion diagnostic to
+    * [[ksDistance]]: KS says two sources' DISTRIBUTIONS drifted apart,
+    * this says how much literal CONTENT they share (mirror sites, feed
+    * re-publishers, a crawl that ingested one corpus twice under two
+    * names). Per unordered source pair: distinct-content set sizes,
+    * intersection, and Jaccard in ppm. `contentCol` picks the equality
+    * granularity — full text for exact mirrors, a token-prefix for
+    * shared-boilerplate detection.
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (source,
+    * content-md5) keys — one partial-aggregated shuffle, 16-byte hashes,
+    * never the text. The pair join is equi on the hash, and because the
+    * distinct pass caps each hash's multiplicity at #sources, its
+    * worst-case fan-out is sources²/2 rows per hash — linear in corpus
+    * size, no degenerate-bucket quadratic (the q22 guard concern does
+    * not arise). Per-source sizes are a tiny aggregate, broadcast back.
+    *
+    * Output: (`source_a`, `source_b`, `size_a`, `size_b`,
+    * `intersection`, `jaccard_ppm`), source_a < source_b, all counts
+    * BIGINT; pairs sharing nothing are absent (inner join — the
+    * all-pairs zero matrix at 10^4 sources is noise, not signal).
+    * Non-null group and content required — filter upstream. */
+  def sourceOverlap(
+      docs: DataFrame, group: Column, contentCol: Column): DataFrame = {
+    val keys = docs.select(group.as("g"), md5(contentCol).as("h")).distinct()
+    val sizes = keys.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val l = keys.select(col("g").as("source_a"), col("h"))
+    val r = keys.select(col("g").as("source_b"), col("h"))
+    l.join(r, "h")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("intersection"))
+      .join(broadcast(sizes.select(col("g").as("source_a"), col("sz").as("size_a"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("g").as("source_b"), col("sz").as("size_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("size_a"), col("size_b"),
+        col("intersection"),
+        expr("(1000000 * intersection) div (size_a + size_b - intersection)")
+          .as("jaccard_ppm"))
+  }
 }

@@ -407,4 +407,31 @@ class PropertySpec extends SparkSpec {
       } else assert(r.isNullAt(3), s"pe=1 must yield NULL kappa for $pairs")
     }
   }
+
+  test("property: fleissKappa ppm tracks the real-valued statistic within floor error") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    val m = 3
+    val itemsGen = Gen.listOfN(20, Gen.choose(0, m)) // true-vote counts
+    samples(itemsGen, 5).foreach { xs =>
+      val df = xs.map(x => (x >= 1, x >= 2, x >= 3)).toDF("ra", "rb", "rc")
+      val r = TextStats.fleissKappa(df, Seq(col("ra"), col("rb"), col("rc")))
+        .collect().head
+      val n = xs.size.toDouble
+      val po = xs.map(x => (x * (x - 1) + (m - x) * (m - x - 1)).toDouble /
+        (m * (m - 1))).sum / n
+      val pt = xs.sum / (n * m)
+      val pe = pt * pt + (1 - pt) * (1 - pt)
+      assert(r.getLong(1) === m.toLong)
+      assert(math.abs(r.getLong(2) - po * 1e6) <= 1.0, s"po for $xs")
+      assert(math.abs(r.getLong(3) - pe * 1e6) <= 3.0, s"pe for $xs")
+      if (pe < 1.0 - 1e-9) {
+        val kappa = (po - pe) / (1 - pe)
+        val tol = 3.0 + 8.0 / math.max(1e-6, 1 - pe)
+        assert(math.abs(r.getLong(4) - kappa * 1e6) <= tol,
+          s"kappa ${r.getLong(4)} vs ${kappa * 1e6} for $xs")
+      } else assert(r.isNullAt(4), s"pe=1 must yield NULL kappa for $xs")
+    }
+  }
 }

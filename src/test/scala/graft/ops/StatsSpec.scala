@@ -59,4 +59,22 @@ class StatsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq === out.toSeq)
   }
+
+  test("madOutliers: robust census incl. the MAD=0 degenerate group") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq(1, 2, 3, 4, 100).map(("a", _)) ++
+      Seq(5, 5, 5, 9).map(("b", _))).toDF("g", "v").repartition(3)
+    val out = Stats.madOutliers(df, col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // a: med = 3 (rank 3 of 5), devs {2,1,0,1,97} -> mad = 1 (rank 3);
+    //    outlier iff dev·1000 > 3500·1 -> only the 100
+    // b: med = 5 (rank 2 of 4), devs {0,0,0,4} -> mad = 0 (rank 2);
+    //    MAD=0 degenerate: ANY deviation flags -> the 9
+    assert(out === Seq(("a", 3L, 1L, 5L, 1L), ("b", 5L, 0L, 4L, 1L)))
+    // layout independence of the two-pass rank selection
+    val re = Stats.madOutliers(df.repartition(7), col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(re === out)
+  }
 }

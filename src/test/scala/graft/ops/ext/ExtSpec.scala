@@ -787,6 +787,37 @@ class ComponentsSpec extends SparkSpec {
     val keep = clusters.filter { case (id, canon) => id == canon }.map(_._1)
     assert(keep === Array(10L, 20L))
   }
+
+  test("pageRank: three hand-computed integer rounds on a cycle graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst").repartition(2)
+    val out = Components.pageRank(edges, iterations = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // round 1: contribs 2<-500000, 3<-1500000, 1<-1000000
+    //   -> r1 = (1000000, 575000, 1425000)
+    // round 2: r2 = (1361250, 575000, 1063750)
+    // round 3: r3 = (1054187, 728531, 1217281)   (floor at every div)
+    assert(out === Array((1L, 1054187L), (2L, 728531L), (3L, 1217281L)))
+  }
+
+  test("pageRank: dangling sinks absorb; dup edges and self-loops drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 5 -> 6 (listed twice) + a self-loop; 6 has no out-edges
+    val edges = Seq((5L, 6L), (5L, 6L), (6L, 6L)).toDF("src", "dst")
+      .repartition(3)
+    val out = Components.pageRank(edges, iterations = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // 5 gets only the base each round; 6 gets base + 0.85 * r(5)
+    // r1 = (150000, 1000000); r2 = (150000, 150000 + 127500)
+    assert(out === Array((5L, 150000L), (6L, 277500L)))
+    // partition-layout independence of the whole loop
+    val re = Components.pageRank(edges.repartition(7), iterations = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(re === out)
+  }
 }
 
 class PackingSpec extends SparkSpec {
@@ -1773,6 +1804,32 @@ class TextStatsSpec extends SparkSpec {
     assert(n === 3L && po === 333333L && pe === 555555L)
     assert(kappa === Some(floorRef(po, pe)))
     assert(kappa.get < 0L, s"adversarial raters must score negative: $kappa")
+  }
+
+  test("fleissKappa: hand-computed 3-rater cases incl. perfect/constant/negative") {
+    val spark2 = spark
+    import spark2.implicits._
+    def run(xs: Seq[Int]): (Long, Long, Long, Long, Option[Long]) = {
+      // encode each item's true-vote count x as three boolean raters
+      val df = xs.map(x => (x >= 1, x >= 2, x >= 3)).toDF("ra", "rb", "rc")
+      val r = TextStats.fleissKappa(df, Seq(col("ra"), col("rb"), col("rc")))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    // votes (3,0,3,1,2): sx=9, sq=37 -> po=733333, pt=600000, pe=520000,
+    // kappa = 213333e6 // 480000 = 444443 (hand-computed)
+    assert(run(Seq(3, 0, 3, 1, 2)) ===
+      ((5L, 3L, 733333L, 520000L, Some(444443L))))
+    // unanimous on every item with mixed marginals: kappa = 1
+    assert(run(Seq(3, 0))._5 === Some(1000000L))
+    // every rater constant true: pe = 1e6 -> NULL (undefined)
+    assert(run(Seq(3, 3))._5 === None)
+    // maximal within-item splits: negative kappa, floor-division parity
+    val (_, _, po, pe, kappa) = run(Seq(1, 2))
+    assert(po === 333333L && pe === 500000L)
+    assert(kappa === Some(Math.floorDiv((po - pe) * 1000000L, 1000000L - pe)))
+    assert(kappa.get === -333334L, s"floor (not truncate) on negatives: $kappa")
   }
 }
 

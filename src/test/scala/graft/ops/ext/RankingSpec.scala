@@ -1,0 +1,104 @@
+package graft.ops.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankingSpec extends SparkSpec {
+
+  test("rrfFuse: floor-division scores, list membership, id tie-break") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 40L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L), (1L, 50L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Ranking.rrfFuse(Seq(a, b), "doc_id", topK = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 20 appears in both lists: 1e9//62 + 1e9//61
+    val s20 = 1000000000L / 62 + 1000000000L / 61
+    val s10 = 1000000000L / 61
+    val s30 = 1000000000L / 62
+    val s3 = 1000000000L / 63 // docs 40 and 50: equal scores -> id order
+    assert(out === Seq(
+      (1L, 20L, s20, 2L, 1L),
+      (1L, 10L, s10, 1L, 2L),
+      (1L, 30L, s30, 1L, 3L),
+      (1L, 40L, s3, 1L, 4L),
+      (1L, 50L, s3, 1L, 5L)))
+  }
+
+  test("rrfFuse: topK truncates per query independently") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Ranking.rrfFuse(Seq(a), "doc_id", topK = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (2L, 30L)))
+  }
+
+  test("coverageTopK: distinct-term counts, ties by id, broadcast join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha gamma"), // 1 distinct query term
+      (2L, "beta alpha x"),      // 2
+      (3L, "beta beta"),         // 1 -> ties with doc 1, id order
+      (4L, "nothing here")       // 0 -> absent
+    ).toDF("doc_id", "text").repartition(2)
+    val out = Ranking.coverageTopK(docs, col("text"), "doc_id",
+        Seq((7L, "alpha beta")), k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((7L, 2L, 2L, 1L), (7L, 1L, 1L, 2L), (7L, 3L, 1L, 3L)))
+    val plan = Ranking.coverageTopK(docs, col("text"), "doc_id",
+      Seq((7L, "alpha beta")), k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into the token stream:\n$plan")
+  }
+
+  test("ndcgAtK: perfect ranking scores 1e6; buried hits score less") {
+    val spark2 = spark
+    import spark2.implicits._
+    // labels: A = {1, 2, 3, 6}, B = {4, 5}; query 1 has R = 3 relevant
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "A")).toDF("id", "label")
+    val d = Ranking.ndcgDiscounts(3)
+    assert(d.head === 1000000000L) // disc(1) = scale/log2(2)
+    assert(d === d.sorted.reverse && d.distinct === d, "discounts strictly decrease")
+    val idcg = d.sum // R = 3 >= k = 3 -> full prefix
+    // perfect: all three hits at the top
+    val perfect = Seq((1L, 2L, 1), (1L, 3L, 2), (1L, 6L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val p = Ranking.ndcgAtK(perfect, labels, k = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(p === ((1L, idcg, idcg, 1000000L)))
+    // buried: hits at ranks 1 and 3 only
+    val partial = Seq((1L, 2L, 1), (1L, 4L, 2), (1L, 3L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val q = Ranking.ndcgAtK(partial, labels, k = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    val dcg = d(0) + d(2)
+    assert(q === ((1L, dcg, idcg, Math.floorDiv(1000000L * dcg, idcg))))
+  }
+
+  test("ndcgAtK: R < k truncates IDCG; R = 0 yields NULL ndcg") {
+    val spark2 = spark
+    import spark2.implicits._
+    // query 1's label C has population 2 -> R = 1; query 4's label D is
+    // unique -> R = 0 (no other relevant document exists)
+    val labels = Seq((1L, "C"), (2L, "C"), (3L, "E"), (4L, "D"))
+      .toDF("id", "label")
+    val d = Ranking.ndcgDiscounts(2)
+    val ranking = Seq((1L, 3L, 1), (1L, 2L, 2), (4L, 2L, 1), (4L, 3L, 2))
+      .toDF("q_id", "n_id", "rnk")
+    val out = Ranking.ndcgAtK(ranking, labels, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // q1: hit at rank 2, ideal = the single relevant at rank 1
+    assert(out(1L) === ((d(1), d(0), Some(Math.floorDiv(1000000L * d(1), d(0))))))
+    // q4: nothing relevant exists -> idcg 0, ndcg NULL (undefined)
+    assert(out(4L) === ((0L, 0L, None)))
+  }
+}

@@ -126,4 +126,19 @@ class ReportsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(re === out)
   }
+
+  test("sourceOverlap: distinct-content Jaccard per pair, zero pairs absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"), ("A", "z"), // dup x collapses
+      ("B", "y"), ("B", "z"), ("B", "w"),
+      ("C", "q")
+    ).toDF("source", "text").repartition(3)
+    val out = Reports.sourceOverlap(docs, col("source"), col("text"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // A∩B = {y, z}: |A|=3, |B|=3 -> jaccard = 2e6 // 4 = 500000;
+    // C shares nothing -> no (A,C)/(B,C) rows
+    assert(out === Seq(("A", "B", 3L, 3L, 2L, 500000L)))
+  }
 }
