@@ -149,4 +149,111 @@ object Ranking {
   def ndcgDiscounts(k: Int, scale: Long = 1000000000L): Seq[Long] =
     (1 to k).map(i =>
       math.floor(scale / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Kendall rank correlation (tau-a) between two rankers' top-k lists,
+    * per query — the pairwise-order agreement a ranker-swap audit wants
+    * ([[rrfFuse]]'s diagnostic dual: before fusing BM25 with coverage,
+    * measure whether they ORDER shared candidates the same way; after
+    * replacing exact cosine with IVF, measure how much order survived).
+    * Computed over the documents BOTH lists rank (the standard top-k
+    * restriction): of the `m(m−1)/2` unordered pairs, `tau = (C − D) /
+    * pairs`. Ranks from `row_number` contracts are strict, so tau-a is
+    * exact — no tie correction term.
+    *
+    * All-BIGINT: `tau_ppm` uses the pmod FLOOR division form because the
+    * numerator can be negative (reversed order → −1e6). Queries with
+    * fewer than 2 common documents have no pairs and are absent — the
+    * metric's undefined case, kept absent rather than faked as 0.
+    *
+    * Scale shape: inputs are queries×k frames (the [[rrfFuse]] contract),
+    * so the equi self-join on `query_id` generates ≤ k² rows per query —
+    * bounded by construction, never corpus-sized.
+    *
+    * @param a,b (query_id, idCol, rnk) rankings, rnk strict 1-based
+    * @return per query: (query_id, pairs, concordant, discordant,
+    *         tau_ppm), all BIGINT */
+  def kendallTau(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
+    def idiv(x: Column, y: Column): Column = ((x - pmod(x, y)) / y).cast("long")
+    val l = a.select(col("query_id"), col(idCol),
+      col("rnk").cast("long").as("_ra"))
+    val r = b.select(col("query_id"), col(idCol),
+      col("rnk").cast("long").as("_rb"))
+    val m = l.join(r, Seq("query_id", idCol))
+    val i = m.select(col("query_id"), col(idCol).as("_i"),
+      col("_ra").as("_rai"), col("_rb").as("_rbi"))
+    val j = m.select(col("query_id"), col(idCol).as("_j"),
+      col("_ra").as("_raj"), col("_rb").as("_rbj"))
+    val sgn = (col("_rai") - col("_raj")) * (col("_rbi") - col("_rbj"))
+    i.join(j, "query_id").where(col("_i") < col("_j"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
+      .withColumn("tau_ppm",
+        idiv((col("concordant") - col("discordant")) * 1000000L, col("pairs")))
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) truncated
+    * at depth k, per query — [[kendallTau]]'s top-weighted complement:
+    * tau treats a swap at ranks 1-2 and 9-10 identically, RBO weights
+    * agreement at depth `d` by `(1−p)·p^(d−1)`, so head agreement
+    * dominates — the right lens when only the top of the fused list is
+    * ever consumed. `p` (persistence, default 0.9) is the standard
+    * "how deep does the user look" knob.
+    *
+    * Fixed-point by the [[ndcgAtK]] literal-table trick: a document both
+    * lists rank enters every depth `d ≥ max(rank_a, rank_b)`, so its
+    * total contribution is the SUFFIX SUM `Σ_{d≥max}` of the per-depth
+    * weights `floor(scale·(1−p)·p^(d−1)/d)` — precomputed ONCE here as
+    * longs ([[rboSuffixWeights]]) and looked up per common document via
+    * `element_at`. No engine evaluates a float power. `rbo_ppm`
+    * normalizes by the identical-lists total (`Σ_r suffix(r)`, exact on
+    * the same floored table), so 1e6 = identical top-k lists; queries
+    * sharing no documents are absent (score 0, the undefined-denominator
+    * case never arises because the normalizer is a Scala constant > 0).
+    *
+    * Lists deeper than `k` are truncated (a document whose max rank
+    * exceeds `k` enters no prefix ≤ k, so it carries zero RBO@k mass —
+    * the filter IS the metric's truncation, and it keeps the
+    * `element_at` lookup inside the k-entry table under ANSI);
+    * `common` therefore counts documents both lists rank WITHIN depth k.
+    *
+    * Scale shape: one equi join of two queries×k frames + one partial-
+    * aggregated fold — bounded by construction.
+    *
+    * @return per query: (query_id, common, rbo_s, rbo_ppm), BIGINT */
+  def rboAtK(
+      a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      pMilli: Long = 900L, scale: Long = 1000000000L): DataFrame = {
+    val suffix = rboSuffixWeights(k, pMilli, scale)
+    val maxS = suffix.sum // Σ_r suffix(r): the identical-lists total
+    val l = a.select(col("query_id"), col(idCol),
+      col("rnk").cast("long").as("_ra"))
+    val r = b.select(col("query_id"), col(idCol),
+      col("rnk").cast("long").as("_rb"))
+    l.join(r, Seq("query_id", idCol))
+      .where(greatest(col("_ra"), col("_rb")) <= k)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("common"),
+        sum(element_at(typedLit(suffix),
+          greatest(col("_ra"), col("_rb")).cast("int"))).as("rbo_s"))
+      .withColumn("rbo_ppm", expr(s"(1000000 * rbo_s) div $maxS"))
+  }
+
+  /** The literal suffix-weight table [[rboAtK]] consumes: entry `d0` is
+    * `Σ_{d=d0..k} floor(scale·(1−p)·p^(d−1)/d)` with `p = pMilli/1000` —
+    * the total RBO mass a document entering the intersection at depth
+    * `d0` collects through depth k. Floored per-depth BEFORE summing, so
+    * the table (and every statistic built on it) is integer-exact and
+    * engine-portable. */
+  def rboSuffixWeights(
+      k: Int, pMilli: Long = 900L, scale: Long = 1000000000L): Seq[Long] = {
+    require(k >= 1, s"rboSuffixWeights: k must be >= 1, got $k")
+    require(pMilli >= 1 && pMilli <= 999,
+      s"rboSuffixWeights: pMilli must be in [1, 999], got $pMilli")
+    val p = pMilli / 1000.0
+    val w = (1 to k).map(d =>
+      math.floor(scale * (1.0 - p) * math.pow(p, d - 1.0) / d).toLong)
+    w.indices.map(i => w.drop(i).sum)
+  }
 }

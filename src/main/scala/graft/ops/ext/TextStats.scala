@@ -664,6 +664,57 @@ object TextStats {
           .otherwise(lit(0L)).as("recall_bp"))
   }
 
+  /** Reliability table for a ppm-confidence classifier — [[prCurve]]'s
+    * calibration companion: PR tells you WHERE to threshold, this tells
+    * you whether the scores MEAN what they claim (a gate that keeps
+    * "90%-confident-good" documents of which only 60% are good is lying
+    * to every downstream mixture weight computed from it). Confidences
+    * in [0, 1e6] ppm are cut into `bins` equal-width buckets; per
+    * non-empty bucket: count, positives, mean claimed confidence, the
+    * observed positive rate, and their absolute gap — all BIGINT via
+    * floor division on non-negative operands (engine-portable).
+    * Malformed confidences follow the KS family's clamp policy: null
+    * rows drop, out-of-range clamps into the edge bins (1e6 itself
+    * lands in the top bin, not a phantom bins+1th).
+    *
+    * Scale shape: ONE partial-aggregated groupBy to ≤ bins rows — the
+    * shuffle carries three counters per task per bin.
+    *
+    * Output per bin, ascending: (`bin`, `n`, `pos`, `avg_conf_ppm`,
+    * `acc_ppm`, `gap_ppm`). */
+  def calibrationBins(
+      scored: DataFrame, confCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
+    val M = 1000000L
+    val bw = M / bins
+    scored
+      .select(confCol.cast("long").as("_c"), labelCol.cast("long").as("_y"))
+      .where(col("_c").isNotNull && col("_y").isNotNull)
+      .withColumn("bin",
+        least(greatest(expr(s"_c div ${bw}L"), lit(0L)), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
+        sum(col("_c")).as("_cs"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("_cs div n").as("avg_conf_ppm"),
+        expr("(1000000 * pos) div n").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("avg_conf_ppm") - col("acc_ppm")))
+  }
+
+  /** Expected calibration error — the bin-weighted mean of
+    * [[calibrationBins]]' gaps (Naeini et al., AAAI 2015), plus the max
+    * gap (MCE): the two numbers a model card quotes. One row:
+    * (`n_docs`, `bins_used`, `ece_ppm`, `mce_ppm`). Runs entirely on
+    * the ≤ bins-row reliability table. */
+  def ece(
+      scored: DataFrame, confCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame =
+    calibrationBins(scored, confCol, labelCol, bins)
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("bins_used"),
+        expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"),
+        max(col("gap_ppm")).as("mce_ppm"))
+
   /** Per-source vocabulary divergence from the corpus-wide token
     * distribution — the mix-health monitor behind "which slice drifted":
     * a KL-style surrogate over the corpus's top-`topV` vocabulary,

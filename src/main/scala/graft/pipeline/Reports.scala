@@ -268,13 +268,17 @@ object Reports {
     * granularity — full text for exact mirrors, a token-prefix for
     * shared-boilerplate detection.
     *
-    * Scale shape: the corpus collapses FIRST to distinct (source,
-    * content-md5) keys — one partial-aggregated shuffle, 16-byte hashes,
-    * never the text. The pair join is equi on the hash, and because the
-    * distinct pass caps each hash's multiplicity at #sources, its
-    * worst-case fan-out is sources²/2 rows per hash — linear in corpus
-    * size, no degenerate-bucket quadratic (the q22 guard concern does
-    * not arise). Per-source sizes are a tiny aggregate, broadcast back.
+    * Scale shape: ONE corpus pass — `groupBy(content-md5)` with a
+    * map-side-partial `collect_set(source)`, so the single corpus-sized
+    * Exchange carries 16-byte hashes + tiny source sets, never the text
+    * (a naive distinct-keys-then-self-join form re-planned the corpus
+    * scan and its md5 kernel FOUR times — plan-audited). The per-hash
+    * source set is capped at #sources, so the in-row pair expansion is
+    * ≤ sources²/2 per hash — linear in corpus size, no degenerate-bucket
+    * quadratic (the q22 guard concern does not arise). The hash-set
+    * table is eagerly `localCheckpoint`ed (the sizes census and the pair
+    * fold both read it — the q158 multi-consumer discipline); per-source
+    * sizes are a tiny aggregate, broadcast back.
     *
     * Output: (`source_a`, `source_b`, `size_a`, `size_b`,
     * `intersection`, `jaccard_ppm`), source_a < source_b, all counts
@@ -283,13 +287,19 @@ object Reports {
     * Non-null group and content required — filter upstream. */
   def sourceOverlap(
       docs: DataFrame, group: Column, contentCol: Column): DataFrame = {
-    val keys = docs.select(group.as("g"), md5(contentCol).as("h")).distinct()
-    val sizes = keys.groupBy(col("g")).agg(count(lit(1)).as("sz"))
-    val l = keys.select(col("g").as("source_a"), col("h"))
-    val r = keys.select(col("g").as("source_b"), col("h"))
-    l.join(r, "h")
-      .where(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+    val sets = docs.select(group.as("g"), md5(contentCol).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .localCheckpoint(true)
+    val sizes = sets.select(explode(col("gs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    sets
+      .where(size(col("gs")) >= 2)
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("intersection"))
       .join(broadcast(sizes.select(col("g").as("source_a"), col("sz").as("size_a"))),
         "source_a")

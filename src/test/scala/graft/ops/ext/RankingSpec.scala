@@ -101,4 +101,111 @@ class RankingSpec extends SparkSpec {
     // q4: nothing relevant exists -> idcg 0, ndcg NULL (undefined)
     assert(out(4L) === ((0L, 0L, None)))
   }
+
+  test("kendallTau: identical +1e6, reversed -1e6, floor on negatives") {
+    val spark2 = spark
+    import spark2.implicits._
+    def rk(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("query_id", "doc_id", "rnk")
+    val fwd = rk((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+    val rev = rk((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 1L))
+    val same = Ranking.kendallTau(fwd, fwd, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(same === ((1L, 3L, 3L, 0L, 1000000L)))
+    val opp = Ranking.kendallTau(fwd, rev, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(opp === ((1L, 3L, 0L, 3L, -1000000L)))
+    // one swap among 3 common docs: C=2, D=1 -> floor(1e6/3) = 333333,
+    // and the NEGATIVE mirror must floor DOWN (-333334), not truncate
+    val oneSwap = rk((1L, 10L, 1L), (1L, 20L, 3L), (1L, 30L, 2L))
+    val mixed = Ranking.kendallTau(fwd, oneSwap, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(mixed === ((1L, 3L, 2L, 1L, Math.floorDiv(1000000L, 3L))))
+    val negMixed = Ranking.kendallTau(rev, oneSwap, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(negMixed === ((1L, 3L, 1L, 2L, Math.floorDiv(-1000000L, 3L))))
+  }
+
+  test("kendallTau: restricted to common docs; <2 common -> absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // q1 shares docs {10, 20} (ranked oppositely among extras), q2
+    // shares only doc 50 -> no pairs, q3 shares nothing
+    val a = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 20L, 3L),
+      (2L, 50L, 1L), (2L, 60L, 2L), (3L, 70L, 1L))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 20L, 1L), (1L, 98L, 2L), (1L, 10L, 3L),
+      (2L, 50L, 1L), (2L, 61L, 2L), (3L, 71L, 1L))
+      .toDF("query_id", "doc_id", "rnk")
+    val out = Ranking.kendallTau(a, b, "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 0L, 1L, -1000000L)))
+  }
+
+  test("rboAtK: identical lists 1e6; head agreement beats tail agreement") {
+    val spark2 = spark
+    import spark2.implicits._
+    def rk(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("query_id", "doc_id", "rnk")
+    val sw = Ranking.rboSuffixWeights(3)
+    assert(sw === sw.sorted.reverse, "suffix sums must decrease")
+    val fwd = rk((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+    val same = Ranking.rboAtK(fwd, fwd, "doc_id", k = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(same === ((1L, 3L, sw.sum, 1000000L)))
+    // sharing only the rank-1 doc scores higher than only the rank-3 doc
+    val headOnly = rk((1L, 10L, 1L), (1L, 88L, 2L), (1L, 89L, 3L))
+    val tailOnly = rk((1L, 86L, 1L), (1L, 87L, 2L), (1L, 30L, 3L))
+    val h = Ranking.rboAtK(fwd, headOnly, "doc_id", k = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    val t = Ranking.rboAtK(fwd, tailOnly, "doc_id", k = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(h === ((1L, 1L, sw(0), Math.floorDiv(1000000L * sw(0), sw.sum))))
+    assert(t === ((1L, 1L, sw(2), Math.floorDiv(1000000L * sw(2), sw.sum))))
+    assert(h._4 > t._4, s"head overlap ${h._4} must outscore tail ${t._4}")
+    // disjoint lists -> absent (undefined-denominator never arises)
+    val disjoint = rk((1L, 91L, 1L), (1L, 92L, 2L), (1L, 93L, 3L))
+    assert(Ranking.rboAtK(fwd, disjoint, "doc_id", k = 3).count() === 0L)
+    // deeper-than-k lists truncate: at k = 2 the shared rank-3 doc
+    // carries zero RBO@2 mass (and stays inside the 2-entry table)
+    val sw2 = Ranking.rboSuffixWeights(2)
+    val trunc = Ranking.rboAtK(fwd, tailOnly, "doc_id", k = 2)
+    assert(trunc.count() === 0L)
+    val head2 = Ranking.rboAtK(fwd, headOnly, "doc_id", k = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(head2 === ((1L, 1L, sw2(0), Math.floorDiv(1000000L * sw2(0), sw2.sum))))
+  }
+
+  test("rboAtK ppm tracks the real-valued RBO within floor error") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random permutations of 10 docs, two queries
+    val rng = new scala.util.Random(42)
+    val docs = (1 to 10).map(_.toLong).toVector
+    def perm(q: Long): Seq[(Long, Long, Long)] = rng.shuffle(docs).zipWithIndex
+      .map { case (d, i) => (q, d, (i + 1).toLong) }
+    val a = (perm(1L) ++ perm(2L)).toDF("query_id", "doc_id", "rnk")
+    val b = (perm(1L) ++ perm(2L)).toDF("query_id", "doc_id", "rnk")
+    val k = 10
+    val got = Ranking.rboAtK(a, b, "doc_id", k)
+      .select("query_id", "rbo_ppm").as[(Long, Long)].collect().toMap
+    // real-valued reference: RBO@k = sum_d (1-p) p^(d-1) |A_d ^ B_d| / d,
+    // normalized by the identical-lists truncated mass
+    val la = a.as[(Long, Long, Long)].collect().groupBy(_._1)
+    val lb = b.as[(Long, Long, Long)].collect().groupBy(_._1)
+    val p = 0.9
+    for (q <- Seq(1L, 2L)) {
+      val ra = la(q).map(r => r._2 -> r._3).toMap
+      val rb = lb(q).map(r => r._2 -> r._3).toMap
+      val raw = (1 to k).map { d =>
+        val inter = ra.keys.count(doc =>
+          ra(doc) <= d && rb.get(doc).exists(_ <= d))
+        (1 - p) * math.pow(p, d - 1.0) * inter / d
+      }.sum
+      val norm = (1 to k).map(d => (1 - p) * math.pow(p, d - 1.0)).sum
+      val ref = 1e6 * raw / norm
+      assert(math.abs(got(q) - ref) < 50,
+        s"q$q: got ${got(q)} ppm vs real-valued $ref")
+    }
+  }
 }

@@ -493,4 +493,37 @@ class EvalOpsSpec extends SparkSpec {
     val last = out.minBy(_._1)
     assert(last._3 + last._4 === 1000L) // tp + fp = all rows
   }
+
+  test("calibrationBins/ece: gaps, clamps, and the weighted fold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // bin 2 (conf 250k): 1 of 4 positive -> perfectly calibrated;
+    // bin 9 via clamp: conf 1e6 and an out-of-range 1.2e6 land in the
+    // TOP bin, claimed ~1.1e6 avg... keep in-range: three 900k rows,
+    // none positive -> gap 900k; null label drops
+    val rows = Seq(
+      (250000L, 1L), (250000L, 0L), (250000L, 0L), (250000L, 0L),
+      (900000L, 0L), (900000L, 0L), (900000L, 0L))
+      .toDF("conf", "y")
+    val bins = TextStats.calibrationBins(rows, col("conf"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bins === Seq(
+      (2L, 4L, 1L, 250000L, 250000L, 0L),
+      (9L, 3L, 0L, 900000L, 0L, 900000L)))
+    val e = TextStats.ece(rows, col("conf"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    // ece = (4*0 + 3*900000) div 7, mce = 900000
+    assert(e === ((7L, 2L, 2700000L / 7L, 900000L)))
+  }
+
+  test("calibrationBins: edge confidences clamp into real bins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq((1000000L, 1L), (1200000L, 1L), (-5L, 0L))
+      .toDF("conf", "y")
+    val bins = TextStats.calibrationBins(rows, col("conf"), col("y"), bins = 10)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    // 1e6 and the out-of-range 1.2e6 land in bin 9, the negative in bin 0
+    assert(bins === Map(9L -> 2L, 0L -> 1L))
+  }
 }
