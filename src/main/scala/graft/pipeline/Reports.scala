@@ -178,9 +178,14 @@ object Reports {
     require(pseudoN >= 1, s"shrunkRates: pseudoN must be >= 1, got $pseudoN")
     def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val M = 1000000L
+    // the <=groups-row table is read twice (rates + the pooled prior);
+    // eagerly checkpoint it or BOTH references re-plan the corpus
+    // aggregation from the scan (the q158 multi-consumer discipline —
+    // plan-audited: two parquet scans without it, one with)
     val per = df.groupBy(groupCol.as("group"))
       .agg(count(lit(1)).as("n"),
         sum(when(flagCol, 1L).otherwise(0L)).as("x"))
+      .localCheckpoint(true)
     val global = per.agg(sum(col("n")).as("_gn"), sum(col("x")).as("_gx"))
     per.crossJoin(broadcast(global))
       .select(col("group"), col("n").as("n_docs"),
