@@ -298,10 +298,14 @@ object Components {
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"pageRank: dampingPpm must be in [0, 1e6], got $dampingPpm")
     val M = 1000000L
+    // three consumers read the deduped edge list (degree census, the
+    // deg-join's probe side, the vertex set) — checkpoint it or each
+    // re-runs the distinct shuffle from the scan
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
     // out-degrees ride the edge cache: the per-round join then touches
     // only (src, dst, deg) — the rank division needs no second join
     val withDeg = e
@@ -325,10 +329,11 @@ object Components {
       ranks = next
     }
     withDeg.unpersist()
-    // the final round's checkpoint IS the result — release only `nodes`,
-    // whose last reader was the final round's join
+    // the final round's checkpoint IS the result — release `nodes` and
+    // the edge checkpoint, whose last readers ran inside the loop
     val out = ranks.select(col("id"), col("r").as("rank_micro"))
     graft.core.Checkpoints.release(nodes)
+    graft.core.Checkpoints.release(e)
     out
   }
 

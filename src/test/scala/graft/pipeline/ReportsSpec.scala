@@ -141,4 +141,25 @@ class ReportsSpec extends SparkSpec {
     // C shares nothing -> no (A,C)/(B,C) rows
     assert(out === Seq(("A", "B", 3L, 3L, 2L, 500000L)))
   }
+
+  test("sourceOverlap and shrunkRates plan ONE corpus pass (checkpoint-fed)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(("A", "x"), ("A", "y"), ("B", "y"))
+      .toDF("source", "text").repartition(2)
+    // every consumer (sizes census, pair fold, both broadcasts) must read
+    // the checkpointed hash-set table — a source fixture node surviving
+    // into the final plan means the corpus got re-planned
+    val op = Reports.sourceOverlap(docs, col("source"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!op.contains("LocalTableScan"),
+      s"sourceOverlap re-planned the corpus past the checkpoint:\n$op")
+    assert(op.contains("Scan ExistingRDD"), s"expected checkpoint scan:\n$op")
+    val sp = Reports.shrunkRates(
+        Seq(("A", true), ("B", false)).toDF("src", "flag").repartition(2),
+        col("src"), col("flag"), pseudoN = 5L)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("LocalTableScan"),
+      s"shrunkRates re-planned the corpus past the checkpoint:\n$sp")
+  }
 }
