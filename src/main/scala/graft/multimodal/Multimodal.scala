@@ -756,8 +756,9 @@ object Multimodal {
   }
 
   /** Dispatch on magic bytes: YUV4MPEG2 (y4m), RIFF/WAVE (wav),
-    * RIFF/AVI, `ftyp` at offset 4 (mp4), P6 (ppm). The real-world entry
-    * point — crawled bytes arrive untagged. */
+    * RIFF/AVI, `ftyp` at offset 4 (mp4), EBML magic (mkv/webm), P6
+    * (ppm). The real-world entry point — crawled bytes arrive
+    * untagged. */
   object SniffProbe extends MediaProbe {
     def probe(content: Array[Byte]): ProbedMeta = {
       def starts(s: String): Boolean =
@@ -765,11 +766,15 @@ object Multimodal {
           (0 until s.length).forall(i => content(i) == s.charAt(i).toByte)
       def riffForm(s: String): Boolean = starts("RIFF") && content.length >= 12 &&
         (8 until 12).forall(i => content(i) == s.charAt(i - 8).toByte)
+      def ebml: Boolean = content != null && content.length >= 4 &&
+        content(0) == 0x1a.toByte && content(1) == 0x45.toByte &&
+        content(2) == 0xdf.toByte && content(3) == 0xa3.toByte
       if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
       else if (riffForm("WAVE")) WavProbe.probe(content)
       else if (riffForm("AVI ")) AviProbe.probe(content)
       else if (content != null && content.length >= 12 && Mp4.tag(content, 4, "ftyp"))
         Mp4Probe.probe(content)
+      else if (ebml) MkvProbe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
@@ -928,6 +933,137 @@ object Multimodal {
             // *1000 rather than emit a negative duration (the Y4M cap)
             if (hdr.duration > Long.MaxValue / 1000L) None
             else Some(hdr.duration * 1000L / hdr.timescale))
+      }
+  }
+
+  /** Matroska/WebM header-only parser — the EBML walk [[MkvProbe]]
+    * probes with, completing the pair of real-world seekable containers
+    * the AVI scaladoc names (MP4 `stsz`/`stco`, MKV cues). EBML is the
+    * third index geometry in the seam: where ISO-BMFF has fixed 4-byte
+    * size+fourcc headers, every EBML element is (varint id, varint
+    * size, payload) — the id keeps its length-marker bit, the size
+    * clears it, and an all-ones size means "extends to the enclosure
+    * end" (the streaming-Segment convention). A malformed varint or a
+    * size past the enclosure stops the walk and keeps what parsed (the
+    * [[Avi]]/[[Mp4]] crawl-corruption policy); Cluster payload — the
+    * media — is never read. */
+  private[multimodal] object Mkv {
+    /** `tsScaleNs` from Info's TimestampScale (EBML default 1e6 ns when
+      * absent); `durationTs` is Info's Duration FLOAT in scale units;
+      * (w, h) from the first video TrackEntry's PixelWidth/PixelHeight;
+      * `seekable` iff a Cues element exists — the MKV twin of AVI's
+      * `idx1` and MP4's `stsz`+`stco`. */
+    final case class Header(tsScaleNs: Long, durationTs: Double, w: Int, h: Int)
+
+    /** EBML varint at `pos` within `end`: (value, byteLen) or null on
+      * malformed/truncated. `keepMarker` for element IDs (IDs compare
+      * with the marker bit in, per the spec's class encoding); sizes
+      * clear it. An all-ones size returns -1 (unknown size). */
+    private def varint(
+        c: Array[Byte], pos: Int, end: Int, keepMarker: Boolean): (Long, Int) = {
+      if (pos >= end) return null
+      val b0 = c(pos) & 0xff
+      if (b0 == 0) return null // 8+ leading zero bits: reserved/invalid
+      val len = Integer.numberOfLeadingZeros(b0) - 23
+      if (len > 8 || pos + len > end) return null
+      val mask = 0xff >>> len
+      var v = if (keepMarker) b0.toLong else (b0 & mask).toLong
+      var allOnes = !keepMarker && (b0 & mask) == mask
+      var i = 1
+      while (i < len) {
+        val bb = c(pos + i) & 0xff
+        v = (v << 8) | bb
+        allOnes &&= bb == 0xff
+        i += 1
+      }
+      (if (allOnes) -1L else v, len)
+    }
+
+    /** Iterate sibling elements in `[start, end)`: `f(id, payloadStart,
+      * payloadEnd)`. Unknown-size payloads extend to the enclosure end
+      * (and nothing can follow them at this level). */
+    private def elems(c: Array[Byte], start: Int, end: Int)(
+        f: (Long, Int, Int) => Unit): Unit = {
+      var pos = start
+      var done = false
+      while (!done && pos < end) {
+        val id = varint(c, pos, end, keepMarker = true)
+        if (id == null) return
+        val sz = varint(c, pos + id._2, end, keepMarker = false)
+        if (sz == null) return
+        val ps = pos + id._2 + sz._2
+        val pe: Long = if (sz._1 < 0) end.toLong else ps.toLong + sz._1
+        if (pe < ps || pe > end) done = true
+        else {
+          f(id._1, ps, pe.toInt)
+          if (sz._1 < 0 || pe.toInt <= pos) done = true else pos = pe.toInt
+        }
+      }
+    }
+
+    private def uint(c: Array[Byte], ps: Int, pe: Int): Long = {
+      var v = 0L
+      var i = ps
+      while (i < pe && i - ps < 8) { v = (v << 8) | (c(i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def beFloat(c: Array[Byte], ps: Int, pe: Int): Double =
+      if (pe - ps == 4) java.lang.Float.intBitsToFloat(uint(c, ps, pe).toInt).toDouble
+      else if (pe - ps == 8) java.lang.Double.longBitsToDouble(uint(c, ps, pe))
+      else Double.NaN
+
+    def parse(c: Array[Byte]): Option[Header] = {
+      if (c == null || c.length < 8 || uint(c, 0, 4) != 0x1A45DFA3L) return None
+      var tsScale = 1000000L // EBML default: 1 ms per timestamp unit
+      var duration = Double.NaN
+      var w = -1; var h = -1; var seekable = false
+      elems(c, 0, c.length) { (id, ps, pe) =>
+        if (id == 0x18538067L) elems(c, ps, pe) { (id2, ps2, pe2) => // Segment
+          if (id2 == 0x1549A966L) elems(c, ps2, pe2) { (id3, ps3, pe3) => // Info
+            if (id3 == 0x2AD7B1L && pe3 > ps3) tsScale = uint(c, ps3, pe3)
+            else if (id3 == 0x4489L) duration = beFloat(c, ps3, pe3)
+          } else if (id2 == 0x1654AE6BL) elems(c, ps2, pe2) { (id3, ps3, pe3) => // Tracks
+            if (id3 == 0xAEL) { // TrackEntry
+              var isVideo = false; var tw = -1; var th = -1
+              elems(c, ps3, pe3) { (id4, ps4, pe4) =>
+                if (id4 == 0x83L) isVideo = uint(c, ps4, pe4) == 1L
+                else if (id4 == 0xE0L) elems(c, ps4, pe4) { (id5, ps5, pe5) =>
+                  if (id5 == 0xB0L) tw = uint(c, ps5, pe5).toInt
+                  else if (id5 == 0xBAL) th = uint(c, ps5, pe5).toInt
+                }
+              }
+              if (isVideo && tw > 0 && th > 0 && w < 0) { w = tw; h = th }
+            }
+          } else if (id2 == 0x1C53BB6BL) seekable = true // Cues
+        }
+      }
+      if (!seekable || tsScale <= 0 ||
+        java.lang.Double.isNaN(duration) || duration < 0) None
+      else Some(Header(tsScale, duration, w, h))
+    }
+  }
+
+  /** Matroska/WebM: the EBML sibling of [[Mp4Probe]] — Info's
+    * TimestampScale + float Duration, first video track's pixel
+    * dimensions, and Cues presence as the seekability contract. No
+    * Cues = all-None (an un-indexed stream dump is not seekable, the
+    * index-less-AVI contract); audio-only keeps duration with null
+    * dimensions; Cluster payload is never read. */
+  object MkvProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta =
+      Mkv.parse(content) match {
+        case None => ProbedMeta(0L, None, None, None, None)
+        case Some(hdr) =>
+          // duration_ms = durationTs × tsScaleNs / 1e6, computed in
+          // double then bounds-checked — a crafted float cannot emit a
+          // negative or overflowed duration (the Y4M/MP4 poison rule)
+          val ms = hdr.durationTs * hdr.tsScaleNs / 1e6
+          ProbedMeta(0L, Some("mkv"),
+            if (hdr.w > 0) Some(hdr.w) else None,
+            if (hdr.h > 0) Some(hdr.h) else None,
+            if (java.lang.Double.isNaN(ms) || ms < 0 || ms > 4e18) None
+            else Some(ms.toLong))
       }
   }
 

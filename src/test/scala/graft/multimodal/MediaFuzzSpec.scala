@@ -33,6 +33,7 @@ class MediaFuzzSpec extends AnyFunSuite {
     "dc" -> AviFixtures.rle8(Array.fill(16)(0x10.toByte), 4, 4),
     "db" -> AviFixtures.rawDb(Array.fill(16)(0xE0.toByte), 4, 4)))
   private val mp4 = Mp4Fixtures.mp4
+  private val mkv = MkvFixtures.mkv
 
   private val garbage: Gen[Array[Byte]] =
     Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
@@ -52,14 +53,14 @@ class MediaFuzzSpec extends AnyFunSuite {
 
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
-      Seq(y4m, wav, ppm, avi, mp4).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(y4m, wav, ppm, avi, mp4, mkv).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
     cases.foreach { bytes =>
       for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
           Multimodal.WavProbe, Multimodal.PpmProbe, Multimodal.AviProbe,
-          Multimodal.Mp4Probe)) {
+          Multimodal.Mp4Probe, Multimodal.MkvProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
