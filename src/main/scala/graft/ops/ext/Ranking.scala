@@ -29,6 +29,11 @@ object Ranking {
     * Each input must carry (`query_id`, `idCol`, `rnk`) with `rnk`
     * 1-based within its query — the `bm25TopK` / `cosineTopK` /
     * `coverageTopK` output contract. `kc` defaults to the paper's 60.
+    * A malformed input that repeats (`query_id`, id) WITHIN one list
+    * (impossible under a `row_number` contract, possible from a hand-
+    * built frame) is deduped to its BEST rank before the fold — one
+    * list contributes at most once per document to `rrf_score`, and
+    * `n_lists` counts LISTS, never rows.
     *
     * Scale shape: the inputs are top-k lists — queries×k rows each, never
     * corpus-sized — so the union, the (query, doc) fold, and the final
@@ -42,9 +47,17 @@ object Ranking {
       rankings: Seq[DataFrame], idCol: String, topK: Int,
       kc: Long = 60L, scale: Long = 1000000000L): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
-    val slim = rankings.map(_.select(col("query_id"), col(idCol),
-      col("rnk").cast("long").as("rnk")))
+    val slim = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id"), col(idCol),
+        col("rnk").cast("long").as("rnk"), lit(i).as("_li"))
+    }
+    // per-(list, query, doc) best rank: the duplicate-row guard (the two
+    // folds shuffle the same queries×k×lists rows twice — bounded inputs
+    // by contract, so the extra Exchange is noise next to the retrieval
+    // passes that feed this)
     val fused = slim.reduce(_ union _)
+      .groupBy(col("query_id"), col(idCol), col("_li"))
+      .agg(min(col("rnk")).as("rnk"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(expr(s"$scale div ($kc + rnk)")).as("rrf_score"),
         count(lit(1)).as("n_lists"))
@@ -127,6 +140,11 @@ object Ranking {
       .agg(count(lit(1)).as("_lab_n"))
     val self = if (excludeSelf) 1L else 0L
     ranking
+      // truncate to depth k FIRST: a deeper list (nDCG@5 over a top-10
+      // ranking) must not feed rnk > k into the k-entry discount lookup
+      // (ANSI element_at throws past the table) — the truncation IS the
+      // metric's @k, mirrored by the oracle's `WHERE rnk <= k`
+      .where(col("rnk") <= k)
       .join(nLab, "n_id")
       .join(qLab, "q_id")
       .groupBy(col("q_id"), col("_q_lab"))
@@ -161,9 +179,13 @@ object Ranking {
     * exact — no tie correction term.
     *
     * All-BIGINT: `tau_ppm` uses the pmod FLOOR division form because the
-    * numerator can be negative (reversed order → −1e6). Queries with
-    * fewer than 2 common documents have no pairs and are absent — the
-    * metric's undefined case, kept absent rather than faked as 0.
+    * numerator can be negative (reversed order → −1e6); the division is
+    * `div` on longs (never routed through a double), so the result is
+    * exact for any list depth whose scaled numerator fits a long —
+    * `|C−D|·1e6 < 2^63`, i.e. up to ~9.2e12 pairs (k ≈ 4.3e6), far past
+    * any top-k contract. Queries with fewer than 2 common documents have
+    * no pairs and are absent — the metric's undefined case, kept absent
+    * rather than faked as 0.
     *
     * Scale shape: inputs are queries×k frames (the [[rrfFuse]] contract),
     * so the equi self-join on `query_id` generates ≤ k² rows per query —
@@ -173,7 +195,6 @@ object Ranking {
     * @return per query: (query_id, pairs, concordant, discordant,
     *         tau_ppm), all BIGINT */
   def kendallTau(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
-    def idiv(x: Column, y: Column): Column = ((x - pmod(x, y)) / y).cast("long")
     val l = a.select(col("query_id"), col(idCol),
       col("rnk").cast("long").as("_ra"))
     val r = b.select(col("query_id"), col(idCol),
@@ -189,8 +210,13 @@ object Ranking {
       .agg(count(lit(1)).as("pairs"),
         sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
         sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
-      .withColumn("tau_ppm",
-        idiv((col("concordant") - col("discordant")) * 1000000L, col("pairs")))
+      // x - pmod(x, y) is an exact multiple of y, so truncating `div`
+      // equals FLOOR division on the (possibly negative) numerator —
+      // all-long arithmetic, matching DuckDB `//` bit-for-bit
+      .withColumn("tau_ppm", expr(
+        """((concordant - discordant) * 1000000
+          | - pmod((concordant - discordant) * 1000000, pairs)) div pairs"""
+          .stripMargin.replace("\n", " ")))
   }
 
   /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) truncated
@@ -227,6 +253,11 @@ object Ranking {
       pMilli: Long = 900L, scale: Long = 1000000000L): DataFrame = {
     val suffix = rboSuffixWeights(k, pMilli, scale)
     val maxS = suffix.sum // Σ_r suffix(r): the identical-lists total
+    // a tiny caller-supplied scale can floor every per-depth weight to 0;
+    // fail fast on the driver instead of an in-plan ANSI divide-by-zero
+    require(maxS > 0,
+      s"rboAtK: suffix-weight total is 0 at scale=$scale, pMilli=$pMilli, " +
+        s"k=$k — raise scale so floor(scale*(1-p)*p^(d-1)/d) > 0 somewhere")
     val l = a.select(col("query_id"), col(idCol),
       col("rnk").cast("long").as("_ra"))
     val r = b.select(col("query_id"), col(idCol),

@@ -675,7 +675,10 @@ object TextStats {
     * floor division on non-negative operands (engine-portable).
     * Malformed confidences follow the KS family's clamp policy: null
     * rows drop, out-of-range clamps into the edge bins (1e6 itself
-    * lands in the top bin, not a phantom bins+1th).
+    * lands in the top bin, not a phantom bins+1th) — and the clamp
+    * applies to the VALUE, not just the bin index: a 1.2e6 confidence
+    * contributes 1e6 to the top bin's `avg_conf_ppm`, so the averages
+    * and gaps stay inside [0, 1e6] no matter what the caller feeds in.
     *
     * Scale shape: ONE partial-aggregated groupBy to ≤ bins rows — the
     * shuffle carries three counters per task per bin.
@@ -689,10 +692,10 @@ object TextStats {
     val M = 1000000L
     val bw = M / bins
     scored
-      .select(confCol.cast("long").as("_c"), labelCol.cast("long").as("_y"))
-      .where(col("_c").isNotNull && col("_y").isNotNull)
-      .withColumn("bin",
-        least(greatest(expr(s"_c div ${bw}L"), lit(0L)), lit(bins - 1L)))
+      .select(confCol.cast("long").as("_c0"), labelCol.cast("long").as("_y"))
+      .where(col("_c0").isNotNull && col("_y").isNotNull)
+      .withColumn("_c", least(greatest(col("_c0"), lit(0L)), lit(M)))
+      .withColumn("bin", least(expr(s"_c div ${bw}L"), lit(bins - 1L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
         sum(col("_c")).as("_cs"))
@@ -706,14 +709,17 @@ object TextStats {
     * [[calibrationBins]]' gaps (Naeini et al., AAAI 2015), plus the max
     * gap (MCE): the two numbers a model card quotes. One row:
     * (`n_docs`, `bins_used`, `ece_ppm`, `mce_ppm`). Runs entirely on
-    * the ≤ bins-row reliability table. */
+    * the ≤ bins-row reliability table; an input that filters to ZERO
+    * rows returns the all-zeros row (not NULLs — a model-card writer
+    * reads `n_docs = 0`, never `NULL`). */
   def ece(
       scored: DataFrame, confCol: Column, labelCol: Column,
       bins: Int = 10): DataFrame =
     calibrationBins(scored, confCol, labelCol, bins)
-      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("bins_used"),
-        expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"),
-        max(col("gap_ppm")).as("mce_ppm"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+        count(lit(1)).as("bins_used"),
+        coalesce(expr("sum(n * gap_ppm) div sum(n)"), lit(0L)).as("ece_ppm"),
+        coalesce(max(col("gap_ppm")), lit(0L)).as("mce_ppm"))
 
   /** Per-source vocabulary divergence from the corpus-wide token
     * distribution — the mix-health monitor behind "which slice drifted":

@@ -38,6 +38,22 @@ class RankingSpec extends SparkSpec {
     assert(out === Set((1L, 10L), (2L, 30L)))
   }
 
+  test("rrfFuse: duplicate (query, doc) rows within ONE list dedup to best rank") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a hand-built (non-row_number) frame repeats doc 10 at ranks 1 and 3
+    val a = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 10L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val out = Ranking.rrfFuse(Seq(a, b), "doc_id", topK = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // doc 10: list a counted ONCE at its best rank 1 (+ list b at rank 2),
+    // n_lists counts lists, never rows
+    assert(out(10L) === ((1000000000L / 61 + 1000000000L / 62, 2L)))
+    assert(out(20L) === ((1000000000L / 62, 1L)))
+  }
+
   test("coverageTopK: distinct-term counts, ties by id, broadcast join") {
     val spark2 = spark
     import spark2.implicits._
@@ -100,6 +116,32 @@ class RankingSpec extends SparkSpec {
     assert(out(1L) === ((d(1), d(0), Some(Math.floorDiv(1000000L * d(1), d(0))))))
     // q4: nothing relevant exists -> idcg 0, ndcg NULL (undefined)
     assert(out(4L) === ((0L, 0L, None)))
+  }
+
+  test("ndcgAtK truncates a deeper ranking to depth k (no ANSI array throw)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // nDCG@2 over a top-3 list: the rank-3 relevant hit must be DROPPED
+    // by the @k truncation, not fed into the 2-entry discount table
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("id", "label")
+    val deep = Seq((1L, 4L, 1), (1L, 2L, 2), (1L, 3L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val d = Ranking.ndcgDiscounts(2)
+    val out = Ranking.ndcgAtK(deep, labels, k = 2)
+      .as[(Long, Long, Long, Long)].collect().head
+    // only the rank-2 hit counts; R = 2 -> full 2-deep ideal prefix
+    assert(out === ((1L, d(1), d.sum, Math.floorDiv(1000000L * d(1), d.sum))))
+  }
+
+  test("rboAtK: a scale too small for any positive weight fails fast") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rnk")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.rboAtK(a, a, "doc_id", k = 3, pMilli = 900L, scale = 1L)
+    }
+    assert(e.getMessage.contains("suffix-weight total is 0"))
   }
 
   test("kendallTau: identical +1e6, reversed -1e6, floor on negatives") {

@@ -516,14 +516,28 @@ class EvalOpsSpec extends SparkSpec {
     assert(e === ((7L, 2L, 2700000L / 7L, 900000L)))
   }
 
-  test("calibrationBins: edge confidences clamp into real bins") {
+  test("calibrationBins: edge confidences clamp into real bins, VALUES clamped too") {
     val spark2 = spark
     import spark2.implicits._
     val rows = Seq((1000000L, 1L), (1200000L, 1L), (-5L, 0L))
       .toDF("conf", "y")
     val bins = TextStats.calibrationBins(rows, col("conf"), col("y"), bins = 10)
-      .select("bin", "n").as[(Long, Long)].collect().toMap
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
     // 1e6 and the out-of-range 1.2e6 land in bin 9, the negative in bin 0
-    assert(bins === Map(9L -> 2L, 0L -> 1L))
+    assert(bins.view.mapValues(_._2).toMap === Map(9L -> 2L, 0L -> 1L))
+    // the clamp applies to the summed VALUE: bin 9 averages (1e6+1e6)/2,
+    // never (1e6+1.2e6)/2, so avg/gap stay inside [0, 1e6]
+    assert(bins(9L) === ((9L, 2L, 2L, 1000000L, 1000000L, 0L)))
+    assert(bins(0L) === ((0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("ece on an input that filters to zero rows returns zeros, not NULLs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq((250000L, 1L)).toDF("conf", "y").where(col("y") === 99L)
+    val e = TextStats.ece(rows, col("conf"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(e === ((0L, 0L, 0L, 0L)))
   }
 }
