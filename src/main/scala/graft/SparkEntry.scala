@@ -2239,6 +2239,53 @@ object SparkEntry {
       Stats.madOutliers(docs, col("source"), col("n_chars"))
         .orderBy(col("group"))
     }),
+
+    // ---- ranker agreement: Kendall tau-a + RBO@k ------------------------
+    "q167_rank_agreement" -> ((s, dir) => {
+      // how much of the BM25 ORDER survives q161's RRF fusion? tau-a =
+      // unweighted pairwise agreement, RBO@10 = top-weighted overlap,
+      // both all-BIGINT over queries×10 frames. Comparing lex against
+      // the FUSED list (not against coverage directly) guarantees ≥5
+      // common docs per query by construction — each lex rank-r doc
+      // scores at least the rank-r RRF contribution, so half the fused
+      // top-10 always comes from lex even on disjoint inputs. The tiny
+      // ranking frames are checkpointed ONCE: each feeds two consumers,
+      // and without the checkpoint every consumer re-plans its full
+      // retrieval pass (2x BM25 + 2x coverage)
+      val docs = t(s, dir, "documents")
+      val qs = Seq((1L, "hash join"), (2L, "window agg stream"),
+        (3L, "vector scan table"))
+      val lex = TextStats.bm25TopK(docs, col("text"), "doc_id", qs, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+        .localCheckpoint(true)
+      val cov = Ranking.coverageTopK(docs, col("text"), "doc_id", qs, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+        .localCheckpoint(true)
+      val fused = Ranking.rrfFuse(Seq(lex, cov), "doc_id", topK = 10)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+        .localCheckpoint(true)
+      Ranking.kendallTau(lex, fused, "doc_id")
+        .join(Ranking.rboAtK(lex, fused, "doc_id", k = 10), "query_id")
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- confidence calibration: reliability bins + ECE/MCE -------------
+    "q168_calibration" -> ((s, dir) => {
+      // a deterministic ppm-confidence rule (length-scaled, clamped at
+      // 1e6) scored against the q159 token-count label: per-bin
+      // reliability plus the one-row ECE/MCE scalars broadcast onto
+      // every bin row — ONE corpus pass (the bins table is checkpointed
+      // and the scalars fold over it, never a second scan)
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+      val conf = col("n_chars") * 500L
+      val label = TextStats.tokenCount(col("text")).cast("long") >= 40L
+      val bins = TextStats.calibrationBins(docs, conf, label, bins = 10)
+        .localCheckpoint(true)
+      bins.crossJoin(broadcast(TextStats.eceFromBins(bins)))
+        .orderBy(col("bin"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2362,6 +2409,13 @@ object SparkEntry {
     val ndcgPrefVals = Ranking.ndcgDiscounts(10).scanLeft(0L)(_ + _).tail.zipWithIndex
       .map { case (p, i) => s"(CAST(${i + 1} AS BIGINT), CAST($p AS BIGINT))" }
       .mkString(", ")
+    // q167: the Scala-computed RBO suffix-weight table — both engines
+    // consume the SAME integers (the q162 trick), no float power in-plan
+    val rboSw = Ranking.rboSuffixWeights(10)
+    val rboSwVals = rboSw.zipWithIndex
+      .map { case (w, i) => s"(CAST(${i + 1} AS BIGINT), CAST($w AS BIGINT))" }
+      .mkString(", ")
+    val rboMaxS = rboSw.sum
     // q165: the three unrolled PageRank rounds (contribution fold + rank
     // update), each the exact SQL twin of one Components.pageRank round
     val prRounds = (1 to 3).map { i =>
@@ -4868,6 +4922,68 @@ object SparkEntry {
           | CAST(SUM(CASE WHEN d.dev * 1000 > 3500 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
           |FROM d JOIN m1 USING (g) JOIN m2 USING (g) GROUP BY d.g
           |ORDER BY "group"""".stripMargin.replace("\n", " "),
+
+      // q167: q161's retrieval + fusion CTEs at fused top-10; lex
+      // matched against the fused list per (query, doc); tau-a over the
+      // i<j pair self-join ((c-d)*1e6 can be negative — `//` floors,
+      // mirrored by the engine's pmod-div form), RBO via the
+      // Scala-generated suffix-weight VALUES table
+      "q167_rank_agreement" ->
+        s"""WITH $bm25Ctes,
+          |lex AS (SELECT query_id, doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk FROM sc),
+          |dtok AS (SELECT doc_id, unnest(list_distinct($toks)) AS term FROM documents),
+          |cv AS (SELECT qt.query_id, dtok.doc_id, COUNT(*) AS coverage
+          | FROM dtok JOIN qt USING (term) GROUP BY qt.query_id, dtok.doc_id),
+          |cov AS (SELECT query_id, doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY coverage DESC, doc_id) AS BIGINT) AS rnk FROM cv),
+          |un AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= 10
+          | UNION ALL SELECT query_id, doc_id, rnk FROM cov WHERE rnk <= 10),
+          |f AS (SELECT query_id, doc_id,
+          |  CAST(SUM(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_score,
+          |  CAST(COUNT(*) AS BIGINT) AS n_lists FROM un GROUP BY query_id, doc_id),
+          |fr AS (SELECT query_id, doc_id,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk FROM f),
+          |m AS (SELECT la.query_id, la.doc_id, la.rnk AS ra, lb.rnk AS rb
+          | FROM (SELECT * FROM lex WHERE rnk <= 10) la
+          | JOIN (SELECT * FROM fr WHERE rnk <= 10) lb USING (query_id, doc_id)),
+          |tau AS (SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS pairs,
+          |  CAST(SUM(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+          |  CAST(SUM(CASE WHEN (i.ra - j.ra) * (i.rb - j.rb) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+          | FROM m i JOIN m j ON i.query_id = j.query_id AND i.doc_id < j.doc_id
+          | GROUP BY i.query_id),
+          |sw(r, w) AS (VALUES $rboSwVals),
+          |rbo AS (SELECT m.query_id, CAST(COUNT(*) AS BIGINT) AS common,
+          |  CAST(SUM(sw.w) AS BIGINT) AS rbo_s
+          | FROM m JOIN sw ON sw.r = greatest(m.ra, m.rb) GROUP BY m.query_id)
+          |SELECT tau.query_id, tau.pairs, tau.concordant, tau.discordant,
+          | CAST((tau.concordant - tau.discordant) * 1000000 // tau.pairs AS BIGINT) AS tau_ppm,
+          | rbo.common, rbo.rbo_s,
+          | CAST((1000000 * rbo.rbo_s) // $rboMaxS AS BIGINT) AS rbo_ppm
+          |FROM tau JOIN rbo USING (query_id) ORDER BY tau.query_id""".stripMargin.replace("\n", " "),
+
+      // q168: clamped length-scaled confidence vs the q159 token label;
+      // per-bin reliability (floor div, non-negative after the clamp)
+      // cross-joined with the one-row ECE/MCE fold over the bins
+      "q168_calibration" ->
+        s"""WITH d AS (SELECT
+          |  least(greatest(CAST(n_chars AS BIGINT) * 500, 0), 1000000) AS c,
+          |  CASE WHEN CAST(len($toks) AS BIGINT) >= 40 THEN 1 ELSE 0 END AS y
+          | FROM documents
+          | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+          |b AS (SELECT least(c // 100000, 9) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(c) AS BIGINT) AS cs
+          | FROM d GROUP BY 1),
+          |bb AS (SELECT bin, n, pos, cs // n AS avg_conf_ppm,
+          |  (1000000 * pos) // n AS acc_ppm,
+          |  ABS(cs // n - (1000000 * pos) // n) AS gap_ppm FROM b),
+          |e AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(*) AS BIGINT) AS bins_used,
+          |  CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT) AS ece_ppm,
+          |  CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm FROM bb)
+          |SELECT bb.bin, bb.n, bb.pos, bb.avg_conf_ppm, bb.acc_ppm, bb.gap_ppm,
+          | e.n_docs, e.bins_used, e.ece_ppm, e.mce_ppm
+          |FROM bb, e ORDER BY bb.bin""".stripMargin.replace("\n", " "),
     )
   }
 }

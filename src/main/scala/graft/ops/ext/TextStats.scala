@@ -715,7 +715,14 @@ object TextStats {
   def ece(
       scored: DataFrame, confCol: Column, labelCol: Column,
       bins: Int = 10): DataFrame =
-    calibrationBins(scored, confCol, labelCol, bins)
+    eceFromBins(calibrationBins(scored, confCol, labelCol, bins))
+
+  /** [[ece]]'s fold over an ALREADY-COMPUTED [[calibrationBins]] table —
+    * the seam a caller who needs both the bins AND the scalars should
+    * use (checkpoint the ≤ bins-row table once, aggregate it here) so
+    * the corpus is scanned once, not twice. */
+  def eceFromBins(binsTable: DataFrame): DataFrame =
+    binsTable
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
         count(lit(1)).as("bins_used"),
         coalesce(expr("sum(n * gap_ppm) div sum(n)"), lit(0L)).as("ece_ppm"),
