@@ -820,12 +820,14 @@ object Multimodal {
       }
   }
 
-  /** ISO-BMFF (MP4) header-only parser — the box walk [[Mp4Probe]]
-    * probes with. Big-endian sizes, `size==1` 64-bit largesize and
-    * `size==0` to-end-of-enclosure both handled; a truncated or absurd
-    * size stops the walk and keeps what parsed (the [[Avi]] crawl-
-    * corruption policy). Payload (`mdat`) is never read — every box is
-    * skipped by size. */
+  /** ISO-BMFF (MP4) box-walk parser — shared by [[Mp4Probe]] (header-
+    * only metadata) and [[Mp4FrameCodec]] (sample-table seek), the
+    * [[Avi]]/[[Y4m]] one-parser rule. Big-endian sizes, `size==1`
+    * 64-bit largesize and `size==0` to-end-of-enclosure both handled; a
+    * truncated or absurd size stops the walk and keeps what parsed (the
+    * [[Avi]] crawl-corruption policy). The probe never reads payload
+    * (`mdat` is skipped by size); the codec reads exactly the one
+    * sample a lookup resolves. */
   private[multimodal] object Mp4 {
     /** Movie timescale+duration from `mvhd`; (w, h) from the first
       * VIDEO `tkhd` (16.16 fixed) of a seekable track; `seekable` iff
@@ -881,35 +883,253 @@ object Multimodal {
               timescale = u32(c, ps2 + 12); duration = u32(c, ps2 + 16)
             }
           } else if (tag(c, t2, "trak")) {
-            var tw = -1; var th = -1; var hasSz = false; var hasCo = false
-            boxes(c, ps2, pe2) { (t3, ps3, pe3) =>
-              if (tag(c, t3, "tkhd")) {
-                val ver = c(ps3) & 0xff
-                // widths are 16.16 fixed at the tkhd tail: v0 payload 84
-                // bytes (w @76), v1 96 (w @88)
-                val (need, off) = if (ver == 1) (96, 88) else (84, 76)
-                if (pe3 - ps3 >= need) {
-                  tw = (u32(c, ps3 + off) >> 16).toInt
-                  th = (u32(c, ps3 + off + 4) >> 16).toInt
-                }
-              } else if (tag(c, t3, "mdia")) boxes(c, ps3, pe3) { (t4, ps4, pe4) =>
-                if (tag(c, t4, "minf")) boxes(c, ps4, pe4) { (t5, ps5, pe5) =>
-                  if (tag(c, t5, "stbl")) boxes(c, ps5, pe5) { (t6, _, _) =>
-                    if (tag(c, t6, "stsz") || tag(c, t6, "stz2")) hasSz = true
-                    if (tag(c, t6, "stco") || tag(c, t6, "co64")) hasCo = true
-                  }
-                }
-              }
-            }
-            if (hasSz && hasCo) {
+            trakTables(c, ps2, pe2).foreach { tr =>
               seekable = true
-              if (tw > 0 && th > 0 && w < 0) { w = tw; h = th }
+              if (tr.w > 0 && tr.h > 0 && w < 0) { w = tr.w; h = tr.h }
             }
           }
         }
       }
       if (timescale <= 0 || duration < 0 || !seekable) None
       else Some(Header(timescale, duration, w, h))
+    }
+
+    /** Full sample-table geometry of one seekable track — the tables
+      * [[Mp4FrameCodec]] seeks through. All fields are OFFSETS into the
+      * content (entry counts clamped against the enclosing payload so
+      * every later table read is in-bounds by construction); nothing
+      * proportional to the table size is ever allocated — the resolve
+      * arithmetic walks the raw bytes, the house byte-walk style.
+      * `szFieldBits` is 32 for `stsz` (with `szUniform` > 0 for the
+      * uniform-size form), 4/8/16 for `stz2`; `coBytes` is 4 for `stco`,
+      * 8 for `co64`. `mediaTimescale` comes from `mdhd` (the timescale
+      * `stts` deltas are measured in), patched by [[parseTrack]] with
+      * the `mvhd` movie timescale when absent. */
+    final case class Track(
+        w: Int, h: Int, mediaTimescale: Long, sampleCount: Int,
+        sttsOff: Int, sttsN: Int,
+        stscOff: Int, stscN: Int,
+        szUniform: Long, szOff: Int, szFieldBits: Int,
+        coOff: Int, coN: Int, coBytes: Int)
+
+    private def clampN(declared: Long, fit: Long): Int =
+      math.max(0L, math.min(declared, math.min(fit, Int.MaxValue.toLong))).toInt
+
+    /** Walk ONE `trak` payload for its tkhd dims, mdhd timescale, and
+      * stbl tables; Some iff the track carries both a size table and a
+      * chunk-offset table — the seekability contract [[Mp4Probe]] and
+      * [[Mp4FrameCodec]] share (this is the single parse behind both, so
+      * probe and codec cannot disagree — the [[Avi]]/[[Y4m]] rule). */
+    private def trakTables(c: Array[Byte], start: Int, end: Int): Option[Track] = {
+      var tw = -1; var th = -1; var mediaTs = 0L
+      var sttsOff = -1; var sttsN = 0
+      var stscOff = -1; var stscN = 0
+      var szUniform = 0L; var szOff = -1; var szBits = 0; var sampleCount = 0
+      var hasSz = false; var hasCo = false
+      var coOff = -1; var coN = 0; var coBytes = 4
+      boxes(c, start, end) { (t3, ps3, pe3) =>
+        if (tag(c, t3, "tkhd")) {
+          val ver = c(ps3) & 0xff
+          // widths are 16.16 fixed at the tkhd tail: v0 payload 84
+          // bytes (w @76), v1 96 (w @88)
+          val (need, off) = if (ver == 1) (96, 88) else (84, 76)
+          if (pe3 - ps3 >= need) {
+            tw = (u32(c, ps3 + off) >> 16).toInt
+            th = (u32(c, ps3 + off + 4) >> 16).toInt
+          }
+        } else if (tag(c, t3, "mdia")) boxes(c, ps3, pe3) { (t4, ps4, pe4) =>
+          if (tag(c, t4, "mdhd") && pe4 - ps4 >= 16) {
+            val ver = c(ps4) & 0xff
+            if (ver == 1 && pe4 - ps4 >= 24) mediaTs = u32(c, ps4 + 20)
+            else if (ver == 0) mediaTs = u32(c, ps4 + 12)
+          } else if (tag(c, t4, "minf")) boxes(c, ps4, pe4) { (t5, ps5, pe5) =>
+            if (tag(c, t5, "stbl")) boxes(c, ps5, pe5) { (t6, ps6, pe6) =>
+              if (tag(c, t6, "stts") && pe6 - ps6 >= 8) {
+                sttsOff = ps6 + 8
+                sttsN = clampN(u32(c, ps6 + 4), (pe6 - sttsOff).toLong / 8)
+              } else if (tag(c, t6, "stsc") && pe6 - ps6 >= 8) {
+                stscOff = ps6 + 8
+                stscN = clampN(u32(c, ps6 + 4), (pe6 - stscOff).toLong / 12)
+              } else if (tag(c, t6, "stsz") && pe6 - ps6 >= 12) {
+                hasSz = true
+                szUniform = u32(c, ps6 + 4)
+                szOff = ps6 + 12
+                szBits = 32
+                sampleCount =
+                  if (szUniform > 0) clampN(u32(c, ps6 + 8), Int.MaxValue.toLong)
+                  else clampN(u32(c, ps6 + 8), (pe6 - szOff).toLong / 4)
+              } else if (tag(c, t6, "stz2") && pe6 - ps6 >= 12) {
+                hasSz = true
+                szUniform = 0L
+                szOff = ps6 + 12
+                val bits = c(ps6 + 7) & 0xff // 24-bit reserved, then field_size
+                if (bits == 4 || bits == 8 || bits == 16) {
+                  szBits = bits
+                  sampleCount =
+                    clampN(u32(c, ps6 + 8), (pe6 - szOff).toLong * 8 / bits)
+                } else { szBits = 0; sampleCount = 0 } // malformed field size
+              } else if ((tag(c, t6, "stco") || tag(c, t6, "co64")) &&
+                  pe6 - ps6 >= 8) {
+                hasCo = true
+                coBytes = if (tag(c, t6, "co64")) 8 else 4
+                coOff = ps6 + 8
+                coN = clampN(u32(c, ps6 + 4), (pe6 - coOff).toLong / coBytes)
+              }
+            }
+          }
+        }
+      }
+      if (hasSz && hasCo)
+        Some(Track(tw, th, mediaTs, sampleCount, sttsOff, sttsN,
+          stscOff, stscN, szUniform, szOff, szBits, coOff, coN, coBytes))
+      else None
+    }
+
+    /** The track [[Mp4FrameCodec]] seeks: the first seekable VIDEO track
+      * ([[Mp4Probe]]'s dims rule), else the first seekable track of any
+      * kind (audio-only files keep their single-stream contract, like
+      * [[WavFrameCodec]]). Media timescale falls back to the movie
+      * (`mvhd`) timescale, then to 1000 (ms = media units, neutral). */
+    def parseTrack(c: Array[Byte]): Option[Track] = {
+      if (c == null || c.length < 12 || !tag(c, 4, "ftyp")) return None
+      var mvhdTs = 0L
+      var video: Track = null; var any: Track = null
+      boxes(c, 0, c.length) { (t, ps, pe) =>
+        if (tag(c, t, "moov")) boxes(c, ps, pe) { (t2, ps2, pe2) =>
+          if (tag(c, t2, "mvhd") && pe2 - ps2 >= 20) {
+            val ver = c(ps2) & 0xff
+            if (ver == 1 && pe2 - ps2 >= 32) mvhdTs = u32(c, ps2 + 20)
+            else if (ver == 0) mvhdTs = u32(c, ps2 + 12)
+          } else if (tag(c, t2, "trak")) trakTables(c, ps2, pe2).foreach { tr =>
+            if (tr.w > 0 && tr.h > 0 && video == null) video = tr
+            if (any == null) any = tr
+          }
+        }
+      }
+      val chosen = if (video != null) video else any
+      if (chosen == null) None
+      else if (chosen.mediaTimescale > 0) Some(chosen)
+      else Some(chosen.copy(
+        mediaTimescale = if (mvhdTs > 0) mvhdTs else 1000L))
+    }
+
+    /** Sample k's byte size per the track's size table; -1 on any
+      * out-of-bounds read (tables are pre-clamped, so this only fires on
+      * a k past `sampleCount` — caller bug, poisoned not thrown). */
+    def sampleSize(c: Array[Byte], tr: Track, k: Int): Long =
+      if (tr.szFieldBits == 32) {
+        if (tr.szUniform > 0) tr.szUniform
+        else if (tr.szOff + 4L * k + 4 <= c.length) u32(c, tr.szOff + 4 * k)
+        else -1L
+      } else if (tr.szFieldBits == 16) {
+        val o = tr.szOff + 2 * k
+        if (o + 2 <= c.length) ((c(o) & 0xffL) << 8) | (c(o + 1) & 0xffL)
+        else -1L
+      } else if (tr.szFieldBits == 8) {
+        if (tr.szOff + k < c.length) c(tr.szOff + k) & 0xffL else -1L
+      } else if (tr.szFieldBits == 4) {
+        val o = tr.szOff + k / 2
+        if (o < c.length) {
+          val b = c(o) & 0xff
+          if (k % 2 == 0) (b >>> 4).toLong else (b & 0xf).toLong
+        } else -1L
+      } else -1L
+
+    /** Which chunk holds sample k, and the chunk's first sample — the
+      * `stsc` run walk (O(entries), never O(samples)). An absent/empty
+      * stsc degrades to the one-sample-per-chunk convention (the
+      * minimal-writer shape an stsc of (1,1,1) would encode). Returns
+      * null when the mapping resolves past the chunk-offset table or an
+      * entry is malformed (non-positive counts, non-increasing
+      * first_chunk). */
+    def locateChunk(c: Array[Byte], tr: Track, k: Int): (Int, Long) = {
+      if (tr.stscN <= 0)
+        return if (k < tr.coN) (k, k.toLong) else null
+      var acc = 0L
+      var i = 0
+      while (i < tr.stscN) {
+        val first = u32(c, tr.stscOff + 12 * i) // 1-based
+        val spc = u32(c, tr.stscOff + 12 * i + 4)
+        if (first < 1 || spc < 1) return null
+        val nextFirst =
+          if (i + 1 < tr.stscN) u32(c, tr.stscOff + 12 * (i + 1))
+          else tr.coN + 1L // last run extends through the chunk table
+        if (nextFirst <= first) return null
+        // cap factors so the product can't overflow (both u32; anything
+        // past 2^31 is equivalent for comparison with an Int sample idx)
+        val inRun = math.min(nextFirst - first, Int.MaxValue.toLong) *
+          math.min(spc, Int.MaxValue.toLong)
+        if (k < acc + inRun) {
+          val rel = k - acc
+          val chunk = first - 1 + rel / spc
+          if (chunk >= tr.coN) return null
+          return (chunk.toInt, acc + (rel / spc) * spc)
+        }
+        acc += inRun
+        i += 1
+      }
+      null
+    }
+
+    /** Chunk `ci`'s file offset from stco/co64 (pre-clamped tables). */
+    def chunkOffset(c: Array[Byte], tr: Track, ci: Int): Long =
+      if (tr.coBytes == 4) u32(c, tr.coOff + 4 * ci)
+      else u64(c, tr.coOff + 8 * ci)
+
+    /** Sample index at media time `t` via the `stts` run walk; clamps
+      * past-the-end to the last decoded sample, and degrades to sample 0
+      * when the table is absent (no time base — the probe's duration
+      * would be the mvhd's, not per-sample). */
+    def sampleAtTime(c: Array[Byte], tr: Track, t: Long): Int = {
+      if (tr.sttsN <= 0) return 0
+      var cum = 0L; var si = 0L; var i = 0
+      while (i < tr.sttsN && cum < (1L << 61) && si < Int.MaxValue) {
+        val cnt = math.min(u32(c, tr.sttsOff + 8 * i), Int.MaxValue.toLong)
+        val delta = math.min(u32(c, tr.sttsOff + 8 * i + 4), Int.MaxValue.toLong)
+        if (cnt > 0 && delta > 0) {
+          if (t < cum + cnt * delta)
+            return math.min(si + (t - cum) / delta, Int.MaxValue.toLong).toInt
+          cum += cnt * delta
+          si += cnt
+        }
+        i += 1
+      }
+      math.max(0L, math.min(si - 1, Int.MaxValue.toLong)).toInt
+    }
+
+    /** Per-lookup read cap — mirrors [[Avi.MaxPixels]]: one seek never
+      * feature-folds more than this many bytes no matter what `stsz`
+      * claims (there is no decompressor in this path, so the cap bounds
+      * WORK, not allocation-inflation). */
+    val MaxSampleBytes: Long = Avi.MaxPixels
+
+    /** Resolve sample k through stsc→stco/co64→stsz to its (payloadOff,
+      * len), or null when k is out of range, any table entry is
+      * malformed, the resolved span leaves the content, or the size
+      * exceeds [[MaxSampleBytes]]. Intra-chunk skip sums at most
+      * samples-per-chunk size-table entries — table-bounded, and O(1)
+      * for the uniform-stsz form. */
+    def sampleChunk(c: Array[Byte], tr: Track, k: Int): (Int, Int) = {
+      if (k < 0 || k >= tr.sampleCount) return null
+      val loc = locateChunk(c, tr, k)
+      if (loc == null) return null
+      var off = chunkOffset(c, tr, loc._1)
+      if (off < 0) return null
+      if (tr.szFieldBits == 32 && tr.szUniform > 0) {
+        off += (k - loc._2) * tr.szUniform
+      } else {
+        var j = loc._2
+        while (j < k) {
+          val s = sampleSize(c, tr, j.toInt)
+          if (s < 0) return null
+          off += s
+          j += 1
+        }
+      }
+      val len = sampleSize(c, tr, k)
+      if (len < 0 || len > MaxSampleBytes || off < 0 ||
+          off + len > c.length) null
+      else (off.toInt, len.toInt)
     }
   }
 
@@ -934,6 +1154,69 @@ object Multimodal {
             if (hdr.duration > Long.MaxValue / 1000L) None
             else Some(hdr.duration * 1000L / hdr.timescale))
       }
+  }
+
+  /** MP4/ISO-BMFF frame codec — the seek [[Mp4Probe]]'s `seekable` flag
+    * promises: `frameMs` → media time via the track's `mdhd` timescale →
+    * sample index via the `stts` run walk → chunk via the `stsc` mapping
+    * → file position via `stco`/`co64` plus the intra-chunk `stsz`/`stz2`
+    * size skip — ONE bounded read per lookup, `mdat` never scanned
+    * ([[Avi]]'s idx1 access pattern through ISO-BMFF's four-table
+    * geometry; [[Mp4.parseTrack]] is the same parse the probe dispatches
+    * on, so probe and codec cannot disagree about seekability).
+    *
+    * The feature is the house block-mean over the resolved sample's
+    * bytes, /255 — for raw 8-bit luma samples (the testable path: no
+    * native codec libraries exist in this engine by design) that IS the
+    * [[AviFrameCodec]] plane feature; for compressed codecs it is a
+    * deterministic byte-level fingerprint, documented as such. Failure
+    * policy matches the family: malformed tables, out-of-range entries,
+    * or a sample resolving outside the content fall back toward earlier
+    * samples (the [[AviFrameCodec]] truncated-tail clamp) and poison to
+    * the zero vector, never a throw; a single lookup never reads more
+    * than [[Mp4.MaxSampleBytes]]. */
+  object Mp4FrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims) // whole-content = the first sample
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0) return zero
+      Mp4.parseTrack(content) match {
+        case None => zero
+        case Some(tr) =>
+          if (tr.sampleCount <= 0 || tr.coN <= 0) return zero
+          val ts = tr.mediaTimescale
+          val t =
+            if (ts > 0 && frameMs <= Long.MaxValue / ts) frameMs * ts / 1000L
+            else 0L
+          var target = math.max(0, math.min(
+            Mp4.sampleAtTime(content, tr, t), tr.sampleCount - 1))
+          var res: (Int, Int) = null
+          while (target >= 0 &&
+              { res = Mp4.sampleChunk(content, tr, target); res == null })
+            target -= 1
+          if (res == null) zero
+          else blockMeanBytes(content, res._1, res._2, dims)
+      }
+    }
+
+    /** Mean byte value over `dims` equal blocks of the sample, /255 —
+      * [[AviFrameCodec]]'s plane feature applied in place (no copy: the
+      * sample bytes ARE the plane for raw luma payloads). */
+    private def blockMeanBytes(
+        c: Array[Byte], off: Int, len: Int, dims: Int): Array[Float] = {
+      val sums = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var k = 0
+      while (k < len) {
+        val slot = (k.toLong * dims / len).toInt
+        sums(slot) += (c(off + k) & 0xff)
+        counts(slot) += 1
+        k += 1
+      }
+      Array.tabulate(dims)(j =>
+        if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
+    }
   }
 
   /** Matroska/WebM header-only parser — the EBML walk [[MkvProbe]]

@@ -33,6 +33,9 @@ class MediaFuzzSpec extends AnyFunSuite {
     "dc" -> AviFixtures.rle8(Array.fill(16)(0x10.toByte), 4, 4),
     "db" -> AviFixtures.rawDb(Array.fill(16)(0xE0.toByte), 4, 4)))
   private val mp4 = Mp4Fixtures.mp4
+  private val mp4Seek = Mp4Fixtures.seekableFile(4, 2, 10L,
+    Seq(0x10, 0xE0, 0x40).map(v => Array.fill(8)(v.toByte)), Seq(2, 1),
+    Seq((3L, 1L)))
   private val mkv = MkvFixtures.mkv
 
   private val garbage: Gen[Array[Byte]] =
@@ -53,7 +56,7 @@ class MediaFuzzSpec extends AnyFunSuite {
 
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
-      Seq(y4m, wav, ppm, avi, mp4, mkv).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
@@ -75,6 +78,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         assert(Multimodal.Y4mFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(new Multimodal.WavFrameCodec(500L).decodeFrame(bytes, ms, 4).length === 4)
         assert(Multimodal.AviFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
+        assert(Multimodal.Mp4FrameCodec.decodeFrame(bytes, ms, 4).length === 4)
       }
       assert(Multimodal.PpmCodec.decode(
         if (bytes == null) Array.emptyByteArray else bytes, 4).length === 4)
