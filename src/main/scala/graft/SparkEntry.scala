@@ -4878,14 +4878,18 @@ object SparkEntry {
           |FROM p ORDER BY n_docs""".stripMargin.replace("\n", " "),
 
       // q164: distinct (source, prefix-md5) keys, equi self-join on the
-      // hash, per-pair Jaccard ppm (floor, non-negative)
+      // hash, per-pair Jaccard ppm (floor, non-negative); the `ok` CTE
+      // mirrors the engine's maxSources=1024 fan-out cap exactly (the
+      // q22/q24 bucket-cap precedent — sizes stay TRUE counts)
       "q164_source_overlap" ->
         s"""WITH k AS (SELECT DISTINCT source AS g,
           |  md5(array_to_string(list_slice($toks, 1, 8), ' ')) AS h
           | FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
           |sz AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM k GROUP BY g),
+          |ok AS (SELECT h FROM k GROUP BY h HAVING COUNT(*) <= 1024),
           |i AS (SELECT a.g AS source_a, b.g AS source_b, CAST(COUNT(*) AS BIGINT) AS intersection
-          | FROM k a JOIN k b USING (h) WHERE a.g < b.g GROUP BY a.g, b.g)
+          | FROM k a JOIN k b USING (h) JOIN ok USING (h)
+          | WHERE a.g < b.g GROUP BY a.g, b.g)
           |SELECT i.source_a, i.source_b, sa.sz AS size_a, sb.sz AS size_b, i.intersection,
           | (1000000 * i.intersection) // (sa.sz + sb.sz - i.intersection) AS jaccard_ppm
           |FROM i JOIN sz sa ON sa.g = i.source_a JOIN sz sb ON sb.g = i.source_b

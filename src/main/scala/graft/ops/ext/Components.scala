@@ -269,9 +269,15 @@ object Components {
     * Every division has non-negative operands, so Spark `div` and DuckDB
     * `//` agree bit-for-bit — an unrolled-CTE oracle can replay the
     * exact same iterations. Floor truncation loses < 1 micro-unit per
-    * edge per round; dangling nodes (no out-edges) absorb rank without
-    * redistributing it — the simplified formulation, stated here because
-    * both choices are part of the operator's reproducible contract.
+    * edge per round. Dangling nodes (no out-edges) follow one of TWO
+    * documented contracts: the default (`danglingRedistribute = false`)
+    * ABSORBS their rank — the simplified formulation q165's oracle
+    * replays; `danglingRedistribute = true` is canonical MASS-CONSERVING
+    * PageRank — each round the dangling total `D = Σ_{outdeg(v)=0} r(v)`
+    * (one scalar aggregate, a bounded driver collect) is split evenly
+    * (`D div |V|`, floor) into every node's incoming sum before the
+    * damping fold, so total mass stays ≈ |V|·1e6 within floor error —
+    * the contract consumers comparing ranks ACROSS graphs expect.
     *
     * Iteration count is a PARAMETER, not a convergence test: rank
     * consumers (crawl schedulers, quality priors) want a deterministic
@@ -293,7 +299,8 @@ object Components {
       srcCol: String = "src",
       dstCol: String = "dst",
       iterations: Int = 3,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      danglingRedistribute: Boolean = false): DataFrame = {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"pageRank: dampingPpm must be in [0, 1e6], got $dampingPpm")
@@ -315,24 +322,45 @@ object Components {
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
       .localCheckpoint(true)
+    // the dangling set is edge-determined, so it is computed ONCE (an
+    // anti join against the distinct sources), as is |V| — only the
+    // per-round dangling TOTAL depends on ranks
+    val srcs = e.select(col("src")).distinct()
+    val danglingIds =
+      if (danglingRedistribute)
+        nodes.join(srcs, nodes("id") === srcs("src"), "left_anti")
+          .localCheckpoint(true)
+      else null
+    val nodeCount = if (danglingRedistribute) nodes.count() else 0L
     var ranks = nodes.select(col("id"), lit(M).as("r")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
+      // per-round dangling mass: a one-row aggregate over the |V|-sized
+      // rank table — the only driver-side value in the loop, bounded
+      val share =
+        if (danglingRedistribute && nodeCount > 0L)
+          ranks.join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L)))
+            .collect()(0).getLong(0) / nodeCount
+        else 0L
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(nodes("id"),
           (lit(M - dampingPpm) +
-            expr(s"($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) div $M")).as("r"))
+            expr(s"($dampingPpm * (coalesce(s, CAST(0 AS BIGINT)) + $share)) div $M"))
+            .as("r"))
         .localCheckpoint(true)
       graft.core.Checkpoints.release(ranks)
       ranks = next
     }
     withDeg.unpersist()
-    // the final round's checkpoint IS the result — release `nodes` and
-    // the edge checkpoint, whose last readers ran inside the loop
+    // the final round's checkpoint IS the result — release `nodes`, the
+    // dangling set, and the edge checkpoint, whose last readers ran
+    // inside the loop
     val out = ranks.select(col("id"), col("r").as("rank_micro"))
     graft.core.Checkpoints.release(nodes)
+    if (danglingIds != null) graft.core.Checkpoints.release(danglingIds)
     graft.core.Checkpoints.release(e)
     out
   }

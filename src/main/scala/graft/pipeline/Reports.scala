@@ -289,9 +289,22 @@ object Reports {
     * `intersection`, `jaccard_ppm`), source_a < source_b, all counts
     * BIGINT; pairs sharing nothing are absent (inner join — the
     * all-pairs zero matrix at 10^4 sources is noise, not signal).
-    * Non-null group and content required — filter upstream. */
+    * Non-null group and content required — filter upstream.
+    *
+    * `maxSources` caps the per-hash source-set fan-out (the
+    * [[graft.ops.ext.Dedup]] `maxBucketSize` rule): a hash shared by
+    * MORE than `maxSources` groups is dropped from the intersection
+    * counts — at source granularity (10²) the cap never fires, but at
+    * URL-level grouping (10⁴+) a universal boilerplate hash would
+    * otherwise expand quadratically in-row. Per-source `size_a`/`size_b`
+    * stay TRUE distinct-content counts (capped hashes still belong to
+    * each source's set; they just stop asserting cross-source overlap),
+    * so a fired cap UNDERCOUNTS intersections, never inflates. */
   def sourceOverlap(
-      docs: DataFrame, group: Column, contentCol: Column): DataFrame = {
+      docs: DataFrame, group: Column, contentCol: Column,
+      maxSources: Int = 1024): DataFrame = {
+    require(maxSources >= 2,
+      s"sourceOverlap: maxSources must be >= 2, got $maxSources")
     val sets = docs.select(group.as("g"), md5(contentCol).as("h"))
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("g"))).as("gs"))
@@ -299,7 +312,7 @@ object Reports {
     val sizes = sets.select(explode(col("gs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("sz"))
     sets
-      .where(size(col("gs")) >= 2)
+      .where(size(col("gs")) >= 2 && size(col("gs")) <= maxSources)
       .select(explode(flatten(transform(col("gs"), (a, i) =>
         transform(slice(col("gs"), i + lit(2), size(col("gs"))), b =>
           struct(a.as("source_a"), b.as("source_b")))))).as("p"))

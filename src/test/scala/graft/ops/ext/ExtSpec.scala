@@ -818,6 +818,39 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(re === out)
   }
+
+  test("pageRank danglingRedistribute: mass conserved on a sink-heavy graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 -> 2 -> 3 with 3 a pure sink: the absorb default bleeds 0.85 of
+    // the sink's rank every round; the canonical variant folds the
+    // dangling total back in (D div |V| each) and total mass stays
+    // ~|V|*1e6 within floor error
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").repartition(2)
+    val cons = Components.pageRank(edges, iterations = 3,
+      danglingRedistribute = true).as[(Long, Long)].collect()
+    val total = cons.map(_._2).sum
+    // per round the floor losses are <= 1 per share, per node, per edge:
+    // 3 rounds x (1 + 3 + 2) well under 20 micro-units on 3e6
+    assert(math.abs(total - 3000000L) <= 20L,
+      s"mass not conserved: $total vs 3000000")
+    // hand-checked round 1: share = 1e6/3; r1 = (433333, 1283333, 1283333)
+    val r1 = Components.pageRank(edges, iterations = 1,
+      danglingRedistribute = true).as[(Long, Long)].collect().sortBy(_._1)
+    assert(r1 === Array((1L, 433333L), (2L, 1283333L), (3L, 1283333L)))
+    // the absorb default on the same fixture LOSES mass (the contrast
+    // that makes the flag worth shipping)
+    val absorbed = Components.pageRank(edges, iterations = 3)
+      .as[(Long, Long)].collect().map(_._2).sum
+    assert(absorbed < 2500000L, s"absorb variant should bleed: $absorbed")
+    // no dangling nodes -> the two contracts agree exactly
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Components.pageRank(cycle, iterations = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = Components.pageRank(cycle, iterations = 3,
+      danglingRedistribute = true).as[(Long, Long)].collect().sortBy(_._1)
+    assert(a === b)
+  }
 }
 
 class PackingSpec extends SparkSpec {

@@ -142,6 +142,36 @@ class ReportsSpec extends SparkSpec {
     assert(out === Seq(("A", "B", 3L, 3L, 2L, 500000L)))
   }
 
+  test("sourceOverlap maxSources cap: a universal hash stops asserting overlap") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "boiler" is shared by ALL THREE sources, "y" by exactly two; at
+    // maxSources = 2 the universal hash is dropped from the intersection
+    // counts, but the per-source SIZES stay true (boiler still counts
+    // toward each source's distinct-content size)
+    val docs = Seq(
+      ("A", "boiler"), ("A", "y"),
+      ("B", "boiler"), ("B", "y"),
+      ("C", "boiler")
+    ).toDF("source", "text").repartition(3)
+    val capped = Reports.sourceOverlap(docs, col("source"), col("text"),
+        maxSources = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // only (A,B) via y survives; sizes are the TRUE 2/2/1 counts
+    assert(capped === Seq(("A", "B", 2L, 2L, 1L, 333333L)))
+    // uncapped control: boiler contributes (A,B), (A,C), (B,C)
+    val full = Reports.sourceOverlap(docs, col("source"), col("text"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(full.map(r => (r._1, r._2)) === Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(full.head === (("A", "B", 2L, 2L, 2L, 1000000L)))
+    // degenerate parameterization fails fast on the driver
+    val e = intercept[IllegalArgumentException] {
+      Reports.sourceOverlap(docs, col("source"), col("text"), maxSources = 1)
+    }
+    assert(e.getMessage.contains("maxSources"))
+  }
+
   test("sourceOverlap and shrunkRates plan ONE corpus pass (checkpoint-fed)") {
     val spark2 = spark
     import spark2.implicits._
