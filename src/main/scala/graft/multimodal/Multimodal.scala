@@ -1228,8 +1228,9 @@ object Multimodal {
     * clears it, and an all-ones size means "extends to the enclosure
     * end" (the streaming-Segment convention). A malformed varint or a
     * size past the enclosure stops the walk and keeps what parsed (the
-    * [[Avi]]/[[Mp4]] crawl-corruption policy); Cluster payload — the
-    * media — is never read. */
+    * [[Avi]]/[[Mp4]] crawl-corruption policy); the probe never reads
+    * Cluster payload — the media — and [[MkvFrameCodec]] reads exactly
+    * the one cued block a lookup resolves. */
   private[multimodal] object Mkv {
     /** `tsScaleNs` from Info's TimestampScale (EBML default 1e6 ns when
       * absent); `durationTs` is Info's Duration FLOAT in scale units;
@@ -1325,6 +1326,133 @@ object Multimodal {
         java.lang.Double.isNaN(duration) || duration < 0) None
       else Some(Header(tsScale, duration, w, h))
     }
+
+    /** Seek geometry for [[MkvFrameCodec]]: the Cues payload range, the
+      * Segment payload start (`CueClusterPosition` values are RELATIVE
+      * to it), the timestamp scale, and the first video track's
+      * TrackNumber (−1 = no numbered video track: match any track, the
+      * audio-only contract). Derived from the SAME `elems` walk the
+      * probe parses with — probe and codec cannot disagree about
+      * whether Cues exist. */
+    final case class Seek(
+        tsScaleNs: Long, segStart: Int, segEnd: Int,
+        cuesOff: Int, cuesEnd: Int, trackNum: Long)
+
+    def parseSeek(c: Array[Byte]): Option[Seek] = {
+      if (c == null || c.length < 8 || uint(c, 0, 4) != 0x1A45DFA3L) return None
+      var tsScale = 1000000L
+      var segS = -1; var segE = -1
+      var cuesS = -1; var cuesE = -1
+      var vTrack = -1L; var firstTrack = -1L
+      elems(c, 0, c.length) { (id, ps, pe) =>
+        if (id == 0x18538067L) {
+          if (segS < 0) { segS = ps; segE = pe }
+          elems(c, ps, pe) { (id2, ps2, pe2) =>
+            if (id2 == 0x1549A966L) elems(c, ps2, pe2) { (id3, ps3, pe3) =>
+              if (id3 == 0x2AD7B1L && pe3 > ps3) tsScale = uint(c, ps3, pe3)
+            } else if (id2 == 0x1654AE6BL) elems(c, ps2, pe2) { (id3, ps3, pe3) =>
+              if (id3 == 0xAEL) {
+                var isVideo = false; var num = -1L
+                elems(c, ps3, pe3) { (id4, ps4, pe4) =>
+                  if (id4 == 0x83L) isVideo = uint(c, ps4, pe4) == 1L
+                  else if (id4 == 0xD7L) num = uint(c, ps4, pe4)
+                }
+                if (num >= 0 && firstTrack < 0) firstTrack = num
+                if (isVideo && num >= 0 && vTrack < 0) vTrack = num
+              }
+            } else if (id2 == 0x1C53BB6BL && cuesS < 0) {
+              cuesS = ps2; cuesE = pe2
+            }
+          }
+        }
+      }
+      if (segS < 0 || cuesS < 0 || tsScale <= 0) None
+      else Some(Seek(tsScale, segS, segE, cuesS, cuesE,
+        if (vTrack >= 0) vTrack else firstTrack))
+    }
+
+    /** Parse the single element at `off`: (id, payloadStart, payloadEnd)
+      * or null on malformed/truncated (unknown size extends to `end`). */
+    private def elemAt(c: Array[Byte], off: Int, end: Int): (Long, Int, Int) = {
+      val id = varint(c, off, end, keepMarker = true)
+      if (id == null) return null
+      val sz = varint(c, off + id._2, end, keepMarker = false)
+      if (sz == null) return null
+      val ps = off + id._2 + sz._2
+      val pe: Long = if (sz._1 < 0) end.toLong else ps.toLong + sz._1
+      if (pe < ps || pe > end) null else (id._1, ps, pe.toInt)
+    }
+
+    /** The cue for target time `t` (scale units): the LAST CuePoint with
+      * CueTime ≤ t — the standard keyframe-seek rule — else the FIRST
+      * cue (a pre-roll seek). Returns (bestClusterPos, firstClusterPos),
+      * −1 where absent; positions are Segment-payload-relative. One walk
+      * over the Cues payload, nothing allocated. */
+    def cueFor(c: Array[Byte], sk: Seek, t: Long): (Long, Long) = {
+      var best = -1L; var bestTime = -1L; var first = -1L
+      elems(c, sk.cuesOff, sk.cuesEnd) { (id, ps, pe) =>
+        if (id == 0xBBL) { // CuePoint
+          var time = -1L; var pos = -1L
+          elems(c, ps, pe) { (id2, ps2, pe2) =>
+            if (id2 == 0xB3L) time = uint(c, ps2, pe2)
+            else if (id2 == 0xB7L) elems(c, ps2, pe2) { (id3, ps3, pe3) =>
+              if (id3 == 0xF1L && pos < 0) pos = uint(c, ps3, pe3)
+            }
+          }
+          if (time >= 0 && pos >= 0) {
+            if (first < 0) first = pos
+            if (time <= t && time > bestTime) { bestTime = time; best = pos }
+          }
+        }
+      }
+      (best, first)
+    }
+
+    /** A (Simple)Block's (trackNum, relTs, frameOff) parsed from its
+      * payload `[ps, pe)`, or null: track varint, 2-byte signed relative
+      * timestamp, 1 flags byte, frame data. Lacing flags are NOT
+      * expanded — laced payloads fingerprint as-is (documented in
+      * [[MkvFrameCodec]]). */
+    private def blockHead(c: Array[Byte], ps: Int, pe: Int): (Long, Long, Int) = {
+      val tn = varint(c, ps, pe, keepMarker = false)
+      if (tn == null) return null
+      val hdr = ps + tn._2
+      if (hdr + 3 > pe) return null
+      val rel = (((c(hdr) & 0xff) << 8) | (c(hdr + 1) & 0xff)).toShort.toLong
+      (tn._1, rel, hdr + 3)
+    }
+
+    /** Resolve the frame for (track, time ≤ t) inside the Cluster at
+      * ABSOLUTE offset `off`: the last matching block with blockTime ≤ t,
+      * else the cluster's first matching block; (frameOff, frameLen) or
+      * null when `off` does not hold a Cluster or no block matches. One
+      * walk over the cluster's children — block payloads are skipped by
+      * size, only the few header bytes of each are read. */
+    def blockAt(c: Array[Byte], sk: Seek, off: Int, t: Long): (Int, Int) = {
+      if (off < 0 || off >= sk.segEnd) return null
+      val cl = elemAt(c, off, sk.segEnd)
+      if (cl == null || cl._1 != 0x1F43B675L) return null
+      var clusterTs = 0L
+      var best: (Int, Int) = null; var bestTime = Long.MinValue
+      var first: (Int, Int) = null
+      def consider(ps: Int, pe: Int): Unit = {
+        val h = blockHead(c, ps, pe)
+        if (h != null && (sk.trackNum < 0 || h._1 == sk.trackNum)) {
+          val bt = clusterTs + h._2
+          val frame = (h._3, pe - h._3)
+          if (first == null) first = frame
+          if (bt <= t && bt > bestTime) { bestTime = bt; best = frame }
+        }
+      }
+      elems(c, cl._2, cl._3) { (id, ps, pe) =>
+        if (id == 0xE7L) clusterTs = uint(c, ps, pe)
+        else if (id == 0xA3L) consider(ps, pe) // SimpleBlock
+        else if (id == 0xA0L) elems(c, ps, pe) { (id2, ps2, pe2) =>
+          if (id2 == 0xA1L) consider(ps2, pe2) // BlockGroup/Block
+        }
+      }
+      if (best != null) best else first
+    }
   }
 
   /** Matroska/WebM: the EBML sibling of [[Mp4Probe]] — Info's
@@ -1348,6 +1476,63 @@ object Multimodal {
             if (java.lang.Double.isNaN(ms) || ms < 0 || ms > 4e18) None
             else Some(ms.toLong))
       }
+  }
+
+  /** Matroska/WebM frame codec — the Cues seek [[MkvProbe]]'s `seekable`
+    * flag promises, completing the seekable-container trio (AVI `idx1`,
+    * MP4 sample tables, MKV Cues): `frameMs` → timestamp-scale units →
+    * the last CuePoint with CueTime ≤ t → its `CueClusterPosition`
+    * (Segment-relative) → one Cluster walked for the target track's
+    * last (Simple)Block with blockTime ≤ t. Cluster payloads other than
+    * the cued one are never read; inside it, block payloads are skipped
+    * by size (only each block's few header bytes are touched) — one
+    * bounded read per lookup, capped at [[Mp4.MaxSampleBytes]].
+    * [[Mkv.parseSeek]] shares the probe's `elems` walk, so probe and
+    * codec cannot disagree about whether Cues exist.
+    *
+    * The feature is the house block-mean over the resolved frame bytes
+    * ([[Mp4FrameCodec]]'s contract: raw luma payloads reproduce the AVI
+    * plane feature; compressed codecs get a deterministic byte
+    * fingerprint — no native codec libraries by design). Laced blocks
+    * are NOT expanded: the lace payload fingerprints as-is. Failure
+    * policy: a cue resolving to garbage retries the FIRST cue (the
+    * pre-roll), then poisons to the zero vector; malformed structures
+    * never throw. */
+  object MkvFrameCodec extends FrameCodec {
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims)
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0) return zero
+      Mkv.parseSeek(content) match {
+        case None => zero
+        case Some(sk) =>
+          val t =
+            if (frameMs <= Long.MaxValue / 1000000L)
+              frameMs * 1000000L / sk.tsScaleNs
+            else Long.MaxValue
+          val (best, first) = Mkv.cueFor(content, sk, t)
+          var frame: (Int, Int) = null
+          for (pos <- Seq(best, first) if frame == null && pos >= 0 &&
+              pos <= (sk.segEnd - sk.segStart).toLong)
+            frame = Mkv.blockAt(content, sk, sk.segStart + pos.toInt, t)
+          if (frame == null || frame._2 <= 0 ||
+              frame._2 > Mp4.MaxSampleBytes) zero
+          else {
+            val sums = new Array[Double](dims)
+            val counts = new Array[Int](dims)
+            var k = 0
+            while (k < frame._2) {
+              val slot = (k.toLong * dims / frame._2).toInt
+              sums(slot) += (content(frame._1 + k) & 0xff)
+              counts(slot) += 1
+              k += 1
+            }
+            Array.tabulate(dims)(j =>
+              if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
+          }
+      }
+    }
   }
 
   /** WAV: sample rate + data-chunk length → duration (the fmt-chunk walk

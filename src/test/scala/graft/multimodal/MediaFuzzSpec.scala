@@ -37,6 +37,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     Seq(0x10, 0xE0, 0x40).map(v => Array.fill(8)(v.toByte)), Seq(2, 1),
     Seq((3L, 1L)))
   private val mkv = MkvFixtures.mkv
+  private val mkvSeek = MkvFixtures.seekableMkv(1000000L,
+    MkvFixtures.el(0x1654AE6BL, MkvFixtures.videoTrackNum(4, 2, 1)), Seq(
+      0L -> MkvFixtures.cluster(0L,
+        MkvFixtures.simpleBlock(1, 0, Array.fill(8)(0x10.toByte))),
+      1L -> MkvFixtures.cluster(1L,
+        MkvFixtures.simpleBlock(1, 0, Array.fill(8)(0xE0.toByte)))))
 
   private val garbage: Gen[Array[Byte]] =
     Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127)))
@@ -56,7 +62,7 @@ class MediaFuzzSpec extends AnyFunSuite {
 
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
-      Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
@@ -79,6 +85,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         assert(new Multimodal.WavFrameCodec(500L).decodeFrame(bytes, ms, 4).length === 4)
         assert(Multimodal.AviFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(Multimodal.Mp4FrameCodec.decodeFrame(bytes, ms, 4).length === 4)
+        assert(Multimodal.MkvFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
       }
       assert(Multimodal.PpmCodec.decode(
         if (bytes == null) Array.emptyByteArray else bytes, 4).length === 4)

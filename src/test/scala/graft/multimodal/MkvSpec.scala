@@ -65,6 +65,66 @@ object MkvFixtures {
       cues)
 
   val mkv: Array[Byte] = videoFile(2050.0, 320, 240)
+
+  // ---- real-cluster fixtures for MkvFrameCodec -------------------------
+
+  /** EBML element with the 2-byte size form (payload < 0x3fff) — Segment
+    * payloads with real clusters outgrow [[el]]'s 1-byte form. */
+  def el2(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    require(body.length < 0x3fff, "2-byte size fixture only")
+    idBytes(id) ++ Array((0x40 | (body.length >> 8)).toByte,
+      (body.length & 0xff).toByte) ++ body
+  }
+
+  /** TrackEntry with an explicit TrackNumber — the codec's routing key. */
+  def videoTrackNum(w: Int, h: Int, num: Long): Array[Byte] =
+    el(0xAEL,
+      el(0xD7L, uintBytes(num, 1)),
+      el(0x83L, uintBytes(1L, 1)),
+      el(0xE0L, el(0xB0L, uintBytes(w.toLong, 2)), el(0xBAL, uintBytes(h.toLong, 2))))
+
+  def audioTrackNum(num: Long): Array[Byte] =
+    el(0xAEL, el(0xD7L, uintBytes(num, 1)), el(0x83L, uintBytes(2L, 1)))
+
+  private def blockPayload(track: Int, relTs: Int, frame: Array[Byte]) =
+    Array((0x80 | track).toByte,
+      ((relTs >> 8) & 0xff).toByte, (relTs & 0xff).toByte, 0.toByte) ++ frame
+
+  /** SimpleBlock: 1-byte track varint, 2-byte signed rel ts, flags 0. */
+  def simpleBlock(track: Int, relTs: Int, frame: Array[Byte]): Array[Byte] =
+    el(0xA3L, blockPayload(track, relTs, frame))
+
+  /** The same frame wrapped the BlockGroup/Block way. */
+  def blockGroup(track: Int, relTs: Int, frame: Array[Byte]): Array[Byte] =
+    el(0xA0L, el(0xA1L, blockPayload(track, relTs, frame)))
+
+  def cluster(ts: Long, blocks: Array[Byte]*): Array[Byte] =
+    el(0x1F43B675L, el(0xE7L, uintBytes(ts, 2)), blocks.flatten.toArray)
+
+  def cuePoint(time: Long, pos: Long): Array[Byte] =
+    el(0xBBL, el(0xB3L, uintBytes(time, 2)),
+      el(0xB7L, el(0xF1L, uintBytes(pos, 2))))
+
+  /** Seekable file with real clusters and CORRECT Segment-payload-
+    * relative cue positions (cue ints are fixed 2-byte, so the cues
+    * element's size is position-independent — one dummy pass computes
+    * the layout, the second writes the true offsets; the MP4 fixture's
+    * two-pass muxer trick). Pass `cuePosOverride` to corrupt one cue. */
+  def seekableMkv(
+      tsScaleNs: Long, tracksEl: Array[Byte],
+      clusters: Seq[(Long, Array[Byte])],
+      cuePosOverride: Map[Int, Long] = Map.empty): Array[Byte] = {
+    val info = segInfo(tsScaleNs, f64(9999.0))
+    def cuesOf(ps: Seq[Long]) = el2(0x1C53BB6BL,
+      clusters.zip(ps).flatMap { case ((t, _), p) => cuePoint(t, p) }.toArray)
+    val head = info.length + tracksEl.length +
+      cuesOf(Seq.fill(clusters.length)(0L)).length
+    val ps = clusters.map(_._2.length.toLong).scanLeft(head.toLong)(_ + _).init
+      .zipWithIndex.map { case (p, i) => cuePosOverride.getOrElse(i, p) }
+    ebmlHeader ++ el2(0x18538067L,
+      (Seq(info, tracksEl, cuesOf(ps)) ++ clusters.map(_._2)).flatten.toArray)
+  }
 }
 
 class MkvSpec extends AnyFunSuite {
@@ -136,5 +196,77 @@ class MkvSpec extends AnyFunSuite {
     }
     // a non-EBML prefix is not dispatched
     assert(SniffProbe.probe("XXXX".getBytes ++ mkv.drop(4)).format === None)
+  }
+}
+
+/** [[Multimodal.MkvFrameCodec]]: the CuePoint → Cluster → (Simple)Block
+  * seek the probe's Cues flag promises — the trio's third index
+  * geometry. */
+class MkvFrameCodecSpec extends AnyFunSuite {
+  import MkvFixtures._
+  import Multimodal.{MkvFrameCodec, MkvProbe}
+
+  private def f(v: Int) = Array.fill(8)(v.toByte)
+  // default scale (1e6 ns = ms units); video track 1, audio track 2.
+  // Track-1 block times: 0, 1 (cluster ts 0) and 2, 3 (cluster ts 2);
+  // the audio block (99) must never be picked; block at t=3 rides the
+  // BlockGroup/Block path
+  private val tracks = el(0x1654AE6BL, audioTrackNum(2), videoTrackNum(4, 2, 1))
+  private val two = seekableMkv(1000000L, tracks, Seq(
+    0L -> cluster(0L, simpleBlock(1, 0, f(10)), simpleBlock(2, 0, f(99)),
+      simpleBlock(1, 1, f(60))),
+    2L -> cluster(2L, simpleBlock(1, 0, f(110)), blockGroup(1, 1, f(160)))))
+
+  private def lum(c: Array[Byte], ms: Long): Float =
+    MkvFrameCodec.decodeFrame(c, ms, 1)(0)
+  private def near(a: Float, v: Int): Boolean = math.abs(a - v / 255f) < 1e-6f
+
+  test("cue -> cluster -> block seek: first/mid/last, cross-cluster, clamp") {
+    assert(near(lum(two, 0L), 10))
+    assert(near(lum(two, 1L), 60))   // last block <= t within cluster 0
+    assert(near(lum(two, 2L), 110))  // second cue's cluster
+    assert(near(lum(two, 3L), 160))  // the BlockGroup/Block path
+    assert(near(lum(two, 999999L), 160)) // far past the end: clamp
+    assert(near(MkvFrameCodec.decode(two, 1)(0), 10)) // whole-content = first
+  }
+
+  test("track routing: the video track's blocks win over interleaved audio") {
+    // every seek above lands on track 1; the audio 99-frame at t=0 sits
+    // BETWEEN two video blocks and must never surface
+    for (ms <- 0L to 5L)
+      assert(!near(lum(two, ms), 99), s"audio block leaked at ms=$ms")
+  }
+
+  test("probe agreement: no Cues = not seekable = zero vector") {
+    val noCues = ebmlHeader ++ segment(
+      segInfo(1000000L, f64(100.0)), el(0x1654AE6BL, videoTrack(4, 2)))
+    assert(MkvProbe.probe(noCues).format === None)
+    assert(lum(noCues, 0L) === 0f)
+    assert(MkvProbe.probe(two).format === Some("mkv"))
+  }
+
+  test("a corrupt cue position falls back to the first cue, then poisons") {
+    // cue 1 (time 2) points past the Segment: a t=2 seek retries the
+    // FIRST cue's cluster and resolves its last block <= 2 (time-1 -> 60)
+    val broken = seekableMkv(1000000L, tracks, Seq(
+      0L -> cluster(0L, simpleBlock(1, 0, f(10)), simpleBlock(1, 1, f(60))),
+      2L -> cluster(2L, simpleBlock(1, 0, f(110)))),
+      cuePosOverride = Map(1 -> 9999L))
+    assert(near(lum(broken, 2L), 60))
+    // BOTH cues corrupt -> zero, never a throw
+    val dead = seekableMkv(1000000L, tracks, Seq(
+      0L -> cluster(0L, simpleBlock(1, 0, f(10)))),
+      cuePosOverride = Map(0 -> 9999L))
+    assert(lum(dead, 0L) === 0f)
+  }
+
+  test("non-default TimestampScale maps frameMs through scale units") {
+    // 1e5 ns per unit: 1 ms = 10 units; cluster times 0 and 20 units
+    val sc = seekableMkv(100000L, tracks, Seq(
+      0L -> cluster(0L, simpleBlock(1, 0, f(10))),
+      20L -> cluster(20L, simpleBlock(1, 0, f(110)))))
+    assert(near(lum(sc, 0L), 10))
+    assert(near(lum(sc, 1L), 10))  // t=10 units: still cue 0
+    assert(near(lum(sc, 2L), 110)) // t=20 units: cue 1
   }
 }
