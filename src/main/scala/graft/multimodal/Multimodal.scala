@@ -757,8 +757,10 @@ object Multimodal {
 
   /** Dispatch on magic bytes: YUV4MPEG2 (y4m), RIFF/WAVE (wav),
     * RIFF/AVI, `ftyp` at offset 4 (mp4), EBML magic (mkv/webm), P6
-    * (ppm). The real-world entry point — crawled bytes arrive
-    * untagged. */
+    * (ppm), fLaC (flac), ID3/frame-sync (mp3 — LAST: the 2-byte sync is
+    * the weakest magic, and [[Mp3Probe]] itself verifies a second frame
+    * boundary before claiming the format). The real-world entry point —
+    * crawled bytes arrive untagged. */
   object SniffProbe extends MediaProbe {
     def probe(content: Array[Byte]): ProbedMeta = {
       def starts(s: String): Boolean =
@@ -769,6 +771,9 @@ object Multimodal {
       def ebml: Boolean = content != null && content.length >= 4 &&
         content(0) == 0x1a.toByte && content(1) == 0x45.toByte &&
         content(2) == 0xdf.toByte && content(3) == 0xa3.toByte
+      def mp3ish: Boolean = content != null && content.length >= 4 &&
+        (starts("ID3") ||
+          ((content(0) & 0xff) == 0xff && (content(1) & 0xe0) == 0xe0))
       if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
       else if (riffForm("WAVE")) WavProbe.probe(content)
       else if (riffForm("AVI ")) AviProbe.probe(content)
@@ -776,6 +781,8 @@ object Multimodal {
         Mp4Probe.probe(content)
       else if (ebml) MkvProbe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
+      else if (starts("fLaC")) FlacProbe.probe(content)
+      else if (mp3ish) Mp3Probe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
   }
@@ -1532,6 +1539,159 @@ object Multimodal {
               if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
           }
       }
+    }
+  }
+
+  /** MPEG audio (MP3) header-only probe — with [[FlacProbe]] it completes
+    * the crawl-audio family (WAV is the decodable fixture format; real
+    * crawls are MP3/FLAC-heavy). Walk: skip an ID3v2 tag (syncsafe u28
+    * size, footer flag honored), scan a bounded window for the first
+    * 11-bit frame sync, decode version/layer/bitrate/samplerate from the
+    * public tables, and VERIFY the sync by checking the next frame
+    * boundary (the classic false-sync defense — a lone 0xFF in garbage
+    * does not probe as mp3). Duration: exact when the first frame
+    * carries a Xing/Info VBR header with a frame count (frames ×
+    * samples-per-frame / rate); otherwise the CBR estimate
+    * `audioBytes × 8 / bitrate`. Frame payloads are never read beyond
+    * the few header bytes each check touches. */
+  object Mp3Probe extends MediaProbe {
+    // bitrate tables (kbps), index 1-14; [version!=1][layer]
+    private val brV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    private val brV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    private val brV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val brV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    private val brV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val srV1 = Array(44100, 48000, 32000)
+
+    /** (bitrateBps, sampleRate, frameBytes, samplesPerFrame, xingOff) of
+      * the 4-byte header at `o`, or null if not a valid frame header. */
+    private def frame(c: Array[Byte], o: Int): (Long, Int, Int, Int, Int) = {
+      if (o + 4 > c.length) return null
+      val b1 = c(o) & 0xff; val b2 = c(o + 1) & 0xff
+      val b3 = c(o + 2) & 0xff; val b4 = c(o + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return null
+      val verBits = (b2 >> 3) & 3   // 0=2.5, 2=MPEG2, 3=MPEG1 (1 reserved)
+      val layerBits = (b2 >> 1) & 3 // 1=III, 2=II, 3=I (0 reserved)
+      if (verBits == 1 || layerBits == 0) return null
+      val v1 = verBits == 3
+      val brIdx = (b3 >> 4) & 0xf
+      val srIdx = (b3 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null // free/bad
+      val pad = (b3 >> 1) & 1
+      val kbps = (v1, layerBits) match {
+        case (true, 3) => brV1L1(brIdx)
+        case (true, 2) => brV1L2(brIdx)
+        case (true, _) => brV1L3(brIdx)
+        case (false, 3) => brV2L1(brIdx)
+        case (false, _) => brV2L23(brIdx)
+      }
+      val sr = srV1(srIdx) / (if (v1) 1 else if (verBits == 2) 2 else 4)
+      val bps = kbps * 1000L
+      val (bytes, spf) =
+        if (layerBits == 3) // Layer I
+          (((12 * bps / sr + pad) * 4).toInt, 384)
+        else if (layerBits == 2) // Layer II
+          ((144 * bps / sr + pad).toInt, 1152)
+        else { // Layer III: MPEG1 1152 samples/frame, MPEG2/2.5 576
+          val coef = if (v1) 144 else 72
+          ((coef * bps / sr + pad).toInt, if (v1) 1152 else 576)
+        }
+      if (bytes <= 4) return null
+      // Xing/Info sits after the side info: MPEG1 mono 17 / stereo 32,
+      // MPEG2(.5) mono 9 / stereo 17; mono = channel mode bits 11
+      val mono = ((b4 >> 6) & 3) == 3
+      val side = if (v1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+      (bps, sr, bytes, spf, o + 4 + side)
+    }
+
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 4) return none
+      // skip ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+      var start = 0
+      if (content.length >= 10 && content(0) == 'I' && content(1) == 'D' &&
+          content(2) == '3') {
+        var sz = 0L
+        var i = 6
+        while (i < 10) { sz = (sz << 7) | (content(i) & 0x7f); i += 1 }
+        val footer = if ((content(5) & 0x10) != 0) 10 else 0
+        val skip = 10L + sz + footer
+        if (skip >= content.length) return none
+        start = skip.toInt
+      }
+      // bounded sync scan (garbage tolerance), then next-boundary verify
+      val window = math.min(start + 4096, content.length - 4)
+      var o = start
+      while (o <= window) {
+        val f = frame(content, o)
+        if (f != null) {
+          val next = o + f._3
+          // a frame ending exactly at EOF verifies too (single frame)
+          if (next == content.length || frame(content, next) != null) {
+            // Xing/Info VBR header: flags&1 -> exact frame count
+            val x = f._5
+            var durMs = -1L
+            if (x + 12 <= content.length &&
+                ((content(x) == 'X' && content(x + 1) == 'i' &&
+                  content(x + 2) == 'n' && content(x + 3) == 'g') ||
+                 (content(x) == 'I' && content(x + 1) == 'n' &&
+                  content(x + 2) == 'f' && content(x + 3) == 'o'))) {
+              val flags = ((content(x + 4) & 0xffL) << 24) |
+                ((content(x + 5) & 0xffL) << 16) |
+                ((content(x + 6) & 0xffL) << 8) | (content(x + 7) & 0xffL)
+              if ((flags & 1L) != 0) {
+                val frames = ((content(x + 8) & 0xffL) << 24) |
+                  ((content(x + 9) & 0xffL) << 16) |
+                  ((content(x + 10) & 0xffL) << 8) | (content(x + 11) & 0xffL)
+                durMs = frames * f._4 * 1000L / f._2
+              }
+            }
+            if (durMs < 0)
+              durMs = (content.length - o).toLong * 8000L / f._1 // CBR estimate
+            return ProbedMeta(0L, Some("mp3"), None, None, Some(durMs))
+          }
+        }
+        o += 1
+      }
+      none
+    }
+  }
+
+  /** FLAC header-only probe: "fLaC" magic, then the STREAMINFO metadata
+    * block (type 0, 34 bytes) — 20-bit sample rate and 36-bit total
+    * sample count give the EXACT duration, no estimation. Malformed or
+    * truncated blocks probe all-None; audio frames are never read. */
+  object FlacProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 8 ||
+          content(0) != 'f' || content(1) != 'L' ||
+          content(2) != 'a' || content(3) != 'C') return none
+      var pos = 4
+      var guard = 0
+      while (pos + 4 <= content.length && guard < 1024) {
+        val last = (content(pos) & 0x80) != 0
+        val btype = content(pos) & 0x7f
+        val len = ((content(pos + 1) & 0xff) << 16) |
+          ((content(pos + 2) & 0xff) << 8) | (content(pos + 3) & 0xff)
+        val ps = pos + 4
+        if (ps + len > content.length) return none
+        if (btype == 0 && len >= 34) {
+          // STREAMINFO: rate 20 bits @ byte 10, channels 3, bps 5,
+          // total samples 36 bits spanning bytes 13..17
+          val b = (i: Int) => content(ps + i) & 0xffL
+          val rate = ((b(10) << 12) | (b(11) << 4) | (b(12) >> 4)).toInt
+          val total = ((b(13) & 0x0f) << 32) | (b(14) << 24) |
+            (b(15) << 16) | (b(16) << 8) | b(17)
+          if (rate <= 0) return none
+          return ProbedMeta(0L, Some("flac"), None, None,
+            Some(total * 1000L / rate))
+        }
+        if (last) return none // last block and no STREAMINFO seen
+        pos = ps + len
+        guard += 1
+      }
+      none
     }
   }
 

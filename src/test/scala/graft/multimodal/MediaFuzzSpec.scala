@@ -62,14 +62,17 @@ class MediaFuzzSpec extends AnyFunSuite {
 
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
-      Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek).flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+      Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
+        AudioFixtures.mp3, AudioFixtures.flacTenSec)
+        .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
     cases.foreach { bytes =>
       for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
           Multimodal.WavProbe, Multimodal.PpmProbe, Multimodal.AviProbe,
-          Multimodal.Mp4Probe, Multimodal.MkvProbe)) {
+          Multimodal.Mp4Probe, Multimodal.MkvProbe,
+          Multimodal.Mp3Probe, Multimodal.FlacProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
