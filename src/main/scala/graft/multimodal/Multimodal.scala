@@ -782,6 +782,7 @@ object Multimodal {
       else if (ebml) MkvProbe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
       else if (starts("fLaC")) FlacProbe.probe(content)
+      else if (starts("OggS")) OggProbe.probe(content)
       else if (mp3ish) Mp3Probe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
@@ -1692,6 +1693,77 @@ object Multimodal {
         guard += 1
       }
       none
+    }
+  }
+
+  /** Ogg container probe (Vorbis + Opus) — the streaming sibling of
+    * [[Mp3Probe]]/[[FlacProbe]]: the BOS page's ID packet names the codec
+    * and its rate (`\\x01vorbis`: PCM rate at packet offset 12 LE;
+    * `OpusHead`: pre-skip u16 + a granule clock FIXED at 48 kHz by
+    * spec), and the duration is the LAST page's granule position — found
+    * by a BOUNDED tail scan (final 64 KB) for valid `OggS` page headers,
+    * the standard probe trick that never walks the middle of a large
+    * stream. Pages with granule −1 ("no packet ends here") are skipped;
+    * a malformed page header falls back to a byte-step scan, so a
+    * corrupt tail degrades the duration, never throws. */
+  object OggProbe extends MediaProbe {
+    private def u32le(c: Array[Byte], o: Int): Long =
+      (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
+        ((c(o + 2) & 0xffL) << 16) | ((c(o + 3) & 0xffL) << 24)
+    private def s64le(c: Array[Byte], o: Int): Long =
+      u32le(c, o) | (u32le(c, o + 4) << 32)
+    private def oggs(c: Array[Byte], o: Int): Boolean =
+      o + 27 <= c.length && c(o) == 'O' && c(o + 1) == 'g' &&
+        c(o + 2) == 'g' && c(o + 3) == 'S' && c(o + 4) == 0
+
+    /** Total page length at `o` (header + lacing + payload), or -1. */
+    private def pageLen(c: Array[Byte], o: Int): Int = {
+      val nsegs = c(o + 26) & 0xff
+      if (o + 27 + nsegs > c.length) return -1
+      var total = 27 + nsegs
+      var i = 0
+      while (i < nsegs) { total += c(o + 27 + i) & 0xff; i += 1 }
+      if (o + total > c.length) -1 else total
+    }
+
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || !oggs(content, 0)) return none
+      val l0 = pageLen(content, 0)
+      if (l0 < 0) return none
+      val nsegs0 = content(26) & 0xff
+      val p = 27 + nsegs0 // first page's payload = the codec ID packet
+      var rate = -1L; var preSkip = 0L; var opus = false
+      if (p + 30 <= content.length && content(p) == 1 &&
+          content(p + 1) == 'v' && content(p + 2) == 'o' &&
+          content(p + 3) == 'r' && content(p + 4) == 'b' &&
+          content(p + 5) == 'i' && content(p + 6) == 's') {
+        rate = u32le(content, p + 12)
+      } else if (p + 19 <= content.length && content(p) == 'O' &&
+          content(p + 1) == 'p' && content(p + 2) == 'u' &&
+          content(p + 3) == 's' && content(p + 4) == 'H' &&
+          content(p + 5) == 'e' && content(p + 6) == 'a' &&
+          content(p + 7) == 'd') {
+        opus = true
+        preSkip = (content(p + 10) & 0xffL) | ((content(p + 11) & 0xffL) << 8)
+        rate = 48000L // Opus granules tick at 48 kHz regardless of input rate
+      }
+      if (rate <= 0) return none
+      // bounded tail scan for the last valid page's granule position
+      var o = math.max(0, content.length - 65536)
+      var lastGranule = -1L
+      while (o + 27 <= content.length) {
+        if (oggs(content, o)) {
+          val len = pageLen(content, o)
+          val g = s64le(content, o + 6)
+          if (g >= 0 && g > lastGranule) lastGranule = g
+          o += (if (len > 0) len else 1)
+        } else o += 1
+      }
+      if (lastGranule < 0) return none
+      val samples = math.max(0L, lastGranule - (if (opus) preSkip else 0L))
+      if (samples > Long.MaxValue / 1000L) return none // crafted granule
+      ProbedMeta(0L, Some("ogg"), None, None, Some(samples * 1000L / rate))
     }
   }
 

@@ -54,6 +54,42 @@ object AudioFixtures {
   }
 
   val flacTenSec: Array[Byte] = flac(441000L)
+
+  // ---- Ogg (Vorbis / Opus) ---------------------------------------------
+
+  def le16(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  def le32(v: Long): Array[Byte] = le16(v) ++ le16(v >> 16)
+  def le64(v: Long): Array[Byte] = le32(v) ++ le32(v >> 32)
+
+  /** One Ogg page (CRC left 0 — the probe never checks it, like every
+    * header-only prober). Standard 255-lacing. */
+  def oggPage(htype: Int, granule: Long, seq: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val lacing = Array.fill(payload.length / 255)(255.toByte) :+
+      (payload.length % 255).toByte
+    "OggS".getBytes("US-ASCII") ++ Array(0.toByte, htype.toByte) ++
+      le64(granule) ++ le32(7L) ++ le32(seq) ++ le32(0L) ++
+      Array(lacing.length.toByte) ++ lacing ++ payload
+  }
+
+  def vorbisId(rate: Long): Array[Byte] =
+    Array(1.toByte) ++ "vorbis".getBytes("US-ASCII") ++ le32(0L) ++
+      Array(2.toByte) ++ le32(rate) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+      Array(0xb8.toByte, 1.toByte)
+
+  def opusHead(preSkip: Long): Array[Byte] =
+    "OpusHead".getBytes("US-ASCII") ++ Array(1.toByte, 2.toByte) ++
+      le16(preSkip) ++ le32(48000L) ++ le16(0L) ++ Array(0.toByte)
+
+  /** BOS ID page + a mid data page (granule −1: no packet ends) + the
+    * final page carrying `lastGranule`. */
+  def ogg(id: Array[Byte], lastGranule: Long): Array[Byte] =
+    oggPage(2, 0L, 0L, id) ++
+      oggPage(0, -1L, 1L, Array.fill(40)(0x33.toByte)) ++
+      oggPage(4, lastGranule, 2L, Array.fill(24)(0x44.toByte))
+
+  val oggVorbis: Array[Byte] = ogg(vorbisId(44100L), 441000L)
 }
 
 class AudioProbeSpec extends AnyFunSuite {
@@ -115,8 +151,38 @@ class AudioProbeSpec extends AnyFunSuite {
     assert(FlacProbe.probe(zeroRate).format === None)
   }
 
+  test("ogg/vorbis: last-page granule over the ID rate; -1 pages skipped") {
+    val m = Multimodal.OggProbe.probe(oggVorbis)
+    assert(m.format === Some("ogg"))
+    assert(m.duration_ms === Some(10000L)) // 441000 samples at 44100
+    // trailing garbage after the last page degrades nothing
+    val dirty = oggVorbis ++ Array.fill(100)(0x5a.toByte)
+    assert(Multimodal.OggProbe.probe(dirty).duration_ms === Some(10000L))
+  }
+
+  test("ogg/opus: 48 kHz granule clock minus pre-skip") {
+    val m = Multimodal.OggProbe.probe(ogg(opusHead(312L), 48312L))
+    assert(m.format === Some("ogg"))
+    assert(m.duration_ms === Some(1000L)) // (48312-312)/48000 s
+    // pre-skip exceeding the granule clamps to zero, never negative
+    assert(Multimodal.OggProbe.probe(ogg(opusHead(312L), 100L))
+      .duration_ms === Some(0L))
+  }
+
+  test("ogg: unknown codec, no granule-bearing page, truncation poison") {
+    val unknown = oggPage(2, 0L, 0L, "speex   head".getBytes)
+    assert(Multimodal.OggProbe.probe(unknown).format === None)
+    // every page granule -1: nothing to date the stream by
+    val undated = oggPage(2, 0L, 0L, vorbisId(44100L)).map(identity) ++
+      oggPage(0, -1L, 1L, Array.fill(10)(1.toByte))
+    // BOS page's granule 0 still counts (start of stream): Some(0)
+    assert(Multimodal.OggProbe.probe(undated).duration_ms === Some(0L))
+    assert(Multimodal.OggProbe.probe(oggVorbis.take(20)).format === None)
+  }
+
   test("SniffProbe dispatches flac and mp3 (weakest magic last)") {
     assert(SniffProbe.probe(flacTenSec).format === Some("flac"))
+    assert(SniffProbe.probe(oggVorbis).format === Some("ogg"))
     assert(SniffProbe.probe(mp3).format === Some("mp3"))
     assert(SniffProbe.probe(id3(16) ++ mp3).format === Some("mp3"))
     // the 2-byte sync alone does not survive the probe's verify

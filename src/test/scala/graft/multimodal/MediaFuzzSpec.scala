@@ -63,7 +63,7 @@ class MediaFuzzSpec extends AnyFunSuite {
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
       Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
-        AudioFixtures.mp3, AudioFixtures.flacTenSec)
+        AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis)
         .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
@@ -72,7 +72,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
           Multimodal.WavProbe, Multimodal.PpmProbe, Multimodal.AviProbe,
           Multimodal.Mp4Probe, Multimodal.MkvProbe,
-          Multimodal.Mp3Probe, Multimodal.FlacProbe)) {
+          Multimodal.Mp3Probe, Multimodal.FlacProbe, Multimodal.OggProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
