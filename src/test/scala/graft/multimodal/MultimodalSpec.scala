@@ -327,6 +327,40 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2).embedding(0) === frames(3).embedding(0)) // clamp
   }
 
+  test("probeMeta sniffs the round-14 formats; Mp4FrameCodec drives the frame plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val mp4 = Mp4Fixtures.seekableFile(4, 2, 10L,
+      Seq(10, 60, 110).map(v => Array.fill(8)(v.toByte)), Seq(2, 1),
+      Seq((3L, 1L)))
+    val media = Seq(
+      (1L, mp4),
+      (2L, MkvFixtures.mkv),
+      (3L, AudioFixtures.mp3),
+      (4L, AudioFixtures.flacTenSec),
+      (5L, AudioFixtures.oggVorbis)
+    ).toDF("media_id", "content").repartition(2)
+    val out = Multimodal.probeMeta(media).collect().sortBy(_.media_id)
+    assert(out.map(_.format) === Array(Some("mp4"), Some("mkv"),
+      Some("mp3"), Some("flac"), Some("ogg")))
+    assert(out(3).duration_ms === Some(10000L)) // flac STREAMINFO, exact
+    assert(out(4).duration_ms === Some(10000L)) // ogg last-page granule
+    // the MP4 probe's duration drives the frame plan through the MP4
+    // codec end to end: 3 samples at 10 units/s timescale = 300 ms
+    val withMeta = media.where(col("media_id") === 1L)
+      .select(col("media_id"), col("content"),
+        struct(lit("mp4").as("format"), lit(4).as("width"), lit(2).as("height"),
+          lit(300L).as("duration_ms")).as("meta"))
+    val frames = Multimodal.extractFrameFeatures(withMeta, everyMs = 100L,
+        dims = 1, codec = Multimodal.Mp4FrameCodec)
+      .collect().sortBy(_.frame_ms)
+    assert(frames.map(_.frame_ms).toSeq === Seq(0L, 100L, 200L, 300L))
+    assert(math.abs(frames(0).embedding(0) - 10 / 255f) < 1e-6f)
+    assert(math.abs(frames(1).embedding(0) - 60 / 255f) < 1e-6f)
+    assert(math.abs(frames(2).embedding(0) - 110 / 255f) < 1e-6f)
+    assert(frames(2).embedding(0) === frames(3).embedding(0)) // clamp
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
