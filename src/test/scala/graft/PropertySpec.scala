@@ -408,6 +408,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ece/calibrationBins track the real-valued ECE within floor error") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    // confidences wander OUT of [0, 1e6] on purpose — the clamp is part
+    // of the contract the reference mirrors
+    val rowsGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(-200000L, 1300000L), Gen.oneOf(0L, 1L)))
+    samples(rowsGen, 5).foreach { rows =>
+      val df = rows.toDF("conf", "y")
+      val e = TextStats.ece(df, col("conf"), col("y"), bins = 10)
+        .as[(Long, Long, Long, Long)].collect().head
+      // double-precision reference over the SAME clamped binning
+      val clamped = rows.map { case (c, y) =>
+        (math.min(math.max(c, 0L), 1000000L), y) }
+      val byBin = clamped.groupBy { case (c, _) => math.min(c / 100000L, 9L) }
+      val gaps = byBin.values.map { g =>
+        val n = g.size.toDouble
+        val avg = g.map(_._1).sum / n
+        val acc = 1e6 * g.map(_._2).sum / n
+        (g.size.toLong, math.abs(avg - acc))
+      }
+      val refEce = gaps.map { case (n, gap) => n * gap }.sum / rows.size
+      val refMce = gaps.map(_._2).max
+      assert(e._1 === rows.size.toLong)
+      assert(e._2 === byBin.size.toLong)
+      // per-bin avg/acc each floor <= 1 ppm -> gap within 2; the
+      // n-weighted fold and the mce add one more floor each
+      assert(math.abs(e._3 - refEce) <= 3.0, s"ece ${e._3} vs $refEce for $rows")
+      assert(math.abs(e._4 - refMce) <= 2.0, s"mce ${e._4} vs $refMce for $rows")
+    }
+  }
+
+  test("property: kendallTau ppm equals the brute-force tau-a on random rankings") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.Ranking
+    val k = 8
+    def permOf(n: Int): Gen[Seq[Int]] =
+      Gen.listOfN(n * 4, Gen.choose(0, 1 << 20)).map(keys =>
+        (0 until n).sortBy(i => keys(i)))
+    val permGen = Gen.zip(permOf(k), permOf(k))
+    samples(permGen, 6).foreach { case (pa, pb) =>
+      val a = pa.zipWithIndex.map { case (d, i) => (1L, d.toLong, (i + 1).toLong) }
+        .toDF("query_id", "doc_id", "rnk")
+      val b = pb.zipWithIndex.map { case (d, i) => (1L, d.toLong, (i + 1).toLong) }
+        .toDF("query_id", "doc_id", "rnk")
+      val r = Ranking.kendallTau(a, b, "doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      // brute force over all unordered pairs of the k common docs
+      val ra = pa.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      val rb = pb.zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      val pairs = for (i <- 0 until k; j <- i + 1 until k) yield (i, j)
+      val sgns = pairs.map { case (i, j) =>
+        (ra(i) - ra(j)).sign * (rb(i) - rb(j)).sign }
+      val c = sgns.count(_ > 0); val d = sgns.count(_ < 0)
+      assert(r._2 === pairs.size.toLong)
+      assert(r._3 === c.toLong && r._4 === d.toLong, s"$pa vs $pb")
+      // the pmod-div form is EXACT floor division — equality, not tolerance
+      assert(r._5 === Math.floorDiv((c - d) * 1000000L, pairs.size.toLong))
+    }
+  }
+
   test("property: fleissKappa ppm tracks the real-valued statistic within floor error") {
     val spark2 = spark
     import spark2.implicits._
