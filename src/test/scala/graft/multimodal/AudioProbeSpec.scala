@@ -169,6 +169,16 @@ class AudioProbeSpec extends AnyFunSuite {
       .duration_ms === Some(0L))
   }
 
+  test("ogg: multi-segment lacing (>=255-byte pages) walks correctly") {
+    // a 700-byte data page needs lacing [255, 255, 190]; the tail scan
+    // must skip it whole to reach the final page's granule
+    val big = oggPage(2, 0L, 0L, vorbisId(44100L)) ++
+      oggPage(0, -1L, 1L, Array.fill(700)(0x22.toByte)) ++
+      oggPage(4, 88200L, 2L, Array.fill(10)(0x11.toByte))
+    val m = Multimodal.OggProbe.probe(big)
+    assert(m.format === Some("ogg") && m.duration_ms === Some(2000L))
+  }
+
   test("ogg: unknown codec, no granule-bearing page, truncation poison") {
     val unknown = oggPage(2, 0L, 0L, "speex   head".getBytes)
     assert(Multimodal.OggProbe.probe(unknown).format === None)

@@ -260,6 +260,15 @@ class MkvFrameCodecSpec extends AnyFunSuite {
     assert(lum(dead, 0L) === 0f)
   }
 
+  test("negative relative block timestamps resolve (B-frame reordering)") {
+    // cluster ts 5 with rel -2 and -4: block times 3 and 1 - a t=3 seek
+    // must pick the rel -2 block, a t=1 seek the rel -4 one
+    val neg = seekableMkv(1000000L, tracks, Seq(
+      1L -> cluster(5L, simpleBlock(1, -4, f(10)), simpleBlock(1, -2, f(60)))))
+    assert(near(lum(neg, 1L), 10))
+    assert(near(lum(neg, 3L), 60))
+  }
+
   test("non-default TimestampScale maps frameMs through scale units") {
     // 1e5 ns per unit: 1 ms = 10 units; cluster times 0 and 20 units
     val sc = seekableMkv(100000L, tracks, Seq(

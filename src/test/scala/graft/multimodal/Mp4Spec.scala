@@ -274,6 +274,28 @@ class Mp4FrameCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("stz2 4-bit nibble table: high nibble first, odd counts padded") {
+    // five samples of 2..6 bytes (all <= 15: the 4-bit regime)
+    val bytes = Seq(2, 3, 4, 5, 6).zip(vals).map { case (n, v) =>
+      Array.fill(n)(v.toByte) }
+    val f = seekableFile(0, 0, 1000L, bytes, Seq(5), Seq((5L, 1L)),
+      stz2Bits = 4)
+    for ((v, i) <- vals.zipWithIndex)
+      assert(near(lum(f, i.toLong), v), s"sample $i")
+  }
+
+  test("absent stts degrades to sample 0 (no time base)") {
+    def moovOf(offs: Seq[Long]) = box("moov", mvhd0(1000L, 0L),
+      trakFull(4, 2, 1000L, stscBox(Seq((1L, 2L))),
+        stszTable(Seq(8, 8)), stcoBox(offs)))
+    val base = ftyp.length + moovOf(Seq(0L)).length + 8
+    val f = ftyp ++ moovOf(Seq(base.toLong)) ++
+      box("mdat", (sample(10) ++ sample(60)))
+    // any frameMs resolves to sample 0 - without stts there is no clock
+    assert(near(lum(f, 0L), 10))
+    assert(near(lum(f, 5000L), 10))
+  }
+
   test("absent stsc degrades to one-sample-per-chunk") {
     val f = seekableFile(4, 2, 10L, vals.map(sample), Seq(1, 1, 1, 1, 1),
       Seq((5L, 1L)), dropStsc = true)
