@@ -2261,6 +2261,10 @@ object SparkEntry {
       val cov = Ranking.coverageTopK(docs, col("text"), "doc_id", qs, k = 10)
         .select(col("query_id"), col("doc_id"), col("rnk"))
         .localCheckpoint(true)
+      // fused IS checkpointed like its inputs: the un-checkpointed form
+      // (both consumers re-deriving the 30-row fold) measured 1.7x
+      // SLOWER on the isolated bench (8.6 vs 5.0 s) — the barrier is
+      // cheaper than re-planning the fold under two consumers
       val fused = Ranking.rrfFuse(Seq(lex, cov), "doc_id", topK = 10)
         .select(col("query_id"), col("doc_id"), col("rnk"))
         .localCheckpoint(true)
