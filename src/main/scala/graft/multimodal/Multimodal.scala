@@ -736,6 +736,44 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte dispatch to the right FRAME codec — [[SniffProbe]]'s
+    * codec twin, for pipelines whose media column is untagged: Y4M, AVI
+    * (idx1), MP4 (sample tables) and MKV (Cues) route to their
+    * index-seeking codecs, WAV to a [[WavFrameCodec]] window, PPM to its
+    * single frame via [[PpmCodec]]; unrecognized bytes decode to the
+    * zero vector (the family's poison rule). Stateless and Serializable
+    * like every codec — ships to executors as a closure constant. */
+  class SniffFrameCodec(wavWindowMs: Long = 1000L) extends FrameCodec {
+    private val wav = new WavFrameCodec(wavWindowMs)
+    private def pick(c: Array[Byte]): FrameCodec = {
+      def starts(s: String): Boolean =
+        c != null && c.length >= s.length &&
+          (0 until s.length).forall(i => c(i) == s.charAt(i).toByte)
+      def riffForm(s: String): Boolean = starts("RIFF") && c.length >= 12 &&
+        (8 until 12).forall(i => c(i) == s.charAt(i - 8).toByte)
+      if (starts("YUV4MPEG2")) Y4mFrameCodec
+      else if (riffForm("WAVE")) wav
+      else if (riffForm("AVI ")) AviFrameCodec
+      else if (c != null && c.length >= 12 && Mp4.tag(c, 4, "ftyp")) Mp4FrameCodec
+      else if (c != null && c.length >= 4 && c(0) == 0x1a.toByte &&
+        c(1) == 0x45.toByte && c(2) == 0xdf.toByte && c(3) == 0xa3.toByte)
+        MkvFrameCodec
+      else null
+    }
+    def decode(content: Array[Byte], dims: Int): Array[Float] = {
+      val c = pick(content)
+      if (c != null) c.decode(content, dims)
+      else if (content != null && content.length >= 2 &&
+        content(0) == 'P' && content(1) == '6') PpmCodec.decode(content, dims)
+      else new Array[Float](dims)
+    }
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val c = pick(content)
+      if (c != null) c.decodeFrame(content, frameMs, dims)
+      else new Array[Float](dims)
+    }
+  }
+
   /** One probed-metadata row ([[probeMeta]]'s output): nulls where the
     * format doesn't carry the field or the content is malformed. */
   case class ProbedMeta(

@@ -361,6 +361,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2).embedding(0) === frames(3).embedding(0)) // clamp
   }
 
+  test("SniffFrameCodec routes untagged bytes to the right container codec") {
+    val mp4 = Mp4Fixtures.seekableFile(4, 2, 10L,
+      Seq(10, 60).map(v => Array.fill(8)(v.toByte)), Seq(2), Seq((2L, 1L)))
+    val mkv = MkvFixtures.seekableMkv(1000000L,
+      MkvFixtures.el(0x1654AE6BL, MkvFixtures.videoTrackNum(4, 2, 1)), Seq(
+        0L -> MkvFixtures.cluster(0L,
+          MkvFixtures.simpleBlock(1, 0, Array.fill(8)(0x30.toByte)))))
+    val avi = AviFixtures.avi(4, 4, 100000, Seq(
+      "db" -> AviFixtures.rawDb(Array.fill(16)(0x70.toByte), 4, 4)))
+    val y4m = ("YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n").getBytes("US-ASCII") ++
+      Array.fill(16)(0x50.toByte) ++ Array.fill(8)(0x80.toByte)
+    val sniff = new Multimodal.SniffFrameCodec()
+    // each fixture must decode IDENTICALLY to its direct codec
+    for ((bytes, direct) <- Seq[(Array[Byte], Multimodal.FrameCodec)](
+        (mp4, Multimodal.Mp4FrameCodec), (mkv, Multimodal.MkvFrameCodec),
+        (avi, Multimodal.AviFrameCodec), (y4m, Multimodal.Y4mFrameCodec)))
+      for (ms <- Seq(0L, 100L))
+        assert(sniff.decodeFrame(bytes, ms, 2).toSeq ===
+          direct.decodeFrame(bytes, ms, 2).toSeq)
+    // unrecognized bytes poison to zero; PPM still whole-decodes
+    assert(sniff.decodeFrame("garbage".getBytes, 0L, 3).toSeq === Seq(0f, 0f, 0f))
+    val ppm = ("P6\n2 2\n255\n" + "ÿ" * 12).getBytes("ISO-8859-1")
+    assert(sniff.decode(ppm, 1).toSeq === Multimodal.PpmCodec.decode(ppm, 1).toSeq)
+  }
+
   test("frame sampling derives rows from metadata only") {
     val media = Multimodal.syntheticMedia(spark, 3)
     val frames = Multimodal.sampleFrames(media, everyMs = 5000)
