@@ -210,13 +210,10 @@ object Ranking {
       .agg(count(lit(1)).as("pairs"),
         sum(when(sgn > 0, 1L).otherwise(0L)).as("concordant"),
         sum(when(sgn < 0, 1L).otherwise(0L)).as("discordant"))
-      // x - pmod(x, y) is an exact multiple of y, so truncating `div`
-      // equals FLOOR division on the (possibly negative) numerator —
-      // all-long arithmetic, matching DuckDB `//` bit-for-bit
-      .withColumn("tau_ppm", expr(
-        """((concordant - discordant) * 1000000
-          | - pmod((concordant - discordant) * 1000000, pairs)) div pairs"""
-          .stripMargin.replace("\n", " ")))
+      // exact FLOOR division on the (possibly negative) numerator —
+      // all-long arithmetic, DuckDB `//` parity (the shared helper)
+      .withColumn("tau_ppm", graft.core.IntCols.floorDiv(
+        (col("concordant") - col("discordant")) * 1000000L, col("pairs")))
   }
 
   /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) truncated

@@ -242,7 +242,7 @@ object TextStats {
       .when(textCol.isNotNull, array().cast("array<string>"))
     // exact integer division for non-negative operands (no `div` Column
     // function, and double `/` + cast mis-truncates near-exact quotients)
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     val zero = lit(0L)
     val rep = aggregate(
       array_sort(grams),
@@ -1273,7 +1273,7 @@ object TextStats {
     *
     * Output, one row: `(n_docs, po_ppm, pe_ppm, kappa_ppm)`. */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     val M = 1000000L
     val agg = df.agg(
       count(lit(1)).as("n"),
@@ -1311,7 +1311,7 @@ object TextStats {
     * Output, one row: (n_docs, m_raters, po_ppm, pe_ppm, kappa_ppm). */
   def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
     require(raters.size >= 2, "fleissKappa: need at least 2 raters")
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     val M = 1000000L
     val m = raters.size.toLong
     val x = raters.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)

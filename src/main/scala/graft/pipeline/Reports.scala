@@ -111,7 +111,7 @@ object Reports {
     // floor division, identical to the oracle's `//` (operands here are
     // non-negative, so truncation would agree too — pmod keeps the form
     // uniform with the engine's other fixed-point math)
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     // `counts` is referenced by the group census, the dense-grid join,
     // and BOTH pair-join sides — without materialization the corpus scan
     // (with the signal kernel) re-plans FOUR times. The table is bounded
@@ -176,7 +176,7 @@ object Reports {
   def shrunkRates(
       df: DataFrame, groupCol: Column, flagCol: Column, pseudoN: Long): DataFrame = {
     require(pseudoN >= 1, s"shrunkRates: pseudoN must be >= 1, got $pseudoN")
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     val M = 1000000L
     // the <=groups-row table is read twice (rates + the pooled prior);
     // eagerly checkpoint it or BOTH references re-plan the corpus
@@ -197,7 +197,7 @@ object Reports {
     * gating column): `(x·1e6 + k·p0) div (n + k)` with `p0 = gx·1e6 div
     * gn`, all-BIGINT floor math on non-negative operands. */
   private def shrunkPpm(x: Column, n: Column, gx: Column, gn: Column, pseudoN: Long): Column = {
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     val M = 1000000L
     idiv(x * M + lit(pseudoN) * idiv(gx * M, gn), n + lit(pseudoN))
   }
@@ -221,7 +221,7 @@ object Reports {
       df: DataFrame, valueCol: Column, bins: Int = 64, binWidth: Long = 1L): KsBaseline = {
     require(bins >= 2, s"ksBaseline: bins must be >= 2, got $bins")
     require(binWidth >= 1, s"ksBaseline: binWidth must be >= 1, got $binWidth")
-    def idiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
     // negatives clamp to bin 0 (the ksDriftStream policy — before round
     // 13 a negative value was a driver AIOOBE here while the stream
     // clamped, letting the "exact dual" pair disagree on malformed rows)
