@@ -1332,4 +1332,56 @@ object TextStats {
         idiv((col("po_ppm") - col("pe_ppm")) * M, lit(M) - col("pe_ppm")))
         .as("kappa_ppm"))
   }
+
+  /** Krippendorff's alpha for binary ratings with MISSING values — the
+    * agreement statistic [[cohenKappa]]/[[fleissKappa]] cannot provide
+    * when raters SKIP items (the normal shape of a human-label pass:
+    * every annotator rates a subset). Rater columns are nullable
+    * booleans; null = "did not rate". Nominal-binary form on the
+    * coincidence matrix:
+    *
+    *   Do = (1/n) Σ_i 2·x_i·(n_i−x_i)/(n_i−1)   over items with n_i ≥ 2
+    *   De = 2·T·(n−T)/(n·(n−1))                 (n = Σn_i, T = Σx_i)
+    *   alpha = 1 − Do/De
+    *
+    * Items with fewer than 2 ratings are UNPAIRABLE and excluded from
+    * every sum — the statistic's defining behavior. Unlike the kappa
+    * family's population-form pe, De keeps its (n−1) small-sample
+    * correction: that correction is what makes alpha comparable across
+    * differently-sized label passes.
+    *
+    * All-BIGINT ppm ([[graft.core.IntCols.floorDiv]] floor division —
+    * DuckDB-mirrorable): the per-item Do term floors once per item (≤ 1
+    * ppm each, the KS-family convention), De floors twice via the
+    * overflow-safe two-stage `((2T·1e6 div n)·(n−T)) div (n−1)`, and
+    * `alpha_ppm = (De−Do)·1e6 div De` floors on a possibly-negative
+    * numerator. De = 0 (every rating the same category) yields NULL
+    * alpha — the undefined case, never a fake 1e6.
+    *
+    * Scale shape: ONE map-side partial aggregate to a single row — the
+    * shuffle carries three counters (n, T, Σterm) per task, the
+    * [[fleissKappa]] shape.
+    *
+    * Output, one row: (`n_pairable`, `do_ppm`, `de_ppm`, `alpha_ppm`). */
+  def krippendorffAlpha(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "krippendorffAlpha: need at least 2 raters")
+    val idiv = graft.core.IntCols.floorDiv _
+    val M = 1000000L
+    val x = raters.map(r => when(r.isNotNull && r, 1L).otherwise(0L)).reduce(_ + _)
+    val nn = raters.map(r => when(r.isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val items = df.select(x.as("_x"), nn.as("_n")).where(col("_n") >= 2)
+    val agg = items.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n"),
+      coalesce(sum(col("_x")), lit(0L)).as("t"),
+      coalesce(sum(idiv(lit(2L) * col("_x") * (col("_n") - col("_x")) * M,
+        col("_n") - 1L)), lit(0L)).as("_st"))
+    agg.select(col("n").as("n_pairable"),
+        when(col("n") > 0, idiv(col("_st"), col("n"))).as("do_ppm"),
+        when(col("n") > 1,
+          idiv(idiv(lit(2L) * col("t") * M, col("n")) * (col("n") - col("t")),
+            col("n") - 1L)).as("de_ppm"))
+      .withColumn("alpha_ppm",
+        when(col("de_ppm") > 0,
+          idiv((col("de_ppm") - col("do_ppm")) * M, col("de_ppm"))))
+  }
 }

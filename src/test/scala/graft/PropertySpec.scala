@@ -471,6 +471,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: krippendorffAlpha ppm tracks the real-valued statistic") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.ext.TextStats
+    // nullable tri-rater rows: 0=false, 1=true, 2=missing
+    val rowsGen = Gen.listOfN(20,
+      Gen.listOfN(3, Gen.choose(0, 2)).map(l => (l(0), l(1), l(2))))
+    samples(rowsGen, 5).foreach { rows =>
+      def dec(v: Int): Option[Boolean] = if (v == 2) None else Some(v == 1)
+      val df = rows.map { case (a, b, c) => (dec(a), dec(b), dec(c)) }
+        .toDF("ra", "rb", "rc")
+      val r = TextStats.krippendorffAlpha(df, Seq(col("ra"), col("rb"), col("rc")))
+        .collect().head
+      // double-precision reference on the same pairable set
+      val items = rows.map { case t =>
+        val vs = Seq(t._1, t._2, t._3).filter(_ != 2)
+        (vs.count(_ == 1), vs.size)
+      }.filter(_._2 >= 2)
+      val n = items.map(_._2).sum.toDouble
+      assert(r.getLong(0) === n.toLong)
+      if (n >= 2) {
+        val t = items.map(_._1).sum.toDouble
+        val dObs = items.map { case (x, ni) =>
+          2.0 * x * (ni - x) / (ni - 1) }.sum / n
+        val dExp = 2.0 * t * (n - t) / (n * (n - 1))
+        assert(math.abs(r.getLong(1) - dObs * 1e6) <= items.size + 1.0, s"do for $rows")
+        assert(math.abs(r.getLong(2) - dExp * 1e6) <= 3.0, s"de for $rows")
+        if (dExp > 1e-9) {
+          val alpha = 1.0 - dObs / dExp
+          // do/de each carry floor error; the division amplifies by 1/de
+          val tol = 3.0 + (items.size + 4.0) / math.max(1e-6, dExp)
+          assert(math.abs(r.getLong(3) - alpha * 1e6) <= tol,
+            s"alpha ${r.getLong(3)} vs ${alpha * 1e6} for $rows")
+        } else assert(r.isNullAt(3), s"de=0 must yield NULL alpha for $rows")
+      }
+    }
+  }
+
   test("property: fleissKappa ppm tracks the real-valued statistic within floor error") {
     val spark2 = spark
     import spark2.implicits._

@@ -1864,6 +1864,36 @@ class TextStatsSpec extends SparkSpec {
     assert(kappa === Some(Math.floorDiv((po - pe) * 1000000L, 1000000L - pe)))
     assert(kappa.get === -333334L, s"floor (not truncate) on negatives: $kappa")
   }
+
+  test("krippendorffAlpha: missing ratings, hand-computed, degenerate NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    def run(rows: Seq[(Option[Boolean], Option[Boolean], Option[Boolean])]) = {
+      val df = rows.toDF("ra", "rb", "rc").repartition(2)
+      val r = TextStats.krippendorffAlpha(df, Seq(col("ra"), col("rb"), col("rc")))
+        .collect().head
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), opt(1), opt(2), opt(3))
+    }
+    val T = Some(true); val F = Some(false); val N = Option.empty[Boolean]
+    // hand case: (T,T,-), (T,F,-), (F,F,F), (T,-,-): the 1-rating item is
+    // UNPAIRABLE -> n = 7, T = 3, Do = 2/7, De = 2*3*4/(7*6) = 4/7,
+    // alpha = 1 - Do/De = 0.5; ppm floors: do 285714, de 571428, and
+    // 285714e6 div 571428 lands EXACTLY on 500000
+    assert(run(Seq((T, T, N), (T, F, N), (F, F, F), (T, N, N))) ===
+      ((7L, Some(285714L), Some(571428L), Some(500000L))))
+    // perfect agreement with mixed categories: Do = 0 -> alpha = 1e6
+    assert(run(Seq((T, T, T), (F, F, F)))._4 === Some(1000000L))
+    // every rating the same category: De = 0 -> NULL (undefined)
+    assert(run(Seq((T, T, T), (T, T, N)))._4 === None)
+    // nothing pairable at all: NULL statistics (the kappa-family
+    // undefined convention), never a throw
+    assert(run(Seq((T, N, N), (N, F, N))) === ((0L, None, None, None)))
+    // worst case: every pairable item split -> alpha < 0, floor parity
+    val (n, dd, de, a) = run(Seq((T, F, N), (F, T, N)))
+    assert(n === 4L && a.get < 0L)
+    assert(a === Some(Math.floorDiv((de.get - dd.get) * 1000000L, de.get)))
+  }
 }
 
 class EventsSpec extends SparkSpec {
