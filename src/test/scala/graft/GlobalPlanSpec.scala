@@ -39,6 +39,20 @@ class GlobalPlanSpec extends SparkSpec {
       "detector failed to flag a deliberate shuffle cartesian product")
   }
 
+  test("q167's final plan keeps ALL corpus work behind the retrieval checkpoints") {
+    // the multi-consumer discipline that makes q167 affordable: lex, cov
+    // and fused are each read twice, so the rendered plan must contain
+    // ZERO file scans — every consumer reads a checkpoint (ExistingRDD).
+    // A future edit that drops a checkpoint re-plans a full retrieval
+    // pass per consumer (2x BM25 + 2x coverage) and fails here.
+    val plan = SparkEntry.queries("q167_rank_agreement")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+      s"q167 re-planned a corpus scan past its checkpoints:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpoint scans in q167's plan:\n$plan")
+  }
+
   test("oracle contract: every query oracled (one documented sketch exception), every oracle ordered") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
