@@ -815,12 +815,20 @@ object Multimodal {
       if (starts("YUV4MPEG2")) Y4mProbe.probe(content)
       else if (riffForm("WAVE")) WavProbe.probe(content)
       else if (riffForm("AVI ")) AviProbe.probe(content)
+      else if (riffForm("WEBP")) WebpProbe.probe(content)
       else if (content != null && content.length >= 12 && Mp4.tag(content, 4, "ftyp"))
         Mp4Probe.probe(content)
       else if (ebml) MkvProbe.probe(content)
       else if (starts("P6")) PpmProbe.probe(content)
       else if (starts("fLaC")) FlacProbe.probe(content)
       else if (starts("OggS")) OggProbe.probe(content)
+      else if (content != null && content.length >= 4 &&
+        (content(0) & 0xff) == 0x89 && content(1) == 'P' &&
+        content(2) == 'N' && content(3) == 'G') PngProbe.probe(content)
+      else if (starts("GIF8")) GifProbe.probe(content)
+      else if (content != null && content.length >= 3 &&
+        (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8 &&
+        (content(2) & 0xff) == 0xff) JpegProbe.probe(content)
       else if (mp3ish) Mp3Probe.probe(content)
       else ProbedMeta(0L, None, None, None, None)
     }
@@ -1830,6 +1838,128 @@ object Multimodal {
       if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) return none
       val frames = dataLen / (channels.toLong * (bits / 8).max(1))
       ProbedMeta(0L, Some("wav"), None, None, Some(frames * 1000L / rate))
+    }
+  }
+
+  /** PNG: width/height from the IHDR chunk — by spec the FIRST chunk
+    * after the 8-byte signature, so the parse is fixed-offset: u32 BE
+    * dims at bytes 16/20 (behind IHDR's length+type at 8..15). No time
+    * axis. Truncated or non-IHDR-first files probe all-None. */
+  object PngProbe extends MediaProbe {
+    private val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 24 ||
+          !(0 until 8).forall(i => content(i) == sig(i))) return none
+      def u32(o: Int): Long =
+        ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+          ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+      if (!(content(12) == 'I' && content(13) == 'H' &&
+          content(14) == 'D' && content(15) == 'R')) return none
+      val w = u32(16); val h = u32(20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) none
+      else ProbedMeta(0L, Some("png"), Some(w.toInt), Some(h.toInt), None)
+    }
+  }
+
+  /** JPEG: marker walk to the first SOF frame header (SOF0–SOF15 minus
+    * the non-frame DHT/DAC/RST codes) for height/width — the standard
+    * dimensions probe. Entropy-coded data is never decoded: every
+    * non-SOF segment is skipped by its declared length; a malformed
+    * length or a truncated segment stops the walk (the crawl-corruption
+    * policy). Standalone markers (RSTn, TEM) and padding FF bytes are
+    * stepped over per the spec. */
+  object JpegProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 4 ||
+          (content(0) & 0xff) != 0xff || (content(1) & 0xff) != 0xd8)
+        return none
+      def u16(o: Int): Int =
+        ((content(o) & 0xff) << 8) | (content(o + 1) & 0xff)
+      var pos = 2
+      while (pos + 4 <= content.length) {
+        if ((content(pos) & 0xff) != 0xff) return none // lost sync
+        // skip fill bytes (FF FF ... marker)
+        var mo = pos
+        while (mo + 1 < content.length && (content(mo + 1) & 0xff) == 0xff)
+          mo += 1
+        val marker = content(mo + 1) & 0xff
+        val segStart = mo + 2
+        marker match {
+          case 0xd8 => pos = segStart // spurious SOI: keep walking
+          case m if m >= 0xd0 && m <= 0xd7 => pos = segStart // RSTn: bare
+          case 0x01 => pos = segStart // TEM: bare
+          case 0xd9 => return none // EOI before any SOF
+          case 0xda => return none // SOS before SOF: malformed
+          case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc => // SOFn frame header
+            if (segStart + 7 > content.length) return none
+            val h = u16(segStart + 3); val w = u16(segStart + 5)
+            return if (w <= 0 || h <= 0) none
+            else ProbedMeta(0L, Some("jpeg"), Some(w), Some(h), None)
+          case _ => // any other segment: skip by declared length
+            if (segStart + 2 > content.length) return none
+            val len = u16(segStart)
+            if (len < 2 || segStart + len > content.length) return none
+            pos = segStart + len
+        }
+      }
+      none
+    }
+  }
+
+  /** GIF (87a/89a): width/height from the fixed-offset logical screen
+    * descriptor (u16 LE at bytes 6/8). No time axis probed — per-frame
+    * delays live in extension blocks a header probe has no business
+    * walking. */
+  object GifProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 10) return none
+      val hdr = new String(content, 0, 6, "US-ASCII")
+      if (hdr != "GIF87a" && hdr != "GIF89a") return none
+      def u16le(o: Int): Int =
+        (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+      val w = u16le(6); val h = u16le(8)
+      if (w <= 0 || h <= 0) none
+      else ProbedMeta(0L, Some("gif"), Some(w), Some(h), None)
+    }
+  }
+
+  /** WebP: RIFF/WEBP with three in-the-wild header layouts — `VP8X`
+    * (extended: 24-bit width−1/height−1), `VP8L` (lossless: 14-bit
+    * packed dims), `VP8 ` (lossy: u16 LE dims in the frame tag, 14
+    * significant bits). Header-only; image data never decoded. */
+  object WebpProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 20) return none
+      def tag(o: Int, s: String): Boolean =
+        (0 until 4).forall(i => content(o + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WEBP")) return none
+      def b(o: Int): Int = content(o) & 0xff
+      if (tag(12, "VP8X") && content.length >= 30) {
+        val w = 1 + (b(24) | (b(25) << 8) | (b(26) << 16))
+        val h = 1 + (b(27) | (b(28) << 8) | (b(29) << 16))
+        ProbedMeta(0L, Some("webp"), Some(w), Some(h), None)
+      } else if (tag(12, "VP8L") && content.length >= 25 && b(20) == 0x2f) {
+        val bits = b(21) | (b(22) << 8) | (b(23) << 16) | (b(24) << 24)
+        val w = 1 + (bits & 0x3fff)
+        val h = 1 + ((bits >> 14) & 0x3fff)
+        ProbedMeta(0L, Some("webp"), Some(w), Some(h), None)
+      } else if (tag(12, "VP8 ") && content.length >= 30) {
+        // lossy frame tag: 3-byte frame header, 3-byte start code
+        // 9D 01 2A, then u16 LE width/height (14 bits each)
+        if (b(23) == 0x9d && b(24) == 0x01 && b(25) == 0x2a) {
+          val w = (b(26) | (b(27) << 8)) & 0x3fff
+          val h = (b(28) | (b(29) << 8)) & 0x3fff
+          if (w > 0 && h > 0)
+            ProbedMeta(0L, Some("webp"), Some(w), Some(h), None)
+          else none
+        } else none
+      } else none
     }
   }
 

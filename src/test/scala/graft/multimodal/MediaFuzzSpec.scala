@@ -63,7 +63,9 @@ class MediaFuzzSpec extends AnyFunSuite {
   private val cases: Seq[Array[Byte]] =
     samples(garbage, 40) ++
       Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
-        AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis)
+        AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis,
+        ImageFixtures.pngFx, ImageFixtures.jpegFx, ImageFixtures.gifFx,
+        ImageFixtures.webpFx)
         .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
@@ -72,7 +74,9 @@ class MediaFuzzSpec extends AnyFunSuite {
       for (p <- Seq(Multimodal.SniffProbe, Multimodal.Y4mProbe,
           Multimodal.WavProbe, Multimodal.PpmProbe, Multimodal.AviProbe,
           Multimodal.Mp4Probe, Multimodal.MkvProbe,
-          Multimodal.Mp3Probe, Multimodal.FlacProbe, Multimodal.OggProbe)) {
+          Multimodal.Mp3Probe, Multimodal.FlacProbe, Multimodal.OggProbe,
+          Multimodal.PngProbe, Multimodal.JpegProbe, Multimodal.GifProbe,
+          Multimodal.WebpProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
