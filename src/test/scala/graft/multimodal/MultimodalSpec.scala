@@ -338,13 +338,20 @@ class MultimodalSpec extends SparkSpec {
       (2L, MkvFixtures.mkv),
       (3L, AudioFixtures.mp3),
       (4L, AudioFixtures.flacTenSec),
-      (5L, AudioFixtures.oggVorbis)
+      (5L, AudioFixtures.oggVorbis),
+      (6L, ImageFixtures.pngFx),
+      (7L, ImageFixtures.jpegFx),
+      (8L, ImageFixtures.gifFx),
+      (9L, ImageFixtures.webpFx)
     ).toDF("media_id", "content").repartition(2)
     val out = Multimodal.probeMeta(media).collect().sortBy(_.media_id)
     assert(out.map(_.format) === Array(Some("mp4"), Some("mkv"),
-      Some("mp3"), Some("flac"), Some("ogg")))
+      Some("mp3"), Some("flac"), Some("ogg"),
+      Some("png"), Some("jpeg"), Some("gif"), Some("webp")))
     assert(out(3).duration_ms === Some(10000L)) // flac STREAMINFO, exact
     assert(out(4).duration_ms === Some(10000L)) // ogg last-page granule
+    assert(out(5).width === Some(640) && out(6).width === Some(800))
+    assert(out(7).height === Some(24) && out(8).height === Some(768))
     // the MP4 probe's duration drives the frame plan through the MP4
     // codec end to end: 3 samples at 10 units/s timescale = 300 ms
     val withMeta = media.where(col("media_id") === 1L)
