@@ -826,6 +826,8 @@ object Multimodal {
         (content(0) & 0xff) == 0x89 && content(1) == 'P' &&
         content(2) == 'N' && content(3) == 'G') PngProbe.probe(content)
       else if (starts("GIF8")) GifProbe.probe(content)
+      else if (starts("BM")) BmpProbe.probe(content)
+      else if (starts("II") || starts("MM")) TiffProbe.probe(content)
       else if (content != null && content.length >= 3 &&
         (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8 &&
         (content(2) & 0xff) == 0xff) JpegProbe.probe(content)
@@ -1960,6 +1962,67 @@ object Multimodal {
           else none
         } else none
       } else none
+    }
+  }
+
+  /** BMP: 'BM' magic, BITMAPINFOHEADER dims at fixed LE offsets 18/22.
+    * Height may be NEGATIVE (top-down rows) — reported as its magnitude,
+    * the convention every inventory expects. */
+  object BmpProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 26 ||
+          content(0) != 'B' || content(1) != 'M') return none
+      def s32le(o: Int): Int =
+        (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
+          ((content(o + 2) & 0xff) << 16) | ((content(o + 3) & 0xff) << 24)
+      val hdrSize = s32le(14)
+      if (hdrSize < 40) return none // core-header variants: not probed
+      val w = s32le(18); val h = s32le(22)
+      if (w <= 0 || h == 0 || h == Int.MinValue) none
+      else ProbedMeta(0L, Some("bmp"), Some(w), Some(math.abs(h)), None)
+    }
+  }
+
+  /** TIFF: endianness marker (`II`/`MM`) + magic 42, then the FIRST
+    * IFD's entry walk for ImageWidth (256) / ImageLength (257) — each a
+    * SHORT or LONG whose value packs into the entry's inline value
+    * field. Header-only: strips are never read; a malformed IFD offset
+    * or entry count stops the walk (the crawl-corruption policy). */
+  object TiffProbe extends MediaProbe {
+    def probe(content: Array[Byte]): ProbedMeta = {
+      val none = ProbedMeta(0L, None, None, None, None)
+      if (content == null || content.length < 8) return none
+      val le =
+        if (content(0) == 'I' && content(1) == 'I') true
+        else if (content(0) == 'M' && content(1) == 'M') false
+        else return none
+      def u16(o: Int): Int =
+        if (o + 2 > content.length) -1
+        else if (le) (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+        else ((content(o) & 0xff) << 8) | (content(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (o + 4 > content.length) -1L
+        else if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+        else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+      if (u16(2) != 42) return none
+      val ifd = u32(4)
+      if (ifd < 8 || ifd > content.length - 2L) return none
+      val n = u16(ifd.toInt)
+      if (n <= 0) return none
+      var w = -1L; var h = -1L
+      var i = 0
+      while (i < n && (w < 0 || h < 0)) {
+        val e = ifd.toInt + 2 + 12 * i
+        if (e + 12 > content.length) return none
+        val tag = u16(e); val typ = u16(e + 2)
+        // SHORT (3) reads 16 bits of the value field, LONG (4) all 32
+        val v = if (typ == 3) u16(e + 8).toLong else if (typ == 4) u32(e + 8) else -1L
+        if (tag == 256) w = v else if (tag == 257) h = v
+        i += 1
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) none
+      else ProbedMeta(0L, Some("tiff"), Some(w.toInt), Some(h.toInt), None)
     }
   }
 

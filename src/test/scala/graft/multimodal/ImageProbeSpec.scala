@@ -55,10 +55,33 @@ object ImageFixtures {
     "RIFF".getBytes ++ be32(body.length).reverse ++ body
   }
 
+  def le32(v: Int): Array[Byte] = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+
+  def bmp(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++ // file hdr
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(8) ++
+      Array.fill(24)(0.toByte)
+
+  /** TIFF with the requested endianness: IFD at 8, entries for
+    * ImageWidth (SHORT) and ImageLength (LONG). */
+  def tiff(w: Int, h: Int, le: Boolean): Array[Byte] = {
+    def w16(v: Int) = if (le) le16(v) else be16(v)
+    def w32(v: Int) = if (le) le32(v) else be32(v.toLong)
+    def entry(tag: Int, typ: Int, value: Array[Byte]) =
+      w16(tag) ++ w16(typ) ++ w32(1) ++ value
+    (if (le) "II".getBytes else "MM".getBytes) ++ w16(42) ++ w32(8) ++
+      w16(2) ++
+      entry(256, 3, w16(w) ++ w16(0)) ++ // SHORT width, padded
+      entry(257, 4, w32(h)) ++           // LONG height
+      w32(0)
+  }
+
   val pngFx: Array[Byte] = png(640, 480)
   val jpegFx: Array[Byte] = jpeg(800, 600)
   val gifFx: Array[Byte] = gif(32, 24)
   val webpFx: Array[Byte] = webpX(1024, 768)
+  val bmpFx: Array[Byte] = bmp(160, 120)
+  val tiffFx: Array[Byte] = tiff(2048, 1536, le = true)
 }
 
 class ImageProbeSpec extends AnyFunSuite {
@@ -113,11 +136,35 @@ class ImageProbeSpec extends AnyFunSuite {
     assert(WebpProbe.probe(bad).format === None)
   }
 
-  test("SniffProbe dispatches all four image magics") {
+  test("bmp: LE dims, top-down negative height reported as magnitude") {
+    assert(Multimodal.BmpProbe.probe(bmpFx) ===
+      Multimodal.ProbedMeta(0L, Some("bmp"), Some(160), Some(120), None))
+    assert(Multimodal.BmpProbe.probe(bmp(160, -120)).height === Some(120))
+    // core-header (hdrSize < 40) variants are not probed; junk poisons
+    assert(Multimodal.BmpProbe.probe("BMW car listing".getBytes).format === None)
+    assert(Multimodal.BmpProbe.probe(bmpFx.take(20)).format === None)
+  }
+
+  test("tiff: both endiannesses, SHORT and LONG dim entries, poisons") {
+    assert(Multimodal.TiffProbe.probe(tiffFx) ===
+      Multimodal.ProbedMeta(0L, Some("tiff"), Some(2048), Some(1536), None))
+    assert(Multimodal.TiffProbe.probe(tiff(31, 17, le = false)) ===
+      Multimodal.ProbedMeta(0L, Some("tiff"), Some(31), Some(17), None))
+    // text starting with the endianness marker is not a tiff (magic 42)
+    assert(Multimodal.TiffProbe.probe("IIx and more text".getBytes).format === None)
+    // IFD offset past EOF, truncated entry table
+    assert(Multimodal.TiffProbe.probe(tiffFx.take(10)).format === None)
+    assert(Multimodal.TiffProbe.probe(tiffFx.dropRight(20)).format === None)
+  }
+
+  test("SniffProbe dispatches all six image magics") {
     assert(SniffProbe.probe(pngFx).format === Some("png"))
     assert(SniffProbe.probe(jpegFx).format === Some("jpeg"))
     assert(SniffProbe.probe(gifFx).format === Some("gif"))
     assert(SniffProbe.probe(webpFx).format === Some("webp"))
+    assert(SniffProbe.probe(bmpFx).format === Some("bmp"))
+    assert(SniffProbe.probe(tiffFx).format === Some("tiff"))
+    assert(SniffProbe.probe(tiff(5, 5, le = false)).format === Some("tiff"))
     // RIFF dispatch stays unambiguous: WAVE/AVI keep their probes
     assert(SniffProbe.probe(Mp4Fixtures.mp4).format === Some("mp4"))
   }

@@ -65,7 +65,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
         AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis,
         ImageFixtures.pngFx, ImageFixtures.jpegFx, ImageFixtures.gifFx,
-        ImageFixtures.webpFx)
+        ImageFixtures.webpFx, ImageFixtures.bmpFx, ImageFixtures.tiffFx)
         .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
@@ -76,7 +76,7 @@ class MediaFuzzSpec extends AnyFunSuite {
           Multimodal.Mp4Probe, Multimodal.MkvProbe,
           Multimodal.Mp3Probe, Multimodal.FlacProbe, Multimodal.OggProbe,
           Multimodal.PngProbe, Multimodal.JpegProbe, Multimodal.GifProbe,
-          Multimodal.WebpProbe)) {
+          Multimodal.WebpProbe, Multimodal.BmpProbe, Multimodal.TiffProbe)) {
         val m = p.probe(bytes) // must not throw
         m.width.foreach(w => assert(w > 0))
         m.height.foreach(h => assert(h > 0))
