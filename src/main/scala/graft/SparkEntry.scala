@@ -2290,6 +2290,40 @@ object SparkEntry {
       bins.crossJoin(broadcast(TextStats.eceFromBins(bins)))
         .orderBy(col("bin"))
     }),
+
+    // ---- Krippendorff's alpha: missing-tolerant multi-rater agreement ----
+    "q169_krippendorff" -> ((s, dir) => {
+      // the q163 rater panel with STRUCTURAL missingness — rater a only
+      // labels even doc_ids, rater c only multiples of 3, rater b labels
+      // everything. Every residue class mod 6 exists in any 6-doc run,
+      // so the fixture guarantees by construction items with 3, 2, and 1
+      // ratings (the 1-rating class is UNPAIRABLE and must be excluded —
+      // the statistic's defining behavior vs the kappa family); one
+      // map-side aggregate to a single all-BIGINT ppm row
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+      TextStats.krippendorffAlpha(docs, Seq(
+        when(col("doc_id") % 2 === 0,
+          TextStats.tokenCount(col("text")).cast("long") >= 40L),
+        col("n_chars") >= 250L,
+        when(col("doc_id") % 3 === 0,
+          graft.functions.AlphaCountExpr.alpha_count(col("text")).cast("long") * 10L >=
+            col("n_chars") * 7L)))
+    }),
+
+    // ---- unigram-LM tokenizer training (prune-based, 2 EM rounds) --------
+    "q170_unigram_lm" -> ((s, dir) => {
+      // the tokenizer family's missing half: BPE (q117) merges upward,
+      // unigram-LM seeds wide and PRUNES — chars + top-64 bigrams, two
+      // greedy-EM segmentation rounds over the weighted vocabulary, kept
+      // = the final segmentation still uses the piece; the oracle
+      // unrolls the identical two rounds as CTEs (the q165 pattern).
+      // Non-emptiness is structural: every character is a candidate row
+      TextStats.unigramLmVocab(t(s, dir, "documents"), col("text"),
+          topBigrams = 64)
+        .orderBy(col("piece"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -2364,6 +2398,31 @@ object SparkEntry {
         |  i -> substr(w, CAST(i + 1 AS INT), 1)), '  ') AS sym FROM w0),
         |$stages""".stripMargin.replace("\n", " ")
     }
+    // one unigram-LM greedy segmentation round (q170): Laplace-smoothed
+    // Mitchell-log2 scores from candidate table k$prev, per-position
+    // benefit join, beneficial-run islands via the running non-ben count,
+    // even-offset bigram starts, lag-consumed singles, usage counts
+    def unigramRound(r: Int, prev: String): String =
+      s"""s$r AS (SELECT piece, ${fl2("(cnt + 1)")} AS s FROM $prev),
+        |n$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM $prev),
+        |b$r AS (SELECT up.w, up.wc, up.i, up.c, up.bg,
+        |  COALESCE(sb.s + ${fl2("(n.t + n.v)")} > sc.s + sc2.s, false) AS ben
+        | FROM up LEFT JOIN s$r sb ON up.bg = sb.piece
+        |  LEFT JOIN s$r sc ON up.c = sc.piece
+        |  LEFT JOIN s$r sc2 ON up.c2 = sc2.piece, n$r n),
+        |g$r AS (SELECT w, wc, i, c, bg, ben,
+        |  SUM(CASE WHEN NOT ben THEN 1 ELSE 0 END) OVER (PARTITION BY w ORDER BY i) AS grp
+        | FROM b$r),
+        |st$r AS (SELECT w, wc, i, c, bg, ben, grp,
+        |  MIN(CASE WHEN ben THEN i END) OVER (PARTITION BY w, grp) AS rs
+        | FROM g$r),
+        |e$r AS (SELECT w, wc, i, c, bg,
+        |  ben AND (i - rs) % 2 = 0 AS is_start,
+        |  COALESCE(LAG(ben AND (i - rs) % 2 = 0, 1) OVER (PARTITION BY w ORDER BY i), false) AS consumed
+        | FROM st$r),
+        |cr$r AS (SELECT piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |  SELECT CASE WHEN is_start THEN bg WHEN NOT consumed THEN c END AS piece, wc FROM e$r)
+        | WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin.replace("\n", " ")
     val mkO =
       """CASE
         | WHEN doc_id % 4 = 0 THEN '<http://ex/doc/' || doc_id || '>'
@@ -4992,6 +5051,73 @@ object SparkEntry {
           |SELECT bb.bin, bb.n, bb.pos, bb.avg_conf_ppm, bb.acc_ppm, bb.gap_ppm,
           | e.n_docs, e.bins_used, e.ece_ppm, e.mce_ppm
           |FROM bb, e ORDER BY bb.bin""".stripMargin.replace("\n", " "),
+
+      // q169: per-item (x, n) over the nullable rater panel, unpairable
+      // items (n < 2) excluded, the coincidence-matrix Do/De fold; every
+      // SUM cast to BIGINT (DuckDB SUM is HUGEINT); the alpha numerator
+      // (de - do) can be negative — `//` floors, mirrored by the engine's
+      // pmod-div form with a positive divisor
+      "q169_krippendorff" ->
+        s"""WITH d AS (SELECT
+          |  CASE WHEN doc_id % 2 = 0 THEN CAST(len($toks) AS BIGINT) >= 40 END AS ra,
+          |  n_chars >= 250 AS rb,
+          |  CASE WHEN doc_id % 3 = 0
+          |   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10 >= n_chars * 7 END AS rc
+          | FROM documents
+          | WHERE doc_id IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL),
+          |x AS (SELECT
+          |  CAST(CASE WHEN ra THEN 1 ELSE 0 END + CASE WHEN rb THEN 1 ELSE 0 END
+          |   + CASE WHEN rc THEN 1 ELSE 0 END AS BIGINT) AS xv,
+          |  CAST(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END
+          |   + CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END
+          |   + CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS nv
+          | FROM d),
+          |a AS (SELECT CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS n,
+          |  CAST(COALESCE(SUM(xv), 0) AS BIGINT) AS t,
+          |  CAST(COALESCE(SUM(2 * xv * (nv - xv) * 1000000 // (nv - 1)), 0) AS BIGINT) AS st
+          | FROM x WHERE nv >= 2),
+          |f AS (SELECT n,
+          |  CASE WHEN n > 0 THEN st // n END AS do_ppm,
+          |  CASE WHEN n > 1 THEN ((2 * t * 1000000 // n) * (n - t)) // (n - 1) END AS de_ppm
+          | FROM a)
+          |SELECT n AS n_pairable, do_ppm, de_ppm,
+          | CASE WHEN de_ppm > 0 THEN (de_ppm - do_ppm) * 1000000 // de_ppm END AS alpha_ppm
+          |FROM f ORDER BY n_pairable""".stripMargin.replace("\n", " "),
+
+      // q170: weighted word vocabulary, char positions, chars + top-64
+      // bigram candidates, then the two unrolled greedy-EM rounds
+      // (unigramRound); final vocab with usage counts, smoothed Mitchell
+      // log2 score, and the prune flag
+      "q170_unigram_lm" ->
+        s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+          |  FROM (SELECT unnest($toks) AS w FROM documents)
+          |  WHERE length(w) >= 1 GROUP BY w),
+          |up AS (SELECT w, wc, i,
+          |  substr(w, CAST(i AS INT), 1) AS c,
+          |  CASE WHEN i < length(w) THEN substr(w, CAST(i AS INT), 2) END AS bg,
+          |  CASE WHEN i < length(w) THEN substr(w, CAST(i + 1 AS INT), 1) END AS c2
+          | FROM (SELECT w, wc,
+          |   unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS i FROM v)),
+          |cc AS (SELECT c AS piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM up GROUP BY c),
+          |bt AS (SELECT bg AS piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM up
+          |  WHERE bg IS NOT NULL GROUP BY bg ORDER BY cnt DESC, piece LIMIT 64),
+          |k0 AS (SELECT piece, cnt FROM cc UNION ALL SELECT piece, cnt FROM bt),
+          |${unigramRound(1, "k0")},
+          |k1 AS (SELECT k0.piece, COALESCE(cr1.cnt, 0) AS cnt
+          | FROM k0 LEFT JOIN cr1 ON k0.piece = cr1.piece),
+          |${unigramRound(2, "k1")},
+          |f2 AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS t2 FROM cr2),
+          |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM k0)
+          |SELECT k0.piece, CAST(length(k0.piece) AS BIGINT) AS piece_len,
+          | k0.cnt AS cnt0,
+          | CAST(COALESCE(cr1.cnt, 0) AS BIGINT) AS cnt1,
+          | CAST(COALESCE(cr2.cnt, 0) AS BIGINT) AS cnt2,
+          | ${fl2("(COALESCE(cr2.cnt, 0) + 1)")} - ${fl2("(f2.t2 + vv.v)")} AS logp_fp,
+          | CAST(CASE WHEN length(k0.piece) = 1 OR COALESCE(cr2.cnt, 0) >= 1
+          |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM k0 LEFT JOIN cr1 ON k0.piece = cr1.piece
+          | LEFT JOIN cr2 ON k0.piece = cr2.piece, f2, vv
+          |ORDER BY k0.piece""".stripMargin.replace("\n", " "),
     )
   }
 }

@@ -1099,6 +1099,132 @@ object TextStats {
         col("_sub").as("n_subwords"))
   }
 
+  /** Unigram-LM tokenizer training (SentencePiece-style, Kudo 2018) —
+    * the PRUNE-based half of the tokenizer family ([[bpeTrainMerges]] is
+    * the merge-based half): seed a candidate vocabulary, segment the
+    * corpus under the current piece scores, re-estimate scores from the
+    * usage counts, segment again, and prune candidates EM never uses.
+    *
+    * Deterministic fixed-point variant, engine-exact by construction:
+    *
+    *  - candidates = every character (the fallback alphabet, always
+    *    kept) plus the `topBigrams` most frequent character bigrams
+    *    (weighted count DESC, piece ASC — a total order);
+    *  - piece scores are Laplace-smoothed Mitchell log2
+    *    ([[Importance.flog2Col]], 2^16 fixed point):
+    *    score_r(x) = flog2(cnt_r(x) + 1), normalizer flog2(T_r + V);
+    *  - segmentation is greedy longest-match: a bigram starting at
+    *    position i is BENEFICIAL iff it is a candidate and
+    *    score(bg) + flog2(T + V) > score(c1) + score(c2) (strict — ties
+    *    fall to single characters). Within a maximal run of consecutive
+    *    beneficial positions, bigrams start at even offsets from the run
+    *    start — the closed form of left-to-right greedy consumption, so
+    *    BOTH engines express it with plain window functions instead of a
+    *    per-word recurrence;
+    *  - two EM rounds: round 1 scores from the seed counts (cnt0),
+    *    round 2 from round-1 usage (cnt1); output carries cnt2 and
+    *    logp_fp = flog2(cnt2+1) − flog2(T2+V), and `kept` = 1 for every
+    *    character and every bigram the final segmentation still uses —
+    *    the prune decision.
+    *
+    * Scale shape (the [[bpeTrainMerges]] discipline): ALL work runs on
+    * the VOCABULARY (distinct words with frequencies), never the corpus —
+    * one corpus-wide word count builds it. Each round is one Exchange on
+    * the word key (the three window specs share the hash(w)
+    * distribution: grp/min/lag all sort within the same partitioning)
+    * plus a partial-aggregated piece count; the candidate score table is
+    * alphabet+`topBigrams` rows, always broadcast; the T/V normalizers
+    * are one-row broadcast scalars (the q168 crossJoin shape). Zero
+    * driver-side state — unlike BPE's per-round argmax collect, the EM
+    * loop is fully declarative.
+    *
+    * Output: (piece, piece_len, cnt0, cnt1, cnt2, logp_fp, kept) — all
+    * counts BIGINT, kept ∈ {0, 1}. */
+  def unigramLmVocab(docs: DataFrame, textCol: Column,
+      topBigrams: Int = 64): DataFrame = {
+    require(topBigrams >= 1, s"unigramLmVocab: topBigrams must be >= 1, got $topBigrams")
+    import org.apache.spark.sql.expressions.Window
+
+    val vocab = docs.select(explode(tokens(textCol)).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // per-word char positions: c at i, the bigram starting at i, and its
+    // second char — checkpointed ONCE (feeds both censuses and both
+    // segmentation rounds; the q167 multi-consumer discipline)
+    val pos = vocab.select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .withColumn("c", col("w").substr(col("i"), lit(1)))
+      .withColumn("bg",
+        when(col("i") < length(col("w")), col("w").substr(col("i"), lit(2))))
+      .withColumn("c2",
+        when(col("i") < length(col("w")), col("w").substr(col("i") + 1, lit(1))))
+      .localCheckpoint(true)
+
+    val charCnt = pos.groupBy(col("c").as("piece")).agg(sum(col("wc")).as("cnt"))
+    val bgTop = pos.where(col("bg").isNotNull)
+      .groupBy(col("bg").as("piece")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(topBigrams)
+    // candidate set with seed counts — alphabet + topBigrams rows
+    val cand0 = charCnt.unionByName(bgTop).localCheckpoint(true)
+
+    // one greedy segmentation pass under the given candidate counts;
+    // returns (piece, cnt) usage counts (pieces the pass never emits
+    // have no row)
+    def segmentRound(cand: DataFrame): DataFrame = {
+      val scal = cand.agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+      val sc = cand.select(col("piece"),
+        Importance.flog2Col(col("cnt") + 1).as("s"))
+      val byW = Window.partitionBy(col("w")).orderBy(col("i"))
+      val scored = pos
+        .join(broadcast(sc.select(col("piece").as("bg"), col("s").as("s_bg"))),
+          Seq("bg"), "left")
+        .join(broadcast(sc.select(col("piece").as("c"), col("s").as("s_c"))),
+          Seq("c"), "left")
+        .join(broadcast(sc.select(col("piece").as("c2"), col("s").as("s_c2"))),
+          Seq("c2"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("ben",
+          coalesce(col("s_bg") + Importance.flog2Col(col("t") + col("v")) >
+            col("s_c") + col("s_c2"), lit(false)))
+        // running non-beneficial count = island id of each beneficial run
+        .withColumn("grp", sum(when(!col("ben"), 1L).otherwise(0L)).over(byW))
+      // run start, even-offset bigram starts, consumed = previous started
+      val st = scored
+        .withColumn("rs", min(when(col("ben"), col("i")))
+          .over(Window.partitionBy(col("w"), col("grp"))))
+        .withColumn("isStart", col("ben") && (col("i") - col("rs")) % 2 === 0)
+        .withColumn("consumed",
+          coalesce(lag(col("isStart"), 1).over(byW), lit(false)))
+      st.select(col("wc"),
+          when(col("isStart"), col("bg"))
+            .when(!col("consumed"), col("c")).as("piece"))
+        .where(col("piece").isNotNull)
+        .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+    }
+
+    val cnt1 = segmentRound(cand0).localCheckpoint(true)
+    val cand1 = cand0.select(col("piece"))
+      .join(cnt1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint(true)
+    val cnt2 = segmentRound(cand1).localCheckpoint(true)
+
+    val scal2 = cnt2.agg(coalesce(sum(col("cnt")), lit(0L)).as("t2"))
+      .crossJoin(broadcast(cand0.agg(count(lit(1)).as("v"))))
+    cand0.select(col("piece"), col("cnt").as("cnt0"))
+      .join(cnt1.select(col("piece"), col("cnt").as("_c1")), Seq("piece"), "left")
+      .join(cnt2.select(col("piece"), col("cnt").as("_c2")), Seq("piece"), "left")
+      .crossJoin(broadcast(scal2))
+      .select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("cnt0"),
+        coalesce(col("_c1"), lit(0L)).as("cnt1"),
+        coalesce(col("_c2"), lit(0L)).as("cnt2"),
+        (Importance.flog2Col(coalesce(col("_c2"), lit(0L)) + 1) -
+          Importance.flog2Col(col("t2") + col("v"))).as("logp_fp"),
+        when(length(col("piece")) === 1 || coalesce(col("_c2"), lit(0L)) >= 1,
+          1L).otherwise(0L).as("kept"))
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per group — the
     * tokenizer-evaluation dual of [[bpePairStats]]: given the corpus's own
     * top-`topV` token vocabulary (count desc, token asc — a total order),
