@@ -25,7 +25,14 @@ object IntCols {
     * remainder only for b > 0 (pmod(7, −2) = 1, so the form would ceil,
     * not floor, on a negative divisor). Every fixed-point site divides
     * by a count, a bin width, or a ppm scale — positive by construction;
-    * a negative divisor is a caller bug, same as zero. */
+    * a negative divisor is a caller bug, same as zero.
+    *
+    * Domain edge: `a - pmod(a, b)` overflows (ANSI arithmetic exception)
+    * when `a` lies within `b − 1` of `Long.MinValue` — "exact for any
+    * long" holds everywhere except that bottom sliver. No ppm-scale call
+    * site can reach it (counts and scaled differences sit many orders of
+    * magnitude above −2^63), but a new full-domain caller must clamp or
+    * pre-shift first. */
   def floorDiv(a: Column, b: Column): Column =
     GraftColumnBridge.column(new IntegralDivide(
       GraftColumnBridge.expression(a - pmod(a, b)),

@@ -770,6 +770,11 @@ object Multimodal {
     def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
       val c = pick(content)
       if (c != null) c.decodeFrame(content, frameMs, dims)
+      else if (content != null && content.length >= 2 &&
+        content(0) == 'P' && content(1) == '6')
+        // a PPM is its own single frame: any frameMs resolves to it, the
+        // same way decode() routes whole-image P6
+        PpmCodec.decode(content, dims)
       else new Array[Float](dims)
     }
   }
@@ -1695,8 +1700,16 @@ object Multimodal {
                 durMs = frames * f._4 * 1000L / f._2
               }
             }
-            if (durMs < 0)
-              durMs = (content.length - o).toLong * 8000L / f._1 // CBR estimate
+            if (durMs < 0) {
+              // a trailing 128-byte ID3v1 'TAG' block is metadata, not
+              // audio — drop it from the CBR byte count
+              val end = if (content.length - 128 >= o &&
+                  content(content.length - 128) == 'T' &&
+                  content(content.length - 127) == 'A' &&
+                  content(content.length - 126) == 'G') content.length - 128
+                else content.length
+              durMs = (end - o).toLong * 8000L / f._1 // CBR estimate
+            }
             return ProbedMeta(0L, Some("mp3"), None, None, Some(durMs))
           }
         }
@@ -1797,6 +1810,11 @@ object Multimodal {
         rate = 48000L // Opus granules tick at 48 kHz regardless of input rate
       }
       if (rate <= 0) return none
+      // the audio stream's clock: only tail pages whose bitstream serial
+      // matches the BOS page may contribute a granule — a multiplexed Ogg
+      // (Theora video + Vorbis audio) carries a second granule clock that
+      // would otherwise be read at the audio rate
+      val serial = u32le(content, 14)
       // bounded tail scan for the last valid page's granule position
       var o = math.max(0, content.length - 65536)
       var lastGranule = -1L
@@ -1804,7 +1822,8 @@ object Multimodal {
         if (oggs(content, o)) {
           val len = pageLen(content, o)
           val g = s64le(content, o + 6)
-          if (g >= 0 && g > lastGranule) lastGranule = g
+          if (g >= 0 && g > lastGranule && u32le(content, o + 14) == serial)
+            lastGranule = g
           o += (if (len > 0) len else 1)
         } else o += 1
       }

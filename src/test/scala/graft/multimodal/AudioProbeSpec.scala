@@ -201,4 +201,26 @@ class AudioProbeSpec extends AnyFunSuite {
     // mp4/mkv etc. keep winning their magics (mp3 is last)
     assert(SniffProbe.probe(Mp4Fixtures.mp4).format === Some("mp4"))
   }
+
+  test("ogg: multiplexed foreign-serial granules never set the duration") {
+    // a second bitstream (Theora-style) pages with serial 9 and a granule
+    // that would read as ~50 s on the audio clock; the audio stream
+    // (serial 7, BOS) ends at 441000 samples = 10 s
+    val foreign = oggPage(0, 2211000L, 5L, Array.fill(16)(0x77.toByte))
+    foreign(14) = 9 // patch the bitstream serial (u32le at offset 14)
+    val muxed = oggVorbis ++ foreign
+    assert(Multimodal.OggProbe.probe(muxed).duration_ms === Some(10000L))
+    // sanity: the same page with the AUDIO serial does move the clock
+    val samestream = oggVorbis ++ oggPage(0, 2205000L, 5L, Array.fill(16)(0x77.toByte))
+    assert(Multimodal.OggProbe.probe(samestream).duration_ms === Some(50000L))
+  }
+
+  test("mp3: trailing ID3v1 'TAG' block excluded from the CBR byte count") {
+    val tag = "TAG".getBytes("US-ASCII") ++ Array.fill(125)(0x20.toByte)
+    // 4170 audio bytes at 128 kbps stay 260 ms; tag-inclusive would be 268
+    assert(Mp3Probe.probe(mp3 ++ tag).duration_ms === Some(260L))
+    // a tail that merely contains 'TAG' mid-buffer is not a trailer
+    val notTrailer = mp3 ++ tag ++ Array.fill(3)(0x00.toByte)
+    assert(Mp3Probe.probe(notTrailer).duration_ms === Some(268L))
+  }
 }

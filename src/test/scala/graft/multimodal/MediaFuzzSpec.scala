@@ -102,6 +102,18 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("SniffFrameCodec routes P6 frame lookups to the PPM single frame") {
+    // a PPM is its own single frame: decodeFrame at any ms must equal
+    // decode, not the zero vector (the scaladoc'd contract)
+    val white = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill(12)(0xff.toByte)
+    val whole = Multimodal.PpmCodec.decode(white, 4)
+    assert(whole.exists(_ != 0.0f), "fixture must decode non-zero")
+    for (ms <- Seq(0L, 40L, 999999L))
+      assert(new Multimodal.SniffFrameCodec().decodeFrame(white, ms, 4).toSeq
+        === whole.toSeq)
+  }
+
   test("absurd declared dims poison cleanly (no Int-offset wrap)") {
     val huge = "YUV4MPEG2 W99999999 H99999999 F25:1 C420\nFRAME\nxx"
       .getBytes("US-ASCII")
