@@ -738,11 +738,12 @@ object Multimodal {
 
   /** Magic-byte dispatch to the right FRAME codec — [[SniffProbe]]'s
     * codec twin, for pipelines whose media column is untagged: Y4M, AVI
-    * (idx1), MP4 (sample tables) and MKV (Cues) route to their
-    * index-seeking codecs, WAV to a [[WavFrameCodec]] window, PPM to its
-    * single frame via [[PpmCodec]]; unrecognized bytes decode to the
-    * zero vector (the family's poison rule). Stateless and Serializable
-    * like every codec — ships to executors as a closure constant. */
+    * (idx1), MP4 (sample tables), MKV (Cues) and FLAC (SEEKTABLE +
+    * CRC-verified frame headers) route to their index-seeking codecs,
+    * WAV to a [[WavFrameCodec]] window, PPM to its single frame via
+    * [[PpmCodec]]; unrecognized bytes decode to the zero vector (the
+    * family's poison rule). Stateless and Serializable like every
+    * codec — ships to executors as a closure constant. */
   class SniffFrameCodec(wavWindowMs: Long = 1000L) extends FrameCodec {
     private val wav = new WavFrameCodec(wavWindowMs)
     private def pick(c: Array[Byte]): FrameCodec = {
@@ -758,6 +759,7 @@ object Multimodal {
       else if (c != null && c.length >= 4 && c(0) == 0x1a.toByte &&
         c(1) == 0x45.toByte && c(2) == 0xdf.toByte && c(3) == 0xa3.toByte)
         MkvFrameCodec
+      else if (starts("fLaC")) FlacFrameCodec
       else null
     }
     def decode(content: Array[Byte], dims: Int): Array[Float] = {
@@ -1754,6 +1756,174 @@ object Multimodal {
         guard += 1
       }
       none
+    }
+  }
+
+  /** FLAC frame-addressable codec — compressed audio joining the seek
+    * inventory (MP4 `stsz`/`stco`, MKV Cues, AVI `idx1`): STREAMINFO's
+    * sample rate and FIXED blocksize map a time offset to a frame NUMBER
+    * by pure arithmetic, an optional SEEKTABLE block (type 3) jumps the
+    * scan near the target the way MKV Cues do, and every sync candidate
+    * must pass the frame header's own CRC-8 before its UTF-8-coded
+    * frame/sample number is trusted (false-sync rejection, the
+    * [[Mp3Probe]] second-boundary discipline upgraded to the spec's
+    * checksum). Variable-blocksize streams (blocking-strategy bit 1)
+    * code the starting SAMPLE directly — the same last-header-at-or-
+    * before-target walk resolves them. Features are the block-mean
+    * fingerprint over the located frame's byte span ([[Mp4FrameCodec]]'s
+    * feature on the compressed bytes — a PCM decode needs the full LPC
+    * machinery, which the stub contract leaves out; the seek plumbing is
+    * real and exact). Past-the-end times clamp to the last resolvable
+    * frame (the [[AviFrameCodec]] policy); malformed anything → zero
+    * vector, never a throw. */
+  object FlacFrameCodec extends FrameCodec {
+    private def crc8(c: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= c(i) & 0xff
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+            else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** FLAC's extended-UTF-8 coded number at `pos`: (value, byteLen) or
+      * null (malformed / truncated / over 7 bytes). */
+    private def utf8Num(c: Array[Byte], pos: Int): (Long, Int) = {
+      if (pos >= c.length) return null
+      val b0 = c(pos) & 0xff
+      if ((b0 & 0x80) == 0) return (b0.toLong, 1)
+      val n = Integer.numberOfLeadingZeros(~(b0 << 24)) // leading ones
+      if (n < 2 || n > 7 || pos + n > c.length) return null
+      var v = (b0 & (0x7f >> n)).toLong
+      var i = 1
+      while (i < n) {
+        val bb = c(pos + i) & 0xff
+        if ((bb & 0xc0) != 0x80) return null
+        v = (v << 6) | (bb & 0x3f)
+        i += 1
+      }
+      (v, n)
+    }
+
+    /** Validated frame header at `o`: (startSample, headerLenWithCrc) or
+      * null. `blockSize` converts a fixed-strategy frame number to its
+      * starting sample. */
+    private def header(c: Array[Byte], o: Int, blockSize: Long): (Long, Int) = {
+      if (o + 5 > c.length || c(o) != 0xff.toByte ||
+          (c(o + 1) & 0xfe) != 0xf8) return null
+      val variable = (c(o + 1) & 1) != 0
+      val bsCode = (c(o + 2) >> 4) & 0xf
+      val rateCode = c(o + 2) & 0xf
+      val chanCode = (c(o + 3) >> 4) & 0xf
+      val ssCode = (c(o + 3) >> 1) & 0x7
+      if (bsCode == 0 || rateCode == 15 || chanCode > 10 ||
+          ssCode == 3 || ssCode == 7 || (c(o + 3) & 1) != 0) return null
+      val num = utf8Num(c, o + 4)
+      if (num == null) return null
+      val extra = (if (bsCode == 6) 1 else if (bsCode == 7) 2 else 0) +
+        (if (rateCode == 12) 1 else if (rateCode == 13 || rateCode == 14) 2 else 0)
+      val hlen = 4 + num._2 + extra
+      if (o + hlen + 1 > c.length) return null
+      if (crc8(c, o, o + hlen) != (c(o + hlen) & 0xff)) return null
+      val sample = if (variable) num._1 else num._1 * blockSize
+      if (sample < 0) return null
+      (sample, hlen + 1)
+    }
+
+    def decode(content: Array[Byte], dims: Int): Array[Float] =
+      decodeFrame(content, 0L, dims) // whole-content = the first frame
+
+    def decodeFrame(content: Array[Byte], frameMs: Long, dims: Int): Array[Float] = {
+      val zero = new Array[Float](dims)
+      if (content == null || dims <= 0 || frameMs < 0 ||
+          content.length < 8 || content(0) != 'f' || content(1) != 'L' ||
+          content(2) != 'a' || content(3) != 'C') return zero
+      // metadata walk (the FlacProbe loop, plus SEEKTABLE collection)
+      var pos = 4
+      var guard = 0
+      var rate = -1L; var blockSize = -1L
+      var seekSample = -1L; var seekOff = -1L // best seekpoint so far
+      var targetSample = -1L
+      var audioStart = -1
+      while (audioStart < 0 && pos + 4 <= content.length && guard < 1024) {
+        val last = (content(pos) & 0x80) != 0
+        val btype = content(pos) & 0x7f
+        val len = ((content(pos + 1) & 0xff) << 16) |
+          ((content(pos + 2) & 0xff) << 8) | (content(pos + 3) & 0xff)
+        val ps = pos + 4
+        if (ps + len > content.length) return zero
+        if (btype == 0 && len >= 34) {
+          val b = (i: Int) => content(ps + i) & 0xffL
+          blockSize = (b(0) << 8) | b(1) // min blocksize; fixed streams
+          rate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4) // = max
+          if (rate <= 0 || blockSize <= 0) return zero
+          if (frameMs > Long.MaxValue / rate) return zero // crafted time
+          targetSample = frameMs * rate / 1000L
+        } else if (btype == 3 && targetSample >= 0) {
+          // SEEKTABLE: 18-byte points (sample u64, offset u64, u16);
+          // placeholders (all-ones sample) skipped; keep the greatest
+          // point at or before the target — the MKV-Cues jump
+          var e = ps
+          while (e + 18 <= ps + len) {
+            def u64(o: Int): Long = {
+              var v = 0L; var i = 0
+              while (i < 8) { v = (v << 8) | (content(o + i) & 0xffL); i += 1 }
+              v
+            }
+            val sm = u64(e); val off = u64(e + 8)
+            if (sm != -1L && sm >= 0 && sm <= targetSample && sm > seekSample &&
+                off >= 0) { seekSample = sm; seekOff = off }
+            e += 18
+          }
+        }
+        if (last) audioStart = ps + len
+        pos = ps + len
+        guard += 1
+      }
+      if (audioStart < 0 || rate <= 0 || targetSample < 0) return zero
+      // forward header scan from the seekpoint (or the first frame):
+      // last CRC-valid header whose start sample <= target is the frame;
+      // the NEXT valid header bounds its byte span
+      var o = audioStart
+      if (seekOff >= 0 && seekOff < content.length &&
+          audioStart + seekOff < content.length - 4 &&
+          header(content, (audioStart + seekOff).toInt, blockSize) != null)
+        o = (audioStart + seekOff).toInt
+      var frameOff = -1
+      var end = -1
+      while (o < content.length && end < 0) {
+        val h = header(content, o, blockSize)
+        if (h != null) {
+          if (h._1 <= targetSample) { frameOff = o; o += h._2 }
+          else if (frameOff >= 0) end = o // first header past the target
+          else { frameOff = o; o += h._2 } // jumped past: clamp forward
+        } else o += 1
+      }
+      if (frameOff < 0) return zero
+      if (end < 0) end = content.length // last frame: clamp to EOF
+      blockMeanBytes(content, frameOff, end - frameOff, dims)
+    }
+
+    private def blockMeanBytes(
+        c: Array[Byte], off: Int, len: Int, dims: Int): Array[Float] = {
+      val sums = new Array[Double](dims)
+      val counts = new Array[Int](dims)
+      var k = 0
+      while (k < len) {
+        val slot = (k.toLong * dims / len).toInt
+        sums(slot) += (c(off + k) & 0xff)
+        counts(slot) += 1
+        k += 1
+      }
+      Array.tabulate(dims)(j =>
+        if (counts(j) > 0) (sums(j) / counts(j) / 255.0).toFloat else 0f)
     }
   }
 

@@ -93,6 +93,7 @@ class MediaFuzzSpec extends AnyFunSuite {
         assert(Multimodal.AviFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(Multimodal.Mp4FrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(Multimodal.MkvFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
+        assert(Multimodal.FlacFrameCodec.decodeFrame(bytes, ms, 4).length === 4)
         assert(new Multimodal.SniffFrameCodec().decodeFrame(bytes, ms, 4).length === 4)
       }
       assert(Multimodal.PpmCodec.decode(
