@@ -1222,6 +1222,62 @@ object TextStats {
       .toDF("piece", "piece_len", "cnt0", "cnt1", "cnt2", "logp_fp", "kept")
   }
 
+  /** Apply a trained unigram-LM vocabulary ([[unigramLmVocab]] output) to
+    * every document: per-document word and PIECE counts under the same
+    * greedy segmentation the trainer ran — the [[bpeSegmentCounts]] dual
+    * for the prune-based family, and the REAL tokens-per-doc number a
+    * token-budget pipeline wants from this tokenizer.
+    *
+    * The vocab frame is model-bounded (alphabet + topBigrams rows), so
+    * its kept pieces collect to the driver and the scores embed as a
+    * `typedLit` map — the whole operator is then MAP-SIDE: one fold per
+    * token computes the number of bigram starts through the greedy
+    * recurrence `start_i = ben_i && !start_{i-1}` (a single `aggregate`
+    * with a two-field struct accumulator — never one fold per flag), and
+    * pieces(w) = len(w) − starts(w). Scores are the smoothed final-count
+    * scores flog2(cnt2+1) with normalizer flog2(T2+V) — the model the
+    * trainer ships, one EM step past the segmentation that produced
+    * cnt2 (exactly how SentencePiece serves its final piece table). */
+  def unigramSegmentCounts(
+      docs: DataFrame, textCol: Column, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val kept = vocab.where(col("kept") === 1L)
+      .select(col("piece"), col("cnt2")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(kept.nonEmpty, "unigramSegmentCounts: empty kept vocabulary")
+    val scores = kept.map { case (p, c) => p -> Importance.flog2(c + 1) }.toMap
+    val norm = Importance.flog2(kept.map(_._2).sum + kept.length)
+    val scoreMap = typedLit(scores)
+    def s(key: Column): Column = try_element_at(scoreMap, key)
+
+    def starts(w: Column): Column = {
+      // slice/greatest guard (the Dedup.shingles pattern): sequence(1, 0)
+      // counts DOWN for a 1-char word, so clamp then slice to n
+      val n = length(w) - 1
+      val idxs = slice(sequence(lit(1), greatest(n, lit(1))),
+        lit(1), greatest(n, lit(0)))
+      val ben = transform(idxs,
+        i => coalesce(
+          s(w.substr(i, lit(2))) + lit(norm) >
+            s(w.substr(i, lit(1))) + s(w.substr(i + 1, lit(1))),
+          lit(false)))
+      // greedy recurrence in ONE fold: start_i = ben_i && !start_{i-1}
+      aggregate(ben,
+        struct(lit(false).as("prev"), lit(0L).as("n")),
+        (acc, b) => {
+          val st = b && !acc.getField("prev")
+          struct(st.as("prev"),
+            (acc.getField("n") + when(st, 1L).otherwise(0L)).as("n"))
+        },
+        acc => acc.getField("n"))
+    }
+    val toks = tokens(textCol)
+    docs.select(col(idCol),
+      tokenCount(textCol).cast("long").as("n_words"),
+      aggregate(toks, lit(0L),
+        (acc, w) => acc + length(w).cast("long") - starts(w)).as("n_pieces"))
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per group — the
     * tokenizer-evaluation dual of [[bpePairStats]]: given the corpus's own
     * top-`topV` token vocabulary (count desc, token asc — a total order),

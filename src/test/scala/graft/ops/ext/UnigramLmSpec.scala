@@ -98,4 +98,58 @@ class UnigramLmSpec extends SparkSpec {
         s"bigram ${r.getString(0)} kept flag must equal cnt2 >= 1")
     }
   }
+
+  /** Plain-Scala reference of the APPLY pass: greedy piece count per word
+    * under the served model (flog2(cnt2+1) scores, flog2(T2+V) norm). */
+  private def applyRef(words: Seq[String], topBigrams: Int): Map[String, Long] = {
+    val vocab = referenceVocab(words, topBigrams).filter(_._7 == 1L)
+    val scores = vocab.map { case (p, _, _, _, c2, _, _) =>
+      p -> Importance.flog2(c2 + 1) }.toMap
+    val norm = Importance.flog2(vocab.map(_._5).sum + vocab.length)
+    words.distinct.map { w =>
+      var i = 0; var pieces = 0L
+      while (i < w.length) {
+        val ben = i + 1 < w.length && (for {
+          sb <- scores.get(w.substring(i, i + 2))
+          s1 <- scores.get(w.substring(i, i + 1))
+          s2 <- scores.get(w.substring(i + 1, i + 2))
+        } yield sb + norm > s1 + s2).getOrElse(false)
+        pieces += 1
+        i += (if (ben) 2 else 1)
+      }
+      w -> pieces
+    }.toMap
+  }
+
+  test("unigramSegmentCounts matches the greedy reference per document") {
+    val vocab = TextStats.unigramLmVocab(docsDf, col("text"), topBigrams = 4)
+    val perWord = applyRef(words, topBigrams = 4)
+    val docsWithId = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(2)
+    val out = TextStats.unigramSegmentCounts(docsWithId, col("text"), "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docsWithId.collect().foreach { row =>
+      val id = row.getLong(0)
+      val ws = row.getString(1).split(" ").toSeq
+      val expected = ws.map(perWord).sum
+      assert(out(id) == ((ws.length.toLong, expected)),
+        s"doc $id: got ${out(id)}, expected (${ws.length}, $expected)")
+    }
+  }
+
+  test("piece counts bound: n_chars/2 <= n_pieces <= n_chars per doc") {
+    val vocab = TextStats.unigramLmVocab(docsDf, col("text"), topBigrams = 4)
+    val withId = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(2)
+    TextStats.unigramSegmentCounts(withId, col("text"), "doc_id", vocab)
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val chars = words.grouped(6).toSeq(id.toInt).map(_.length).sum.toLong
+        val pieces = r.getLong(2)
+        assert(pieces <= chars && 2 * pieces >= chars,
+          s"doc $id: pieces $pieces out of [chars/2, chars] for $chars chars")
+      }
+  }
 }
