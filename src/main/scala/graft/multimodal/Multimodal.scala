@@ -1980,23 +1980,33 @@ object Multimodal {
         rate = 48000L // Opus granules tick at 48 kHz regardless of input rate
       }
       if (rate <= 0) return none
-      // the audio stream's clock: only tail pages whose bitstream serial
-      // matches the BOS page may contribute a granule — a multiplexed Ogg
-      // (Theora video + Vorbis audio) carries a second granule clock that
-      // would otherwise be read at the audio rate
+      // the audio stream's clock: tail pages whose bitstream serial
+      // matches the BOS page are preferred — a multiplexed Ogg (Theora
+      // video + Vorbis audio) carries a second granule clock that would
+      // otherwise be read at the audio rate. If NO tail page matches
+      // (a chained stream: a later chain's BOS re-keys the serial, legal
+      // per spec for icecast-style concatenation), fall back to the max
+      // granule of any tail page — chains are same-codec by convention,
+      // so the estimate stays meaningful where the strict filter would
+      // probe None.
       val serial = u32le(content, 14)
       // bounded tail scan for the last valid page's granule position
       var o = math.max(0, content.length - 65536)
       var lastGranule = -1L
+      var lastAnySerial = -1L
       while (o + 27 <= content.length) {
         if (oggs(content, o)) {
           val len = pageLen(content, o)
           val g = s64le(content, o + 6)
-          if (g >= 0 && g > lastGranule && u32le(content, o + 14) == serial)
-            lastGranule = g
+          if (g >= 0) {
+            if (g > lastGranule && u32le(content, o + 14) == serial)
+              lastGranule = g
+            if (g > lastAnySerial) lastAnySerial = g
+          }
           o += (if (len > 0) len else 1)
         } else o += 1
       }
+      if (lastGranule < 0) lastGranule = lastAnySerial
       if (lastGranule < 0) return none
       val samples = math.max(0L, lastGranule - (if (opus) preSkip else 0L))
       if (samples > Long.MaxValue / 1000L) return none // crafted granule

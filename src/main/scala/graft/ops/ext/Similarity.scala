@@ -341,7 +341,18 @@ object Similarity {
     * Hubs are the `numHubs` smallest nodes in md5(id) order — a
     * deterministic pseudo-random sample standing in for NSW's random
     * insertion order, so builds are bit-reproducible. Out-degree is
-    * structurally ≤ 2m + 1 + (numHubs−1) + maxRegions.
+    * structurally ≤ 3m + 1 + (numHubs−1) + maxRegions (2m local
+    * forward+reverse, m down, 1 up, the hub clique, the region cap).
+    *
+    * Candidate-pair boundedness: within each band bucket only the first
+    * `maxBucketSize` members in md5(id) order are linkable TARGETS, so
+    * the self-join emits ≤ N·maxBucketSize pairs per band — linear in N
+    * (the `Dedup.maxBucketSize` rule; an uncapped 2^(planes/2)-bucket
+    * coarse band is Θ(N²/2^(planes/2)) even on uniform data). Because
+    * the cap keeps the md5-order PREFIX, it composes with the prior-
+    * order rule exactly: capped-out members are simply "inserted later
+    * than the window", still reachable via their own forward links and
+    * the hub scaffolding.
     *
     * Returns `(src, dst, dst_vec)` — the destination vector EMBEDDED, so
     * each search hop is ONE broadcast-probe join (expansion and scoring
@@ -349,30 +360,47 @@ object Similarity {
     * The m-way payload duplication is the classic graph-with-attributes
     * trade; at serving scale the same graph ships to an online store. */
   def nswBuildGraph(vectors: DataFrame, m: Int = 6,
-      planes: Int = 8, numHubs: Int = 16, maxRegions: Int = 32): DataFrame = {
+      planes: Int = 8, numHubs: Int = 16, maxRegions: Int = 32,
+      maxBucketSize: Int = 4096): DataFrame =
+    nswBuildGraphWith(vectors, collectHubs(vectors, numHubs),
+      m, planes, maxRegions, maxBucketSize)
+
+  /** [[nswBuildGraph]] against an already-collected hub model —
+    * [[nswTopK]] collects hubs once for entry scoring and reuses them
+    * here, avoiding a second corpus-wide orderBy(md5) collect. */
+  private def nswBuildGraphWith(
+      vectors: DataFrame, hubs: Array[(Long, Seq[Double], Double)],
+      m: Int, planes: Int, maxRegions: Int, maxBucketSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(m >= 1 && numHubs >= 1 && maxRegions >= 1,
-      "nswBuildGraph: m/numHubs/maxRegions must be >= 1")
-    val hubs = collectHubs(vectors, numHubs)
+    require(m >= 1 && maxRegions >= 1 && maxBucketSize >= 1,
+      "nswBuildGraph: m/maxRegions/maxBucketSize must be >= 1")
     val hubArr = centroidArr(hubs)
 
+    // insertion-order key, computed ONCE PER NODE (never per pair)
+    def orderKey(c: Column): Column =
+      concat(md5(c.cast("string")), c.cast("string"))
     def bandPairs(planesN: Int): DataFrame = {
       val sig = vectors.select(col("id"), col("vec"),
-        srpBucket(col("vec"), planesN).as("bucket"))
-      sig.select(col("bucket"), col("id").as("xid"), col("vec").as("xvec"))
-        .join(sig.select(col("bucket"), col("id").as("yid"), col("vec").as("yvec")),
-          Seq("bucket"))
-        .where(col("xid") =!= col("yid"))
+        srpBucket(col("vec"), planesN).as("bucket"),
+        orderKey(col("id")).as("ord"))
+      // target side capped to the bucket's earliest-inserted prefix
+      val targets = sig
+        .withColumn("_bn", row_number().over(Window
+          .partitionBy(col("bucket")).orderBy(col("ord"))))
+        .where(col("_bn") <= maxBucketSize)
+      sig.select(col("bucket"), col("id").as("xid"), col("vec").as("xvec"),
+          col("ord").as("xord"))
+        .join(targets.select(col("bucket"), col("id").as("yid"),
+          col("vec").as("yvec"), col("ord").as("yord")), Seq("bucket"))
+        .where(col("yord") < col("xord"))
         .select(col("xid"), col("yid"), col("xvec"), col("yvec"))
     }
-    def order(c: Column): Column = concat(md5(c.cast("string")), c.cast("string"))
     // forward links: per node, best m PRIOR bucket-mates (both bands);
     // checkpointed — the reverse-cap window below is a second consumer
     // of the expensive bucket self-join
     val fwdRows = bandPairs(planes)
       .unionByName(bandPairs(math.max(2, planes / 2)))
       .dropDuplicates("xid", "yid")
-      .where(order(col("yid")) < order(col("xid")))
       .withColumn("cos", cosineSafe(col("xvec"), col("yvec")))
       .select(col("xid"), col("yid"), col("cos"))
       .withColumn("rnk", row_number().over(Window
@@ -455,12 +483,15 @@ object Similarity {
     * [[recallAtK]] gates it against the exact ranking directly. */
   def nswTopK(vectors: DataFrame, queries: DataFrame, k: Int,
       m: Int = 6, beam: Int = 8, hops: Int = 3,
-      planes: Int = 8, numHubs: Int = 16, maxRegions: Int = 32): DataFrame = {
+      planes: Int = 8, numHubs: Int = 16, maxRegions: Int = 32,
+      maxBucketSize: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && beam >= 1 && hops >= 0, "nswTopK: k/beam >= 1, hops >= 0")
+    // one hub collect serves both the entry scoring and the build
     val hubs = collectHubs(vectors, numHubs)
     val hubArr = centroidArr(hubs)
-    val edges = nswBuildGraph(vectors, m, planes, numHubs, maxRegions) // eager
+    val edges = nswBuildGraphWith(vectors, hubs,
+      m, planes, maxRegions, maxBucketSize) // eager
 
     val entry = queries
       .withColumn("_vnorm", norm(col("vec")))
@@ -498,12 +529,15 @@ object Similarity {
       graft.core.Checkpoints.release(visited)
       visited = next
     }
-    val out = visited
+    // the walk is over: nothing reads the adjacency again (the result
+    // derives solely from the final visited checkpoint) — release the
+    // corpus-sized vector-embedded blocks now, not at ContextCleaner GC
+    graft.core.Checkpoints.release(edges)
+    visited
       .where(col("q_id") =!= col("n_id"))
       .withColumn("rnk", row_number().over(byQ))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"))
-    out
   }
 
   /** SemDedup-style semantic deduplication (Abbas et al., "SemDeDup: Data-

@@ -1207,6 +1207,9 @@ object TextStats {
 
     val cnt1 = segmentRound(cand0)
     val cnt2 = segmentRound(cand0.map { case (p, _) => p -> cnt1.getOrElse(p, 0L) })
+    // every consumer of the position table has collected — release its
+    // blocks now (Dataset.unpersist is a no-op on checkpoints)
+    graft.core.Checkpoints.release(pos)
 
     val t2 = cnt2.values.sum
     val rows = cand0.toSeq.sortBy(_._1).map { case (p, c0) =>

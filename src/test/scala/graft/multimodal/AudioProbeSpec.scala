@@ -202,6 +202,20 @@ class AudioProbeSpec extends AnyFunSuite {
     assert(SniffProbe.probe(Mp4Fixtures.mp4).format === Some("mp4"))
   }
 
+  test("ogg: chained streams (tail re-keyed by a later BOS) keep an estimate") {
+    // icecast-style chain: the first stream's pages end early, a second
+    // chain (new serial 9) occupies the tail — no tail page matches the
+    // first BOS serial, so the probe falls back to the any-serial max
+    // instead of probing None
+    val chain2Id = oggPage(2, 0L, 0L, vorbisId(44100L))
+    chain2Id(14) = 9
+    val chain2Data = oggPage(4, 88200L, 1L, Array.fill(16)(0x55.toByte))
+    chain2Data(14) = 9
+    val pad = Array.fill(70000)(0x00.toByte) // push chain 1 out of the tail window
+    val chained = oggPage(2, 0L, 0L, vorbisId(44100L)) ++ pad ++ chain2Id ++ chain2Data
+    assert(Multimodal.OggProbe.probe(chained).duration_ms === Some(2000L))
+  }
+
   test("ogg: multiplexed foreign-serial granules never set the duration") {
     // a second bitstream (Theora-style) pages with serial 9 and a granule
     // that would read as ~50 s on the audio clock; the audio stream

@@ -78,14 +78,25 @@ class NswSpec extends SparkSpec {
     assert(run() == run())
   }
 
-  test("structural out-degree bound: <= 2m + 1 + (numHubs-1) + maxRegions") {
+  test("structural out-degree bound: <= 3m + 1 + (numHubs-1) + maxRegions") {
+    // 2m local (forward + reverse) + m down + 1 up + hub clique + regions
     val m = 4; val numHubs = 16; val maxRegions = 32
     val maxDeg = Similarity.nswBuildGraph(corpus, m = m, planes = 8,
         numHubs = numHubs, maxRegions = maxRegions)
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .agg(max(col("deg"))).collect()(0).getLong(0)
-    assert(maxDeg <= 2 * m + 1 + (numHubs - 1) + maxRegions,
+    assert(maxDeg <= 3 * m + 1 + (numHubs - 1) + maxRegions,
       s"out-degree $maxDeg exceeds the structural bound")
+  }
+
+  test("maxBucketSize bounds candidate targets; recall degrades gracefully") {
+    // a tight cap (16 targets/bucket vs ~100-member coarse buckets)
+    // keeps the build linear; hubs + regions keep the walk functional
+    val capped = Similarity.nswTopK(corpus, queries, k = 10,
+      m = 6, beam = 8, hops = 8, planes = 8, numHubs = 16,
+      maxBucketSize = 16)
+    val r = meanRecall(capped)
+    assert(r >= 5000.0, s"capped-build recall $r collapsed below 0.50")
   }
 
   test("search plans no cartesian product and visits hops x beam x deg, not the corpus") {
@@ -93,8 +104,8 @@ class NswSpec extends SparkSpec {
       m = 4, beam = 4, hops = 1, planes = 8, numHubs = 8)
     assert(!out.queryExecution.sparkPlan.toString.contains("CartesianProduct"))
     // k saturated: the output IS the visited set -> per-query bound =
-    // beam entry + hops x beam x maxdeg (2m + 1 + (numHubs-1) + 32 = 48)
-    val visitedBound = 4 + 1 * 4 * 48
+    // beam entry + hops x beam x maxdeg (3m + 1 + (numHubs-1) + 32 = 52)
+    val visitedBound = 4 + 1 * 4 * 52
     val perQuery = out.groupBy(col("q_id")).agg(count(lit(1)).as("n")).collect()
     assert(perQuery.forall(_.getLong(1) <= visitedBound))
   }
