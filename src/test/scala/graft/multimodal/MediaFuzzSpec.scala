@@ -64,6 +64,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     samples(garbage, 40) ++
       Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
         AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis,
+        FlacFixtures.flac5, // framed flac: the frame-walk/CRC/seek path
+        FlacFixtures.flacStream(FlacFixtures.fiveFrames, Seq((768L, 3L * 306L))),
         ImageFixtures.pngFx, ImageFixtures.jpegFx, ImageFixtures.gifFx,
         ImageFixtures.webpFx, ImageFixtures.bmpFx, ImageFixtures.tiffFx)
         .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
