@@ -2324,6 +2324,43 @@ object SparkEntry {
           topBigrams = 64)
         .orderBy(col("piece"))
     }),
+
+    // ---- media near-duplicate pairs (decode plane × near-dup machinery) --
+    "q171_media_neardup" -> ((s, dir) => {
+      // the perceptual-dedup composition: codec feature vectors -> SRP
+      // bucket prefilter (capped, the q53 guard) -> exact-cosine confirm.
+      // Non-emptiness is STRUCTURAL, not data-luck: every doc_id
+      // divisible by 37 is re-injected as a distinct media row with the
+      // SAME bytes — identical content decodes to identical features
+      // (same bucket, cosine 1 >= 0.9), so each injected row pairs with
+      // its parent by construction at every sf. The oracle replays the
+      // md5-seeded stub decode (the q54 byte math, all 16 dims) and the
+      // q40 SRP/cosine pair SQL over the same injected plane; real
+      // codecs ride the identical seam spec-gated (MediaNearDupSpec's
+      // end-to-end PPM pair — the q54 precedent).
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val inj = base.where(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val media = Multimodal.mediaFromDocuments(base.unionByName(inj))
+      Multimodal.mediaNearDupPairs(media, dims = 16, planes = 8,
+          threshold = 0.9, maxBucketSize = Some(2000))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- unigram-LM apply: words + greedy pieces per doc ----------------
+    "q172_unigram_apply" -> ((s, dir) => {
+      // the q118 dual for the prune-based tokenizer family: train the
+      // vocab (q170's machinery), then serve it — per-document word and
+      // piece counts under the shipped model (kept-piece scores,
+      // FULL-candidate-V normalizer, matching logp_fp exactly). The
+      // whole apply pass is map-side: scores embed as a typedLit map,
+      // the greedy recurrence is one fold per token.
+      val docs = t(s, dir, "documents")
+      val vocab = TextStats.unigramLmVocab(docs, col("text"), topBigrams = 64)
+      TextStats.unigramSegmentCounts(docs, col("text"), "doc_id", vocab)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query; column names and ordering match exactly. */
@@ -5118,6 +5155,79 @@ object SparkEntry {
           |FROM k0 LEFT JOIN cr1 ON k0.piece = cr1.piece
           | LEFT JOIN cr2 ON k0.piece = cr2.piece, f2, vv
           |ORDER BY k0.piece""".stripMargin.replace("\n", " "),
+
+      // q171: the md5-seeded stub decode replayed in SQL (all 16 md5
+      // bytes -> floats, the q54 byte math), the injected-variant media
+      // plane, the q53 bucket-cap CTE, then the q40 SRP + cosine pair SQL
+      "q171_media_neardup" ->
+        """WITH base AS (SELECT doc_id, text FROM documents),
+          |pl AS (SELECT doc_id, text FROM base
+          | UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 37 = 0),
+          |m AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h FROM pl),
+          |e AS (SELECT id, list_transform(generate_series(1, 16), j ->
+          |  CAST(CAST(('0x' || substr(h, CAST(2*j - 1 AS INT), 2)) AS INT) - 128 AS DOUBLE) / 128) AS v
+          | FROM m),
+          |b AS (SELECT id, v, CAST(list_sum(list_transform(generate_series(0, 7), p ->
+          |  CASE WHEN list_sum(list_transform(v, (x, i) ->
+          |    x * CASE WHEN CAST(('0x' || substr(md5('p' || p || ':' || (i-1)), 1, 4)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)) >= 0
+          |  THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+          |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 2000),
+          |k AS (SELECT b.* FROM b WHERE bucket IN (SELECT bucket FROM ok))
+          |SELECT a.id AS id_a, c.id AS id_b FROM k a JOIN k c
+          | ON a.bucket = c.bucket AND a.id < c.id
+          |WHERE COALESCE(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), -1.0) >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+
+      // q172: the q170 training CTEs verbatim, then the SERVING model —
+      // kept-piece scores, full-candidate-V normalizer (= the logp_fp
+      // normalizer), the beneficial-BIGRAM decision table (benefit is a
+      // pure function of the bigram), the island closed form over the
+      // same position table, and per-document word/piece aggregation
+      "q172_unigram_apply" ->
+        s"""WITH v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+          |  FROM (SELECT unnest($toks) AS w FROM documents)
+          |  WHERE length(w) >= 1 GROUP BY w),
+          |up AS (SELECT w, wc, i,
+          |  substr(w, CAST(i AS INT), 1) AS c,
+          |  CASE WHEN i < length(w) THEN substr(w, CAST(i AS INT), 2) END AS bg,
+          |  CASE WHEN i < length(w) THEN substr(w, CAST(i + 1 AS INT), 1) END AS c2
+          | FROM (SELECT w, wc,
+          |   unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS i FROM v)),
+          |cc AS (SELECT c AS piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM up GROUP BY c),
+          |bt AS (SELECT bg AS piece, CAST(SUM(wc) AS BIGINT) AS cnt FROM up
+          |  WHERE bg IS NOT NULL GROUP BY bg ORDER BY cnt DESC, piece LIMIT 64),
+          |k0 AS (SELECT piece, cnt FROM cc UNION ALL SELECT piece, cnt FROM bt),
+          |${unigramRound(1, "k0")},
+          |k1 AS (SELECT k0.piece, COALESCE(cr1.cnt, 0) AS cnt
+          | FROM k0 LEFT JOIN cr1 ON k0.piece = cr1.piece),
+          |${unigramRound(2, "k1")},
+          |f2 AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS t2 FROM cr2),
+          |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM k0),
+          |kv AS (SELECT k0.piece, ${fl2("(COALESCE(cr2.cnt, 0) + 1)")} AS s
+          | FROM k0 LEFT JOIN cr2 ON k0.piece = cr2.piece
+          | WHERE length(k0.piece) = 1 OR COALESCE(cr2.cnt, 0) >= 1),
+          |nm AS (SELECT ${fl2("(f2.t2 + vv.v)")} AS norm FROM f2, vv),
+          |bben AS (SELECT bg.piece FROM kv bg
+          |  JOIN kv c1 ON substr(bg.piece, 1, 1) = c1.piece
+          |  JOIN kv cx ON substr(bg.piece, 2, 1) = cx.piece, nm
+          | WHERE length(bg.piece) = 2 AND bg.s + nm.norm > c1.s + cx.s),
+          |ab AS (SELECT up.w, up.i, bben.piece IS NOT NULL AS ben
+          | FROM up LEFT JOIN bben ON up.bg = bben.piece),
+          |ag AS (SELECT w, i, ben,
+          |  SUM(CASE WHEN NOT ben THEN 1 ELSE 0 END) OVER (PARTITION BY w ORDER BY i) AS grp
+          | FROM ab),
+          |ars AS (SELECT w, i, ben,
+          |  MIN(CASE WHEN ben THEN i END) OVER (PARTITION BY w, grp) AS rs
+          | FROM ag),
+          |stc AS (SELECT w, CAST(SUM(CASE WHEN ben AND (i - rs) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+          | FROM ars GROUP BY w),
+          |pc AS (SELECT v.w, CAST(length(v.w) AS BIGINT) - COALESCE(stc.starts, 0) AS pieces
+          | FROM v LEFT JOIN stc ON v.w = stc.w),
+          |dt AS (SELECT doc_id, unnest($toks) AS w FROM documents)
+          |SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          | CAST(SUM(pc.pieces) AS BIGINT) AS n_pieces
+          |FROM dt JOIN pc ON dt.w = pc.w
+          |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     )
   }
 }

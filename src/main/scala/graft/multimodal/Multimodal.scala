@@ -1775,7 +1775,12 @@ object Multimodal {
     * machinery, which the stub contract leaves out; the seek plumbing is
     * real and exact). Past-the-end times clamp to the last resolvable
     * frame (the [[AviFrameCodec]] policy); malformed anything → zero
-    * vector, never a throw. */
+    * vector, never a throw. The LAST frame's span ends at EOF minus a
+    * trailing 128-byte ID3v1 'TAG' block when present (the [[Mp3Probe]]
+    * rule) — other appended padding, and a CRC-8-passing false sync
+    * inside a payload (~1/256 per candidate byte), can still shift a
+    * span: fingerprints are a best-effort locality signature over
+    * COMPRESSED bytes, not a decode. */
   object FlacFrameCodec extends FrameCodec {
     private def crc8(c: Array[Byte], from: Int, until: Int): Int = {
       var crc = 0
@@ -1907,7 +1912,16 @@ object Multimodal {
         } else o += 1
       }
       if (frameOff < 0) return zero
-      if (end < 0) end = content.length // last frame: clamp to EOF
+      if (end < 0) {
+        // last frame: clamp to EOF, minus a trailing 128-byte ID3v1
+        // 'TAG' block when present (the Mp3Probe rule) — appended tag
+        // metadata is not audio and must not fold into the last frame's
+        // fingerprint
+        end = content.length
+        if (end - 128 > frameOff &&
+            content(end - 128) == 'T' && content(end - 127) == 'A' &&
+            content(end - 126) == 'G') end -= 128
+      }
       blockMeanBytes(content, frameOff, end - frameOff, dims)
     }
 
@@ -1934,9 +1948,17 @@ object Multimodal {
     * spec), and the duration is the LAST page's granule position — found
     * by a BOUNDED tail scan (final 64 KB) for valid `OggS` page headers,
     * the standard probe trick that never walks the middle of a large
-    * stream. Pages with granule −1 ("no packet ends here") are skipped;
-    * a malformed page header falls back to a byte-step scan, so a
-    * corrupt tail degrades the duration, never throws. */
+    * stream. Tail granules are FILTERED to the BOS page's bitstream
+    * serial (a multiplexed Ogg — Theora video + Vorbis audio — carries a
+    * second granule clock that would otherwise be read at the audio
+    * rate); when no tail page matches the serial (a CHAINED stream:
+    * a later chain's BOS re-keys it, legal for icecast-style
+    * concatenation), the probe falls back to the max granule of ANY
+    * tail page — chains are same-codec by convention, so the estimate
+    * stays meaningful where the strict filter would return None. Pages
+    * with granule −1 ("no packet ends here") are skipped; a malformed
+    * page header falls back to a byte-step scan, so a corrupt tail
+    * degrades the duration, never throws. */
   object OggProbe extends MediaProbe {
     private def u32le(c: Array[Byte], o: Int): Long =
       (c(o) & 0xffL) | ((c(o + 1) & 0xffL) << 8) |
@@ -2363,6 +2385,72 @@ object Multimodal {
         (lit(320) + pmod(col("n_chars"), lit(1600))).cast("int").as("width"),
         (lit(240) + pmod(col("n_chars") * 7, lit(900))).cast("int").as("height"),
         (col("n_chars") * 40).cast("long").as("duration_ms")).as("meta"))
+
+  /** Media near-duplicate pairs — the perceptual-dedup composition: the
+    * [[extractFeatures]] decode plane (codec feature vectors, content
+    * bytes projected away inside the `mapPartitions` batch) feeding the
+    * embedding near-dup machinery (SRP bucket prefilter + exact-cosine
+    * confirm, [[graft.ops.ext.Similarity.embeddingNearDupPairs]]'s shape
+    * with the `Dedup.maxBucketSize` skew guard). What a crawl pipeline
+    * runs first on image/audio bytes: candidate generation is a short-key
+    * bucket join over `dims`-float features — the media content itself
+    * never shuffles and is never compared pairwise.
+    *
+    * Scale shape:
+    *  - the decode + SRP signature runs ONCE per media row and is
+    *    `localCheckpoint`ed (`persistFeatures`): the census, the guard
+    *    semi join, and both self-join sides would otherwise each re-run
+    *    the codec over the full corpus (the Dedup `persistSignatures`
+    *    lesson — and a REAL codec decode dwarfs every signature kernel
+    *    that flag was measured on). The checkpoint rows are
+    *    (id, dims floats, bucket) — far under the payload ceiling that
+    *    makes persistence lose;
+    *  - `maxBucketSize` bounds candidate pairs to n·cap per bucket
+    *    (buckets above the cap contribute no pairs — boilerplate media
+    *    corpora have exact-dup mega-groups, and every member of one
+    *    lands in ONE bucket because identical bytes decode to identical
+    *    features). Uncapped, that one group reintroduces the quadratic
+    *    join this operator exists to avoid;
+    *  - recall: vectors agreeing on all `planes` SRP signs share a
+    *    bucket; exact duplicates always do. Raise recall for genuinely
+    *    perturbed media by lowering `planes` (bigger buckets) — the
+    *    standard LSH trade, same knob as [[graft.ops.ext.Dedup]] bands.
+    *
+    * Returns (id_a, id_b), id_a < id_b, cosine ≥ `threshold`. Pairs are
+    * unique by construction (one bucket per vector — no cross-band
+    * distinct). The checkpoint blocks back the result; release them with
+    * `graft.core.Checkpoints.release` once the result is consumed. */
+  def mediaNearDupPairs(
+      media: DataFrame, dims: Int = 16, planes: Int = 8,
+      threshold: Double = 0.9,
+      codec: MediaCodec = StubCodec,
+      maxBucketSize: Option[Int] = None,
+      persistFeatures: Boolean = true): DataFrame = {
+    import graft.ops.ext.Similarity
+    require(dims >= 1 && planes >= 1, "mediaNearDupPairs: dims/planes must be >= 1")
+    require(maxBucketSize.forall(_ >= 1), "mediaNearDupPairs: maxBucketSize must be >= 1")
+    val sig0 = extractFeatures(media, dims, codec).toDF()
+      .select(col("media_id").as("id"), col("embedding").as("vec"))
+      .withColumn("bucket", Similarity.srpBucket(col("vec"), planes))
+    val sig = if (persistFeatures) sig0.localCheckpoint(true) else sig0
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        // map-side partial count collapses even a mega-bucket to one
+        // (bucket, n) row per task; singleton buckets pruned too
+        val ok = sig.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") >= 2 && col("_bsz") <= cap)
+          .select(col("bucket"))
+        sig.join(ok, Seq("bucket"), "left_semi")
+      case None => sig
+    }
+    val l = kept.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = kept.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosineSafe(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 
   /** Synthetic media table for tests/demos (documents bytes as fake
     * content). */

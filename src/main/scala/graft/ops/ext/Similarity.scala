@@ -284,14 +284,35 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
+  /** NSW insertion-order key: md5 of the id string, tie-broken by the id
+    * STRING appended to it — one expression, one total order. Shared by
+    * [[collectHubs]] (hubs = the `numHubs` earliest-inserted nodes) and
+    * the build's prior-order rule, so "hub" and "earliest inserted" are
+    * definitionally the same ordering even on an md5 collision (a
+    * separate numeric tie-break column would break lexicographically
+    * where this breaks on the string — silently violating the
+    * hubs-are-earliest invariant). */
+  private def nswOrderKey(c: Column): Column =
+    concat(md5(c.cast("string")), c.cast("string"))
+
   /** md5-ordered hub sample with precomputed norms — the deterministic
     * stand-in for NSW's random insertion order, collected ONCE (numHubs
-    * rows, the same driver-side bound as any quantizer model). */
+    * rows, the same driver-side bound as any quantizer model).
+    *
+    * `numHubs` is capped at 256: the `across` edge family is a
+    * driver-built hub CLIQUE (numHubs² pairs — ≤ 65k rows at the cap,
+    * still model-bounded state), and search out-degree grows by
+    * numHubs − 1. Thousands of hubs would silently turn both quadratic;
+    * past a few hundred entry points the right scaling lever is `planes`
+    * / `maxRegions`, not more hubs. */
   private def collectHubs(
       vectors: DataFrame, numHubs: Int): Array[(Long, Seq[Double], Double)] = {
+    require(numHubs >= 1 && numHubs <= 256,
+      s"nsw: numHubs must be in [1, 256] (the across clique is numHubs^2 " +
+        s"driver-side pairs and out-degree grows by numHubs - 1), got $numHubs")
     val rows = vectors
       .select(col("id"), col("vec"))
-      .orderBy(md5(col("id").cast("string")), col("id")).limit(numHubs)
+      .orderBy(nswOrderKey(col("id"))).limit(numHubs)
       .collect()
       .map { r =>
         val hid = r.getAs[Number](0).longValue
@@ -376,9 +397,10 @@ object Similarity {
       "nswBuildGraph: m/maxRegions/maxBucketSize must be >= 1")
     val hubArr = centroidArr(hubs)
 
-    // insertion-order key, computed ONCE PER NODE (never per pair)
-    def orderKey(c: Column): Column =
-      concat(md5(c.cast("string")), c.cast("string"))
+    // insertion-order key, computed ONCE PER NODE (never per pair) —
+    // the SAME expression collectHubs orders by (nswOrderKey), so the
+    // hubs are definitionally the earliest-inserted nodes
+    def orderKey(c: Column): Column = nswOrderKey(c)
     def bandPairs(planesN: Int): DataFrame = {
       val sig = vectors.select(col("id"), col("vec"),
         srpBucket(col("vec"), planesN).as("bucket"),

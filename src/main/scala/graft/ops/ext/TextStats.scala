@@ -1238,20 +1238,45 @@ object TextStats {
     * recurrence `start_i = ben_i && !start_{i-1}` (a single `aggregate`
     * with a two-field struct accumulator — never one fold per flag), and
     * pieces(w) = len(w) − starts(w). Scores are the smoothed final-count
-    * scores flog2(cnt2+1) with normalizer flog2(T2+V) — the model the
-    * trainer ships, one EM step past the segmentation that produced
-    * cnt2 (exactly how SentencePiece serves its final piece table). */
+    * scores flog2(cnt2+1) with normalizer flog2(T2+V), where V is the
+    * FULL candidate count (all vocab rows, kept or pruned) — the exact
+    * normalizer inside the trainer's shipped `logp_fp`, so segmentation
+    * here agrees with any consumer that reconstructs scores from
+    * logp_fp. This is the model the trainer ships, one EM step past the
+    * segmentation that produced cnt2 (exactly how SentencePiece serves
+    * its final piece table). */
   def unigramSegmentCounts(
       docs: DataFrame, textCol: Column, idCol: String,
       vocab: DataFrame): DataFrame = {
-    val kept = vocab.where(col("kept") === 1L)
-      .select(col("piece"), col("cnt2")).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+    // ALL candidate rows collect (model-bounded): kept pieces carry the
+    // scores; the normalizer is flog2(T2 + V) with V = the FULL candidate
+    // count — the trainer's shipped logp_fp normalizer, so a consumer
+    // reconstructing scores from logp_fp agrees with this apply pass on
+    // every near-tie position (pruned pieces have cnt2 = 0 by the kept
+    // rule, so the kept-only sum IS T2 — only V needs the full table)
+    val all = vocab.select(col("piece"), col("piece_len"),
+      col("cnt2"), col("kept")).collect()
+    val kept = all.filter(_.getLong(3) == 1L)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(kept.nonEmpty, "unigramSegmentCounts: empty kept vocabulary")
-    val scores = kept.map { case (p, c) => p -> Importance.flog2(c + 1) }.toMap
-    val norm = Importance.flog2(kept.map(_._2).sum + kept.length)
-    val scoreMap = typedLit(scores)
-    def s(key: Column): Column = try_element_at(scoreMap, key)
+    val score = kept.map { case (p, _, c) => p -> Importance.flog2(c + 1) }.toMap
+    val norm = Importance.flog2(kept.map(_._3).sum + all.length)
+    // whether a position is beneficial depends ONLY on its bigram string
+    // (score(bg) + norm > score(c1) + score(c2), chars always kept), so
+    // the whole decision table precomputes driver-side: one <= topBigrams
+    // entry membership probe per position instead of three score lookups
+    // over the full piece table — same segmentation, bit for bit
+    val benSet: Map[String, Boolean] = kept.collect {
+      case (bg, 2L, _) =>
+        val cut = bg.offsetByCodePoints(0, 1) // split by CODE POINT
+        val ben = (for {
+          sb <- score.get(bg)
+          s1 <- score.get(bg.substring(0, cut))
+          s2 <- score.get(bg.substring(cut))
+        } yield sb + norm > s1 + s2).getOrElse(false)
+        bg -> ben
+    }.filter(_._2).toMap
+    val benMap = typedLit(benSet)
 
     def starts(w: Column): Column = {
       // slice/greatest guard (the Dedup.shingles pattern): sequence(1, 0)
@@ -1260,10 +1285,7 @@ object TextStats {
       val idxs = slice(sequence(lit(1), greatest(n, lit(1))),
         lit(1), greatest(n, lit(0)))
       val ben = transform(idxs,
-        i => coalesce(
-          s(w.substr(i, lit(2))) + lit(norm) >
-            s(w.substr(i, lit(1))) + s(w.substr(i + 1, lit(1))),
-          lit(false)))
+        i => coalesce(try_element_at(benMap, w.substr(i, lit(2))), lit(false)))
       // greedy recurrence in ONE fold: start_i = ben_i && !start_{i-1}
       aggregate(ben,
         struct(lit(false).as("prev"), lit(0L).as("n")),

@@ -127,4 +127,71 @@ class FlacFrameCodecSpec extends AnyFunSuite {
       FlacFrameCodec.decodeFrame(flac5, msIn(2), 4).toSeq)
     assert(sniff.decode(flac5, 4).toSeq === FlacFrameCodec.decode(flac5, 4).toSeq)
   }
+
+  test("a trailing ID3v1 'TAG' block is excluded from the last frame's span") {
+    // appended tag metadata is not audio: the last frame's fingerprint
+    // must match the untagged stream's (the Mp3Probe rule)
+    val tag = "TAG".getBytes("US-ASCII") ++ Array.fill(125)(0x41.toByte)
+    val tagged = flac5 ++ tag
+    assert(FlacFrameCodec.decodeFrame(tagged, msIn(4), 4).toSeq ===
+      FlacFrameCodec.decodeFrame(flac5, msIn(4), 4).toSeq)
+    // bounded frames (a next header exists) are untouched by the trim
+    assert(FlacFrameCodec.decodeFrame(tagged, msIn(1), 4).toSeq ===
+      FlacFrameCodec.decodeFrame(flac5, msIn(1), 4).toSeq)
+    // non-TAG trailing padding still folds into the last frame — the
+    // documented best-effort clamp (no frame-length table exists to
+    // bound it); the fingerprint visibly shifts rather than throwing
+    val padded = flac5 ++ Array.fill(128)(0x00.toByte)
+    val shifted = FlacFrameCodec.decodeFrame(padded, msIn(4), 4)
+    assert(shifted.length === 4 && shifted.exists(_ != 0f))
+    assert(shifted.toSeq !== FlacFrameCodec.decodeFrame(flac5, msIn(4), 4).toSeq)
+    // a degenerate stream that is ONLY a tag after one frame never
+    // produces an empty span (the trim refuses to cross the frame start)
+    val oneFrame = flacStream(Seq(frame(0, 0x10, payloadLen = 50)))
+    assert(FlacFrameCodec.decodeFrame(oneFrame ++ tag.take(100), 0L, 4).length === 4)
+  }
+
+  test("adversarial SEEKTABLE entries: never throw; bogus offsets fall back to the linear scan") {
+    // every payload byte in the fixture is a constant < 0xff, so NO
+    // mid-payload offset can start a sync pattern: each bogus point must
+    // produce exactly the linear-scan result
+    val bogusOffsets = Seq(10L, 100L, 306L + 7L, 4L * 306L + 50L,
+      5L * 306L - 1L, 1L)
+    for (off <- bogusOffsets; i <- 0 to 4) {
+      val bytes = flacStream(fiveFrames, Seq((256L * i, off)))
+      assert(FlacFrameCodec.decodeFrame(bytes, msIn(i), 4).toSeq ===
+        FlacFrameCodec.decodeFrame(flac5, msIn(i), 4).toSeq,
+        s"offset $off target frame $i must fall back to the linear scan")
+    }
+    // structurally hostile tables: EOF/overflow/negative offsets, huge
+    // sample numbers, dense duplicate points — never a throw, always
+    // dims-length output (the CRC-8 gate + bounds checks hold)
+    val hostile: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((768L, Long.MaxValue)),
+      Seq((768L, flac5.length.toLong + 1000L)),
+      Seq((768L, -2L)),
+      Seq((Long.MaxValue - 1L, 3L * 306L)),
+      Seq((768L, 3L * 306L + 1L), (768L, 3L * 306L - 1L)),
+      (0 until 13).map(j => (256L * (j % 5), (j * 97L) % (5L * 306L))),
+      Seq((0L, 0L), (256L, 306L), (512L, 2L * 306L), (768L, 3L * 306L),
+        (1024L, 4L * 306L)))
+    for (sp <- hostile; i <- 0 to 4; ms <- Seq(msIn(i), 0L, 999999L)) {
+      val out = FlacFrameCodec.decodeFrame(flacStream(fiveFrames, sp), ms, 4)
+      assert(out.length === 4)
+    }
+    // a crafted CRC-8-VALID fake header embedded in a payload, with a
+    // seekpoint aimed at it: the jump lands on a header that passes the
+    // checksum (the ~1/256 false-sync class) — the walk must stay in
+    // bounds and return a fingerprint, never throw
+    val fakeHdr = frame(100, 0x30).take(6) // valid header bytes, sample 25600
+    val poisonPayload = Array.fill(100)(0x22.toByte) ++ fakeHdr ++
+      Array.fill(100)(0x22.toByte)
+    val frames = Seq(frame(0, 0x10), Array(frame(1, 0x20).take(6),
+      poisonPayload).flatten, frame(2, 0x40))
+    val fakeOff = 306L + 6L + 100L // audio-relative offset of the fake header
+    for (i <- 0 to 2; table <- Seq(Seq((256L * i, fakeOff)), Nil)) {
+      val out = FlacFrameCodec.decodeFrame(flacStream(frames, table), msIn(i), 4)
+      assert(out.length === 4 && out.exists(_ != 0f))
+    }
+  }
 }

@@ -66,6 +66,13 @@ class MediaFuzzSpec extends AnyFunSuite {
         AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis,
         FlacFixtures.flac5, // framed flac: the frame-walk/CRC/seek path
         FlacFixtures.flacStream(FlacFixtures.fiveFrames, Seq((768L, 3L * 306L))),
+        // dense seektable + trailing ID3v1 tag: mangles hit the
+        // per-point bounds checks and the last-frame TAG trim
+        FlacFixtures.flacStream(FlacFixtures.fiveFrames,
+          Seq((0L, 0L), (256L, 306L), (512L, 2L * 306L), (768L, 3L * 306L),
+            (1024L, 4L * 306L))),
+        FlacFixtures.flac5 ++ "TAG".getBytes("US-ASCII") ++
+          Array.fill(125)(0x41.toByte),
         ImageFixtures.pngFx, ImageFixtures.jpegFx, ImageFixtures.gifFx,
         ImageFixtures.webpFx, ImageFixtures.bmpFx, ImageFixtures.tiffFx)
         .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Multimodal.mediaNearDupPairs]] — the perceptual-dedup composition
+  * (codec decode plane → SRP bucket prefilter → exact-cosine confirm).
+  * The oracle gate (q171) pins the stub-codec math against DuckDB; this
+  * spec pins what the oracle cannot: the REAL-codec path end to end
+  * (PPM pixels in, near-dup pair out), the bucket-cap guard, and
+  * persistence parity.
+  */
+class MediaNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+    rows.map { case (id, bytes) => (id, "image", bytes) }
+      .toDF("media_id", "modality", "content")
+      .repartition(2)
+
+  test("an injected exact-duplicate pairs with its parent (stub codec)") {
+    val base = (0L until 6L).map(i => i -> s"media-payload-$i".getBytes("UTF-8"))
+    val media = mediaOf(base :+ (100L -> base.head._2)) // same bytes, new id
+    val pairs = Multimodal.mediaNearDupPairs(media, dims = 16, planes = 8,
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)),
+      "identical bytes must decode to identical features and pair up")
+    // every reported pair really clears the cosine threshold (confirmed
+    // against the features recomputed independently of the join)
+    val feats = Multimodal.extractFeatures(media, dims = 16).collect()
+      .map(f => f.media_id -> f.embedding.map(_.toDouble)).toMap
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (feats(a), feats(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(cos >= 0.9, s"pair ($a, $b) cosine $cos below threshold")
+      assert(a < b, "pairs must be ordered id_a < id_b")
+    }
+  }
+
+  test("maxBucketSize drops the mega-group, healthy pairs survive") {
+    // 20 identical "boilerplate" media (one bucket of 20) + one healthy
+    // duplicate pair: with cap 10 the boilerplate bucket contributes no
+    // pairs while the pair of 2 still surfaces — the q53 guard behavior
+    // on the decode plane
+    val boiler = (0L until 20L).map(i => i -> "boilerplate".getBytes("UTF-8"))
+    val pairBytes = "rare-payload".getBytes("UTF-8")
+    val media = mediaOf(boiler ++ Seq(50L -> pairBytes, 51L -> pairBytes))
+    val pairs = Multimodal.mediaNearDupPairs(media, dims = 16, planes = 8,
+        threshold = 0.9, maxBucketSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((50L, 51L)), "the healthy pair must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 20L && b < 20L },
+      "the over-cap boilerplate bucket must contribute no pairs")
+  }
+
+  test("REAL codec end to end: near-identical PPM images pair, a different one does not") {
+    // 4x1 P6 images: bright-left/dark-right, the same with one channel
+    // nudged (a near-duplicate a byte-level hash would miss), and the
+    // inverted pattern (clearly different in feature space)
+    def ppm(pixels: Array[Int]): Array[Byte] =
+      "P6\n4 1\n255\n".getBytes("US-ASCII") ++ pixels.flatMap(p =>
+        Array(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+    val a = ppm(Array(0xf0f0f0, 0xe8e8e8, 0x101010, 0x181818))
+    val b = ppm(Array(0xf0f0ee, 0xe8e8e8, 0x101012, 0x181818)) // nudged
+    val c = ppm(Array(0x101010, 0x181818, 0xf0f0f0, 0xe8e8e8)) // inverted
+    val media = mediaOf(Seq(1L -> a, 2L -> b, 3L -> c))
+    val pairs = Multimodal.mediaNearDupPairs(media, dims = 4, planes = 2,
+        threshold = 0.99, codec = Multimodal.PpmCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the perceptual near-dup pair, got $pairs")
+  }
+
+  test("persistFeatures off produces the identical pair set") {
+    val base = (0L until 6L).map(i => i -> s"media-payload-$i".getBytes("UTF-8"))
+    val media = mediaOf(base :+ (100L -> base.head._2))
+    def run(persist: Boolean) = Multimodal.mediaNearDupPairs(media,
+        dims = 16, planes = 8, threshold = 0.9, persistFeatures = persist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(true) === run(false))
+  }
+
+  test("guards reject non-positive knobs") {
+    val media = mediaOf(Seq(0L -> "x".getBytes("UTF-8")))
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDupPairs(media, dims = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDupPairs(media, maxBucketSize = Some(0))
+    }
+  }
+}

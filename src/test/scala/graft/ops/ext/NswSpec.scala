@@ -78,6 +78,15 @@ class NswSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("numHubs is capped at 256: the across clique is numHubs^2 driver pairs") {
+    intercept[IllegalArgumentException] {
+      Similarity.nswTopK(corpus, queries, k = 5, numHubs = 257)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.nswBuildGraph(corpus, numHubs = 0)
+    }
+  }
+
   test("structural out-degree bound: <= 3m + 1 + (numHubs-1) + maxRegions") {
     // 2m local (forward + reverse) + m down + 1 up + hub clique + regions
     val m = 4; val numHubs = 16; val maxRegions = 32

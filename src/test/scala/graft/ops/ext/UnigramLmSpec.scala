@@ -100,12 +100,16 @@ class UnigramLmSpec extends SparkSpec {
   }
 
   /** Plain-Scala reference of the APPLY pass: greedy piece count per word
-    * under the served model (flog2(cnt2+1) scores, flog2(T2+V) norm). */
+    * under the served model — flog2(cnt2+1) scores over KEPT pieces, and
+    * the normalizer flog2(T2+V) with V = the FULL candidate count (the
+    * exact normalizer inside the trainer's logp_fp — kept-only V would
+    * disagree with logp_fp-reconstructed scores on near-tie positions). */
   private def applyRef(words: Seq[String], topBigrams: Int): Map[String, Long] = {
-    val vocab = referenceVocab(words, topBigrams).filter(_._7 == 1L)
+    val all = referenceVocab(words, topBigrams)
+    val vocab = all.filter(_._7 == 1L)
     val scores = vocab.map { case (p, _, _, _, c2, _, _) =>
       p -> Importance.flog2(c2 + 1) }.toMap
-    val norm = Importance.flog2(vocab.map(_._5).sum + vocab.length)
+    val norm = Importance.flog2(vocab.map(_._5).sum + all.length)
     words.distinct.map { w =>
       var i = 0; var pieces = 0L
       while (i < w.length) {
