@@ -2452,6 +2452,60 @@ object Multimodal {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Cross-corpus media near-dup filter — the media analog of
+    * [[graft.ops.ext.Dedup.dedupAgainstCorpus]] (the nightly-ingest
+    * shape): keep only incoming media whose features near-duplicate NO
+    * standing-corpus item. Incoming rows are never compared to each
+    * other — dedup WITHIN the batch is [[mediaNearDupPairs]]' job.
+    *
+    * Scale shape: both sides decode once behind `localCheckpoint`s
+    * (`persistFeatures`; for a STANDING corpus, production should
+    * persist the (id, vec, bucket) feature table to storage and keep it
+    * bucketed on `bucket` — then the nightly match join is
+    * Exchange-free on the corpus side, the
+    * [[graft.io.Bucketing]] pattern, and the corpus is never re-decoded
+    * at all). The join ships (bucket, dims floats) rows, never media
+    * bytes; `maxBucketSize` caps CORPUS buckets — a boilerplate
+    * mega-bucket would otherwise fan every colliding incoming row out
+    * by its size — trading those buckets' recall for linearity,
+    * CONSERVATIVELY (uncheckable incoming rows are KEPT, the novelty
+    * default; run exact-hash dedup upstream for known boilerplate).
+    *
+    * Returns `incoming` rows (original columns) with near-dup rows
+    * anti-joined away. */
+  def mediaNearDupAgainst(
+      incoming: DataFrame, corpus: DataFrame,
+      dims: Int = 16, planes: Int = 8, threshold: Double = 0.9,
+      codec: MediaCodec = StubCodec,
+      maxBucketSize: Option[Int] = None,
+      persistFeatures: Boolean = true): DataFrame = {
+    import graft.ops.ext.Similarity
+    require(dims >= 1 && planes >= 1, "mediaNearDupAgainst: dims/planes must be >= 1")
+    require(maxBucketSize.forall(_ >= 1), "mediaNearDupAgainst: maxBucketSize must be >= 1")
+    def sig(media: DataFrame, idOut: String, vecOut: String): DataFrame = {
+      val s = extractFeatures(media, dims, codec).toDF()
+        .select(col("media_id").as(idOut), col("embedding").as(vecOut))
+        .withColumn("bucket", Similarity.srpBucket(col(vecOut), planes))
+      if (persistFeatures) s.localCheckpoint(true) else s
+    }
+    val inc = sig(incoming, "media_id", "_vec")
+    val corp0 = sig(corpus, "_c_id", "_c_vec")
+    val corp = maxBucketSize match {
+      case Some(cap) =>
+        val ok = corp0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") <= cap)
+          .select(col("bucket"))
+        corp0.join(ok, Seq("bucket"), "left_semi")
+      case None => corp0
+    }
+    val dupIds = inc.join(corp, Seq("bucket"))
+      .where(Similarity.cosineSafe(col("_vec"), col("_c_vec")) >= threshold)
+      .select(col("media_id"))
+      .distinct()
+    incoming.join(dupIds, Seq("media_id"), "left_anti")
+  }
+
   /** Synthetic media table for tests/demos (documents bytes as fake
     * content). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

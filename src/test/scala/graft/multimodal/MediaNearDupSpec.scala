@@ -82,6 +82,34 @@ class MediaNearDupSpec extends SparkSpec {
     assert(run(true) === run(false))
   }
 
+  test("mediaNearDupAgainst: corpus dups drop, novel rows keep, batch-internal dups both keep") {
+    val corpus = mediaOf((0L until 5L).map(i =>
+      i -> s"corpus-item-$i".getBytes("UTF-8")))
+    val incoming = mediaOf(Seq(
+      100L -> "corpus-item-2".getBytes("UTF-8"), // exact dup of a corpus row
+      101L -> "novel-payload-a".getBytes("UTF-8"),
+      102L -> "novel-payload-b".getBytes("UTF-8"),
+      103L -> "novel-payload-b".getBytes("UTF-8"))) // dup WITHIN the batch only
+    val kept = Multimodal.mediaNearDupAgainst(incoming, corpus,
+        dims = 16, planes = 8, threshold = 0.9)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(101L, 102L, 103L),
+      s"corpus dup must drop, batch-internal dups must BOTH keep, got $kept")
+  }
+
+  test("mediaNearDupAgainst: a capped corpus mega-bucket keeps incoming (conservative)") {
+    val boiler = "boilerplate".getBytes("UTF-8")
+    val corpus = mediaOf((0L until 20L).map(i => i -> boiler))
+    val incoming = mediaOf(Seq(100L -> boiler))
+    val dropAll = Multimodal.mediaNearDupAgainst(incoming, corpus,
+      threshold = 0.9, maxBucketSize = None)
+    assert(dropAll.count() === 0L, "uncapped: the exact dup must drop")
+    val capped = Multimodal.mediaNearDupAgainst(incoming, corpus,
+      threshold = 0.9, maxBucketSize = Some(10))
+    assert(capped.count() === 1L,
+      "capped-away corpus bucket: the incoming row must be KEPT, not dropped")
+  }
+
   test("guards reject non-positive knobs") {
     val media = mediaOf(Seq(0L -> "x".getBytes("UTF-8")))
     intercept[IllegalArgumentException] {
