@@ -253,6 +253,48 @@ object BpeSubwordsExpr {
     GraftColumnBridge.column(BpeSubwordsExpr(GraftColumnBridge.expression(c), merges))
 }
 
+/** [[graft.ops.ext.TextStats.unigramSegmentCounts]]'s piece total as one
+  * codegen'd walk — the interpreted serve fold runs a nested
+  * transform+aggregate with a struct accumulator and a small-map probe
+  * per character position of every token (priced ~2.6 s of q172's 3.5 s
+  * at sf0.1); the kernel does the identical greedy recurrence over the
+  * text's UTF-8 bytes ([[TokenHash.unigramPieces]]). The beneficial
+  * bigrams are plan literals (the trained model is bounded driver state,
+  * the [[BpeSubwordsExpr]] precedent). */
+case class UnigramPiecesExpr(child: Expression, bigrams: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val benSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(4, bigrams.size * 2))
+    bigrams.foreach(b => s.add(UTF8String.fromString(b)))
+    s
+  }
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.unigramPieces(input.asInstanceOf[UTF8String], benSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("unigramBen", benSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.TokenHash.unigramPieces($in, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_unigram_pieces"
+}
+
+object UnigramPiecesExpr {
+  /** Column-level entry point: `unigram_pieces($"text", benefitBigrams)`. */
+  def unigram_pieces(c: Column, bigrams: Seq[String]): Column =
+    GraftColumnBridge.column(UnigramPiecesExpr(GraftColumnBridge.expression(c), bigrams))
+}
+
 /** [[graft.ops.ext.TextStats.ngramRepetition]]'s metrics as ONE codegen'd
   * byte walk — the interpreted form builds an n-gram string array per row
   * (slice + concat per element), sorts it, and folds a 7-field struct
@@ -490,6 +532,47 @@ object TokenHash {
     var c = 0
     forEachToken(bytes)((_, _) => c += 1)
     c
+  }
+
+  /** Unigram-LM greedy piece count over the whitespace tokens — the
+    * codegen'd equivalent of the interpreted serve fold in
+    * [[graft.ops.ext.TextStats.unigramSegmentCounts]]:
+    * `Σ_tokens (length(w) − starts(w))` with
+    * `start_i = benSet(w.substr(i, 2)) && !start_{i-1}` (1-based char
+    * positions — the served model's whole decision table is the
+    * beneficial-bigram set). Split-based form, so bytes are
+    * U+FFFD-normalized first ([[normalizedBytes]]) and positions walk
+    * CODE POINTS via `numBytesForFirstByte` — `length(w)` and
+    * `substr(i, 2)` both count characters on the interpreted path.
+    * Probes wrap the bigram's byte span in a no-copy UTF8String; no
+    * token array, no index array, no struct accumulator per position. */
+  def unigramPieces(text: UTF8String, ben: java.util.HashSet[UTF8String]): Long = {
+    val bytes = normalizedBytes(text)
+    var pieces = 0L
+    forEachToken(bytes) { (from, until) =>
+      var nChars = 0L
+      var starts = 0L
+      var prev = false
+      if (from < until) {
+        var o0 = from
+        var o1 = math.min(until,
+          o0 + UTF8String.numBytesForFirstByte(bytes(o0)))
+        nChars = 1L
+        while (o1 < until) {
+          val o2 = math.min(until,
+            o1 + UTF8String.numBytesForFirstByte(bytes(o1)))
+          nChars += 1L
+          val st = !prev &&
+            ben.contains(UTF8String.fromBytes(bytes, o0, o2 - o0))
+          if (st) starts += 1L
+          prev = st
+          o0 = o1
+          o1 = o2
+        }
+      }
+      pieces += nChars - starts
+    }
+    pieces
   }
 
   /** ASCII-letter count — `length(regexp_replace(s, "[^A-Za-z]", ""))`

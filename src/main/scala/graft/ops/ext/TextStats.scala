@@ -1232,11 +1232,14 @@ object TextStats {
     * token-budget pipeline wants from this tokenizer.
     *
     * The vocab frame is model-bounded (alphabet + topBigrams rows), so
-    * its kept pieces collect to the driver and the scores embed as a
-    * `typedLit` map — the whole operator is then MAP-SIDE: one fold per
-    * token computes the number of bigram starts through the greedy
-    * recurrence `start_i = ben_i && !start_{i-1}` (a single `aggregate`
-    * with a two-field struct accumulator — never one fold per flag), and
+    * it collects to the driver, the per-position decision reduces to a
+    * BIGRAM SET membership (benefit is a pure function of the bigram:
+    * score(bg) + norm > score(c1) + score(c2), precomputed here), and
+    * the whole operator is MAP-SIDE: one
+    * [[graft.functions.UnigramPiecesExpr]] kernel call per document
+    * runs the greedy recurrence `start_i = ben_i && !start_{i-1}` over
+    * the text bytes (the interpreted twin,
+    * [[unigramPiecesInterpreted]], is spec-held equivalent), and
     * pieces(w) = len(w) − starts(w). Scores are the smoothed final-count
     * scores flog2(cnt2+1) with normalizer flog2(T2+V), where V is the
     * FULL candidate count (all vocab rows, kept or pruned) — the exact
@@ -1266,7 +1269,7 @@ object TextStats {
     // the whole decision table precomputes driver-side: one <= topBigrams
     // entry membership probe per position instead of three score lookups
     // over the full piece table — same segmentation, bit for bit
-    val benSet: Map[String, Boolean] = kept.collect {
+    val benSet: Seq[String] = kept.collect {
       case (bg, 2L, _) =>
         val cut = bg.offsetByCodePoints(0, 1) // split by CODE POINT
         val ben = (for {
@@ -1275,9 +1278,23 @@ object TextStats {
           s2 <- score.get(bg.substring(cut))
         } yield sb + norm > s1 + s2).getOrElse(false)
         bg -> ben
-    }.filter(_._2).toMap
-    val benMap = typedLit(benSet)
+    }.filter(_._2).map(_._1).sorted.toSeq
+    docs.select(col(idCol),
+      tokenCount(textCol).cast("long").as("n_words"),
+      graft.functions.UnigramPiecesExpr.unigram_pieces(textCol, benSet)
+        .as("n_pieces"))
+  }
 
+  /** The interpreted higher-order twin of
+    * [[graft.functions.UnigramPiecesExpr]]'s kernel — the serve fold
+    * [[unigramSegmentCounts]] shipped with before the kernel, kept as
+    * the spec-held equivalence reference (UnigramLmSpec asserts kernel
+    * == fold on multi-byte/degenerate inputs; the same
+    * interpreted-vs-codegen discipline as every kernel in
+    * `graft/functions`). */
+  private[ext] def unigramPiecesInterpreted(
+      textCol: Column, benefitBigrams: Seq[String]): Column = {
+    val benMap = typedLit(benefitBigrams.map(_ -> true).toMap)
     def starts(w: Column): Column = {
       // slice/greatest guard (the Dedup.shingles pattern): sequence(1, 0)
       // counts DOWN for a 1-char word, so clamp then slice to n
@@ -1296,11 +1313,8 @@ object TextStats {
         },
         acc => acc.getField("n"))
     }
-    val toks = tokens(textCol)
-    docs.select(col(idCol),
-      tokenCount(textCol).cast("long").as("n_words"),
-      aggregate(toks, lit(0L),
-        (acc, w) => acc + length(w).cast("long") - starts(w)).as("n_pieces"))
+    aggregate(tokens(textCol), lit(0L),
+      (acc, w) => acc + length(w).cast("long") - starts(w))
   }
 
   /** Vocabulary coverage / out-of-vocabulary rate per group — the

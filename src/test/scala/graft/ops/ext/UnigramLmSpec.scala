@@ -142,6 +142,33 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("unigram_pieces kernel == interpreted fold on degenerate and multi-byte inputs") {
+    // the interpreted-vs-codegen discipline: same benefit set, nasty
+    // inputs — empty, whitespace-only, runs, multi-byte (2/3/4-byte
+    // UTF-8, so code-point walking is exercised), mixed boundaries
+    val ben = Seq("aa", "ab", "éz", "日本", "aé", "😀x")
+    val texts = Seq(
+      "", "   ", "a", "aa", "aaa", "aaaa aaaaa", "ab ab ba",
+      "caéz zéa ézéz", "日本語 語日本 日本日本", "aéa éa",
+      "😀x y😀 😀😀x",
+      " leading trailing ", "tab\tsep\nnl", "solo")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(2) // keep kernels out of ConvertToLocalRelation
+    val both = df.select(col("id"),
+        graft.functions.UnigramPiecesExpr.unigram_pieces(col("text"), ben).as("k"),
+        TextStats.unigramPiecesInterpreted(col("text"), ben).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    both.foreach { case (id, k, f) =>
+      assert(k === f, s"row $id (${texts(id.toInt)}): kernel $k != fold $f")
+    }
+    // and with an EMPTY benefit set: pieces = total characters
+    val none = df.select(col("id"),
+        graft.functions.UnigramPiecesExpr.unigram_pieces(col("text"), Nil).as("k"),
+        TextStats.unigramPiecesInterpreted(col("text"), Nil).as("f"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    none.foreach { case (k, f) => assert(k === f) }
+  }
+
   test("piece counts bound: n_chars/2 <= n_pieces <= n_chars per doc") {
     val vocab = TextStats.unigramLmVocab(docsDf, col("text"), topBigrams = 4)
     val withId = words.grouped(6).zipWithIndex
