@@ -78,8 +78,22 @@ object Similarity {
       .cast("long") % 2 === 0, 1.0).otherwise(-1.0)
 
   /** Signed-random-projection bucket id from `planes` hyperplanes: bit i =
-    * sign of <v, plane_i>. */
-  def srpBucket(vec: Column, planes: Int): Column = {
+    * sign of <v, plane_i>. Codegen kernel
+    * ([[graft.functions.SrpBucketExpr]]): the interpreted tree evaluated
+    * `planes` zip_with+aggregate folds per row, each re-deriving its ±1
+    * signs through an md5 expression per (plane, dim); the kernel caches
+    * the signs process-wide and folds a primitive loop — bit-identical
+    * (spec-held in SimilarityKernelSpec against
+    * [[srpBucketInterpreted]], including NaN / -0.0 / empty / null-vec
+    * / null-element behavior). */
+  def srpBucket(vec: Column, planes: Int): Column =
+    graft.functions.SrpBucketExpr.srp_bucket(vec, planes)
+
+  /** The interpreted higher-order twin of [[srpBucket]]'s kernel — the
+    * shape the operator shipped with (and the one every DuckDB oracle
+    * replays term for term); kept as the spec-held equivalence
+    * reference. */
+  private[graft] def srpBucketInterpreted(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
