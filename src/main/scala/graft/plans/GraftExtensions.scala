@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, NgramRepExpr, TopKByKeyAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
+import graft.functions.{CleanTextExpr, DotProductExpr, ExtractDataTypeExpr, MisraGriesAgg, NgramRepExpr, SrpBucketExpr, TopKByKeyAgg, ShingleMinhashExpr, SimhashExpr, SortedIntersectCountExpr, TokenHashSetExpr, TokenMinhashExpr, TokenNgramHashExpr, WinnowFingerprintExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -190,6 +190,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(a, b) takes 2 arguments")
         DotProductExpr(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_srp_bucket"),
+      new ExpressionInfo(
+        classOf[SrpBucketExpr].getName,
+        null,
+        "graft_srp_bucket",
+        "graft_srp_bucket(vec, planes) - signed-random-projection bucket id " +
+          "(null vec buckets to null here; the Scala entry point coalesces to 0)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_srp_bucket(vec, planes) takes 2 arguments")
+        SrpBucketExpr(children.head, intLiteral(children(1), "planes"))
       }))
 
     ext.injectFunction((

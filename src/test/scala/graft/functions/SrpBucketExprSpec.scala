@@ -64,6 +64,22 @@ class SrpBucketExprSpec extends SparkSpec {
     compare(DoubleType, Seq(Seq(1.0, -2.0)), planes = 2)
   }
 
+  test("kernel registers as SQL graft_srp_bucket and survives codegen") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Seq(0.5f, -0.25f, 1.0f)).toDF("vec")
+    df.createOrReplaceTempView("srp_t")
+    val viaSql = spark.sql("SELECT graft_srp_bucket(vec, 8) AS b FROM srp_t")
+      .as[Long].head()
+    val viaCol = df.select(Similarity.srpBucket(col("vec"), 8).as("b"))
+      .as[Long].head()
+    assert(viaSql === viaCol)
+    // the similarity path plans the kernel, not the interpreted HOF tree
+    val plan = df.select(Similarity.srpBucket(col("vec"), 8))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_srp_bucket"), plan)
+  }
+
   test("non-numeric-array input is an analysis-time failure") {
     val spark2 = spark
     import spark2.implicits._
