@@ -2452,6 +2452,70 @@ object Multimodal {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Frame-level media near-duplicate pairs — CLIP detection, the video
+    * dual of [[mediaNearDupPairs]]: where whole-content features catch
+    * re-encodes of the same item, shared FRAME fingerprints catch a clip
+    * embedded in a longer recording, a re-edit, or two broadcasts
+    * sharing footage. Each sampled frame ([[extractFrameFeatures]], the
+    * q136 plane) reduces to an 8-byte fingerprint (SRP bucket of its
+    * feature vector — visually-near frames agree on coarse-luma signs);
+    * two media pair when their DISTINCT-fingerprint overlap covers at
+    * least `minSharedPpm` of the SHORTER item's fingerprint set
+    * (containment, the [[graft.ops.ext.Dedup]] winnowing semantics —
+    * a short clip fully inside a long recording scores 1e6 ppm).
+    *
+    * Scale shape: frames collapse to (media_id, fp) longs immediately
+    * after the decode `mapPartitions` (checkpointed once —
+    * `persistFeatures`); the candidate join is fp-keyed
+    * ([[graft.ops.ext.Dedup.winnowCandidatePairs]]'s shape) with
+    * `maxBucketSize` capping degenerate fingerprints (black/silence
+    * frames shared corpus-wide are the boilerplate mega-bucket of the
+    * frame plane — uncapped they are quadratic); the confirm is a
+    * count aggregate on the pair list, never a re-decode. Media bytes
+    * are read once per frame and never shuffle.
+    *
+    * Output: (id_a, id_b, shared, nf_a, nf_b, containment_ppm),
+    * id_a < id_b, all BIGINT (ppm floor division — engine-exact). */
+  def mediaFrameNearDupPairs(
+      media: DataFrame, everyMs: Long, dims: Int = 16, planes: Int = 16,
+      minSharedPpm: Long = 500000L,
+      codec: FrameCodec = StubFrameCodec,
+      maxBucketSize: Option[Int] = None,
+      persistFeatures: Boolean = true): DataFrame = {
+    import graft.ops.ext.Similarity
+    require(dims >= 1 && planes >= 1, "mediaFrameNearDupPairs: dims/planes must be >= 1")
+    require(minSharedPpm >= 1 && minSharedPpm <= 1000000L,
+      s"mediaFrameNearDupPairs: minSharedPpm must be in [1, 1e6], got $minSharedPpm")
+    require(maxBucketSize.forall(_ >= 1), "mediaFrameNearDupPairs: maxBucketSize must be >= 1")
+    val fp0 = extractFrameFeatures(media, everyMs, dims, codec).toDF()
+      .select(col("media_id"),
+        Similarity.srpBucket(col("embedding"), planes).as("fp"))
+      .distinct() // containment counts DISTINCT fingerprints
+    val fp = if (persistFeatures) fp0.localCheckpoint(true) else fp0
+    val counts = fp.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val ok = fp.groupBy(col("fp")).agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") >= 2 && col("_bsz") <= cap)
+          .select(col("fp"))
+        fp.join(ok, Seq("fp"), "left_semi")
+      case None => fp
+    }
+    val shared = kept.select(col("fp"), col("media_id").as("id_a"))
+      .join(kept.select(col("fp"), col("media_id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("media_id").as("id_a"), col("nf").as("nf_a")), Seq("id_a"))
+      .join(counts.select(col("media_id").as("id_b"), col("nf").as("nf_b")), Seq("id_b"))
+      .withColumn("containment_ppm",
+        expr("shared * 1000000 div least(nf_a, nf_b)"))
+      .where(col("containment_ppm") >= minSharedPpm)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("nf_a"), col("nf_b"), col("containment_ppm"))
+  }
+
   /** Cross-corpus media near-dup filter — the media analog of
     * [[graft.ops.ext.Dedup.dedupAgainstCorpus]] (the nightly-ingest
     * shape): keep only incoming media whose features near-duplicate NO
