@@ -307,6 +307,45 @@ object Streams {
       .drop("_sim")
   }
 
+  /** Streaming media dedup against a static corpus — the
+    * [[graft.multimodal.Multimodal.mediaNearDupAgainst]] dual on an
+    * append stream (the first thing a crawl ingest does with image
+    * bytes). STATELESS: each stream row decodes once in the
+    * `mapPartitions` batch (codec init amortized per partition —
+    * exactly the batch plumbing), reduces to (features, SRP bucket)
+    * map-side, and a stream-static LEFT ANTI join against the broadcast
+    * corpus feature table — bucket equality plus the exact cosine
+    * confirm in the join condition — drops near-dups. No watermark, no
+    * state store. Emits the NOVEL rows'
+    * [[graft.multimodal.Multimodal.MediaFeatures]] shape (id, modality,
+    * n_bytes, embedding) — the embedding rides along for downstream
+    * ANN/indexing instead of being recomputed. Corpus-vs-corpus media
+    * dedup belongs to the batch ops (`mediaNearDupPairs` /
+    * `mediaNearDupAgainst`), which cap degenerate buckets; the
+    * broadcast probe here is the eval-set/standing-index trade. */
+  def mediaDedupAgainstCorpus(
+      media: DataFrame, corpus: DataFrame,
+      dims: Int = 16, planes: Int = 8, threshold: Double = 0.9,
+      codec: graft.multimodal.Multimodal.MediaCodec =
+        graft.multimodal.Multimodal.StubCodec): DataFrame = {
+    import graft.multimodal.Multimodal
+    import graft.ops.ext.Similarity
+    // the corpus features materialize ONCE at query build (eager
+    // checkpoint): each microbatch reads the blocks, never re-decodes
+    // the standing corpus — the decontaminateBloom static-side rule
+    val corp = Multimodal.extractFeatures(corpus, dims, codec).toDF()
+      .select(col("embedding").as("_c_vec"),
+        Similarity.srpBucket(col("embedding"), planes).as("_c_bkt"))
+      .localCheckpoint(true)
+    val feats = Multimodal.extractFeatures(media, dims, codec).toDF()
+      .withColumn("_bkt", Similarity.srpBucket(col("embedding"), planes))
+    feats.join(broadcast(corp),
+        col("_bkt") === col("_c_bkt") &&
+          Similarity.cosineSafe(col("embedding"), col("_c_vec")) >= threshold,
+        "left_anti")
+      .drop("_bkt")
+  }
+
   /** Streaming benchmark decontamination: drop stream documents sharing
     * any token n-gram with a STATIC benchmark set — the streaming dual of
     * [[graft.ops.ext.Contamination.decontaminate]].

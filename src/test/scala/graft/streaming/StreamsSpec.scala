@@ -822,4 +822,64 @@ class StreamsSpec extends SparkSpec {
       assert(rows().count(_._1.getTime == 0L) === 3)
     } finally q.stop()
   }
+
+  test("mediaDedupAgainstCorpus: streaming media dedup drops corpus dups, keeps novel rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "image", "corpus-item-0".getBytes("UTF-8")),
+      (1L, "image", "corpus-item-1".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "content")
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "modality", "content")
+    val q = Streams.mediaDedupAgainstCorpus(media, corpus)
+      .writeStream.format("memory").queryName("media_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, "image", "corpus-item-1".getBytes("UTF-8")), // exact corpus dup
+        (101L, "image", "novel-a".getBytes("UTF-8")),
+        (102L, "image", "novel-b".getBytes("UTF-8")))
+      q.processAllAvailable()
+      // a later batch: another dup + another novel (stateless per batch)
+      input.addData(
+        (103L, "image", "corpus-item-0".getBytes("UTF-8")),
+        (104L, "image", "novel-c".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val out = spark.table("media_dedup")
+      assert(out.columns.toSeq ===
+        Seq("media_id", "modality", "n_bytes", "embedding"),
+        "novel rows must carry the MediaFeatures shape (embedding rides along)")
+      val ids = out.select(col("media_id")).as[Long].collect().sorted
+      assert(ids.toSeq === Seq(101L, 102L, 104L))
+    } finally q.stop()
+  }
+
+  test("mediaDedupAgainstCorpus: batch parity with mediaNearDupAgainst on the same rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 4L).map(i =>
+      (i, "image", s"corpus-$i".getBytes("UTF-8"))).toDF("media_id", "modality", "content")
+    val rows = Seq(
+      (10L, "image", "corpus-2".getBytes("UTF-8")),
+      (11L, "image", "fresh-x".getBytes("UTF-8")),
+      (12L, "image", "fresh-y".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "modality", "content")
+    val q = Streams.mediaDedupAgainstCorpus(media, corpus)
+      .writeStream.format("memory").queryName("media_dedup_parity")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      spark.table("media_dedup_parity").select(col("media_id"))
+        .as[Long].collect().sorted.toSeq
+    } finally q.stop()
+    val batch = graft.multimodal.Multimodal.mediaNearDupAgainst(
+        rows.toDF("media_id", "modality", "content"), corpus)
+      .select(col("media_id")).as[Long].collect().sorted.toSeq
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+  }
 }
