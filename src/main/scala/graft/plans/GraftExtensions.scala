@@ -263,5 +263,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_ngram_rep(text, n) takes 2 arguments")
         NgramRepExpr(children.head, intLiteral(children(1), "n"))
       }))
+
+    ext.injectFunction((
+      new FunctionIdentifier("graft_levenshtein"),
+      new ExpressionInfo(
+        classOf[graft.functions.LevenshteinBoundedExpr].getName,
+        null,
+        "graft_levenshtein",
+        "graft_levenshtein(a, b[, maxDist]) - bit-parallel Myers levenshtein, " +
+          "builtin-equal; with maxDist, -1 past the bound",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "graft_levenshtein(a, b[, maxDist]) takes 2 or 3 arguments")
+        val th = if (children.size == 3)
+          Some(intLiteral(children(2), "maxDist")) else None
+        graft.functions.LevenshteinBoundedExpr(children.head, children(1), th)
+      }))
   }
 }
