@@ -401,6 +401,56 @@ object TrimSpansExpr {
       GraftColumnBridge.expression(text), GraftColumnBridge.expression(spans)))
 }
 
+/** Per-document token statistics — `(ntok, ndist, top)` in ONE byte walk:
+  * token count, distinct-token count, and the most frequent token's
+  * multiplicity. The interpreted form the quality gate ran per row
+  * (`size(split)`, `size(array_distinct(toks))`,
+  * `aggregate(array_sort(toks), ...)`) materializes the token array,
+  * builds a hash set, SORTS the array, and folds it through an
+  * interpreted struct accumulator — four passes, three of them
+  * allocating, one of them O(n log n). The kernel tokenizes once and
+  * counts multiplicities in a thread-local open-addressed table keyed by
+  * (FNV hash, byte-slice equality) — exact string equality, not hash
+  * approximation.
+  *
+  * Identical to the interpreted triple by construction (spec-held in
+  * TokenHashExprsSpec against [[graft.ops.ext.TextStats
+  * .tokenStatsInterpreted]]): tokenization is the shared
+  * [[TokenHash.forEachToken]] split contract (the `[""]` empty-text
+  * quirk included — blank text reads (1, 1, 1)), distinctness is
+  * post-U+FFFD-normalization byte equality (exactly `array_distinct`'s
+  * equality after `split`'s String round-trip), and the max RUN length
+  * of a sorted array is the max MULTIPLICITY. */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntok", LongType, nullable = false),
+    StructField("ndist", LongType, nullable = false),
+    StructField("top", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenHash.tokenStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_token_stats"
+}
+
+object TokenStatsExpr {
+  /** Column-level entry point: `token_stats($"text")`. Also registered
+    * as SQL function `graft_token_stats` by
+    * [[graft.plans.GraftExtensions]]. */
+  def token_stats(c: Column): Column =
+    GraftColumnBridge.column(TokenStatsExpr(GraftColumnBridge.expression(c)))
+}
+
 /** Static kernels shared by interpreted eval and generated code.
   *
   * Tokenization reproduces `split(trim(text), "\s+")` exactly:
@@ -826,5 +876,113 @@ object TokenHash {
     val it = seen.iterator()
     while (it.hasNext) { out(i) = it.next().longValue; i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Thread-confined multiplicity table for [[tokenStats]]: open
+    * addressing at load ≤ 0.5, slots live for the current generation
+    * only (no clearing between rows), exact byte-slice equality on hash
+    * collision. Grows by rehash when a document's distinct-token count
+    * fills half the table. */
+  private final class StatsScratch {
+    var cap = 1024 // power of two
+    var hashes = new Array[Int](cap)
+    var froms = new Array[Int](cap)
+    var untils = new Array[Int](cap)
+    var counts = new Array[Int](cap)
+    var gens = new Array[Int](cap)
+    var gen = 0
+    var ndist = 0
+    var top = 0
+
+    def reset(): Unit = { gen += 1; ndist = 0; top = 0 }
+
+    private def fnv(bytes: Array[Byte], from: Int, until: Int): Int = {
+      var h = 0x811c9dc5
+      var i = from
+      while (i < until) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+      h
+    }
+
+    private def slicesEqual(bytes: Array[Byte], f1: Int, u1: Int,
+        f2: Int, u2: Int): Boolean = {
+      if (u1 - f1 != u2 - f2) return false
+      var i = f1
+      var j = f2
+      while (i < u1) {
+        if (bytes(i) != bytes(j)) return false
+        i += 1
+        j += 1
+      }
+      true
+    }
+
+    private def grow(bytes: Array[Byte]): Unit = {
+      val oc = cap
+      val oh = hashes; val of = froms; val ou = untils
+      val on = counts; val og = gens
+      cap = cap << 1
+      hashes = new Array[Int](cap)
+      froms = new Array[Int](cap)
+      untils = new Array[Int](cap)
+      counts = new Array[Int](cap)
+      gens = new Array[Int](cap)
+      var s = 0
+      while (s < oc) {
+        if (og(s) == gen) {
+          var slot = oh(s) & (cap - 1)
+          while (gens(slot) == gen) slot = (slot + 1) & (cap - 1)
+          gens(slot) = gen
+          hashes(slot) = oh(s)
+          froms(slot) = of(s)
+          untils(slot) = ou(s)
+          counts(slot) = on(s)
+        }
+        s += 1
+      }
+    }
+
+    def add(bytes: Array[Byte], from: Int, until: Int): Unit = {
+      if ((ndist + 1) << 1 > cap) grow(bytes)
+      val h = fnv(bytes, from, until)
+      var slot = h & (cap - 1)
+      while (true) {
+        if (gens(slot) != gen) {
+          gens(slot) = gen
+          hashes(slot) = h
+          froms(slot) = from
+          untils(slot) = until
+          counts(slot) = 1
+          ndist += 1
+          if (top < 1) top = 1
+          return
+        } else if (hashes(slot) == h &&
+            slicesEqual(bytes, froms(slot), untils(slot), from, until)) {
+          val c = counts(slot) + 1
+          counts(slot) = c
+          if (c > top) top = c
+          return
+        }
+        slot = (slot + 1) & (cap - 1)
+      }
+    }
+  }
+
+  private val statsScratch = new ThreadLocal[StatsScratch] {
+    override def initialValue(): StatsScratch = new StatsScratch
+  }
+
+  /** (token count, distinct tokens, max token multiplicity) — see
+    * [[TokenStatsExpr]] for the parity contract. */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = normalizedBytes(text)
+    val st = statsScratch.get()
+    st.reset()
+    var ntok = 0L
+    forEachToken(bytes) { (from, until) =>
+      ntok += 1
+      st.add(bytes, from, until)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ntok, st.ndist.toLong, st.top.toLong))
   }
 }

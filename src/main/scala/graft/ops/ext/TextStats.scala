@@ -142,17 +142,35 @@ object TextStats {
       },
       acc => acc.getField("best"))
 
-  /** Repetition metrics (the Gopher-style repetition filters): fraction of
-    * non-distinct tokens and the most frequent token's share. Both are
-    * per-row folds over the sorted token array — map-side, scan-bound, no
-    * shuffle (the relational alternative, explode + groupBy(doc, token),
-    * shuffles the full token stream). */
-  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+  /** The interpreted (ntok, ndist, top) triple — the spec-held reference
+    * [[graft.functions.TokenStatsExpr]] replaced in the hot paths
+    * ([[withRepetition]], [[withScanSignals]]): token count, distinct
+    * count, and max-multiplicity-as-sorted-run-length, each a separate
+    * pass over the materialized token array. Kept as the parity oracle
+    * (TokenHashExprsSpec) and the form every DuckDB oracle replays. */
+  def tokenStatsInterpreted(textCol: Column): Column = {
     val toks = tokens(textCol)
-    val n = size(toks)
-    df.withColumn("distinct_ratio",
-        size(array_distinct(toks)).cast("double") / n.cast("double"))
-      .withColumn("top_token_frac", topRunLength(toks).cast("double") / n.cast("double"))
+    struct(
+      size(toks).cast("long").as("ntok"),
+      size(array_distinct(toks)).cast("long").as("ndist"),
+      topRunLength(toks).cast("long").as("top"))
+  }
+
+  /** Repetition metrics (the Gopher-style repetition filters): fraction of
+    * non-distinct tokens and the most frequent token's share. One
+    * byte-walk kernel per row ([[graft.functions.TokenStatsExpr]]) —
+    * map-side, scan-bound, no shuffle (the relational alternative,
+    * explode + groupBy(doc, token), shuffles the full token stream). */
+  def withRepetition(df: DataFrame, textCol: Column): DataFrame = {
+    val ts = graft.functions.TokenStatsExpr.token_stats(textCol)
+    df.withColumn("_ts", ts)
+      .withColumn("distinct_ratio",
+        col("_ts").getField("ndist").cast("double") /
+          col("_ts").getField("ntok").cast("double"))
+      .withColumn("top_token_frac",
+        col("_ts").getField("top").cast("double") /
+          col("_ts").getField("ntok").cast("double"))
+      .drop("_ts")
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
@@ -887,10 +905,11 @@ object TextStats {
     * column (single evaluation per row). */
   private[graft] def withScanSignals(
       df: DataFrame, textCol: Column, t: QualityThresholds): DataFrame =
-    df.withColumn("_toks", tokens(textCol))
-      .withColumn("_ntok", size(col("_toks")).cast("long"))
-      .withColumn("_ndist", size(array_distinct(col("_toks"))).cast("long"))
-      .withColumn("_best", topRunLength(col("_toks")).cast("long"))
+    df.withColumn("_tstats",
+        graft.functions.TokenStatsExpr.token_stats(textCol))
+      .withColumn("_ntok", col("_tstats").getField("ntok"))
+      .withColumn("_ndist", col("_tstats").getField("ndist"))
+      .withColumn("_best", col("_tstats").getField("top"))
       .withColumn("_npii",
         (size(regexp_extract_all(textCol, lit(EmailRe), lit(0))) +
           size(regexp_extract_all(textCol, lit(Ipv4Re), lit(0))) +
@@ -904,7 +923,7 @@ object TextStats {
       .withColumn("_rep_ok",
         col("_ndist") * 10000 >= col("_ntok") * t.minDistinctBp &&
           col("_best") * 10000 <= col("_ntok") * t.maxTopTokenBp)
-      .drop("_toks", "_ntok", "_ndist", "_best", "_npii", "_na", "_nc")
+      .drop("_tstats", "_ntok", "_ndist", "_best", "_npii", "_na", "_nc")
 
   /** Folds the `_*_ok` signal columns (plus a rarity verdict) into the
     * `quality` struct and drops them — the tail both gate forms share. */

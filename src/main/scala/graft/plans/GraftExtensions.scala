@@ -265,6 +265,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(
+        classOf[graft.functions.TokenStatsExpr].getName,
+        null,
+        "graft_token_stats",
+        "graft_token_stats(text) - struct<ntok, ndist, top>: whitespace " +
+          "token count, distinct count, max token multiplicity",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_token_stats(text) takes 1 argument")
+        graft.functions.TokenStatsExpr(children.head)
+      }))
+
+    ext.injectFunction((
       new FunctionIdentifier("graft_levenshtein"),
       new ExpressionInfo(
         classOf[graft.functions.LevenshteinBoundedExpr].getName,

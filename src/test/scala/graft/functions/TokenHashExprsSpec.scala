@@ -191,6 +191,57 @@ class TokenHashExprsSpec extends SparkSpec {
       .collect().head.toSeq === Seq(2, 2)) // é/北 are not ASCII letters
   }
 
+  test("token_stats matches the interpreted (ntok, ndist, top) triple") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(21)
+    // random docs over a small vocab (forces real multiplicities), a doc
+    // with >512 distinct tokens (forces the scratch table to grow and
+    // rehash mid-row), and a high-multiplicity doc
+    val vocab = Seq("the", "a", "dup", "x1", "yy", "zzz", "é", "北")
+    val random = (0 until 40).map(_ =>
+      (0 until rnd.nextInt(60)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val wide = (0 until 3000).map(i => s"tok$i").mkString(" ")
+    val heavy = ("spam " * 500) + "ham"
+    val df = (inputs ++ random ++ Seq(wide, heavy)).toDF("text")
+    // compare FIELD-wise: a NULL text yields a null struct from the
+    // kernel but a struct of null fields from the interpreted form —
+    // every consumer reads fields, where both sides read null
+    val fields = Seq("ntok", "ndist", "top")
+    val got = df.select(
+        (fields.map(f => TokenStatsExpr.token_stats(col("text")).getField(f).as(s"k_$f")) ++
+          fields.map(f => graft.ops.ext.TextStats.tokenStatsInterpreted(col("text"))
+            .getField(f).as(s"i_$f"))): _*)
+      .collect()
+    got.foreach { r =>
+      (0 until 3).foreach { i =>
+        assert(r.isNullAt(i) === r.isNullAt(i + 3), s"${fields(i)} nullness: $r")
+        if (!r.isNullAt(i))
+          assert(r.getLong(i) === r.getLong(i + 3), s"${fields(i)}: $r")
+      }
+    }
+    // SQL registration: trim strips the outer spaces -> [dup, a, dup];
+    // a leading TAB survives trim -> leading empty token quirk
+    assert(spark.sql("SELECT graft_token_stats(' dup a dup ')").collect()
+      .head.getStruct(0).toSeq === Seq(3L, 2L, 2L))
+    assert(spark.sql("SELECT graft_token_stats('\\tdup a dup')").collect()
+      .head.getStruct(0).toSeq === Seq(4L, 3L, 2L)) // ["", dup, a, dup]
+  }
+
+  test("quality gate keeps ONE token_stats kernel instance in the optimized plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the _ntok/_ndist/_best getFields must reference one shared kernel
+    // column — CollapseProject refuses to inline non-cheap multi-use
+    // expressions; this pins that (repartition defeats
+    // ConvertToLocalRelation constant-folding the kernel away)
+    val df = Seq((1L, "a b a"), (2L, "c d")).toDF("doc_id", "text").repartition(2)
+    val out = graft.ops.ext.TextStats.qualityGate(df, col("text"), "doc_id",
+      graft.ops.ext.TextStats.QualityThresholds())
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.split("graft_token_stats", -1).length - 1 === 1, plan)
+  }
+
   test("ngram_rep kernel matches the interpreted sorted-fold over the edge corpus") {
     val spark2 = spark
     import spark2.implicits._
