@@ -39,6 +39,23 @@ class GlobalPlanSpec extends SparkSpec {
       "detector failed to flag a deliberate shuffle cartesian product")
   }
 
+  test("q108's confirm runs the Myers kernel, not the builtin banded DP") {
+    // the kernel swap that took q108 from the suite's most expensive
+    // query (4.5 s) to 1.0 s — a future edit reverting to the builtin
+    // (or planning the kernel per join side) fails here
+    val plan = SparkEntry.queries("q108_edit_pairs")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.toString
+    // two instances is the optimized shape: the `>= 0` confirm filter is
+    // pushed into the JOIN CONDITION (per candidate pair — the hot site),
+    // and the survivor projection re-evaluates for the few confirmed
+    // pairs. More than two means a planning regression re-ran the kernel
+    // per census/guard leg
+    val n = "graft_levenshtein".r.findAllMatchIn(plan).length
+    assert(n >= 1 && n <= 2, s"$n kernel instances:\n$plan")
+    assert("(?<!graft_)levenshtein\\(".r.findAllMatchIn(plan).isEmpty,
+      s"builtin levenshtein re-appeared:\n$plan")
+  }
+
   test("q167's final plan keeps ALL corpus work behind the retrieval checkpoints") {
     // the multi-consumer discipline that makes q167 affordable: lex, cov
     // and fused are each read twice, so the rendered plan must contain
