@@ -896,6 +896,21 @@ object TokenHash {
 
     def reset(): Unit = { gen += 1; ndist = 0; top = 0 }
 
+    /** Release a monster row's growth: the scratch is thread-confined and
+      * PERSISTENT, so one document with millions of distinct tokens would
+      * otherwise pin its peak table (5 int arrays × cap) on the task
+      * thread for the rest of the executor's life. Shrinking costs one
+      * small allocation on the rare row that tripped it. */
+    def maybeShrink(): Unit = if (cap > (1 << 21)) {
+      cap = 1024
+      hashes = new Array[Int](cap)
+      froms = new Array[Int](cap)
+      untils = new Array[Int](cap)
+      counts = new Array[Int](cap)
+      gens = new Array[Int](cap)
+      gen = 0
+    }
+
     private def fnv(bytes: Array[Byte], from: Int, until: Int): Int = {
       var h = 0x811c9dc5
       var i = from
@@ -982,7 +997,9 @@ object TokenHash {
       ntok += 1
       st.add(bytes, from, until)
     }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](ntok, st.ndist.toLong, st.top.toLong))
+    st.maybeShrink()
+    out
   }
 }

@@ -228,6 +228,19 @@ class TokenHashExprsSpec extends SparkSpec {
       .head.getStruct(0).toSeq === Seq(4L, 3L, 2L)) // ["", dup, a, dup]
   }
 
+  test("token_stats scratch shrinks after a monster row and stays correct") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // >2^20 distinct tokens forces the table past the retention bound;
+    // the NEXT row must still compute on the shrunk table
+    val monster = (0 until 1100000).map(i => "t" + i).mkString(" ")
+    val r1 = TokenHash.tokenStats(UTF8String.fromString(monster))
+    assert(r1.getLong(0) === 1100000L)
+    assert(r1.getLong(1) === 1100000L)
+    assert(r1.getLong(2) === 1L)
+    val r2 = TokenHash.tokenStats(UTF8String.fromString("a b a"))
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((3L, 2L, 2L)))
+  }
+
   test("quality gate keeps ONE token_stats kernel instance in the optimized plan") {
     val spark2 = spark
     import spark2.implicits._
