@@ -535,4 +535,44 @@ class PropertySpec extends SparkSpec {
       } else assert(r.isNullAt(4), s"pe=1 must yield NULL kappa for $xs")
     }
   }
+
+  test("property: levenshtein kernel matches the builtin on random unicode pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // pairs built by EDITING a shared base (the near-dup regime) plus
+    // independent pairs; atoms mix ASCII, multi-byte and emoji so the
+    // general (hashed-Peq) path and the ASCII path both fire
+    val atomGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(3)),
+      2 -> Gen.oneOf("é", "ß", "中", "😀"),
+      1 -> Gen.const(" "))
+    val strGen = Gen.listOfN(18, atomGen).map(_.mkString.take(70))
+    val pairGen = Gen.zip(strGen, strGen, Gen.choose(0, 20))
+    samples(pairGen, 60).foreach { case (a, b, th) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      assert(graft.functions.LevenshteinKernel.distance(ua, ub) ===
+        ua.levenshteinDistance(ub), s"full '$a' vs '$b'")
+      assert(graft.functions.LevenshteinKernel.distanceBounded(ua, ub, th) ===
+        ua.levenshteinDistance(ub, th), s"bounded($th) '$a' vs '$b'")
+    }
+  }
+
+  test("property: token_stats kernel matches the interpreted triple on random unicode text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val atomGen = Gen.frequency(
+      6 -> Gen.oneOf("the", "a", "dup", "x", "yz"),
+      3 -> Gen.oneOf(" ", "\t", "\n", "  ", " \t "),
+      2 -> Gen.oneOf("é", "日本", "😀"),
+      1 -> Gen.const(""))
+    val texts = samples(Gen.listOfN(14, atomGen).map(_.mkString), 24).distinct
+    val rows = texts.toDF("text").select(
+        graft.functions.TokenStatsExpr.token_stats(col("text")).as("k"),
+        TextStats.tokenStatsInterpreted(col("text")).as("i"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0).toSeq === r.getStruct(1).toSeq,
+        s"kernel ${r.getStruct(0)} vs interpreted ${r.getStruct(1)}")
+    }
+  }
 }
