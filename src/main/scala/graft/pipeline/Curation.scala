@@ -70,9 +70,12 @@ object Curation {
     val piiFree = gate match {
       case Some(th) => TextStats.qualityFilter(gated, textCol, idCol, th)
       case None => gated.where(
-        size(regexp_extract_all(textCol, lit(TextStats.EmailRe), lit(0))) === 0 &&
-          size(regexp_extract_all(textCol, lit(TextStats.Ipv4Re), lit(0))) === 0 &&
-          size(regexp_extract_all(textCol, lit(TextStats.PhoneRe), lit(0))) === 0)
+        // rlike (first-match) over extract-all-then-count-zero: the
+        // predicate is identical ("contains no match"), but a PII-heavy
+        // page costs O(first match), not O(all matches + array)
+        !textCol.rlike(TextStats.EmailRe) &&
+          !textCol.rlike(TextStats.Ipv4Re) &&
+          !textCol.rlike(TextStats.PhoneRe))
     }
 
     // 3. exact dedup: keep the min-id document of each identical-text group
