@@ -213,6 +213,55 @@ object TextStats {
       .withColumn("c4_pass", col("c4_kept") >= minLines)
   }
 
+  /** Gopher line-and-word shape signals — the LAST named rules of the
+    * Gopher quality stack (Rae et al. 2021 §A1.1) the gate family did
+    * not yet expose: the fraction of lines STARTING with a bullet
+    * character (reject > 90%), the fraction of lines ENDING with an
+    * ellipsis (reject > 30%), and the fraction of words containing at
+    * least one ASCII alphabetic character (reject < 80%). Adds
+    * `n_lines`, `bullet_line_ppm`, `ellipsis_line_ppm`,
+    * `alpha_word_ppm` (integer ppm — identical BIGINTs on any engine)
+    * and `gopher_shape_pass` under the paper's thresholds.
+    *
+    * Bullet alphabet: `- * • ‣ ▪` after leading-whitespace trim (the
+    * paper's "bullet point"); ellipsis = `...` or `…` at the absolute
+    * line end (`\z`, not `$` — the c4LineFilter CRLF lesson). Lines =
+    * `split("\n")`; blank text is ONE empty line (neither bullet nor
+    * ellipsis) and ONE empty token (not alphabetic), so a blank doc
+    * reads (1, 0, 0, 0) and fails on alpha words, never on division.
+    *
+    * Shape: two interpreted `filter` lambdas over the line array plus
+    * one token filter per row — map-side, scan-bound, no shuffle; the
+    * predicates are cheap and each array is built once (the c4LineFilter
+    * precedent — this operator is for auditing/gating, not the per-byte
+    * hot path the kernels own). */
+  def gopherSignals(
+      df: DataFrame, textCol: Column,
+      maxBulletPpm: Long = 900000L, maxEllipsisPpm: Long = 300000L,
+      minAlphaWordPpm: Long = 800000L): DataFrame = {
+    val lines = split(textCol, "\n")
+    val nLines = size(lines)
+    val bullets = size(filter(lines, l => ltrim(l).rlike("^[-*•‣▪]")))
+    val ellipses = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\z")))
+    val toks = tokens(textCol)
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    // n_lines and n_tokens are >= 1 by split's [""] quirk — the ppm
+    // divisions can never hit zero; non-negative operands, so floorDiv
+    // == truncation == DuckDB `//`
+    def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
+    df.withColumn("n_lines", nLines.cast("long"))
+      .withColumn("bullet_line_ppm",
+        idiv(bullets.cast("long") * 1000000L, nLines.cast("long")))
+      .withColumn("ellipsis_line_ppm",
+        idiv(ellipses.cast("long") * 1000000L, nLines.cast("long")))
+      .withColumn("alpha_word_ppm",
+        idiv(alphaWords.cast("long") * 1000000L, size(toks).cast("long")))
+      .withColumn("gopher_shape_pass",
+        col("bullet_line_ppm") <= maxBulletPpm &&
+          col("ellipsis_line_ppm") <= maxEllipsisPpm &&
+          col("alpha_word_ppm") >= minAlphaWordPpm)
+  }
+
   /** N-gram repetition metrics — the rest of the Gopher repetition rule
     * family (Rae et al. 2021 §A1.1: top n-gram character fraction for
     * small n, duplicated n-gram character fraction for large n;

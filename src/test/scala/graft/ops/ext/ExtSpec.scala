@@ -1556,6 +1556,46 @@ class TextStatsSpec extends SparkSpec {
     assert(got === ((1L, "Another fine sentence here.")))
   }
 
+  test("gopherSignals: bullet/ellipsis line ppm, alpha-word ppm, the paper thresholds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // 4 lines: 2 bullets (one indented, one •), 1 ellipsis tail, 1 prose
+      (1L, "- first item\n  • second item\nto be continued...\nA real sentence here."),
+      // unicode ellipsis at absolute end; CRLF defeats \z on line 1
+      (2L, "ends with dots...\r\nreally ends…"),
+      // 90%+ bullets: 10 lines, 10 bullets -> fails the bullet rule
+      (3L, (1 to 10).map(i => s"* item $i").mkString("\n")),
+      // all-numeric words -> alpha_word_ppm 0 -> fails the alpha rule
+      (4L, "123 456 789"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherSignals(df, col("text"))
+      .select("doc_id", "n_lines", "bullet_line_ppm", "ellipsis_line_ppm",
+        "alpha_word_ppm", "gopher_shape_pass")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc 1: 4 lines, 2 bullets (500000), 1 ellipsis (250000); 13
+    // whitespace tokens of which only "-" and "•" lack an ASCII letter
+    assert(out(0)._2 === 4L)
+    assert(out(0)._3 === 500000L)
+    assert(out(0)._4 === 250000L)
+    assert(out(0)._5 === 846153L) // 11 * 1e6 div 13
+    assert(out(0)._6 === true)
+    // doc 2: the "\r"-terminated line does NOT count as ellipsis (\z,
+    // the c4LineFilter CRLF rule); the unicode-… line does -> 1 of 2
+    assert(out(1)._2 === 2L)
+    assert(out(1)._4 === 500000L)
+    // doc 3: 100% bullet lines -> fails the 90% rule
+    assert(out(2)._3 === 1000000L)
+    assert(out(2)._6 === false)
+    // doc 4: zero alpha words -> fails the 80% rule
+    assert(out(3)._5 === 0L)
+    assert(out(3)._6 === false)
+    // blank doc: one empty line, one empty token -> (1, 0, 0, 0), fails
+    // on alpha words, never divides by zero
+    assert(out(4) === ((5L, 1L, 0L, 0L, 0L, false)))
+  }
+
   test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
     val spark2 = spark
     import spark2.implicits._
