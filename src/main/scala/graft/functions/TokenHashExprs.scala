@@ -894,7 +894,16 @@ object TokenHash {
     var ndist = 0
     var top = 0
 
-    def reset(): Unit = { gen += 1; ndist = 0; top = 0 }
+    def reset(): Unit = {
+      // the generation stamp must never wrap into values stale slots
+      // still hold (a ~2^31-row task thread would otherwise misread a
+      // stale slot as live and byte-compare against a PREVIOUS row's
+      // offsets); zeroing the stamps at the ceiling restarts cleanly
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(gens, 0); gen = 0 }
+      gen += 1
+      ndist = 0
+      top = 0
+    }
 
     /** Release a monster row's growth: the scratch is thread-confined and
       * PERSISTENT, so one document with millions of distinct tokens would
@@ -931,7 +940,7 @@ object TokenHash {
       true
     }
 
-    private def grow(bytes: Array[Byte]): Unit = {
+    private def grow(): Unit = {
       val oc = cap
       val oh = hashes; val of = froms; val ou = untils
       val on = counts; val og = gens
@@ -957,7 +966,7 @@ object TokenHash {
     }
 
     def add(bytes: Array[Byte], from: Int, until: Int): Unit = {
-      if ((ndist + 1) << 1 > cap) grow(bytes)
+      if ((ndist + 1) << 1 > cap) grow()
       val h = fnv(bytes, from, until)
       var slot = h & (cap - 1)
       while (true) {

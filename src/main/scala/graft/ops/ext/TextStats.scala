@@ -223,43 +223,50 @@ object TextStats {
     * `alpha_word_ppm` (integer ppm — identical BIGINTs on any engine)
     * and `gopher_shape_pass` under the paper's thresholds.
     *
-    * Bullet alphabet: `- * • ‣ ▪` after leading-whitespace trim (the
-    * paper's "bullet point"); ellipsis = `...` or `…` at the absolute
-    * line end (`\z`, not `$` — the c4LineFilter CRLF lesson). Lines =
-    * `split("\n")`; blank text is ONE empty line (neither bullet nor
+    * Bullet alphabet: `- * • ‣ ▪` after any leading whitespace (`^\s*`,
+    * so tab- and form-indented bullet spam counts — the paper's "bullet
+    * point"); ellipsis = `...` or `…` at the line end, with an optional
+    * trailing `\r` so CRLF documents measure correctly (a bare `\z`
+    * would read ellipsis-spam CRLF pages as 0 — ANTI-conservative for a
+    * reject rule, the opposite of c4LineFilter's safe direction). Lines
+    * = `split("\n")`; blank text is ONE empty line (neither bullet nor
     * ellipsis) and ONE empty token (not alphabetic), so a blank doc
     * reads (1, 0, 0, 0) and fails on alpha words, never on division.
     *
     * Shape: two interpreted `filter` lambdas over the line array plus
     * one token filter per row — map-side, scan-bound, no shuffle; the
-    * predicates are cheap and each array is built once (the c4LineFilter
-    * precedent — this operator is for auditing/gating, not the per-byte
-    * hot path the kernels own). */
+    * predicates are cheap, and each array materializes ONCE as a temp
+    * column (the withScanSignals pattern — filter lambdas are
+    * CodegenFallback, so subexpressions nested inside them are excluded
+    * from codegen dedup; inline copies would re-split the text per
+    * consumer). */
   def gopherSignals(
       df: DataFrame, textCol: Column,
       maxBulletPpm: Long = 900000L, maxEllipsisPpm: Long = 300000L,
       minAlphaWordPpm: Long = 800000L): DataFrame = {
-    val lines = split(textCol, "\n")
-    val nLines = size(lines)
-    val bullets = size(filter(lines, l => ltrim(l).rlike("^[-*•‣▪]")))
-    val ellipses = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\z")))
-    val toks = tokens(textCol)
-    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
     // n_lines and n_tokens are >= 1 by split's [""] quirk — the ppm
     // divisions can never hit zero; non-negative operands, so floorDiv
     // == truncation == DuckDB `//`
     def idiv(a: Column, b: Column): Column = graft.core.IntCols.floorDiv(a, b)
-    df.withColumn("n_lines", nLines.cast("long"))
+    val nLines = size(col("_glines")).cast("long")
+    val nToks = size(col("_gtoks")).cast("long")
+    df.withColumn("_glines", split(textCol, "\n"))
+      .withColumn("_gtoks", tokens(textCol))
+      .withColumn("n_lines", nLines)
       .withColumn("bullet_line_ppm",
-        idiv(bullets.cast("long") * 1000000L, nLines.cast("long")))
+        idiv(size(filter(col("_glines"), l => l.rlike("^\\s*[-*•‣▪]")))
+          .cast("long") * 1000000L, nLines))
       .withColumn("ellipsis_line_ppm",
-        idiv(ellipses.cast("long") * 1000000L, nLines.cast("long")))
+        idiv(size(filter(col("_glines"), l => l.rlike("(\\.\\.\\.|…)\\r?\\z")))
+          .cast("long") * 1000000L, nLines))
       .withColumn("alpha_word_ppm",
-        idiv(alphaWords.cast("long") * 1000000L, size(toks).cast("long")))
+        idiv(size(filter(col("_gtoks"), w => w.rlike("[A-Za-z]")))
+          .cast("long") * 1000000L, nToks))
       .withColumn("gopher_shape_pass",
         col("bullet_line_ppm") <= maxBulletPpm &&
           col("ellipsis_line_ppm") <= maxEllipsisPpm &&
           col("alpha_word_ppm") >= minAlphaWordPpm)
+      .drop("_glines", "_gtoks")
   }
 
   /** N-gram repetition metrics — the rest of the Gopher repetition rule

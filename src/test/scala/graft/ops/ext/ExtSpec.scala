@@ -1562,10 +1562,12 @@ class TextStatsSpec extends SparkSpec {
     val df = Seq(
       // 4 lines: 2 bullets (one indented, one •), 1 ellipsis tail, 1 prose
       (1L, "- first item\n  • second item\nto be continued...\nA real sentence here."),
-      // unicode ellipsis at absolute end; CRLF defeats \z on line 1
+      // CRLF line ends "...\r" — the \r?-tolerant anchor must count it
+      // (a reject rule that misses CRLF spam is anti-conservative);
+      // unicode ellipsis on the final line
       (2L, "ends with dots...\r\nreally ends…"),
-      // 90%+ bullets: 10 lines, 10 bullets -> fails the bullet rule
-      (3L, (1 to 10).map(i => s"* item $i").mkString("\n")),
+      // 90%+ bullets, TAB-indented -> ^\s* must still see them
+      (3L, (1 to 10).map(i => s"\t* item $i").mkString("\n")),
       // all-numeric words -> alpha_word_ppm 0 -> fails the alpha rule
       (4L, "123 456 789"),
       (5L, "")
@@ -1581,11 +1583,12 @@ class TextStatsSpec extends SparkSpec {
     assert(out(0)._4 === 250000L)
     assert(out(0)._5 === 846153L) // 11 * 1e6 div 13
     assert(out(0)._6 === true)
-    // doc 2: the "\r"-terminated line does NOT count as ellipsis (\z,
-    // the c4LineFilter CRLF rule); the unicode-… line does -> 1 of 2
+    // doc 2: BOTH lines count — the "...\r" CRLF tail and the
+    // unicode-… absolute end -> 2 of 2
     assert(out(1)._2 === 2L)
-    assert(out(1)._4 === 500000L)
-    // doc 3: 100% bullet lines -> fails the 90% rule
+    assert(out(1)._4 === 1000000L)
+    assert(out(1)._6 === false) // 100% ellipsis lines fails the 30% rule
+    // doc 3: 100% tab-indented bullet lines -> fails the 90% rule
     assert(out(2)._3 === 1000000L)
     assert(out(2)._6 === false)
     // doc 4: zero alpha words -> fails the 80% rule
