@@ -60,8 +60,12 @@ class MediaFuzzSpec extends AnyFunSuite {
       tail <- Gen.listOfN(base.length - 10, Gen.choose(-128, 127))
     } yield base.take(10) ++ tail.map(_.toByte))
 
+  /** Mangles per fixture — 40 in the suite; set GRAFT_FUZZ_N for a
+    * heavier ad-hoc sweep (e.g. 400 per fixture before a release). */
+  private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(40)
+
   private val cases: Seq[Array[Byte]] =
-    samples(garbage, 40) ++
+    samples(garbage, fuzzN) ++
       Seq(y4m, wav, ppm, avi, mp4, mp4Seek, mkv, mkvSeek,
         AudioFixtures.mp3, AudioFixtures.flacTenSec, AudioFixtures.oggVorbis,
         FlacFixtures.flac5, // framed flac: the frame-walk/CRC/seek path
@@ -75,7 +79,7 @@ class MediaFuzzSpec extends AnyFunSuite {
           Array.fill(125)(0x41.toByte),
         ImageFixtures.pngFx, ImageFixtures.jpegFx, ImageFixtures.gifFx,
         ImageFixtures.webpFx, ImageFixtures.bmpFx, ImageFixtures.tiffFx)
-        .flatMap(b => samples(mangled(b), 40, seed = 7L)) ++
+        .flatMap(b => samples(mangled(b), fuzzN, seed = 7L)) ++
       Seq(Array.emptyByteArray, null)
 
   test("fuzz: probes never throw; fields are sane when present") {
