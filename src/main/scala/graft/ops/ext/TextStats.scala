@@ -217,11 +217,13 @@ object TextStats {
     * Gopher quality stack (Rae et al. 2021 §A1.1) the gate family did
     * not yet expose: the fraction of lines STARTING with a bullet
     * character (reject > 90%), the fraction of lines ENDING with an
-    * ellipsis (reject > 30%), and the fraction of words containing at
-    * least one ASCII alphabetic character (reject < 80%). Adds
-    * `n_lines`, `bullet_line_ppm`, `ellipsis_line_ppm`,
-    * `alpha_word_ppm` (integer ppm — identical BIGINTs on any engine)
-    * and `gopher_shape_pass` under the paper's thresholds.
+    * ellipsis (reject > 30%), the fraction of words containing at
+    * least one ASCII alphabetic character (reject < 80%), and the
+    * symbol-to-word ratio — non-overlapping `#` / `...` matches per
+    * word (reject > 10%). Adds `n_lines`, `bullet_line_ppm`,
+    * `ellipsis_line_ppm`, `alpha_word_ppm`, `symbol_word_ppm` (integer
+    * ppm — identical BIGINTs on any engine) and `gopher_shape_pass`
+    * under the paper's thresholds.
     *
     * Bullet alphabet: `- * • ‣ ▪` after any leading whitespace (`^\s*`,
     * so tab- and form-indented bullet spam counts — the paper's "bullet
@@ -243,7 +245,8 @@ object TextStats {
   def gopherSignals(
       df: DataFrame, textCol: Column,
       maxBulletPpm: Long = 900000L, maxEllipsisPpm: Long = 300000L,
-      minAlphaWordPpm: Long = 800000L): DataFrame = {
+      minAlphaWordPpm: Long = 800000L,
+      maxSymbolPpm: Long = 100000L): DataFrame = {
     // n_lines and n_tokens are >= 1 by split's [""] quirk — the ppm
     // divisions can never hit zero; non-negative operands, so floorDiv
     // == truncation == DuckDB `//`
@@ -262,10 +265,14 @@ object TextStats {
       .withColumn("alpha_word_ppm",
         idiv(size(filter(col("_gtoks"), w => w.rlike("[A-Za-z]")))
           .cast("long") * 1000000L, nToks))
+      .withColumn("symbol_word_ppm",
+        idiv(size(regexp_extract_all(textCol, lit("#|\\.\\.\\."), lit(0)))
+          .cast("long") * 1000000L, nToks))
       .withColumn("gopher_shape_pass",
         col("bullet_line_ppm") <= maxBulletPpm &&
           col("ellipsis_line_ppm") <= maxEllipsisPpm &&
-          col("alpha_word_ppm") >= minAlphaWordPpm)
+          col("alpha_word_ppm") >= minAlphaWordPpm &&
+          col("symbol_word_ppm") <= maxSymbolPpm)
       .drop("_glines", "_gtoks")
   }
 

@@ -1570,33 +1570,42 @@ class TextStatsSpec extends SparkSpec {
       (3L, (1 to 10).map(i => s"\t* item $i").mkString("\n")),
       // all-numeric words -> alpha_word_ppm 0 -> fails the alpha rule
       (4L, "123 456 789"),
-      (5L, "")
+      (5L, ""),
+      // hashtag spam: 4 words, 3 '#' + one '.....' = ONE non-overlapping
+      // '...' match -> 4 symbols / 4 words -> fails the 10% symbol rule
+      (6L, "#a #b #c word.....")
     ).toDF("doc_id", "text")
     val out = TextStats.gopherSignals(df, col("text"))
       .select("doc_id", "n_lines", "bullet_line_ppm", "ellipsis_line_ppm",
-        "alpha_word_ppm", "gopher_shape_pass")
-      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+        "alpha_word_ppm", "symbol_word_ppm", "gopher_shape_pass")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
     // doc 1: 4 lines, 2 bullets (500000), 1 ellipsis (250000); 13
-    // whitespace tokens of which only "-" and "•" lack an ASCII letter
+    // whitespace tokens of which only "-" and "•" lack an ASCII letter;
+    // symbols: the one "continued..." ellipsis over 13 words
     assert(out(0)._2 === 4L)
     assert(out(0)._3 === 500000L)
     assert(out(0)._4 === 250000L)
     assert(out(0)._5 === 846153L) // 11 * 1e6 div 13
-    assert(out(0)._6 === true)
+    assert(out(0)._6 === 76923L) // 1 * 1e6 div 13 — under the 10% rule
+    assert(out(0)._7 === true)
     // doc 2: BOTH lines count — the "...\r" CRLF tail and the
     // unicode-… absolute end -> 2 of 2
     assert(out(1)._2 === 2L)
     assert(out(1)._4 === 1000000L)
-    assert(out(1)._6 === false) // 100% ellipsis lines fails the 30% rule
+    assert(out(1)._7 === false) // 100% ellipsis lines fails the 30% rule
     // doc 3: 100% tab-indented bullet lines -> fails the 90% rule
     assert(out(2)._3 === 1000000L)
-    assert(out(2)._6 === false)
+    assert(out(2)._7 === false)
     // doc 4: zero alpha words -> fails the 80% rule
     assert(out(3)._5 === 0L)
-    assert(out(3)._6 === false)
-    // blank doc: one empty line, one empty token -> (1, 0, 0, 0), fails
+    assert(out(3)._7 === false)
+    // blank doc: one empty line, one empty token -> all-zero ppm, fails
     // on alpha words, never divides by zero
-    assert(out(4) === ((5L, 1L, 0L, 0L, 0L, false)))
+    assert(out(4) === ((5L, 1L, 0L, 0L, 0L, 0L, false)))
+    // doc 6: 3 '#' + ONE non-overlapping '...' inside '.....' = 4
+    // symbols / 4 words = 1000000 ppm -> fails the 10% symbol rule
+    assert(out(5)._6 === 1000000L)
+    assert(out(5)._7 === false)
   }
 
   test("bpePairStats counts corpus-frequency-weighted adjacent char pairs") {
