@@ -1496,12 +1496,12 @@ object SparkEntry {
 
     // ---- edit-distance-confirmed near-dup pairs -------------------------
     "q108_edit_pairs" -> ((s, dir) => {
-      // LSH recalls, banded levenshtein over a 64-char prefix confirms —
-      // the order-sensitive sibling of q24's Jaccard confirm. maxDist 16
-      // = a quarter of the prefix: the near-dup regime this operator is
-      // for, and the band bound that keeps the per-pair cost
-      // O(maxDist·prefix) ≈ 1k char ops (40/80 measured 6× slower for
-      // pairs no dedup policy would call near)
+      // LSH recalls, bit-parallel Myers levenshtein over a 64-char
+      // prefix confirms (graft_levenshtein — ~64 word steps per pair,
+      // builtin-parity spec'd, see Dedup.editConfirmedPairs) — the
+      // order-sensitive sibling of q24's Jaccard confirm. maxDist 16
+      // = a quarter of the prefix: the near-dup regime this operator
+      // is for
       Dedup.editConfirmedPairs(t(s, dir, "documents"), col("text"), "doc_id",
           numHashes = 2, prefixLen = 64, maxDist = 16,
           maxBucketSize = Some(1000),

@@ -2554,6 +2554,17 @@ object Multimodal {
     }
     val inc = sig(incoming, "media_id", "_vec")
     val corp0 = sig(corpus, "_c_id", "_c_vec")
+    antiJoinNearDups(incoming, inc, corp0, threshold, maxBucketSize)
+  }
+
+  /** The match tail [[mediaNearDupAgainst]] and [[mediaNearDupAgainstTable]]
+    * share: cap CORPUS buckets (conservative — capped buckets drop their
+    * MATCHES, so uncheckable incoming rows are KEPT), bucket-join the
+    * incoming signatures, cosine-confirm, anti-join the dup ids away. */
+  private def antiJoinNearDups(
+      incoming: DataFrame, inc: DataFrame, corp0: DataFrame,
+      threshold: Double, maxBucketSize: Option[Int]): DataFrame = {
+    import graft.ops.ext.Similarity
     val corp = maxBucketSize match {
       case Some(cap) =>
         val ok = corp0.groupBy(col("bucket"))
@@ -2568,6 +2579,68 @@ object Multimodal {
       .select(col("media_id"))
       .distinct()
     incoming.join(dupIds, Seq("media_id"), "left_anti")
+  }
+
+  /** Persist a standing corpus's decoded feature plane as a BUCKETED
+    * catalog table — the one-time ingest layout that makes every later
+    * [[mediaNearDupAgainstTable]] run Exchange-free on the corpus side
+    * with ZERO corpus re-decode (the recurring-dedup discipline of
+    * [[graft.io.Bucketing]]; the reference applies the same
+    * partition-once-join-many idea to its label table,
+    * PartitionSparkApp.scala:48-54). Rows are `(_c_id, _c_vec, bucket)`
+    * — the exact corpus-side layout [[mediaNearDupAgainst]] builds
+    * per-run — bucketed AND sorted by `bucket`, so the nightly match
+    * join's sort-merge reads the corpus files in place: no shuffle, no
+    * sort, no decode. The decode runs ONCE, here, at write time.
+    *
+    * `buckets` should match the deployment's shuffle parallelism (both
+    * the writer and every reader must see the same count — it is baked
+    * into the table). `dims`/`planes` are baked in the same way: a
+    * reader matching with different values gets silently-empty buckets,
+    * so [[mediaNearDupAgainstTable]] takes the same defaults and the
+    * caller owns keeping them in sync (the table carries no metadata to
+    * check against). */
+  def writeMediaFeatureTable(
+      corpus: DataFrame, table: String,
+      dims: Int = 16, planes: Int = 8,
+      codec: MediaCodec = StubCodec,
+      buckets: Int = 32): Unit = {
+    import graft.ops.ext.Similarity
+    require(dims >= 1 && planes >= 1, "writeMediaFeatureTable: dims/planes must be >= 1")
+    require(buckets >= 1, "writeMediaFeatureTable: buckets must be >= 1")
+    val sig = extractFeatures(corpus, dims, codec).toDF()
+      .select(col("media_id").as("_c_id"), col("embedding").as("_c_vec"))
+      .withColumn("bucket", Similarity.srpBucket(col("_c_vec"), planes))
+    graft.io.Bucketing.writeBucketed(sig, table, "bucket", buckets)
+  }
+
+  /** [[mediaNearDupAgainst]] against a [[writeMediaFeatureTable]] corpus:
+    * the nightly-ingest fast path. Only the INCOMING batch decodes; the
+    * corpus side is a bucketed parquet scan whose partitioning already
+    * matches the join key, so the only Exchange in the match join is the
+    * (small) incoming side shuffling into the corpus's bucketing — and
+    * the `maxBucketSize` census + its semi join plan with no Exchange at
+    * all (both legs read the same bucketed layout). Byte-identical
+    * output to [[mediaNearDupAgainst]] on the same corpus
+    * (spec-asserted) — same features, same buckets, same cap semantics.
+    *
+    * `dims`/`planes` MUST equal the values the table was written with
+    * (see [[writeMediaFeatureTable]]). */
+  def mediaNearDupAgainstTable(
+      incoming: DataFrame, corpusTable: String,
+      dims: Int = 16, planes: Int = 8, threshold: Double = 0.9,
+      codec: MediaCodec = StubCodec,
+      maxBucketSize: Option[Int] = None,
+      persistFeatures: Boolean = true): DataFrame = {
+    import graft.ops.ext.Similarity
+    require(dims >= 1 && planes >= 1, "mediaNearDupAgainstTable: dims/planes must be >= 1")
+    require(maxBucketSize.forall(_ >= 1), "mediaNearDupAgainstTable: maxBucketSize must be >= 1")
+    val inc0 = extractFeatures(incoming, dims, codec).toDF()
+      .select(col("media_id"), col("embedding").as("_vec"))
+      .withColumn("bucket", Similarity.srpBucket(col("_vec"), planes))
+    val inc = if (persistFeatures) inc0.localCheckpoint(true) else inc0
+    val corp0 = incoming.sparkSession.table(corpusTable)
+    antiJoinNearDups(incoming, inc, corp0, threshold, maxBucketSize)
   }
 
   /** Synthetic media table for tests/demos (documents bytes as fake

@@ -219,8 +219,11 @@ object TextStats {
     * character (reject > 90%), the fraction of lines ENDING with an
     * ellipsis (reject > 30%), the fraction of words containing at
     * least one ASCII alphabetic character (reject < 80%), and the
-    * symbol-to-word ratio — non-overlapping `#` / `...` matches per
-    * word (reject > 10%). Adds `n_lines`, `bullet_line_ppm`,
+    * symbol-to-word ratio — non-overlapping `#` / `...` / `…` matches
+    * per word (reject > 10%; the Unicode ellipsis counts here for the
+    * same reason the ellipsis-LINE rule counts it — Gopher's symbol
+    * ratio is defined over hashes and ellipses, and mid-line `…` spam
+    * is the same signal as mid-line `...`). Adds `n_lines`, `bullet_line_ppm`,
     * `ellipsis_line_ppm`, `alpha_word_ppm`, `symbol_word_ppm` (integer
     * ppm — identical BIGINTs on any engine) and `gopher_shape_pass`
     * under the paper's thresholds.
@@ -266,7 +269,7 @@ object TextStats {
         idiv(size(filter(col("_gtoks"), w => w.rlike("[A-Za-z]")))
           .cast("long") * 1000000L, nToks))
       .withColumn("symbol_word_ppm",
-        idiv(size(regexp_extract_all(textCol, lit("#|\\.\\.\\."), lit(0)))
+        idiv(size(regexp_extract_all(textCol, lit("#|\\.\\.\\.|…"), lit(0)))
           .cast("long") * 1000000L, nToks))
       .withColumn("gopher_shape_pass",
         col("bullet_line_ppm") <= maxBulletPpm &&

@@ -1592,6 +1592,9 @@ class TextStatsSpec extends SparkSpec {
     // unicode-… absolute end -> 2 of 2
     assert(out(1)._2 === 2L)
     assert(out(1)._4 === 1000000L)
+    // the symbol alphabet includes the Unicode ellipsis (same alphabet
+    // as the line rule): "dots..." + "ends…" = 2 symbols / 5 tokens
+    assert(out(1)._6 === 400000L)
     assert(out(1)._7 === false) // 100% ellipsis lines fails the 30% rule
     // doc 3: 100% tab-indented bullet lines -> fails the 90% rule
     assert(out(2)._3 === 1000000L)
