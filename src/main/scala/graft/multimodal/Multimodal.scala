@@ -2418,8 +2418,12 @@ object Multimodal {
     *
     * Returns (id_a, id_b), id_a < id_b, cosine ≥ `threshold`. Pairs are
     * unique by construction (one bucket per vector — no cross-band
-    * distinct). The checkpoint blocks back the result; release them with
-    * `graft.core.Checkpoints.release` once the result is consumed. */
+    * distinct). The checkpoint blocks back the result; the CALLER
+    * releases them once the result materializes —
+    * `graft.core.Checkpoints.releaseExcept(result, media)` (the
+    * `releaseExcept` form because a caller-supplied `media` frame may
+    * itself be checkpoint-backed). Spec-held by MediaNearDupSpec's
+    * leaked-block accounting. */
   def mediaNearDupPairs(
       media: DataFrame, dims: Int = 16, planes: Int = 8,
       threshold: Double = 0.9,
@@ -2475,7 +2479,15 @@ object Multimodal {
     * are read once per frame and never shuffle.
     *
     * Output: (id_a, id_b, shared, nf_a, nf_b, containment_ppm),
-    * id_a < id_b, all BIGINT (ppm floor division — engine-exact). */
+    * id_a < id_b, all BIGINT (ppm floor division — engine-exact).
+    *
+    * Checkpoint lifecycle (the curate contract): the fingerprint-plane
+    * checkpoint backs the result, so the CALLER releases it after the
+    * result materializes — `graft.core.Checkpoints.releaseExcept(result,
+    * media)` (the `releaseExcept` form because a caller-supplied `media`
+    * frame may itself be checkpoint-backed; a blanket release would free
+    * the caller's only copy). Spec-held by MediaNearDupSpec's
+    * leaked-block accounting. */
   def mediaFrameNearDupPairs(
       media: DataFrame, everyMs: Long, dims: Int = 16, planes: Int = 16,
       minSharedPpm: Long = 500000L,
@@ -2536,7 +2548,15 @@ object Multimodal {
     * default; run exact-hash dedup upstream for known boilerplate).
     *
     * Returns `incoming` rows (original columns) with near-dup rows
-    * anti-joined away. */
+    * anti-joined away.
+    *
+    * Checkpoint lifecycle (the curate contract): BOTH feature-plane
+    * checkpoints back the result — the caller releases them after the
+    * result materializes with `graft.core.Checkpoints.releaseExcept(
+    * result, incoming, corpus)` (the `releaseExcept` form: the caller's
+    * own frames may be checkpoint-backed, and a blanket release would
+    * free their only copy). Spec-held by MediaNearDupSpec's leaked-block
+    * accounting. */
   def mediaNearDupAgainst(
       incoming: DataFrame, corpus: DataFrame,
       dims: Int = 16, planes: Int = 8, threshold: Double = 0.9,

@@ -161,6 +161,107 @@ class MediaNearDupSpec extends SparkSpec {
       s"the shared first frame must pair the streams, got ${out.toSeq}")
   }
 
+  test("checkpoint lifecycle: feature-plane blocks release cleanly, caller inputs survive") {
+    val sc = spark.sparkContext
+    val base = (0L until 6L).map(i => i -> s"media-payload-$i".getBytes("UTF-8"))
+
+    // pair generator: checkpoint exists while the result is live, release
+    // after the consumer materializes leaves NO leaked blocks
+    val before = sc.getPersistentRDDs.keySet
+    val media = mediaOf(base :+ (100L -> base.head._2))
+    val pairs = Multimodal.mediaNearDupPairs(media, dims = 16, planes = 8,
+      threshold = 0.9)
+    assert(pairs.count() >= 1L)
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "persistFeatures must actually checkpoint the feature plane")
+    graft.core.Checkpoints.releaseExcept(pairs, media)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "released feature plane must leave no persistent blocks behind")
+
+    // composed nightly pipeline (against + frame pairs): same accounting
+    val before2 = sc.getPersistentRDDs.keySet
+    val corpus = mediaOf((0L until 5L).map(i =>
+      i -> s"corpus-item-$i".getBytes("UTF-8")))
+    val incoming = mediaOf(Seq(
+      100L -> "corpus-item-2".getBytes("UTF-8"),
+      101L -> "novel-payload-a".getBytes("UTF-8")))
+    val kept = Multimodal.mediaNearDupAgainst(incoming, corpus,
+      dims = 16, planes = 8, threshold = 0.9)
+    assert(kept.count() === 1L)
+    graft.core.Checkpoints.releaseExcept(kept, incoming, corpus)
+    assert((sc.getPersistentRDDs.keySet -- before2).isEmpty,
+      "both against-side feature planes must release")
+
+    // caller-owned checkpoint-backed input: releaseExcept must NOT free it
+    val media2 = mediaOf(base).localCheckpoint(true)
+    val ckptIds = media2.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    val pairs2 = Multimodal.mediaNearDupPairs(media2, dims = 16, planes = 8)
+    pairs2.count()
+    graft.core.Checkpoints.releaseExcept(pairs2, media2)
+    assert(ckptIds.subsetOf(sc.getPersistentRDDs.keySet),
+      "the caller's own checkpoint must survive the scoped release")
+    assert(media2.count() === base.size.toLong,
+      "the caller's frame must still be readable after release")
+    media2.unpersist()
+    graft.core.Checkpoints.release(media2)
+  }
+
+  test("bucketed feature table: byte parity with the direct path, Exchange-free corpus side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val corpus = mediaOf((0L until 8L).map(i =>
+        i -> s"corpus-item-$i".getBytes("UTF-8")))
+      val incoming = mediaOf(Seq(
+        100L -> "corpus-item-2".getBytes("UTF-8"), // dup -> drops
+        101L -> "novel-payload-a".getBytes("UTF-8"),
+        102L -> "corpus-item-5".getBytes("UTF-8"), // dup -> drops
+        103L -> "novel-payload-b".getBytes("UTF-8")))
+      Multimodal.writeMediaFeatureTable(corpus, "graft_media_feat",
+        dims = 16, planes = 8, buckets = 4)
+
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("media_id").collect().map(_.getLong(0)).toSet
+      val direct = Multimodal.mediaNearDupAgainst(incoming, corpus,
+        dims = 16, planes = 8, threshold = 0.9)
+      val viaTable = Multimodal.mediaNearDupAgainstTable(incoming, "graft_media_feat",
+        dims = 16, planes = 8, threshold = 0.9)
+      assert(ids(viaTable) === ids(direct))
+      assert(ids(viaTable) === Set(101L, 103L))
+
+      // the corpus side reads the bucketed layout in place: the ONLY
+      // bucket-keyed Exchange in the match plan is the incoming side
+      // shuffling into the corpus's bucketing
+      val plan = viaTable.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(bucket".r.findAllMatchIn(plan).length <= 1,
+        plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+
+      // cap semantics identical through the table (conservative keep)
+      val boiler = "boilerplate".getBytes("UTF-8")
+      val bCorpus = mediaOf((0L until 20L).map(i => i -> boiler))
+      val bIn = mediaOf(Seq(100L -> boiler))
+      Multimodal.writeMediaFeatureTable(bCorpus, "graft_media_feat_b",
+        dims = 16, planes = 8, buckets = 4)
+      assert(Multimodal.mediaNearDupAgainstTable(bIn, "graft_media_feat_b",
+        threshold = 0.9, maxBucketSize = None).count() === 0L)
+      assert(Multimodal.mediaNearDupAgainstTable(bIn, "graft_media_feat_b",
+        threshold = 0.9, maxBucketSize = Some(10)).count() === 1L)
+      // and the capped census + semi join read the same bucketed layout:
+      // still at most the one incoming-side Exchange
+      val cappedPlan = Multimodal.mediaNearDupAgainstTable(bIn, "graft_media_feat_b",
+          threshold = 0.9, maxBucketSize = Some(10))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(bucket".r.findAllMatchIn(cappedPlan).length <= 1,
+        cappedPlan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_media_feat")
+      spark.sql("DROP TABLE IF EXISTS graft_media_feat_b")
+    }
+  }
+
   test("guards reject non-positive knobs") {
     val media = mediaOf(Seq(0L -> "x".getBytes("UTF-8")))
     intercept[IllegalArgumentException] {
