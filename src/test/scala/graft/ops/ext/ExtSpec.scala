@@ -697,35 +697,67 @@ class ComponentsSpec extends SparkSpec {
       (5L, 5L, 5L, 1L), (7L, 5L, 5L, 0L), (9L, 9L, 9L, 1L)))
   }
 
-  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20) = {
+  private def cc(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 20,
+      driverMax: Long = Components.DriverFinishMaxEdges) = {
     val spark2 = spark
     import spark2.implicits._
     Components.connectedComponents(
-        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter)
+        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter,
+        driverFinishMaxEdges = driverMax)
       .as[(Long, Long)].collect().sortBy(_._1)
   }
 
   test("pairs collapse transitively; isolated vertices keep their own id") {
-    // A~B, B~C (A~C never listed) + isolated D
-    val out = cc(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)))
-    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+    // A~B, B~C (A~C never listed) + isolated D — on BOTH engines: the
+    // driver union-find (default at this size) and the distributed
+    // rounds (driverMax 0 forces them)
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val out = cc(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)), driverMax = dm)
+      assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)), s"driverMax=$dm")
+    }
   }
 
   test("two components stay separate") {
-    val out = cc(Seq(1L, 2L, 10L, 11L, 12L), Seq((1L, 2L), (10L, 11L), (11L, 12L)))
-    assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val out = cc(Seq(1L, 2L, 10L, 11L, 12L),
+        Seq((1L, 2L), (10L, 11L), (11L, 12L)), driverMax = dm)
+      assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)),
+        s"driverMax=$dm")
+    }
   }
 
   test("a path graph converges across multiple rounds") {
-    // diameter 6: labels need several propagation rounds to reach the end
+    // diameter 6: labels need several propagation rounds to reach the
+    // end — driverMax 0 pins the LOOP (the default would short-circuit
+    // a fixture this small into the union-find)
     val path = (0L until 6L).map(i => (i, i + 1))
-    val out = cc(0L to 6L, path)
+    val out = cc(0L to 6L, path, driverMax = 0L)
     assert(out.forall(_._2 === 0L))
+    assert(out === cc(0L to 6L, path), "driver finish must match the rounds")
   }
 
   test("no edges: every vertex is its own component") {
-    val out = cc(Seq(5L, 6L), Seq.empty)
-    assert(out === Array((5L, 5L), (6L, 6L)))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val out = cc(Seq(5L, 6L), Seq.empty, driverMax = dm)
+      assert(out === Array((5L, 5L), (6L, 6L)), s"driverMax=$dm")
+    }
+  }
+
+  test("driver finish and distributed rounds agree on a mixed clique/chain/isolate graph") {
+    // the parity fixture both engines must label identically: a clique,
+    // a chain deep enough to need propagation, reversed/duplicate edges,
+    // and isolates
+    val vertices = 0L to 30L
+    val edges = Seq((3L, 1L), (1L, 2L), (2L, 3L)) ++ // clique, shuffled
+      (10L until 20L).map(i => (i + 1, i)) ++ // reversed chain
+      Seq((25L, 26L), (25L, 26L)) // duplicate edge
+    val fast = cc(vertices, edges)
+    val loop = cc(vertices, edges, driverMax = 0L)
+    assert(fast === loop)
+    val star = ccStar(vertices, edges)
+    val starLoop = ccStar(vertices, edges, driverMax = 0L)
+    assert(star === fast)
+    assert(starLoop === fast)
   }
 
   test("superseded round checkpoints are released, not left for the ContextCleaner") {
@@ -733,8 +765,9 @@ class ComponentsSpec extends SparkSpec {
     import spark2.implicits._
     val sc = spark.sparkContext
     // diameter 6 -> several propagation rounds, each localCheckpoint'ed
+    // (driverMax 0 — the loop is what this test audits)
     val before = sc.getPersistentRDDs.keySet
-    val out = cc(0L to 6L, (0L until 6L).map(i => (i, i + 1)))
+    val out = cc(0L to 6L, (0L until 6L).map(i => (i, i + 1)), driverMax = 0L)
     assert(out.forall(_._2 === 0L))
     val leaked = sc.getPersistentRDDs.keySet -- before
     // only the FINAL round's checkpoint may remain (the returned frame
@@ -743,36 +776,59 @@ class ComponentsSpec extends SparkSpec {
     assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
   }
 
-  private def ccStar(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25) = {
+  test("driver finish leaves no persistent blocks at all") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = cc(0L to 6L, (0L until 6L).map(i => (i, i + 1)))
+    assert(out.forall(_._2 === 0L))
+    val outStar = ccStar(0L to 6L, (0L until 6L).map(i => (i, i + 1)))
+    assert(outStar.forall(_._2 === 0L))
+    // the fast path unpersists its edge cache / releases its init
+    // checkpoint before returning; the label table is a local relation
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  private def ccStar(vertices: Seq[Long], edges: Seq[(Long, Long)], maxIter: Int = 25,
+      driverMax: Long = Components.DriverFinishMaxEdges) = {
     val spark2 = spark
     import spark2.implicits._
     Components.connectedComponentsStar(
-        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter)
+        vertices.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = maxIter,
+        driverFinishMaxEdges = driverMax)
       .as[(Long, Long)].collect().sortBy(_._1)
   }
 
   test("star contraction matches hash-to-min on transitive pairs + isolates") {
-    val out = ccStar(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)))
-    assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val out = ccStar(Seq(1L, 2L, 3L, 4L), Seq((2L, 1L), (2L, 3L)), driverMax = dm)
+      assert(out === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)), s"driverMax=$dm")
+    }
   }
 
   test("star contraction converges on a deep path within O(log² n) rounds") {
     // diameter 40: hash-to-min would need 40 rounds; star contraction is
     // diameter-independent — maxIter 10 suffices where hash-to-min's
-    // per-diameter bound would be exceeded
+    // per-diameter bound would be exceeded (driverMax 0 pins the rounds)
     val path = (0L until 40L).map(i => (i, i + 1))
-    val out = ccStar(0L to 40L, path, maxIter = 10)
+    val out = ccStar(0L to 40L, path, maxIter = 10, driverMax = 0L)
     assert(out.forall(_._2 === 0L))
   }
 
   test("star contraction: duplicate and reversed edges, multiple components") {
-    val out = ccStar(Seq(1L, 2L, 10L, 11L, 12L),
-      Seq((1L, 2L), (2L, 1L), (10L, 11L), (12L, 11L), (11L, 12L)))
-    assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val out = ccStar(Seq(1L, 2L, 10L, 11L, 12L),
+        Seq((1L, 2L), (2L, 1L), (10L, 11L), (12L, 11L), (11L, 12L)), driverMax = dm)
+      assert(out === Array((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)),
+        s"driverMax=$dm")
+    }
   }
 
   test("star contraction: no edges is a no-op") {
-    assert(ccStar(Seq(5L, 6L), Seq.empty) === Array((5L, 5L), (6L, 6L)))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L))
+      assert(ccStar(Seq(5L, 6L), Seq.empty, driverMax = dm) ===
+        Array((5L, 5L), (6L, 6L)), s"driverMax=$dm")
   }
 
   test("dedupClusters yields the keep-list semantics") {
