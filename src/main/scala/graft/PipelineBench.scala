@@ -35,16 +35,19 @@ import org.apache.spark.sql.functions._
   *     is the measured evidence that kernel scans parallelize with cores
   *     once the input splits — the claim the caveat makes without proof.
   *
-  *     The proof BRACKETS the stages (round-17 protocol fix): one run
-  *     BEFORE stage 1 and one AFTER stage 2, certifying on the BETTER of
+  *     The proof BRACKETS the whole run (round-17 protocol fix): one run
+  *     FIRST — before even the ttl generation, whose 1+ GB write churns
+  *     the page cache exactly like the stages do (measured: a pre-proof
+  *     placed after generation read 4.5× in a session whose retry read
+  *     9.8×/16.2×) — and one AFTER stage 2, certifying on the BETTER of
   *     the two speedups. Round 16 measured the flaw in the old
   *     proof-after-only ordering: all four 2× proofs collapsed (4.8–16.7×)
   *     in sessions whose stage times sat ON the historical clean curve —
   *     the stages' own shuffle churn leaves the page cache hostile to a
   *     proof sampled seconds later, so a healthy box read as contended.
-  *     The pre-stage proof samples the same machine state the stages are
-  *     about to run under; the post-stage proof is kept because a box that
-  *     DEGRADES mid-session shows up only there. External contention only
+  *     The first-thing proof samples the JVM-warm, churn-free box; the
+  *     post-stage proof is kept because a box that DEGRADES mid-session
+  *     shows up only there. External contention only
   *     ever lowers a speedup, so max-of-two never certifies a dirty
   *     session that neither single probe would.
   *
@@ -200,27 +203,36 @@ object PipelineBench {
     val pq = s"$work/parquet"
     val out = s"$work/rdf"
 
-    // ---- generation (untimed) -------------------------------------------
-    val ttlBytes = generate(spark, sfDir, ttlBase, ttlMb, cpus.toInt)
-
-    // ---- scan-proof fixtures + PRE-stage proof (untimed w.r.t. stages) --
+    // ---- scan-proof fixtures + PRE proof: FIRST, before even generation
+    // (the 1.1+ GB generation write churns the page cache the same way
+    // the stages do — a pre-proof sampled after it reads the same
+    // post-churn minute the old post-only proof did) ------------------
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("rep", explode(sequence(lit(0), lit(63))))
       .select((col("doc_id") * 64 + col("rep")).as("doc_id"), col("text"))
     docs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$work/docs_1f")
     docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$work/docs_32f")
-    def scanTime(path: String): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(path)
-        .select(col("doc_id"),
-          graft.functions.TokenMinhashExpr.token_minhash(col("text"), 8).as("mh"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // min-of-3 per scan — the suite's contention-immune estimator. The
+    // multi-file scan is a ~1 s job: sampled once it is jitter-dominated
+    // (2.4× spread measured across one session's probes, collapsing
+    // proofs in runs whose stage times sat ON the clean curve); external
+    // load only ever ADDS time, so the min is the honest clean estimate.
+    def scanTime(path: String): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(path)
+          .select(col("doc_id"),
+            graft.functions.TokenMinhashExpr.token_minhash(col("text"), 8).as("mh"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     scanTime(s"$work/docs_32f") // warm the kernel + noop sink once
     val scanPre1 = scanTime(s"$work/docs_1f")
     val scanPre32 = scanTime(s"$work/docs_32f")
     println(f"[pipeline] scan proof PRE  ${scanPre1}%6.2f s / ${scanPre32}%5.2f s = ${scanPre1 / scanPre32}%5.1fx")
+
+    // ---- generation (untimed) -------------------------------------------
+    val ttlBytes = generate(spark, sfDir, ttlBase, ttlMb, cpus.toInt)
 
     // ---- stage 1: ttl -> parquet (timed, includes discovery + count-back)
     val t1 = System.nanoTime()
