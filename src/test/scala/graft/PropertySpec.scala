@@ -239,12 +239,18 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = (0 until n.toInt).map(i => (i.toLong, find(i).toLong))
-      val got = graft.ops.ext.Components.connectedComponents(
-          (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-      // min-label CC converges to the min vertex id per component —
-      // identical to union-find with min-root merging
-      assert(got.toSeq === expected, s"for edges $edges")
+      // BOTH engines: driverFinishMaxEdges 0 pins the distributed rounds
+      // (the default would route a fixture this small to the in-engine
+      // union-find, making the comparison near-tautological)
+      for (dm <- Seq(graft.ops.ext.Components.DriverFinishMaxEdges, 0L)) {
+        val got = graft.ops.ext.Components.connectedComponents(
+            (0L until n).toDF("id"), edges.toDF("id_a", "id_b"),
+            driverFinishMaxEdges = dm)
+          .as[(Long, Long)].collect().sortBy(_._1)
+        // min-label CC converges to the min vertex id per component —
+        // identical to union-find with min-root merging
+        assert(got.toSeq === expected, s"for edges $edges, driverMax=$dm")
+      }
     }
   }
 
@@ -262,10 +268,13 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = (0 until n.toInt).map(i => (i.toLong, find(i).toLong))
-      val got = graft.ops.ext.Components.connectedComponentsStar(
-          (0L until n).toDF("id"), edges.toDF("id_a", "id_b"))
-        .as[(Long, Long)].collect().sortBy(_._1)
-      assert(got.toSeq === expected, s"for edges $edges")
+      for (dm <- Seq(graft.ops.ext.Components.DriverFinishMaxEdges, 0L)) {
+        val got = graft.ops.ext.Components.connectedComponentsStar(
+            (0L until n).toDF("id"), edges.toDF("id_a", "id_b"),
+            driverFinishMaxEdges = dm)
+          .as[(Long, Long)].collect().sortBy(_._1)
+        assert(got.toSeq === expected, s"for edges $edges, driverMax=$dm")
+      }
     }
   }
 

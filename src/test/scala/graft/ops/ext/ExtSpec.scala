@@ -831,6 +831,51 @@ class ComponentsSpec extends SparkSpec {
         Array((5L, 5L), (6L, 6L)), s"driverMax=$dm")
   }
 
+  test("incremental CC matches a full recompute on the union graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // standing graph: {1,2,3} (comp 1), {10,11} (comp 10), singletons 20, 21
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L)
+    val oldEdges = Seq((2L, 1L), (2L, 3L), (10L, 11L))
+    val labels = Components.connectedComponents(
+      vertices.toDF("id"), oldEdges.toDF("id_a", "id_b"))
+    // batch: a cross-component merge (3-10), an old singleton linking a
+    // NEW vertex (20-31), two new vertices linking each other (40-41), a
+    // within-class no-op (11-10), a duplicate edge, and a self-loop
+    val batch = Seq((3L, 10L), (20L, 31L), (40L, 41L), (11L, 10L),
+      (3L, 10L), (21L, 21L))
+    for (dm <- Seq(Components.DriverFinishMaxEdges, 0L)) {
+      val inc = Components.connectedComponentsIncremental(
+          labels, batch.toDF("id_a", "id_b"), driverFinishMaxEdges = dm)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val full = Components.connectedComponents(
+          (vertices ++ Seq(31L, 40L, 41L)).toDF("id"),
+          (oldEdges ++ batch).toDF("id_a", "id_b"), driverFinishMaxEdges = dm)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(inc === full, s"driverMax=$dm")
+      assert(inc === Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+        (20L, 20L), (21L, 21L), (31L, 20L), (40L, 40L), (41L, 40L)),
+        s"driverMax=$dm")
+    }
+    // empty batch: labels pass through unchanged (plus nothing)
+    val noop = Components.connectedComponentsIncremental(
+        labels, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(noop === labels.as[(Long, Long)].collect().sortBy(_._1))
+    // a chain of batch edges merging THREE old components transitively:
+    // contracted-graph CC must close the chain, not just pairwise-merge
+    val chain = Seq((1L, 10L), (11L, 20L))
+    val incChain = Components.connectedComponentsIncremental(
+        labels, chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val fullChain = Components.connectedComponents(
+        vertices.toDF("id"), (oldEdges ++ chain).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(incChain === fullChain)
+    assert(incChain.filter(_._1 <= 20L).forall(_._2 == 1L),
+      "1-10 and 11-20 must chain {1,2,3}+{10,11}+{20} into comp 1")
+  }
+
   test("dedupClusters yields the keep-list semantics") {
     val spark2 = spark
     import spark2.implicits._
