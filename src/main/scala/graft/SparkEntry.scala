@@ -1507,7 +1507,7 @@ object SparkEntry {
           maxBucketSize = Some(1000),
           // the (band, prefix) projection is planned 4x otherwise
           // (census + guard + both join sides) — measured ~10% here;
-          // the banded levenshtein dominates
+          // the Myers confirm dominates
           persistSignatures = true)
         .orderBy(col("id_a"), col("id_b"))
     }),

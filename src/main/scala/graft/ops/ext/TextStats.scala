@@ -962,7 +962,18 @@ object TextStats {
       maxTopTokenBp: Int = 2500,
       maxMeanRarity: Option[Long] = None,
       rarityTopV: Int = 1000,
-      rarityScale: Long = 1000000L)
+      rarityScale: Long = 1000000L,
+      shapeRules: Option[GopherShapeThresholds] = None)
+
+  /** Thresholds for the [[gopherSignals]] line-and-word shape rules when
+    * composed into [[qualityGate]] via `QualityThresholds.shapeRules`.
+    * Defaults are the Gopher paper's (Rae et al. 2021 §A1.1) — the same
+    * defaults as the standalone operator. */
+  final case class GopherShapeThresholds(
+      maxBulletPpm: Long = 900000L,
+      maxEllipsisPpm: Long = 300000L,
+      minAlphaWordPpm: Long = 800000L,
+      maxSymbolPpm: Long = 100000L)
 
   /** Adds the per-row signal columns `_len_ok/_alpha_ok/_pii_ok/_rep_ok`
     * (booleans; temps dropped) — shared by the batch [[qualityGate]] and
@@ -970,8 +981,8 @@ object TextStats {
     * scan-bound Column math; each interpreted fold lands in its own
     * column (single evaluation per row). */
   private[graft] def withScanSignals(
-      df: DataFrame, textCol: Column, t: QualityThresholds): DataFrame =
-    df.withColumn("_tstats",
+      df: DataFrame, textCol: Column, t: QualityThresholds): DataFrame = {
+    val base = df.withColumn("_tstats",
         graft.functions.TokenStatsExpr.token_stats(textCol))
       .withColumn("_ntok", col("_tstats").getField("ntok"))
       .withColumn("_ndist", col("_tstats").getField("ndist"))
@@ -990,19 +1001,44 @@ object TextStats {
         col("_ndist") * 10000 >= col("_ntok") * t.minDistinctBp &&
           col("_best") * 10000 <= col("_ntok") * t.maxTopTokenBp)
       .drop("_tstats", "_ntok", "_ndist", "_best", "_npii", "_na", "_nc")
+    // optional Gopher shape rules, computed by the STANDALONE operator
+    // (the gate and [[gopherSignals]] can never score differently); its
+    // named output columns are folded into one `_shape_ok` signal so the
+    // gate's surface stays the quality struct alone. Still pure per-row
+    // scan-bound work — the streaming dual inherits it unchanged.
+    t.shapeRules.fold(base) { g =>
+      gopherSignals(base, textCol, g.maxBulletPpm, g.maxEllipsisPpm,
+          g.minAlphaWordPpm, g.maxSymbolPpm)
+        .withColumn("_shape_ok", col("gopher_shape_pass"))
+        .drop("n_lines", "bullet_line_ppm", "ellipsis_line_ppm",
+          "alpha_word_ppm", "symbol_word_ppm", "gopher_shape_pass")
+    }
+  }
 
   /** Folds the `_*_ok` signal columns (plus a rarity verdict) into the
-    * `quality` struct and drops them — the tail both gate forms share. */
-  private[graft] def foldSignals(df: DataFrame, rarityOk: Column): DataFrame =
+    * `quality` struct and drops them — the tail both gate forms share.
+    * When [[withScanSignals]] added a `_shape_ok` signal (shapeRules set)
+    * the struct gains `shape_ok` and `pass` conjoins it; with shapeRules
+    * unset the struct shape is EXACTLY the historical five-field form, so
+    * every existing oracled gate query is schema-stable. */
+  private[graft] def foldSignals(df: DataFrame, rarityOk: Column): DataFrame = {
+    val shaped = df.columns.contains("_shape_ok")
+    val fixed = Seq(
+      col("_len_ok").as("len_ok"),
+      col("_alpha_ok").as("alpha_ok"),
+      col("_pii_ok").as("pii_ok"),
+      col("_rep_ok").as("rep_ok"))
+    val shape = if (shaped) Seq(col("_shape_ok").as("shape_ok")) else Nil
+    val passAll = Seq(col("_len_ok"), col("_alpha_ok"), col("_pii_ok"),
+        col("_rep_ok"), rarityOk) ++
+      (if (shaped) Seq(col("_shape_ok")) else Nil)
     df.withColumn("quality", struct(
-        col("_len_ok").as("len_ok"),
-        col("_alpha_ok").as("alpha_ok"),
-        col("_pii_ok").as("pii_ok"),
-        col("_rep_ok").as("rep_ok"),
-        rarityOk.as("rarity_ok"),
-        (col("_len_ok") && col("_alpha_ok") && col("_pii_ok") &&
-          col("_rep_ok") && rarityOk).as("pass")))
-      .drop("_len_ok", "_alpha_ok", "_pii_ok", "_rep_ok", "_rsum", "_rtok")
+        fixed ++ shape ++ Seq(
+          rarityOk.as("rarity_ok"),
+          passAll.reduce(_ && _).as("pass")): _*))
+      .drop("_len_ok", "_alpha_ok", "_pii_ok", "_rep_ok", "_shape_ok",
+        "_rsum", "_rtok")
+  }
 
   /** The COMPOSED quality gate — the Gopher/CCNet rule stack (length,
     * alphabetic ratio, PII, repetition, optional corpus-relative unigram
@@ -1010,7 +1046,11 @@ object TextStats {
     * struct of per-signal verdicts
     * `(len_ok, alpha_ok, pii_ok, rep_ok, rarity_ok, pass)`. A curation
     * pass filters on `quality.pass`; an audit keeps the struct to see WHY
-    * each document fell.
+    * each document fell. Setting `QualityThresholds.shapeRules` composes
+    * the [[gopherSignals]] line-and-word shape rules in as a sixth signal
+    * `shape_ok` (computed BY the standalone operator, so the two can
+    * never diverge); left unset, the struct keeps its historical
+    * five-signal shape.
     *
     * Scale shape: with `maxMeanRarity = None` the whole gate is one
     * per-row scan-bound projection — no shuffle, no corpus pass, the

@@ -1942,6 +1942,55 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Array((1L, true, true), (2L, false, false)))
   }
 
+  test("qualityGate shapeRules: gopherSignals composes as a sixth signal") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // passes everything
+      // 10/10 bullet lines (ppm 1000000 > 900000) and 20/40 alpha words
+      // (500000 < 800000) fail SHAPE; every other gate signal passes
+      // (40 tokens, 13 distinct = 3250bp, top token 10/40 = 2500bp,
+      // alpha chars 100/160 = 6250bp, no PII)
+      (2L, (1 to 10).map(i => s"- item number $i").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val t = TextStats.QualityThresholds(
+      minTokens = 3, maxTokens = 100, minAlphaBp = 5000, maxPii = 0,
+      minDistinctBp = 2000, maxTopTokenBp = 2600,
+      shapeRules = Some(TextStats.GopherShapeThresholds()))
+    val gated = TextStats.qualityGate(docs, col("text"), "doc_id", t)
+    // the struct gains shape_ok between rep_ok and rarity_ok
+    val fields = gated.schema("quality").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields === Seq("len_ok", "alpha_ok", "pii_ok", "rep_ok",
+      "shape_ok", "rarity_ok", "pass"))
+    val out = gated
+      .select(col("doc_id"), col("quality.len_ok"), col("quality.alpha_ok"),
+        col("quality.pii_ok"), col("quality.rep_ok"), col("quality.shape_ok"),
+        col("quality.pass"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) === ((1L, true, true, true, true, true, true)))
+    // bullet spam fails ONLY shape; pass conjoins it
+    assert(out(1) === ((2L, true, true, true, true, false, false)))
+    // the gate's verdict IS the standalone operator's (shared code path)
+    val standalone = TextStats.gopherSignals(docs, col("text"))
+      .select("doc_id", "gopher_shape_pass")
+      .as[(Long, Boolean)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(out.map(_._6).toSeq === standalone)
+    // still one scan-bound projection — no Exchange, no extra columns
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(gated.columns.toSeq === Seq("doc_id", "text", "quality"))
+    // shapeRules unset keeps the historical five-signal struct EXACTLY
+    // (oracled gate queries are schema-stable)
+    val legacy = TextStats.qualityGate(docs, col("text"), "doc_id",
+        TextStats.QualityThresholds())
+      .schema("quality").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(legacy === Seq("len_ok", "alpha_ok", "pii_ok", "rep_ok",
+      "rarity_ok", "pass"))
+  }
+
   test("vocabCoverage: per-group OOV against the corpus top-V vocabulary") {
     val spark2 = spark
     import spark2.implicits._

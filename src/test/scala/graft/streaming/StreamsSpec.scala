@@ -587,6 +587,86 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate carries the optional gopher shape signal") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.TextStats
+    // shapeRules rides withScanSignals (pure per-row work), so the
+    // stateless stream gate must surface shape_ok and agree with batch
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, (1 to 10).map(i => s"- item number $i").mkString("\n")),
+      (3L, "to be continued...\nmore coming soon..."))
+    val t = TextStats.QualityThresholds(
+      minTokens = 3, maxTokens = 100, minAlphaBp = 5000, maxPii = 0,
+      minDistinctBp = 2000, maxTopTokenBp = 2600,
+      shapeRules = Some(TextStats.GopherShapeThresholds()))
+    val expected = TextStats.qualityGate(
+        rows.toDF("doc_id", "text"), col("text"), "doc_id", t)
+      .select(col("doc_id"), col("quality.shape_ok"), col("quality.pass"))
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(expected.map(_._2).toSeq === Seq(true, false, false))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), "text", t)
+      .select(col("doc_id"), col("quality.shape_ok"), col("quality.pass"))
+      .writeStream.format("memory").queryName("qgate_shape")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("qgate_shape")
+        .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("connectedComponentsSink folds edge batches into a standing labeling") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.Components
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccsink").toString
+    // before any batch: no snapshot
+    assert(Streams.latestCcLabels(spark, dir).isEmpty)
+    val input = MemoryStream[(Long, Long)]
+    val sink = Streams.connectedComponentsSink(dir)
+    val q = input.toDF().toDF("id_a", "id_b")
+      .writeStream.foreachBatch(sink).start()
+    val batch1 = Seq((1L, 2L), (3L, 4L))
+    // batch 2: cross-component merge (2-3), brand-new component (10-11)
+    val batch2 = Seq((2L, 3L), (10L, 11L))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      val after1 = Streams.latestCcLabels(spark, dir).get
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(after1 === Array((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = Streams.latestCcLabels(spark, dir).get
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // parity with one batch CC over the union of all streamed edges
+    val all = batch1 ++ batch2
+    val want = Components.connectedComponents(
+        all.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id"),
+        all.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === want)
+    assert(got === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // exactly-once: a REPLAYED batch id (same id, adversarially different
+    // data) is skipped — the durable snapshot already has _SUCCESS
+    sink(Seq((1L, 11L)).toDF("id_a", "id_b"), 1L)
+    val replayed = Streams.latestCcLabels(spark, dir).get
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(replayed === got)
+    // both snapshots remain (time travel); the bounded read sees only v0
+    val v0 = Streams.latestCcLabels(spark, dir, before = Some(1L)).get
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(v0 === Array((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
   test("dsirScoreStream scores arriving docs identically to the batch path") {
     val spark2 = spark
     import spark2.implicits._
