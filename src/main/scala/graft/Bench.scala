@@ -152,16 +152,20 @@ object Bench {
 
     val runsPerQuery = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3).max(1)
 
-    /** {min, median, max} over `runsPerQuery` back-to-back runs. Any failed
-      * run poisons the whole triple to -1.0 — a query that starts throwing
-      * must never read as a speedup, and a flaky one must not hide behind
-      * its two good runs. */
-    def runStats(name: String): (Double, Double, Double) = {
+    /** {min, median, max} over `runsPerQuery` back-to-back runs, plus the
+      * hypervisor steal%% across the region ([[graft.core.Steal]] — the
+      * per-query contention adjudicator; stats-file only, never the
+      * printed line). Any failed run poisons the whole triple to -1.0 — a
+      * query that starts throwing must never read as a speedup, and a
+      * flaky one must not hide behind its two good runs. */
+    def runStats(name: String): (Double, Double, Double, Double) = {
+      val m = new graft.core.Steal.Meter
       val ts = Seq.fill(runsPerQuery)(run(name))
-      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0)
+      val steal = m.pct()
+      if (ts.exists(_ < 0)) (-1.0, -1.0, -1.0, steal)
       else {
         val s = ts.sorted
-        (s.head, s(s.length / 2), s.last)
+        (s.head, s(s.length / 2), s.last, steal)
       }
     }
 
@@ -179,12 +183,15 @@ object Bench {
     }
     val names = known.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val suiteMeter = new graft.core.Steal.Meter
     val results = names.map(n => n -> runStats(n))
+    val suiteSteal = suiteMeter.pct()
     def fmt(v: Double): String = f"$v%.3f"
     require(results.map(x => shortKey(x._1)).distinct.size == results.size,
       "short qNN bench keys must stay unique")
-    val st = results.map { case (k, (mn, med, mx)) =>
-      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) + ",\"max\":" + fmt(mx) + "}"
+    val st = results.map { case (k, (mn, med, mx, steal)) =>
+      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"median\":" + fmt(med) + ",\"max\":" + fmt(mx) +
+        ",\"steal_pct\":" + fmt(steal) + "}"
     }.mkString("{", ",", "}")
     // failures are -1.0 per query AND surfaced as an explicit count, so a
     // query that starts throwing can never read as a speedup
@@ -194,11 +201,12 @@ object Bench {
     val statsPath = java.nio.file.Paths.get("target", "bench_stats.json")
     java.nio.file.Files.createDirectories(statsPath.getParent)
     java.nio.file.Files.write(statsPath,
-      s"""{"runs_per_query":$runsPerQuery,"sf":"${esc(sfDir)}","stats":$st}""".getBytes("UTF-8"))
+      (s"""{"runs_per_query":$runsPerQuery,"sf":"${esc(sfDir)}",""" +
+        s""""suite_steal_pct":${fmt(suiteSteal)},"stats":$st}""").getBytes("UTF-8"))
     // quiet Spark's shutdown logging so nothing lands after the JSON line
     // inside the harness's tail window
     spark.sparkContext.setLogLevel("ERROR")
-    val line = buildLine(results.map { case (k, (mn, _, _)) => k -> mn },
+    val line = buildLine(results.map { case (k, (mn, _, _, _)) => k -> mn },
       runsPerQuery, failures, sfDir)
     // hard guard: the harness parses the line from a ~2000-char output
     // tail — a silently over-long line cost round 8 its bench artifact

@@ -51,6 +51,17 @@ import org.apache.spark.sql.functions._
   *     ever lowers a speedup, so max-of-two never certifies a dirty
   *     session that neither single probe would.
   *
+  *     Protocol v4 adds the DIRECT instrument the proof only infers:
+  *     per-region hypervisor STEAL (see [[StealMeter]]). Each stage and
+  *     each proof reports the percentage of demanded cpu the host denied
+  *     during that exact region — a stage time adjudicates itself (steal
+  *     under ~2% = the time is the box's own) instead of borrowing a
+  *     proof sampled minutes away. The scan proof remains the
+  *     PARALLELISM evidence (kernel scans split across cores once the
+  *     input does); steal is the CONTENTION evidence. The two questions
+  *     three rounds of wandering-box sessions conflated are now measured
+  *     separately, each during the region it certifies.
+  *
   * Prints ONE JSON line. Generation is NOT part of any timed stage.
   */
 object PipelineBench {
@@ -184,6 +195,12 @@ object PipelineBench {
     dirBytes(spark, ttlBase)
   }
 
+  /** Per-region hypervisor steal — [[graft.core.Steal.Meter]] (protocol
+    * v4; motivation and formula documented there). Three sessions of
+    * wandering-box measurements motivated it: healthy stages under
+    * collapsed proofs (rounds 16–17) and, this session, the reverse. */
+  private type StealMeter = graft.core.Steal.Meter
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -227,14 +244,17 @@ object PipelineBench {
         (System.nanoTime() - t0) / 1e9
       }.min
     scanTime(s"$work/docs_32f") // warm the kernel + noop sink once
+    val mPre = new StealMeter
     val scanPre1 = scanTime(s"$work/docs_1f")
     val scanPre32 = scanTime(s"$work/docs_32f")
-    println(f"[pipeline] scan proof PRE  ${scanPre1}%6.2f s / ${scanPre32}%5.2f s = ${scanPre1 / scanPre32}%5.1fx")
+    val stealPre = mPre.pct()
+    println(f"[pipeline] scan proof PRE  ${scanPre1}%6.2f s / ${scanPre32}%5.2f s = ${scanPre1 / scanPre32}%5.1fx  steal $stealPre%4.1f%%")
 
     // ---- generation (untimed) -------------------------------------------
     val ttlBytes = generate(spark, sfDir, ttlBase, ttlMb, cpus.toInt)
 
     // ---- stage 1: ttl -> parquet (timed, includes discovery + count-back)
+    val m1 = new StealMeter
     val t1 = System.nanoTime()
     val stage1 = datasetShares.map { case (name, _) =>
       val td = System.nanoTime()
@@ -243,6 +263,7 @@ object PipelineBench {
       (name, count, (System.nanoTime() - td) / 1e9)
     }
     val stage1Sec = (System.nanoTime() - t1) / 1e9
+    val steal1 = m1.pct()
     // per-dataset input bytes listed OUTSIDE the timed region (a recursive
     // FS walk has no place inside the headline stage metric)
     stage1.foreach { case (name, count, sec) =>
@@ -255,17 +276,21 @@ object PipelineBench {
     val parquetBytes = dirBytes(spark, pq)
 
     // ---- stage 2: parquet -> RDF + schema (timed, heaviest config) ------
+    val m2 = new StealMeter
     val t2 = System.nanoTime()
     ParquetToRdf.run(spark, pq, out,
       RdfConfig(languages = None, topInfoboxPropertiesPerLang = Some(100),
         externaliseUris = true, writeTypes = true))
     val stage2Sec = (System.nanoTime() - t2) / 1e9
+    val steal2 = m2.pct()
     val rdfBytes = dirBytes(spark, out)
 
     // ---- POST-stage scan proof (catches a box that degraded mid-session)
+    val mPost = new StealMeter
     val scanPost1 = scanTime(s"$work/docs_1f")
     val scanPost32 = scanTime(s"$work/docs_32f")
-    println(f"[pipeline] scan proof POST ${scanPost1}%6.2f s / ${scanPost32}%5.2f s = ${scanPost1 / scanPost32}%5.1fx")
+    val stealPost = mPost.pct()
+    println(f"[pipeline] scan proof POST ${scanPost1}%6.2f s / ${scanPost32}%5.2f s = ${scanPost1 / scanPost32}%5.1fx  steal $stealPost%4.1f%%")
     // certify on the better probe: contention only ever LOWERS a speedup,
     // so the max is the honest estimate of the box's scan parallelism
     val (scan1, scan32) =
@@ -288,7 +313,9 @@ object PipelineBench {
         s""""scan_single_file_sec":${r3(scan1)},"scan_multi_file_sec":${r3(scan32)},""" +
         s""""scan_speedup":${r3(scan1 / scan32)},""" +
         s""""scan_speedup_pre":${r3(scanPre1 / scanPre32)},""" +
-        s""""scan_speedup_post":${r3(scanPost1 / scanPost32)}}"""
+        s""""scan_speedup_post":${r3(scanPost1 / scanPost32)},""" +
+        s""""stage1_steal_pct":${r3(steal1)},"stage2_steal_pct":${r3(steal2)},""" +
+        s""""proof_pre_steal_pct":${r3(stealPre)},"proof_post_steal_pct":${r3(stealPost)}}"""
     println(json)
     spark.stop()
   }
