@@ -956,6 +956,46 @@ object Streams {
       .parquet(s"$labelsDir/batch=$id"))
   }
 
+  /** Retention for [[connectedComponentsSink]] snapshots: keeps the
+    * newest `keep` COMPLETE snapshots, deletes every older complete one
+    * plus any INCOMPLETE (torn-write) snapshot older than the newest
+    * complete. Nothing at or newer than the newest complete snapshot is
+    * ever touched EXCEPT by completeness: an incomplete dir newer than
+    * it is the current batch possibly mid-write — left alone; the torn
+    * leftovers a replay already superseded are the ones reclaimed.
+    * Returns the deleted batch ids (sorted). Run it from the same
+    * `foreachBatch` cadence or a nightly janitor — the sink itself never
+    * deletes (time travel and audit are the caller's retention policy,
+    * [[connectedComponentsSink]] scaladoc). */
+  def pruneCcSnapshots(
+      spark: SparkSession, labelsDir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"pruneCcSnapshots: keep must be >= 1, got $keep")
+    val root = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val snaps = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch=")) scala.util.Try(
+          name.stripPrefix("batch=").toLong).toOption.map(_ -> st.getPath)
+        else None
+      }
+    val complete = snaps.collect {
+      case (id, p) if fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) => id
+    }.sorted
+    if (complete.isEmpty) return Seq.empty
+    val newestComplete = complete.last
+    val keepIds = complete.takeRight(keep).toSet
+    val doomed = snaps.filter { case (id, p) =>
+      val isComplete = complete.contains(id)
+      (isComplete && !keepIds.contains(id)) ||
+        (!isComplete && id < newestComplete)
+    }.sortBy(_._1)
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
+    doomed.map(_._1)
+  }
+
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(eventsDir).schema

@@ -665,6 +665,31 @@ class StreamsSpec extends SparkSpec {
     val v0 = Streams.latestCcLabels(spark, dir, before = Some(1L)).get
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(v0 === Array((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+
+    // retention: a torn write OLDER than the newest complete snapshot is
+    // reclaimed, the newest `keep` complete snapshots survive, and an
+    // incomplete dir NEWER than the newest complete (the current batch,
+    // possibly mid-write) is never touched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // torn write (no _SUCCESS) NEWER than the newest complete snapshot —
+    // the current batch possibly mid-write, must never be touched
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "batch=2"))
+    val pruned = Streams.pruneCcSnapshots(spark, dir, keep = 1)
+    assert(pruned === Seq(0L))
+    assert(Streams.latestCcLabels(spark, dir).get
+      .as[(Long, Long)].collect().sortBy(_._1) === got)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "batch=0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch=2")))
+    // keep=1 again: nothing further to do (idempotent)
+    assert(Streams.pruneCcSnapshots(spark, dir, keep = 1).isEmpty)
+    // once a NEWER complete snapshot lands, the torn batch=2 is a
+    // superseded leftover (a replay wrote past it) and is reclaimed
+    // along with the now-old complete batch=1
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "batch=4"))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "batch=4/_SUCCESS")).close()
+    assert(Streams.pruneCcSnapshots(spark, dir, keep = 1) === Seq(1L, 2L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch=4")))
   }
 
   test("dsirScoreStream scores arriving docs identically to the batch path") {
