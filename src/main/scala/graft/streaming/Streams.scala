@@ -865,6 +865,77 @@ object Streams {
     * sniffed from a one-off batch read of the existing files and `ts` is
     * normalized to a session-zone TIMESTAMP the same way the batch-side
     * `SparkEntry.events` does. */
+  /** Streaming ANN retrieval — the online-serving dual of
+    * [[graft.ops.ext.Similarity.cosineTopK]] (and, with `planes > 0`, of
+    * its SRP-prefiltered form): each arriving query vector gets its
+    * top-k nearest corpus neighbors as `(q_id, n_id, rnk)` rows, ranked
+    * by `(cosine desc, n_id asc)` with the batch op's exact semantics
+    * (self-match excluded; zero-norm cosine pinned to -1 below every
+    * real score; NaN ordered greatest, as Spark orders doubles).
+    *
+    * Shape: STATELESS append — no watermark, no state store, no window
+    * (rank windows are unsupported on append streams, and a streaming
+    * groupBy would hold unbounded state). The standing index is
+    * collected and broadcast ONCE at query build — the standing-index /
+    * eval-set trade [[decontaminate]] and [[mediaDedupAgainstCorpus]]
+    * document (right for 10^4–10^6 vectors; corpus-scale retrieval
+    * belongs to the batch ops `ivfTopK`/`ivfPqTopK` on a persisted
+    * index). Each stream row scores only its SRP bucket's candidates
+    * when `planes > 0` (bucket computed by the SAME
+    * [[graft.ops.ext.Similarity.srpBucket]] kernel COLUMN on both
+    * sides, so stream and index can never bucket differently; a query
+    * whose bucket is empty emits nothing — the same same-bucket-only
+    * recall trade as `srpBucketedTopK`), or the whole index when
+    * `planes = 0` (exact, `cosineTopK` parity spec-held).
+    *
+    * Ids are cast to long and vectors to `array<double>` on both sides
+    * (floats widen losslessly). */
+  def annTopKStream(
+      queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 0,
+      idOut: String = "q_id", nIdOut: String = "n_id"): DataFrame = {
+    import graft.ops.ext.Similarity
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"annTopKStream: k must be >= 1, got $k")
+    def prep(df: DataFrame, id: String) = df.select(
+      col("id").cast("long").as(id),
+      col("vec").cast("array<double>").as("_v"),
+      (if (planes > 0) Similarity.srpBucket(col("vec").cast("array<double>"), planes)
+       else lit(0L)).as("_bkt"))
+    val index: Map[Long, Array[(Long, Array[Double])]] =
+      prep(corpus, "id").as[(Long, Seq[Double], Long)].collect()
+        .groupBy(_._3)
+        .map { case (b, rows) => b -> rows.map(r => (r._1, r._2.toArray)) }
+    val bv = spark.sparkContext.broadcast(index)
+    // NaN-greatest like Spark's double ordering; ties break on n_id asc
+    val ord = Ordering.by[(Long, Double), (Double, Long)](
+      { case (nId, cos) => (cos, -nId) })(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    prep(queries, idOut).as[(Long, Seq[Double], Long)]
+      .flatMap { case (qId, qv, bkt) =>
+        val q = qv.toArray
+        var nq = 0.0
+        var i = 0
+        while (i < q.length) { nq += q(i) * q(i); i += 1 }
+        val cands = bv.value.getOrElse(bkt, Array.empty[(Long, Array[Double])])
+        cands.iterator
+          .filter(_._1 != qId)
+          .map { case (nId, nv) =>
+            var d = 0.0; var nn = 0.0
+            val len = math.min(q.length, nv.length)
+            var j = 0
+            while (j < len) { d += q(j) * nv(j); j += 1 }
+            j = 0
+            while (j < nv.length) { nn += nv(j) * nv(j); j += 1 }
+            val denom = math.sqrt(nq) * math.sqrt(nn)
+            (nId, if (denom == 0.0) -1.0 else d / denom)
+          }
+          .toArray.sorted(ord.reverse).iterator.take(k).zipWithIndex
+          .map { case ((nId, _), r) => (qId, nId, r + 1) }
+      }
+      .toDF(idOut, nIdOut, "rnk")
+  }
+
   /** Streaming incremental connected components — the
     * [[graft.ops.ext.Components.connectedComponentsIncremental]] dual on
     * an append stream of EDGES (near-dup pairs, entity-match pairs):

@@ -622,6 +622,84 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annTopKStream: exact form matches batch cosineTopK row for row") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.Similarity
+    // gapped, tie-free cosines by construction (no float-ordering luck)
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (11L, Seq(0.9, 0.1, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0)),
+      (13L, Seq(0.0, 0.0, 1.0)),
+      (14L, Seq(0.5, 0.5, 0.0))).toDF("id", "vec")
+    val qRows = Seq(
+      (1L, Seq(1.0, 0.05, 0.0)),
+      (2L, Seq(0.0, 0.0, 2.0)),
+      (3L, Seq(0.0, 0.0, 0.0)), // zero-norm: every cosine pinned to -1
+      (10L, Seq(1.0, 0.0, 0.0))) // id collision with corpus: self excluded
+    val want = Similarity.cosineTopK(qRows.toDF("id", "vec"), corpus, k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    // zero-norm query: all -1 ties broken by n_id asc
+    assert(want.filter(_._1 == 3L).map(_._2).toSeq === Seq(10L, 11L, 12L))
+    assert(!want.filter(_._1 == 10L).map(_._2).contains(10L))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.annTopKStream(
+        input.toDF().toDF("id", "vec"), corpus, k = 3)
+      .writeStream.format("memory").queryName("ann_exact")
+      .outputMode("append").start()
+    try {
+      input.addData(qRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_exact")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("annTopKStream: SRP prefilter scores only same-bucket candidates") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val corpus = (0L until 40L).map { i =>
+      (100L + i, Seq(math.cos(i * 0.3), math.sin(i * 0.3), (i % 7) * 0.2 - 0.6))
+    }.toDF("id", "vec")
+    val qRows = (0L until 10L).map { i =>
+      (i, Seq(math.cos(i * 0.7 + 0.1), math.sin(i * 0.7 + 0.1), (i % 5) * 0.25 - 0.5))
+    }
+    val planes = 4
+    // batch reference: bucket-equality join + windowed top-k — the
+    // two-sided form of srpBucketedTopK, same kernel column both sides
+    val c = corpus.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      Similarity.srpBucket(col("vec").cast("array<double>"), planes).as("bkt"))
+    val qs = qRows.toDF("id", "vec").select(col("id").as("q_id"),
+      col("vec").as("q_vec"),
+      Similarity.srpBucket(col("vec").cast("array<double>"), planes).as("bkt"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val want = qs.join(c, Seq("bkt"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Similarity.cosineSafe(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 2)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(want.nonEmpty) // fixture must actually share buckets
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.annTopKStream(
+        input.toDF().toDF("id", "vec"), corpus, k = 2, planes = planes)
+      .writeStream.format("memory").queryName("ann_srp")
+      .outputMode("append").start()
+    try {
+      input.addData(qRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_srp")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("connectedComponentsSink folds edge batches into a standing labeling") {
     val spark2 = spark
     import spark2.implicits._
