@@ -77,6 +77,61 @@ object Manifest {
     out.result()
   }
 
+  /** The restore-side half of the audit: verify a parquet directory
+    * against its own `_manifest.jsonl` (written by
+    * [[writeForParquetDir]] before the transfer/restore being checked).
+    * Returns one row per file union-ed across both sides, `status` one
+    * of `ok` / `missing` (in manifest, not on disk) / `extra` (on disk,
+    * not in manifest) / `bytes_mismatch` / `rows_mismatch` /
+    * `content_mismatch`, with the expected/actual triples alongside —
+    * `WHERE status <> 'ok'` is the alarm list, empty = verified.
+    *
+    * The manifest is read as RAW lines through Hadoop FS (its
+    * underscore prefix hides it from Spark's path readers by design);
+    * the live side is ONE distributed scan ([[forParquetDir]]). Both
+    * frames are per-file metadata, so the full-outer join is trivial at
+    * any corpus size. What it defends: dropped/extra/truncated-but-
+    * readable files, any changed row (via the XOR content sum), row
+    * drops/duplications (via counts). A file truncated into parquet
+    * UNREADABILITY fails the scan itself — also a detection, just not a
+    * per-file status row. */
+  def verifyParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // an audit must see the CURRENT disk state: invalidate anything the
+    // session cached over this path (a relation cached before the
+    // transfer would otherwise serve pre-transfer data to the scan)
+    spark.catalog.refreshByPath(dir)
+    val path = new Path(dir, "_manifest.jsonl")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"verifyParquetDir: no _manifest.jsonl under $dir")
+    val in = fs.open(path)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toVector
+      finally in.close()
+    val expected = spark.read.json(spark.createDataset(lines))
+      .select(col("file"),
+        col("bytes").cast("long").as("exp_bytes"),
+        col("n_rows").cast("long").as("exp_rows"),
+        col("content_sum").cast("long").as("exp_sum"))
+    val actual = forParquetDir(spark, dir)
+      .select(col("file"),
+        col("bytes").as("act_bytes"),
+        col("n_rows").as("act_rows"),
+        col("content_sum").as("act_sum"))
+    expected.join(actual, Seq("file"), "full_outer")
+      .withColumn("status",
+        when(col("exp_bytes").isNull, lit("extra"))
+          .when(col("act_bytes").isNull, lit("missing"))
+          .when(col("exp_bytes") =!= col("act_bytes"), lit("bytes_mismatch"))
+          .when(col("exp_rows") =!= col("act_rows"), lit("rows_mismatch"))
+          .when(col("exp_sum") =!= col("act_sum"), lit("content_mismatch"))
+          .otherwise(lit("ok")))
+      .select(col("file"), col("status"), col("exp_bytes"), col("act_bytes"),
+        col("exp_rows"), col("act_rows"), col("exp_sum"), col("act_sum"))
+      .orderBy(col("file"))
+  }
+
   /** Write the manifest as a single JSONL file `<dir>/_manifest.jsonl`
     * (underscore-prefixed: parquet readers of `dir` ignore it). Returns
     * the manifest frame that was written. */

@@ -66,4 +66,53 @@ class ManifestSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 20L)
     m.unpersist()
   }
+
+  test("verifyParquetDir flags missing, extra, and tampered files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-man-v").toString
+    (1L to 90L).map(i => (i, s"payload $i")).toDF("id", "v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    Manifest.writeForParquetDir(spark, dir).unpersist()
+    // clean restore: every file ok
+    val clean = Manifest.verifyParquetDir(spark, dir)
+    assert(clean.where(col("status") =!= "ok").count() === 0L)
+    val files = Manifest.listDataFiles(spark, dir).map(_._1).sorted
+    assert(clean.count() === files.length.toLong)
+    // sabotage: drop one file, replace another with a VALID parquet of
+    // different rows (a re-run overwrote it — still readable, so the
+    // audit reports a per-file status; an unreadably-truncated file
+    // fails the scan itself, the documented coarser detection), and
+    // smuggle in an extra
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val forged = java.nio.file.Files.createTempDirectory("graft-man-f").toString
+    (1000L to 1009L).map(i => (i, s"forged $i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(forged)
+    val forgedPart = Manifest.listDataFiles(spark, forged).head._1
+    // Hadoop's LOCAL fs keeps .<name>.crc sidecars; scrub the sabotaged
+    // files' sidecars or the checksummed local reader rejects the forgery
+    // before the audit sees it (cluster filesystems have no sidecars)
+    def dropCrc(abs: String): Unit = {
+      val f = new java.io.File(abs)
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    JF.delete(Paths.get(files(0))); dropCrc(files(0))
+    JF.copy(Paths.get(forgedPart), Paths.get(files(2)),
+      StandardCopyOption.REPLACE_EXISTING); dropCrc(files(2))
+    JF.copy(Paths.get(forgedPart),
+      Paths.get(new java.io.File(dir, "smuggled.parquet").getPath))
+    val verdict = Manifest.verifyParquetDir(spark, dir)
+      .select("file", "status").as[(String, String)].collect().toMap
+    def rel(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+    assert(verdict(rel(files(0))) === "missing")
+    assert(verdict(rel(files(1))) === "ok")
+    // files(2) now carries files(1)'s bytes — size and content both
+    // differ from the manifest; the cascade reports the first mismatch
+    assert(Set("bytes_mismatch", "content_mismatch", "rows_mismatch")
+      .contains(verdict(rel(files(2)))))
+    assert(verdict("smuggled.parquet") === "extra")
+    // the alarm list is exactly the three sabotaged files
+    assert(verdict.count(_._2 != "ok") === 3)
+  }
 }
