@@ -36,14 +36,19 @@ object Manifest {
     val rowHash = conv(
       substring(md5(to_json(struct(df.columns.map(col): _*))), 1, 15), 16, 10)
       .cast("long")
+    // input_file_name() yields the URI form ("file:///tmp/x%20y/part.pq",
+    // "hdfs://nn/path"); decode through java.net.URI so a space or `%` in
+    // a user-supplied directory joins against the FS listing's DECODED
+    // path instead of reading as missing+extra false alarms. (url_decode
+    // would also turn a literal `+` into a space — URI.getPath does not.)
+    // The udf runs on the per-file POST-aggregation frame, never per row.
+    val uriPath = udf((s: String) => new java.net.URI(s).getPath)
     val stats = df
       .withColumn("_file", input_file_name())
       .withColumn("_rh", rowHash)
       .groupBy(col("_file"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_rh)").as("content_sum"))
-      // input_file_name() yields a URI ("file:///tmp/x" or "hdfs://...");
-      // reduce the local form to a plain path for the FS-size join
-      .withColumn("_path", regexp_replace(col("_file"), "^file:/+", "/"))
+      .withColumn("_path", uriPath(col("_file")))
     val base = {
       val p = new Path(dir).toUri.getPath
       if (p.endsWith("/")) p else p + "/"
@@ -52,12 +57,18 @@ object Manifest {
       val rows = listDataFiles(spark, dir)
       spark.createDataFrame(rows).toDF("_path", "bytes")
     }
-    stats
-      .join(sizes, Seq("_path"))
+    // LEFT join FROM the FS listing: a data file contributing ZERO rows
+    // to the scan has no stats group, but must still get a manifest/audit
+    // row (n_rows = 0, content_sum = 0 — the XOR identity) or a dropped-
+    // in zero-row parquet file would be invisible to verifyParquetDir.
+    sizes
+      .join(stats, Seq("_path"), "left")
       .select(
         regexp_replace(col("_path"), "^" + java.util.regex.Pattern.quote(base), "")
           .as("file"),
-        col("bytes"), col("n_rows"), col("content_sum"))
+        col("bytes"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("content_sum"), lit(0L)).as("content_sum"))
       .orderBy(col("file"))
   }
 

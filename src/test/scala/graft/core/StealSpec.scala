@@ -12,9 +12,13 @@ class StealSpec extends AnyFunSuite {
     val t = ticks.get
     assert(t.length >= 8)
     assert(t.forall(_ >= 0L), t.mkString(","))
-    // monotone: a second sample never goes backwards in any field
+    // monotone on the fields Meter actually uses (user, nice, system,
+    // steal — indices 0,1,2,7). proc(5): iowait (index 4) "is not
+    // reliable" and CAN decrease on SMP kernels; asserting all fields
+    // makes this gate flaky on the bench box.
     val t2 = Steal.cpuTicks().get
-    assert(t2.zip(t).forall { case (b, a) => b >= a })
+    for (i <- Seq(0, 1, 2, 7))
+      assert(t2(i) >= t(i), s"field $i went backwards: ${t(i)} -> ${t2(i)}")
   }
 
   test("Meter.pct is a percentage of demanded cpu, stable under idle") {

@@ -115,4 +115,54 @@ class ManifestSpec extends SparkSpec {
     // the alarm list is exactly the three sabotaged files
     assert(verdict.count(_._2 != "ok") === 3)
   }
+
+  test("a directory with a space in its name audits clean (URI decode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // input_file_name() URI-encodes the space (%20); the FS listing does
+    // not — an undecoded join reads every file as missing+extra
+    val parent = java.nio.file.Files.createTempDirectory("graft-man-sp")
+    val dir = parent.resolve("with space").toString
+    (1L to 30L).map(i => (i, s"row $i")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    Manifest.writeForParquetDir(spark, dir).unpersist()
+    val verdict = Manifest.verifyParquetDir(spark, dir)
+    assert(verdict.count() >= 2L)
+    assert(verdict.where(col("status") =!= "ok").count() === 0L)
+  }
+
+  test("zero-row data files get manifest rows and are audited") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-man-z").toString
+    (1L to 40L).map(i => (i, s"row $i")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    Manifest.writeForParquetDir(spark, dir).unpersist()
+    // a zero-row parquet file (schema only) contributes nothing to the
+    // distributed scan — the FS-listing left join must still see it
+    val zdir = java.nio.file.Files.createTempDirectory("graft-man-z0").toString
+    Seq.empty[(Long, String)].toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(zdir)
+    val zeroPart = Manifest.listDataFiles(spark, zdir).head._1
+    import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+    val files = Manifest.listDataFiles(spark, dir).map(_._1).sorted
+    def dropCrc(abs: String): Unit = {
+      val f = new java.io.File(abs)
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    // substitute a real data file with the zero-row one; smuggle another
+    JF.copy(Paths.get(zeroPart), Paths.get(files(0)),
+      StandardCopyOption.REPLACE_EXISTING); dropCrc(files(0))
+    JF.copy(Paths.get(zeroPart),
+      Paths.get(new java.io.File(dir, "smuggled0.parquet").getPath))
+    val verdict = Manifest.verifyParquetDir(spark, dir)
+      .select("file", "status").as[(String, String)].collect().toMap
+    def rel(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+    assert(Set("bytes_mismatch", "rows_mismatch", "content_mismatch")
+      .contains(verdict(rel(files(0)))))
+    assert(verdict(rel(files(1))) === "ok")
+    assert(verdict("smuggled0.parquet") === "extra")
+    assert(verdict.count(_._2 != "ok") === 2)
+  }
 }
