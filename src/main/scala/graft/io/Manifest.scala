@@ -31,8 +31,17 @@ object Manifest {
     * flips it. (A row duplicated AND another dropped in the same file
     * can cancel in the XOR — `n_rows` changes unless the counts also
     * balance, which is outside what a per-file checksum defends.) */
-  def forParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(dir)
+  def forParquetDir(spark: SparkSession, dir: String): DataFrame =
+    forDir(spark, spark.read.parquet(dir), dir)
+
+  /** [[forParquetDir]] for a TEXT output directory (the RDF / schema
+    * sinks' format — gzip included; partition dirs like `lang=` become
+    * columns and participate in the content hash). Same manifest shape,
+    * same audit semantics. */
+  def forTextDir(spark: SparkSession, dir: String): DataFrame =
+    forDir(spark, spark.read.text(dir), dir)
+
+  private def forDir(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
     val rowHash = conv(
       substring(md5(to_json(struct(df.columns.map(col): _*))), 1, 15), 16, 10)
       .cast("long")
@@ -106,7 +115,17 @@ object Manifest {
     * drops/duplications (via counts). A file truncated into parquet
     * UNREADABILITY fails the scan itself — also a detection, just not a
     * per-file status row. */
-  def verifyParquetDir(spark: SparkSession, dir: String): DataFrame = {
+  def verifyParquetDir(spark: SparkSession, dir: String): DataFrame =
+    verifyDir(spark, dir, forParquetDir)
+
+  /** [[verifyParquetDir]] for a TEXT output directory (pairs with
+    * [[writeForTextDir]]). */
+  def verifyTextDir(spark: SparkSession, dir: String): DataFrame =
+    verifyDir(spark, dir, forTextDir)
+
+  private def verifyDir(
+      spark: SparkSession, dir: String,
+      scan: (SparkSession, String) => DataFrame): DataFrame = {
     import spark.implicits._
     // an audit must see the CURRENT disk state: invalidate anything the
     // session cached over this path (a relation cached before the
@@ -125,7 +144,7 @@ object Manifest {
         col("bytes").cast("long").as("exp_bytes"),
         col("n_rows").cast("long").as("exp_rows"),
         col("content_sum").cast("long").as("exp_sum"))
-    val actual = forParquetDir(spark, dir)
+    val actual = scan(spark, dir)
       .select(col("file"),
         col("bytes").as("act_bytes"),
         col("n_rows").as("act_rows"),
@@ -146,8 +165,17 @@ object Manifest {
   /** Write the manifest as a single JSONL file `<dir>/_manifest.jsonl`
     * (underscore-prefixed: parquet readers of `dir` ignore it). Returns
     * the manifest frame that was written. */
-  def writeForParquetDir(spark: SparkSession, dir: String): DataFrame = {
-    val m = forParquetDir(spark, dir).cache()
+  def writeForParquetDir(spark: SparkSession, dir: String): DataFrame =
+    writeManifest(spark, dir, forParquetDir)
+
+  /** [[writeForParquetDir]] for a TEXT output directory. */
+  def writeForTextDir(spark: SparkSession, dir: String): DataFrame =
+    writeManifest(spark, dir, forTextDir)
+
+  private def writeManifest(
+      spark: SparkSession, dir: String,
+      scan: (SparkSession, String) => DataFrame): DataFrame = {
+    val m = scan(spark, dir).cache()
     val rows = m.toJSON.collect() // per-file metadata: small by contract
     val path = new Path(dir, "_manifest.jsonl")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

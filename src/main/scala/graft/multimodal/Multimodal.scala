@@ -2616,10 +2616,12 @@ object Multimodal {
     * `buckets` should match the deployment's shuffle parallelism (both
     * the writer and every reader must see the same count — it is baked
     * into the table). `dims`/`planes` are baked in the same way: a
-    * reader matching with different values gets silently-empty buckets,
-    * so [[mediaNearDupAgainstTable]] takes the same defaults and the
-    * caller owns keeping them in sync (the table carries no metadata to
-    * check against). */
+    * reader matching with different values would get silently-empty
+    * buckets — i.e. a dedup that quietly keeps everything — so the
+    * writer records all three knobs in a `_meta.jsonl` sidecar inside
+    * the table directory (the `_manifest.jsonl` precedent:
+    * underscore-prefixed, invisible to the table's parquet reader) and
+    * [[mediaNearDupAgainstTable]] REQUIRES them to match before joining. */
   def writeMediaFeatureTable(
       corpus: DataFrame, table: String,
       dims: Int = 16, planes: Int = 8,
@@ -2632,6 +2634,53 @@ object Multimodal {
       .select(col("media_id").as("_c_id"), col("embedding").as("_c_vec"))
       .withColumn("bucket", Similarity.srpBucket(col("_c_vec"), planes))
     graft.io.Bucketing.writeBucketed(sig, table, "bucket", buckets)
+    writeFeatureTableMeta(corpus.sparkSession, table, dims, planes, buckets)
+  }
+
+  /** The feature table's storage directory, from the catalog (DESCRIBE
+    * TABLE EXTENDED — public API, no `sessionState` reach-in). */
+  private def featureTableDir(
+      spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .where(col("col_name") === "Location")
+      .head().getString(1)
+    new org.apache.hadoop.fs.Path(new java.net.URI(loc))
+  }
+
+  private def writeFeatureTableMeta(
+      spark: SparkSession, table: String,
+      dims: Int, planes: Int, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      featureTableDir(spark, table), "_meta.jsonl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"dims":$dims,"planes":$planes,"buckets":$buckets}\n"""
+        .getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Read the sidecar back (raw Hadoop FS lines — the underscore prefix
+    * hides it from Spark path readers by design); None when the table
+    * predates the sidecar contract. */
+  private[multimodal] def readFeatureTableMeta(
+      spark: SparkSession, table: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(
+      featureTableDir(spark, table), "_meta.jsonl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .find(_.nonEmpty).getOrElse("")
+        finally in.close()
+      def field(k: String): Option[Int] =
+        ("\"" + k + "\"\\s*:\\s*(\\d+)").r
+          .findFirstMatchIn(line).map(_.group(1).toInt)
+      for (d <- field("dims"); pl <- field("planes"); b <- field("buckets"))
+        yield (d, pl, b)
+    }
   }
 
   /** [[mediaNearDupAgainst]] against a [[writeMediaFeatureTable]] corpus:
@@ -2644,8 +2693,10 @@ object Multimodal {
     * output to [[mediaNearDupAgainst]] on the same corpus
     * (spec-asserted) — same features, same buckets, same cap semantics.
     *
-    * `dims`/`planes` MUST equal the values the table was written with
-    * (see [[writeMediaFeatureTable]]). */
+    * `dims`/`planes` MUST equal the values the table was written with —
+    * ENFORCED against the table's `_meta.jsonl` sidecar: a mismatch (or
+    * a missing sidecar) fails loudly instead of silently-empty buckets
+    * quietly keeping every incoming row (see [[writeMediaFeatureTable]]). */
   def mediaNearDupAgainstTable(
       incoming: DataFrame, corpusTable: String,
       dims: Int = 16, planes: Int = 8, threshold: Double = 0.9,
@@ -2655,6 +2706,18 @@ object Multimodal {
     import graft.ops.ext.Similarity
     require(dims >= 1 && planes >= 1, "mediaNearDupAgainstTable: dims/planes must be >= 1")
     require(maxBucketSize.forall(_ >= 1), "mediaNearDupAgainstTable: maxBucketSize must be >= 1")
+    readFeatureTableMeta(incoming.sparkSession, corpusTable) match {
+      case None => throw new IllegalArgumentException(
+        s"mediaNearDupAgainstTable: $corpusTable has no _meta.jsonl sidecar — " +
+          "rewrite the corpus with writeMediaFeatureTable (a feature table " +
+          "without checkable dims/planes metadata risks a silent no-op dedup)")
+      case Some((tDims, tPlanes, _)) =>
+        require(tDims == dims && tPlanes == planes,
+          s"mediaNearDupAgainstTable: dims/planes ($dims/$planes) do not match " +
+            s"$corpusTable's written values ($tDims/$tPlanes) — a mismatched " +
+            "reader gets silently-empty buckets (no-op dedup); pass the " +
+            "table's values or rewrite it")
+    }
     val inc0 = extractFeatures(incoming, dims, codec).toDF()
       .select(col("media_id"), col("embedding").as("_vec"))
       .withColumn("bucket", Similarity.srpBucket(col("_vec"), planes))

@@ -52,6 +52,16 @@ object Components {
     * a recompute of the edge lineage. */
   val DriverFinishMaxEdges: Long = 1L << 20
 
+  /** Batch-size bound (edge count) for
+    * [[connectedComponentsIncremental]]'s broadcast fast path. 2^21
+    * edges explode to ≤ 2^22 (ea, eb, end_id) long-triples — roughly
+    * 100-200 MB broadcast-materialized, comfortable on executors at any
+    * profile; past it the label-resolve and relabel joins degrade to
+    * shuffle joins with identical semantics (spec-held parity) rather
+    * than a driver OOM on an unbounded `broadcast()` hint (which
+    * ignores every broadcast ceiling by design). */
+  val IncrementalBroadcastMaxEdges: Long = 1L << 21
+
   /** Driver union-find with the min-id-as-root rule: every union keeps
     * the SMALLER root, so a node's final root IS its component's minimum
     * vertex id — the exact contract of the distributed rounds, order-
@@ -395,8 +405,12 @@ object Components {
     * edge), never by the corpus.
     *
     * Scale shape: ONE scan of the label table joined against the
-    * (broadcast-sized) exploded batch — the corpus-scale table never
-    * shuffles and the standing edges are never re-read (they no longer
+    * exploded batch — broadcast while the batch is under
+    * [[IncrementalBroadcastMaxEdges]] (ENFORCED by a pre-count, not
+    * caller-owned: an over-bound batch falls back to shuffle joins with
+    * identical semantics instead of a driver OOM) — so the corpus-scale
+    * table never shuffles on the nightly path and the standing edges are
+    * never re-read (they no longer
     * need to exist); the contracted CC runs on a batch-bounded graph
     * (which [[connectedComponents]]' driver finish typically solves
     * in-memory); the final compose is a second label-table scan against
@@ -420,6 +434,13 @@ object Components {
     * @param labels   existing assignment: columns `id`, `comp` (the
     *                 [[connectedComponents]] output contract)
     * @param newEdges the new pair batch, columns `srcCol`, `dstCol`
+    * @param broadcastMaxEdges batch-size bound (edge count) for the
+    *                 broadcast fast path ([[IncrementalBroadcastMaxEdges]]);
+    *                 a larger batch — a backfill folded through the
+    *                 nightly path — runs the SAME joins as shuffle joins
+    *                 (spec-held parity) instead of a driver OOM. The
+    *                 guard costs one `count()` of the batch; persist a
+    *                 batch that is expensive to recompute.
     */
   def connectedComponentsIncremental(
       labels: DataFrame,
@@ -427,7 +448,15 @@ object Components {
       srcCol: String = "id_a",
       dstCol: String = "id_b",
       maxIter: Int = 20,
-      driverFinishMaxEdges: Long = DriverFinishMaxEdges): DataFrame = {
+      driverFinishMaxEdges: Long = DriverFinishMaxEdges,
+      broadcastMaxEdges: Long = IncrementalBroadcastMaxEdges): DataFrame = {
+    // count the batch BEFORE exploding (the DriverFinishMaxEdges
+    // precedent): nothing else enforced the "broadcast-sized" scoping,
+    // and an unconditional broadcast turns a 100 M-edge backfill into a
+    // driver OOM instead of a graceful shuffle-join fallback
+    val smallBatch = newEdges.count() <= broadcastMaxEdges
+    def batchSide(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     // each new edge keyed by its own endpoint pair (deterministic — no
     // synthetic ids), exploded so ONE label scan resolves both ends
     val ends = newEdges
@@ -435,9 +464,10 @@ object Components {
       .select(col("ea"), col("eb"),
         explode(array(col("ea"), col("eb"))).as("end_id"))
     // broadcast the batch side: the corpus-scale label table streams
-    // map-side and never shuffles
+    // map-side and never shuffles (above the bound: a shuffle join —
+    // the label table shuffles ONCE, still never the standing edges)
     val resolved = labels
-      .join(broadcast(ends), labels("id") === ends("end_id"))
+      .join(batchSide(ends), labels("id") === ends("end_id"))
       .select(col("ea"), col("eb"), col("end_id"), col("comp"))
     // per-edge (comp_a, comp_b): endpoints missing from `labels` are new
     // vertices — their class is themselves
@@ -466,7 +496,7 @@ object Components {
       .select(col("id"), col("id").as("comp"))
     labels.select(col("id"), col("comp"))
       .unionByName(newVertices)
-      .join(broadcast(merged), col("comp") === col("_old_comp"), "left")
+      .join(batchSide(merged), col("comp") === col("_old_comp"), "left")
       .select(col("id"),
         coalesce(col("_new_comp"), col("comp")).as("comp"))
   }

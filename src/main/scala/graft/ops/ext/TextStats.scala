@@ -1007,6 +1007,15 @@ object TextStats {
     // gate's surface stays the quality struct alone. Still pure per-row
     // scan-bound work — the streaming dual inherits it unchanged.
     t.shapeRules.fold(base) { g =>
+      // the fold below DROPS gopherSignals' output names — a caller
+      // whose frame already carries one would silently lose that column
+      val clash = base.columns.toSet.intersect(Set("n_lines",
+        "bullet_line_ppm", "ellipsis_line_ppm", "alpha_word_ppm",
+        "symbol_word_ppm", "gopher_shape_pass"))
+      require(clash.isEmpty,
+        s"qualityGate(shapeRules): input columns ${clash.mkString(", ")} " +
+          "collide with gopherSignals' outputs (the gate folds and drops " +
+          "them) — rename them, or run gopherSignals standalone")
       gopherSignals(base, textCol, g.maxBulletPpm, g.maxEllipsisPpm,
           g.minAlphaWordPpm, g.maxSymbolPpm)
         .withColumn("_shape_ok", col("gopher_shape_pass"))

@@ -7,14 +7,22 @@ import graft.ops._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Pipeline configuration (reference: DbpediaDgraphSparkApp.scala:42-63). */
+/** Pipeline configuration (reference: DbpediaDgraphSparkApp.scala:42-63).
+  *
+  * `writeManifests`: land a `_manifest.jsonl` ([[graft.io.Manifest]])
+  * inside every RDF dataset dir and both schema dirs, and derive the
+  * audit counts from the manifests' per-file rows instead of a second
+  * count — the audit becomes per-file and RESTARTABLE (a transfer or
+  * restore later verifies against the manifest without re-counting the
+  * corpus). Count equivalence with the count-back path is spec-held. */
 case class RdfConfig(
     languages: Option[Seq[String]] = None,
     topInfoboxPropertiesPerLang: Option[Int] = Some(100),
     externaliseUris: Boolean = false,
     removeLanguageTags: Boolean = false,
     writeTypes: Boolean = false,
-    printStats: Boolean = false)
+    printStats: Boolean = false,
+    writeManifests: Boolean = false)
 
 /** Stage 1 — ttl -> language-partitioned parquet
   * (reference: DbpediaToParquetSparkApp.scala).
@@ -162,11 +170,38 @@ object ParquetToRdf {
       if (shared) aggP.unpersist(false)
     }
 
-    val counts = timed("count-back audit") {
+    val counts = if (cfg.writeManifests) timed("manifest audit") {
+      // one distributed scan per sink writes the per-file manifest AND
+      // yields the dataset count (sum of per-file n_rows) — same audit
+      // read the count-back does, but the artifact persists: a later
+      // transfer/restore verifies per-file (Manifest.verifyTextDir)
+      // without re-counting. An empty dataset deleted its dir (Rdf.write
+      // contract) — it counts 0 and gets no manifest.
+      Seq("schema.dgraph", "schema.indexed.dgraph").foreach { d =>
+        val dir = s"$outBase/$d"
+        if (dirExists(spark, dir))
+          graft.io.Manifest.writeForTextDir(spark, dir).unpersist()
+      }
+      written.map { case (name, _) =>
+        val dir = s"$outBase/$name.rdf"
+        name -> (if (!dirExists(spark, dir)) 0L
+        else {
+          val m = graft.io.Manifest.writeForTextDir(spark, dir)
+          val n = m.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+          m.unpersist()
+          n
+        })
+      }
+    } else timed("count-back audit") {
       written.map { case (name, df) => name -> df.count() }
     }
     println(metrics.summary) // the reference's operational perf gauge
     counts
+  }
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Wall-clock per pipeline phase — the stage-level perf gauge

@@ -889,7 +889,12 @@ object Streams {
     * `planes = 0` (exact, `cosineTopK` parity spec-held).
     *
     * Ids are cast to long and vectors to `array<double>` on both sides
-    * (floats widen losslessly). */
+    * (floats widen losslessly). Malformed rows never kill the query:
+    * a NULL id drops the row (both sides — a streaming Long id has no
+    * null seat, and the batch op's null-id rank group is not a retrieval
+    * contract anyone consumes), a NULL vec scores as the empty vector —
+    * zero norm, cosine pinned to -1 below every real score, exactly
+    * [[graft.ops.ext.Similarity.cosineSafe]]'s coalesce behavior. */
   def annTopKStream(
       queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 0,
       idOut: String = "q_id", nIdOut: String = "n_id"): DataFrame = {
@@ -897,20 +902,30 @@ object Streams {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(k >= 1, s"annTopKStream: k must be >= 1, got $k")
-    def prep(df: DataFrame, id: String) = df.select(
-      col("id").cast("long").as(id),
-      col("vec").cast("array<double>").as("_v"),
-      (if (planes > 0) Similarity.srpBucket(col("vec").cast("array<double>"), planes)
-       else lit(0L)).as("_bkt"))
+    def prep(df: DataFrame, id: String) = {
+      val vecD = coalesce(
+        col("vec").cast("array<double>"), array().cast("array<double>"))
+      df.where(col("id").isNotNull).select(
+        col("id").cast("long").as(id),
+        vecD.as("_v"),
+        (if (planes > 0) Similarity.srpBucket(vecD, planes)
+         else lit(0L)).as("_bkt"))
+    }
     val index: Map[Long, Array[(Long, Array[Double])]] =
       prep(corpus, "id").as[(Long, Seq[Double], Long)].collect()
         .groupBy(_._3)
         .map { case (b, rows) => b -> rows.map(r => (r._1, r._2.toArray)) }
     val bv = spark.sparkContext.broadcast(index)
-    // NaN-greatest like Spark's double ordering; ties break on n_id asc
-    val ord = Ordering.by[(Long, Double), (Double, Long)](
-      { case (nId, cos) => (cos, -nId) })(
-      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    // cosine desc (NaN greatest, like Spark's double ordering — cosines
+    // are +0.0-normalized upstream so TotalOrdering's -0.0 < 0.0 split
+    // can't diverge from SQL's -0.0 == 0.0), ties break n_id asc —
+    // compared directly, never via negation (-Long.MinValue overflows)
+    val ord = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = Ordering.Double.TotalOrdering.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
     prep(queries, idOut).as[(Long, Seq[Double], Long)]
       .flatMap { case (qId, qv, bkt) =>
         val q = qv.toArray
@@ -928,9 +943,11 @@ object Streams {
             j = 0
             while (j < nv.length) { nn += nv(j) * nv(j); j += 1 }
             val denom = math.sqrt(nq) * math.sqrt(nn)
-            (nId, if (denom == 0.0) -1.0 else d / denom)
+            // + 0.0 normalizes a -0.0 cosine to +0.0 (IEEE: -0.0 + 0.0
+            // = 0.0) so the in-memory total order matches SQL's
+            (nId, (if (denom == 0.0) -1.0 else d / denom) + 0.0)
           }
-          .toArray.sorted(ord.reverse).iterator.take(k).zipWithIndex
+          .toArray.sorted(ord).iterator.take(k).zipWithIndex
           .map { case ((nId, _), r) => (qId, nId, r + 1) }
       }
       .toDF(idOut, nIdOut, "rnk")

@@ -262,6 +262,50 @@ class MediaNearDupSpec extends SparkSpec {
     }
   }
 
+  test("feature-table metadata guard: mismatch and missing sidecar fail loudly") {
+    val corpus = mediaOf((0L until 6L).map(i =>
+      i -> s"meta-corpus-$i".getBytes("UTF-8")))
+    val incoming = mediaOf(Seq(
+      100L -> "meta-corpus-2".getBytes("UTF-8"),
+      101L -> "meta-novel".getBytes("UTF-8")))
+    try {
+      Multimodal.writeMediaFeatureTable(corpus, "graft_media_feat_m",
+        dims = 16, planes = 8, buckets = 4)
+      // the sidecar exists inside the table dir and records the knobs
+      assert(Multimodal.readFeatureTableMeta(spark, "graft_media_feat_m")
+        === Some((16, 8, 4)))
+      // matched reader: works (and still dedups — parity with the
+      // pre-guard behavior held by the byte-parity test above)
+      assert(Multimodal.mediaNearDupAgainstTable(incoming, "graft_media_feat_m",
+        dims = 16, planes = 8, threshold = 0.9)
+        .select("media_id").collect().map(_.getLong(0)).toSet === Set(101L))
+      // mismatched dims/planes: LOUD failure, not a silent no-op dedup
+      val eDims = intercept[IllegalArgumentException] {
+        Multimodal.mediaNearDupAgainstTable(incoming, "graft_media_feat_m",
+          dims = 8, planes = 8)
+      }
+      assert(eDims.getMessage.contains("do not match"))
+      val ePlanes = intercept[IllegalArgumentException] {
+        Multimodal.mediaNearDupAgainstTable(incoming, "graft_media_feat_m",
+          dims = 16, planes = 4)
+      }
+      assert(ePlanes.getMessage.contains("do not match"))
+      // a table without the sidecar (pre-contract writer) also fails loudly
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_media_feat_m")
+        .where(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .head().getString(1)
+      val metaFile = new java.io.File(new java.net.URI(loc).getPath, "_meta.jsonl")
+      assert(metaFile.exists())
+      assert(metaFile.delete())
+      val eNone = intercept[IllegalArgumentException] {
+        Multimodal.mediaNearDupAgainstTable(incoming, "graft_media_feat_m")
+      }
+      assert(eNone.getMessage.contains("_meta.jsonl"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_media_feat_m")
+    }
+  }
+
   test("guards reject non-positive knobs") {
     val media = mediaOf(Seq(0L -> "x".getBytes("UTF-8")))
     intercept[IllegalArgumentException] {

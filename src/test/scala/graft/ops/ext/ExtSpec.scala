@@ -874,6 +874,26 @@ class ComponentsSpec extends SparkSpec {
     assert(incChain === fullChain)
     assert(incChain.filter(_._1 <= 20L).forall(_._2 == 1L),
       "1-10 and 11-20 must chain {1,2,3}+{10,11}+{20} into comp 1")
+    // over-bound batch: the broadcast guard (broadcastMaxEdges = 1 forces
+    // the shuffle-join fallback) must be semantics-identical — no hint in
+    // the plan, same labels bit-for-bit
+    // (driverFinishMaxEdges = 0 keeps the contracted CC's own
+    // driver-finish broadcast out of the plan, and labels re-enter as a
+    // plain local relation — their lineage carries the driver-finish
+    // hint — isolating the guard's own hint in the assertion)
+    val labelsFlat = labels.as[(Long, Long)].collect().toSeq.toDF("id", "comp")
+    val guarded = Components.connectedComponentsIncremental(
+      labelsFlat, batch.toDF("id_a", "id_b"), broadcastMaxEdges = 1L,
+      driverFinishMaxEdges = 0L)
+    assert(!guarded.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fallback path must not carry a broadcast hint")
+    assert(guarded.as[(Long, Long)].collect().sortBy(_._1) ===
+      Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+        (20L, 20L), (21L, 21L), (31L, 20L), (40L, 40L), (41L, 40L)))
+    val hinted = Components.connectedComponentsIncremental(
+      labelsFlat, batch.toDF("id_a", "id_b"), driverFinishMaxEdges = 0L)
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "under-bound batch must keep the broadcast fast path")
   }
 
   test("dedupClusters yields the keep-list semantics") {
@@ -1989,6 +2009,16 @@ class TextStatsSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
     assert(legacy === Seq("len_ok", "alpha_ok", "pii_ok", "rep_ok",
       "rarity_ok", "pass"))
+    // a caller column named like gopherSignals' outputs would be silently
+    // dropped by the gate's fold — guarded with a loud require instead
+    val clashing = docs.withColumn("n_lines", lit(99L))
+    val e = intercept[IllegalArgumentException] {
+      TextStats.qualityGate(clashing, col("text"), "doc_id", t)
+    }
+    assert(e.getMessage.contains("n_lines"))
+    // without shapeRules the same frame passes through untouched
+    assert(TextStats.qualityGate(clashing, col("text"), "doc_id",
+      TextStats.QualityThresholds()).columns.contains("n_lines"))
   }
 
   test("vocabCoverage: per-group OOV against the corpus top-V vocabulary") {

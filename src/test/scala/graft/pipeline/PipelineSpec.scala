@@ -93,6 +93,22 @@ class PipelineSpec extends SparkSpec {
     val types = spark.read.textFile(s"$out/types.rdf/lang=de").collect()
     assert(types.contains(
       "<http://de.dbpedia.org/resource/A> <dgraph.type> \"Article\" ."))
+
+    // manifest audit: same counts as the count-back path (equivalence),
+    // plus a persisted per-file artifact every sink dir verifies against
+    val counts2 = ParquetToRdf.run(spark, pq, out,
+      RdfConfig(languages = Some(Seq("de", "fr")), writeTypes = true,
+        writeManifests = true))
+    assert(counts2 === counts)
+    for (d <- Seq("labels.rdf", "geo_coordinates.rdf", "schema.dgraph",
+        "schema.indexed.dgraph")) {
+      assert(new java.io.File(s"$out/$d/_manifest.jsonl").exists(), d)
+      val bad = graft.io.Manifest.verifyTextDir(spark, s"$out/$d")
+        .where(org.apache.spark.sql.functions.col("status") =!= "ok").count()
+      assert(bad === 0L, d)
+    }
+    // the manifest is invisible to the sinks' own readers
+    assert(spark.read.textFile(s"$out/labels.rdf").count() === counts("labels"))
   }
 
   test("externalised-uris pipeline: blank nodes, xids, stripped lang tags") {

@@ -658,6 +658,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annTopKStream: malformed rows never kill the query (null id / null vec)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.ext.Similarity
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (11L, Seq(0.9, 0.1, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0)),
+      (13L, Seq(0.0, 0.0, 1.0))).toDF("id", "vec")
+    val qRows: Seq[(Option[Long], Option[Seq[Double]])] = Seq(
+      (Some(1L), Some(Seq(1.0, 0.05, 0.0))),
+      (None, Some(Seq(1.0, 0.0, 0.0))), // null id: dropped, not an NPE
+      (Some(4L), None))                 // null vec: cosine -1 everywhere
+    // batch parity on the same rows: cosineTopK's =!= join drops the
+    // null id, cosineSafe's coalesce pins the null vec to -1
+    val want = Similarity.cosineTopK(qRows.toDF("id", "vec"), corpus, k = 3)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(want.map(_._1).toSet === Set(1L, 4L))
+    assert(want.filter(_._1 == 4L).map(_._2).toSeq === Seq(10L, 11L, 12L))
+    val input = MemoryStream[(Option[Long], Option[Seq[Double]])]
+    val q = Streams.annTopKStream(
+        input.toDF().toDF("id", "vec"), corpus, k = 3)
+      .writeStream.format("memory").queryName("ann_null")
+      .outputMode("append").start()
+    try {
+      input.addData(qRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_null")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("annTopKStream: SRP prefilter scores only same-bucket candidates") {
     val spark2 = spark
     import spark2.implicits._
