@@ -257,18 +257,33 @@ object Curation {
       .join(corpusHashes, Seq("_h"), "left_anti")
       .drop("_h")
 
-    // 5. near-dup against corpus: one tagged band of all hashes
+    // 5. near-dup against corpus: one tagged band of all hashes.
+    // `fresh` is BATCH-sized but its lineage carries the gate and BOTH
+    // corpus-side legs (md5 distinct + corpus minhash); its three
+    // downstream consumers (the pair generator, the cluster vertex set,
+    // the canonical semi join) would re-execute those corpus legs per
+    // consumer — measured as the dominant marginal of q139's floor
+    // (S4 +1.25 s of 3.2 s, PLANS round 18). One eager batch-sized
+    // checkpoint runs the corpus legs exactly once; released with the
+    // rest in the tail (releaseExcept below).
     val mhCols = (0 until numHashes).map(i => s"mh$i")
     val sigNew = Dedup.withMinhashSignature(freshExact, textCol, numHashes)
     val sigCorpus = Dedup.withMinhashSignature(corpus, textCol, numHashes)
     val fresh = Dedup.dedupAgainstCorpus(sigNew, sigCorpus, idCol, Seq(mhCols))
+      .localCheckpoint(true)
 
-    // 6. within-batch clusters over what is left
+    // 6. within-batch clusters over what is left. persistSignatures off:
+    // the input is already a materialized checkpoint whose mh columns
+    // are plain stored fields — a second signature checkpoint would cost
+    // a job and save only a column projection (the measure-per-shape
+    // rule; q144 precedent)
     val pairs = Dedup.lshCandidatePairs(fresh, idCol, mhCols,
       maxBucketSize = Some(maxBucketSize),
-      persistSignatures = true) // released below (the curate() pattern)
+      persistSignatures = false)
     val clusters = Components.dedupClusters(fresh, pairs, idCol)
-    graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
+    // (no release(pairs) here: persistSignatures is off, so the only
+    // checkpoint in pairs' lineage is `fresh` — still feeding the semi
+    // join and decontamination below; the tail releaseExcept frees it)
     val canonical = clusters
       .where(col(idCol) === col("canonical_id")).select(col(idCol))
     val nearDeduped = fresh.join(canonical, Seq(idCol), "left_semi")
