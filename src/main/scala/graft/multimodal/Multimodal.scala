@@ -2626,7 +2626,8 @@ object Multimodal {
       corpus: DataFrame, table: String,
       dims: Int = 16, planes: Int = 8,
       codec: MediaCodec = StubCodec,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32,
+      writeManifest: Boolean = false): Unit = {
     import graft.ops.ext.Similarity
     require(dims >= 1 && planes >= 1, "writeMediaFeatureTable: dims/planes must be >= 1")
     require(buckets >= 1, "writeMediaFeatureTable: buckets must be >= 1")
@@ -2635,6 +2636,16 @@ object Multimodal {
       .withColumn("bucket", Similarity.srpBucket(col("_c_vec"), planes))
     graft.io.Bucketing.writeBucketed(sig, table, "bucket", buckets)
     writeFeatureTableMeta(corpus.sparkSession, table, dims, planes, buckets)
+    // the standing feature plane is exactly the artifact a transfer or
+    // restore touches: the optional per-file manifest makes that
+    // boundary auditable (graft.io.Manifest.verifyParquetDir) without
+    // re-decoding anything
+    if (writeManifest) {
+      val spark = corpus.sparkSession
+      graft.io.Manifest
+        .writeForParquetDir(spark, featureTableDir(spark, table).toString)
+        .unpersist()
+    }
   }
 
   /** The feature table's storage directory, from the catalog (DESCRIBE

@@ -992,7 +992,8 @@ object Streams {
       labelsDir: String,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
-      maxIter: Int = 20): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      maxIter: Int = 20,
+      writeManifests: Boolean = false): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
       val fs = new org.apache.hadoop.fs.Path(labelsDir)
@@ -1014,6 +1015,15 @@ object Streams {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(target.toString)
       }
+      // optional per-snapshot audit manifest (graft.io.Manifest) — the
+      // restore-boundary artifact. Written AFTER the parquet commit and
+      // derived purely from the on-disk snapshot, so a crash between the
+      // two heals on replay: `_SUCCESS` without `_manifest.jsonl` just
+      // rewrites the manifest (one snapshot-sized scan), never the data.
+      if (writeManifests &&
+          fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(target, "_manifest.jsonl")))
+        graft.io.Manifest.writeForParquetDir(spark, target.toString).unpersist()
     }
 
   /** The latest COMPLETE label snapshot under `labelsDir` (written by

@@ -270,7 +270,7 @@ class MediaNearDupSpec extends SparkSpec {
       101L -> "meta-novel".getBytes("UTF-8")))
     try {
       Multimodal.writeMediaFeatureTable(corpus, "graft_media_feat_m",
-        dims = 16, planes = 8, buckets = 4)
+        dims = 16, planes = 8, buckets = 4, writeManifest = true)
       // the sidecar exists inside the table dir and records the knobs
       assert(Multimodal.readFeatureTableMeta(spark, "graft_media_feat_m")
         === Some((16, 8, 4)))
@@ -294,7 +294,13 @@ class MediaNearDupSpec extends SparkSpec {
       val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_media_feat_m")
         .where(org.apache.spark.sql.functions.col("col_name") === "Location")
         .head().getString(1)
-      val metaFile = new java.io.File(new java.net.URI(loc).getPath, "_meta.jsonl")
+      val tableDir = new java.net.URI(loc).getPath
+      // writeManifest = true: the table is audit-ready for transfer/restore
+      assert(new java.io.File(tableDir, "_manifest.jsonl").exists())
+      assert(graft.io.Manifest.verifyParquetDir(spark, tableDir)
+        .where(org.apache.spark.sql.functions.col("status") =!= "ok")
+        .count() === 0L)
+      val metaFile = new java.io.File(tableDir, "_meta.jsonl")
       assert(metaFile.exists())
       assert(metaFile.delete())
       val eNone = intercept[IllegalArgumentException] {

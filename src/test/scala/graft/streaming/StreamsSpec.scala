@@ -804,6 +804,35 @@ class StreamsSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "batch=4")))
   }
 
+  test("connectedComponentsSink writeManifests: auditable snapshots, heal-on-replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccsink-m").toString
+    val sink = Streams.connectedComponentsSink(dir, writeManifests = true)
+    sink(Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"), 0L)
+    sink(Seq((2L, 3L)).toDF("id_a", "id_b"), 1L)
+    for (b <- Seq(0L, 1L)) {
+      assert(new java.io.File(s"$dir/batch=$b/_manifest.jsonl").exists(), s"batch=$b")
+      val bad = graft.io.Manifest.verifyParquetDir(spark, s"$dir/batch=$b")
+        .where(col("status") =!= "ok").count()
+      assert(bad === 0L, s"batch=$b")
+    }
+    val labels = Streams.latestCcLabels(spark, dir).get
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(labels === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // crash between parquet commit and manifest write: _SUCCESS exists,
+    // manifest missing — the replay heals the manifest WITHOUT rewriting
+    // the data (adversarially different replay data must not change it)
+    val m1 = new java.io.File(s"$dir/batch=1/_manifest.jsonl")
+    assert(m1.delete())
+    sink(Seq((10L, 11L)).toDF("id_a", "id_b"), 1L)
+    assert(m1.exists())
+    assert(graft.io.Manifest.verifyParquetDir(spark, s"$dir/batch=1")
+      .where(col("status") =!= "ok").count() === 0L)
+    assert(Streams.latestCcLabels(spark, dir).get
+      .as[(Long, Long)].collect().sortBy(_._1) === labels)
+  }
+
   test("dsirScoreStream scores arriving docs identically to the batch path") {
     val spark2 = spark
     import spark2.implicits._
