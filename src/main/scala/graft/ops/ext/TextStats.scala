@@ -447,7 +447,14 @@ object TextStats {
       .select(col("query_id"),
         explode(array_distinct(tokens(col("qtext")))).as("term"))
     val qd = q.select("term").distinct()
-    val tok = docs.select(col(idCol), size(tokens(textCol)).cast("long").as("dl"),
+    // dl via the graft_token_count kernel (spec'd size(split(trim,\s+))
+    // parity): the generator row would otherwise evaluate the split
+    // TWICE per row (once for size in the projection, once exploded),
+    // and the corpus-totals pass below re-splits the whole corpus only
+    // to take lengths — the one-pass byte walk serves both (q62/q106
+    // measured precedent)
+    val dlCol = graft.functions.TokenCountExpr.token_count(textCol).cast("long")
+    val tok = docs.select(col(idCol), dlCol.as("dl"),
       explode(tokens(textCol)).as("term"))
     // prune to query terms BEFORE the tf groupBy: the shuffle carries only
     // matching (doc, term) rows, and dl rides it as a constant-per-key max
@@ -456,7 +463,7 @@ object TextStats {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dft = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val st = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(tokens(textCol)).cast("long")).as("sum_dl"))
+      sum(dlCol).as("sum_dl"))
     val scored = tfq
       .join(broadcast(q), "term")
       .join(broadcast(dft), "term")
