@@ -140,6 +140,32 @@ class CurationSpec extends SparkSpec {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("curateIncremental releases its internal caches — only the survivor checkpoint remains") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.sparkContext
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "good")
+    ).toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (100L, "iota kappa lambda mu nu xi omicron pi", "good")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val before = sc.getPersistentRDDs.keySet
+    val out = Curation.curateIncremental(batch, corpus, col("text"), "doc_id",
+      "source", bench, minDocs = 1, minAlphaBp = 5000, numHashes = 2,
+      maxBucketSize = 100, n = 8)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // by return time the stage-3 persist, the batch-sized `fresh`
+    // checkpoint (round 18), and the component loop's checkpoints are
+    // all released; only the survivor checkpoint `out` references remains
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+    assert(out.select(col("doc_id")).as[Long].collect().sorted === Array(1L))
+    graft.core.Checkpoints.release(out)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("curate does not release caller-supplied checkpoint-backed inputs") {
     val spark2 = spark
     import spark2.implicits._
