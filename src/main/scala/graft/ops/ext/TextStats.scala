@@ -461,12 +461,17 @@ object TextStats {
     val tfq = tok.join(broadcast(qd), "term")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dft = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a WINDOW over tfq, not a groupBy+self-join: DataFrame plans
+    // share no common subtrees, so `tfq.groupBy(term)` re-planned the
+    // ENTIRE corpus scan + explode a second time (round-18 explain
+    // audit); the window pays one exchange of the query-term-bounded
+    // tfq frame instead of a full second corpus pass
     val st = docs.agg(count(lit(1)).as("n_docs"),
       sum(dlCol).as("sum_dl"))
     val scored = tfq
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("term"))))
       .join(broadcast(q), "term")
-      .join(broadcast(dft), "term")
       .crossJoin(broadcast(st))
       .withColumn("idf_s", expr(s"($S * n_docs) div df"))
       .withColumn("lnorm", expr(s"($S - $bMicro) + ($bMicro * dl * n_docs) div sum_dl"))
