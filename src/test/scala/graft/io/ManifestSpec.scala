@@ -116,6 +116,38 @@ class ManifestSpec extends SparkSpec {
     assert(verdict.count(_._2 != "ok") === 3)
   }
 
+  test("text-dir manifests flag dropped, tampered, and smuggled files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-man-t").toString
+    (1L to 60L).map(i => s"line $i").toDF("value")
+      .repartition(3).write.mode("overwrite").text(dir)
+    Manifest.writeForTextDir(spark, dir).unpersist()
+    assert(Manifest.verifyTextDir(spark, dir)
+      .where(col("status") =!= "ok").count() === 0L)
+    import java.nio.file.{Files => JF, Paths}
+    val files = Manifest.listDataFiles(spark, dir).map(_._1).sorted
+    def dropCrc(abs: String): Unit = {
+      val f = new java.io.File(abs)
+      val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    JF.delete(Paths.get(files(0))); dropCrc(files(0))
+    // tamper one byte in place (same length: only content_sum can catch it)
+    val raf = new java.io.RandomAccessFile(files(1), "rw")
+    raf.seek(0); raf.writeByte('X'); raf.close(); dropCrc(files(1))
+    JF.write(Paths.get(new java.io.File(dir, "smuggled.txt").getPath),
+      "alien line\n".getBytes("UTF-8"))
+    val verdict = Manifest.verifyTextDir(spark, dir)
+      .select("file", "status").as[(String, String)].collect().toMap
+    def rel(abs: String) = abs.substring(abs.lastIndexOf('/') + 1)
+    assert(verdict(rel(files(0))) === "missing")
+    assert(verdict(rel(files(1))) === "content_mismatch")
+    assert(verdict(rel(files(2))) === "ok")
+    assert(verdict("smuggled.txt") === "extra")
+    assert(verdict.count(_._2 != "ok") === 3)
+  }
+
   test("a directory with a space in its name audits clean (URI decode)") {
     val spark2 = spark
     import spark2.implicits._
