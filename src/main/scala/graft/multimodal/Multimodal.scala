@@ -2719,9 +2719,10 @@ object Multimodal {
     require(maxBucketSize.forall(_ >= 1), "mediaNearDupAgainstTable: maxBucketSize must be >= 1")
     readFeatureTableMeta(incoming.sparkSession, corpusTable) match {
       case None => throw new IllegalArgumentException(
-        s"mediaNearDupAgainstTable: $corpusTable has no _meta.jsonl sidecar — " +
-          "rewrite the corpus with writeMediaFeatureTable (a feature table " +
-          "without checkable dims/planes metadata risks a silent no-op dedup)")
+        s"mediaNearDupAgainstTable: $corpusTable has no readable _meta.jsonl " +
+          "sidecar (missing or corrupt) — rewrite the corpus with " +
+          "writeMediaFeatureTable (a feature table without checkable " +
+          "dims/planes metadata risks a silent no-op dedup)")
       case Some((tDims, tPlanes, _)) =>
         require(tDims == dims && tPlanes == planes,
           s"mediaNearDupAgainstTable: dims/planes ($dims/$planes) do not match " +
