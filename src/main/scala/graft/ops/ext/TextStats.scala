@@ -1087,6 +1087,13 @@ object TextStats {
   def qualityGate(
       docs: DataFrame, textCol: Column, idCol: String,
       t: QualityThresholds): DataFrame = {
+    // `quality` is the gate's OUTPUT column: an input already carrying
+    // one would be silently replaced (and then swallowed entirely by
+    // qualityFilter's drop) — the gopherSignals collision-guard class
+    require(!docs.columns.contains("quality"),
+      "qualityGate: input already has a 'quality' column (the gate's " +
+        "output name) — rename it; the gate would replace it and " +
+        "qualityFilter would drop it")
     val base = withScanSignals(docs, textCol, t)
     t.maxMeanRarity match {
       case Some(mx) =>

@@ -267,6 +267,15 @@ object Curation {
     // checkpoint runs the corpus legs exactly once; released with the
     // rest in the tail (releaseExcept below).
     val mhCols = (0 until numHashes).map(i => s"mh$i")
+    // the signature columns ride the batch frame and are dropped after
+    // the cluster stage — a caller column named like one would be
+    // silently overwritten and swallowed (the qualityGate/gopherSignals
+    // collision-guard class); fail loudly instead
+    val clash = batch.columns.toSet.intersect(mhCols.toSet)
+    require(clash.isEmpty,
+      s"curateIncremental: batch columns ${clash.mkString(", ")} collide " +
+        s"with the numHashes=$numHashes signature columns (mh0..mh${numHashes - 1}) " +
+        "— rename them or change numHashes")
     val sigNew = Dedup.withMinhashSignature(freshExact, textCol, numHashes)
     val sigCorpus = Dedup.withMinhashSignature(corpus, textCol, numHashes)
     val fresh = Dedup.dedupAgainstCorpus(sigNew, sigCorpus, idCol, Seq(mhCols))

@@ -2019,6 +2019,13 @@ class TextStatsSpec extends SparkSpec {
     // without shapeRules the same frame passes through untouched
     assert(TextStats.qualityGate(clashing, col("text"), "doc_id",
       TextStats.QualityThresholds()).columns.contains("n_lines"))
+    // and the gate's own output name is guarded the same way: a caller
+    // `quality` column would be replaced, then swallowed by qualityFilter
+    val eq = intercept[IllegalArgumentException] {
+      TextStats.qualityGate(docs.withColumn("quality", lit(1)),
+        col("text"), "doc_id", TextStats.QualityThresholds())
+    }
+    assert(eq.getMessage.contains("quality"))
   }
 
   test("vocabCoverage: per-group OOV against the corpus top-V vocabulary") {

@@ -166,6 +166,22 @@ class CurationSpec extends SparkSpec {
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("curateIncremental rejects batch columns that collide with signature names") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq((1L, "alpha beta gamma", "good", 9L))
+      .toDF("doc_id", "text", "source", "mh0")
+    val corpus = Seq((100L, "iota kappa lambda", "good"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq("unrelated").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateIncremental(batch, corpus, col("text"), "doc_id",
+        "source", bench, minDocs = 1, minAlphaBp = 5000, numHashes = 2,
+        maxBucketSize = 100, n = 8)
+    }
+    assert(e.getMessage.contains("mh0"))
+  }
+
   test("curate does not release caller-supplied checkpoint-backed inputs") {
     val spark2 = spark
     import spark2.implicits._
