@@ -2649,12 +2649,18 @@ object Multimodal {
   }
 
   /** The feature table's storage directory, from the catalog (DESCRIBE
-    * TABLE EXTENDED — public API, no `sessionState` reach-in). */
+    * TABLE EXTENDED — public API, no `sessionState` reach-in). A view /
+    * temp view / anything without a Location row fails with a clear
+    * message instead of a bare NoSuchElementException. */
   private def featureTableDir(
       spark: SparkSession, table: String): org.apache.hadoop.fs.Path = {
     val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .where(col("col_name") === "Location")
-      .head().getString(1)
+      .collect().headOption.getOrElse(throw new IllegalArgumentException(
+        s"featureTableDir: $table has no Location in its catalog entry — " +
+          "not a stored table (views and temp views have no storage " +
+          "directory; feature tables are written by writeMediaFeatureTable)"))
+      .getString(1)
     new org.apache.hadoop.fs.Path(new java.net.URI(loc))
   }
 
@@ -2723,12 +2729,25 @@ object Multimodal {
           "sidecar (missing or corrupt) — rewrite the corpus with " +
           "writeMediaFeatureTable (a feature table without checkable " +
           "dims/planes metadata risks a silent no-op dedup)")
-      case Some((tDims, tPlanes, _)) =>
+      case Some((tDims, tPlanes, tBuckets)) =>
         require(tDims == dims && tPlanes == planes,
           s"mediaNearDupAgainstTable: dims/planes ($dims/$planes) do not match " +
             s"$corpusTable's written values ($tDims/$tPlanes) — a mismatched " +
             "reader gets silently-empty buckets (no-op dedup); pass the " +
             "table's values or rewrite it")
+        // cross-check the sidecar's bucket count against the catalog's
+        // bucketing spec: a sidecar copied alongside a re-bucketed table
+        // (or vice versa) is the same silent-mismatch class
+        val catBuckets = incoming.sparkSession
+          .sql(s"DESCRIBE TABLE EXTENDED $corpusTable")
+          .where(col("col_name") === "Num Buckets")
+          .collect().headOption
+          .flatMap(r => scala.util.Try(r.getString(1).trim.toInt).toOption)
+        catBuckets.foreach(nb => require(nb == tBuckets,
+          s"mediaNearDupAgainstTable: $corpusTable's _meta.jsonl records " +
+            s"$tBuckets buckets but the catalog says $nb — the sidecar and " +
+            "the table have diverged; rewrite the corpus with " +
+            "writeMediaFeatureTable"))
     }
     val inc0 = extractFeatures(incoming, dims, codec).toDF()
       .select(col("media_id"), col("embedding").as("_vec"))

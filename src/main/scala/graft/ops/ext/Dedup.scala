@@ -597,24 +597,51 @@ object Dedup {
       newSigs: DataFrame,
       corpusSigs: DataFrame,
       idCol: String,
-      bands: Seq[Seq[String]]): DataFrame = {
-    require(bands.nonEmpty, "dedupAgainstCorpus: at least one band required")
-    // unqualified col() refs — resolved by the .select each side applies
-    // against its own frame
-    val tagged: Seq[Column] =
-      bands.zipWithIndex.map { case (b, i) =>
-        concat_ws("#", lit(i.toString), bandKey(b))
-      }
-    val corpusKeys = corpusSigs
-      .select(explode(array(tagged: _*)).as("_band"))
+      bands: Seq[Seq[String]]): DataFrame =
+    dedupAgainstCorpusKeys(
+      newSigs, corpusBandKeys(corpusSigs, bands), idCol, bands)
+
+  /** The standing-corpus side of [[dedupAgainstCorpus]] as its own
+    * frame: the DISTINCT tagged band keys (33-byte strings, one column
+    * `_band`). This is exactly the table a nightly pipeline should
+    * PERSIST — written bucketed on `_band` ([[graft.io.Bucketing]]),
+    * the nightly semi join plans with no Exchange and no re-derivation
+    * on the corpus side (see
+    * [[graft.pipeline.Curation.writeCorpusSigTables]]). */
+  def corpusBandKeys(
+      corpusSigs: DataFrame, bands: Seq[Seq[String]]): DataFrame = {
+    require(bands.nonEmpty, "corpusBandKeys: at least one band required")
+    corpusSigs
+      .select(explode(array(taggedBandKeys(bands): _*)).as("_band"))
       .distinct()
+  }
+
+  /** [[dedupAgainstCorpus]] with the corpus side ALREADY reduced to its
+    * distinct tagged band keys (a [[corpusBandKeys]] frame or a
+    * persisted bucketed table of one). `corpusKeys` must carry the
+    * single `_band` column and be distinct — a duplicated key would not
+    * change the semi-join semantics, only its cost. */
+  def dedupAgainstCorpusKeys(
+      newSigs: DataFrame,
+      corpusKeys: DataFrame,
+      idCol: String,
+      bands: Seq[Seq[String]]): DataFrame = {
+    require(bands.nonEmpty, "dedupAgainstCorpusKeys: at least one band required")
     val dupIds = newSigs
-      .select(col(idCol), explode(array(tagged: _*)).as("_band"))
-      .join(corpusKeys, Seq("_band"), "left_semi")
+      .select(col(idCol), explode(array(taggedBandKeys(bands): _*)).as("_band"))
+      .join(corpusKeys.select(col("_band")), Seq("_band"), "left_semi")
       .select(col(idCol))
       .distinct()
     newSigs.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Band keys tagged with their band index (band `i` can only match
+    * band `i`) — unqualified col() refs, resolved by the .select each
+    * side applies against its own frame. */
+  private def taggedBandKeys(bands: Seq[Seq[String]]): Seq[Column] =
+    bands.zipWithIndex.map { case (b, i) =>
+      concat_ws("#", lit(i.toString), bandKey(b))
+    }
 
   /** Corpus-level exact LINE deduplication — the C4/CCNet/RefinedWeb
     * sub-document pass that document-level dedup cannot express: nav

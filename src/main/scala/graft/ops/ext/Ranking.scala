@@ -77,28 +77,39 @@ object Ranking {
     * contamination audit wants when the benchmark string may be quoted
     * with reordered words.
     *
-    * Scale shape: the query terms (a literal handful) BROADCAST into the
-    * exploded distinct-token stream — the corpus never shuffles on the
-    * token; the (query, doc) fold partial-aggregates, and the top-k
-    * window is WindowGroupLimit-pruned map-side. Documents matching no
-    * term are absent.
+    * Scale shape: the queries are a LITERAL handful by contract, so their
+    * tokenized term sets are embedded as array literals (the q170
+    * typedLit rule — a model-bounded table is plan data, not a join
+    * side) and coverage is `size(array_intersect(distinct-doc-tokens,
+    * query-terms))` per (doc, query literal). The corpus token stream is
+    * never exploded and never joined: the old explode + broadcast-join +
+    * groupBy form shipped hundreds of (doc, token) generator rows per
+    * document through a (query, doc) aggregation exchange to compute
+    * what one codegen'd array intersect reads off the projection
+    * (round-19 measurement in PLANS.md). Only the queries-per-doc
+    * generator (|queries| rows per doc, zero-coverage rows filtered
+    * before any exchange) and the WindowGroupLimit-pruned top-k window
+    * remain. Documents matching no term are absent.
     *
     * Output: (`query_id`, idCol, `coverage`, `rnk`), all BIGINT. */
   def coverageTopK(
       docs: DataFrame, textCol: Column, idCol: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val q = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(array_distinct(Dedup.tokens(col("qtext")))).as("term"))
-    val dtok = docs.select(col(idCol),
-      explode(array_distinct(Dedup.tokens(textCol))).as("term"))
+    // driver-side tokenization mirrors Dedup.tokens = split(trim(s),
+    // "\s+") exactly: Java and Spark agree on this regex split for any
+    // input (both produce [""] for the empty string)
+    val qTerms: Seq[(Long, Seq[String])] = queries.map { case (qid, t) =>
+      (qid, t.trim.split("\\s+").toSeq.distinct)
+    }
+    val qlit = typedLit(qTerms.map { case (qid, ts) => (qid, ts) })
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("coverage").desc, col(idCol))
-    dtok.join(broadcast(q), "term")
-      .groupBy(col("query_id"), col(idCol))
-      .agg(count(lit(1)).as("coverage"))
+    docs
+      .select(col(idCol), array_distinct(Dedup.tokens(textCol)).as("_dt"))
+      .select(col(idCol), col("_dt"), explode(qlit).as("_q"))
+      .select(col(idCol), col("_q._1").as("query_id"),
+        size(array_intersect(col("_dt"), col("_q._2"))).cast("long").as("coverage"))
+      .where(col("coverage") > 0)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("query_id"), col(idCol), col("coverage"), col("rnk"))

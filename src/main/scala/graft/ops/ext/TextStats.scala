@@ -383,9 +383,14 @@ object TextStats {
     * cross-engine verification. Ties rank by term ascending.
     *
     * Scale shape: tf is one partial-agged shuffle of (doc, term) pairs; df
-    * reduces the (already distinct-per-doc) tf rows per term — both
-    * map-side combined. N comes from a one-row aggregate joined in as a
-    * broadcast (kept in-plan; no driver action). The final top-k window
+    * is a count WINDOW over tf partitioned by term — NOT a groupBy +
+    * self-join: DataFrame plans share no common subtrees, so
+    * `tf.groupBy(term)` as a second consumer of tf re-planned the ENTIRE
+    * corpus scan + explode + tf aggregation a second time (round-18 bm25
+    * explain audit, swept here in round 19); the window pays one exchange
+    * of the already-aggregated tf frame instead of a full second corpus
+    * pass. N comes from a one-row aggregate joined in as a broadcast
+    * (kept in-plan; no driver action). The final top-k window
     * repartitions by doc; Spark's WindowGroupLimit prunes rank > k
     * map-side before that shuffle.
     *
@@ -396,10 +401,9 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol), explode(tokens(textCol)).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * expr(s"($scale * n_docs) div df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -502,10 +506,17 @@ object TextStats {
     *
     * Scale shape: one partial-agged token count whose top-V cut is a
     * TakeOrdered (bounded by `topV`, never the distinct-token count);
-    * the corpus total is a scan-side sum. Both broadcast into the
+    * the corpus total is a scan-side sum via the [[tokenCount]] byte-walk
+    * kernel — no split, no array, no interpreted higher-order fold (the
+    * q62/q106 measured precedent; `sum(size(tokens(text)))` re-split the
+    * whole corpus only to take lengths). Both broadcast into the
     * per-token left join — the exploded corpus stream never shuffles on
     * the token — and the per-doc fold is a partial-aggregated groupBy on
-    * the id. Returns `(idCol, rarity_sum, n_tok)`; mean rarity =
+    * the id. The two exploded passes (top-V counts, per-token scoring)
+    * are the algorithm's floor: the top-V model must exist before any
+    * token can be scored, and the exploded stream is corpus-sized — too
+    * big to checkpoint by construction.
+    * Returns `(idCol, rarity_sum, n_tok)`; mean rarity =
     * rarity_sum / n_tok, left to the caller to keep the output integer.
     *
     * At extreme corpus sizes mind the headroom: `scale * n_total` must
@@ -517,7 +528,7 @@ object TextStats {
     val tok = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
     val topv = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topV)
-    val n = docs.agg(sum(size(tokens(textCol))).cast("long").as("n_total"))
+    val n = docs.agg(sum(tokenCount(textCol)).cast("long").as("n_total"))
     tok.join(broadcast(topv), Seq("w"), "left")
       .crossJoin(broadcast(n))
       .withColumn("rar", coalesce(

@@ -247,38 +247,134 @@ object Curation {
       numHashes: Int = 2,
       maxBucketSize: Int = 1000,
       n: Int = 8): DataFrame = {
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    curateIncrementalCore(
+      batch,
+      corpus.select(md5(textCol).as("_h")).distinct(),
+      Dedup.corpusBandKeys(
+        Dedup.withMinhashSignature(corpus, textCol, numHashes), Seq(mhCols)),
+      textCol, idCol, sourceCol, benchmark,
+      minDocs, minAlphaBp, numHashes, maxBucketSize, n,
+      protectedFrames = Seq(corpus))
+  }
+
+  /** Names of the persisted standing-corpus signature tables
+    * [[writeCorpusSigTables]] lands and the table-backed
+    * [[curateIncremental]] overload consumes. `numHashes` is part of the
+    * contract: the batch side must derive the SAME signature family the
+    * tables were written with (a mismatch would silently match nothing —
+    * the media `_meta.jsonl` lesson — so the overload takes it from
+    * here, never as a free parameter). */
+  final case class CorpusSigTables(
+      hashesTable: String, bandsTable: String, numHashes: Int)
+
+  /** Persist the standing corpus's signature side as BUCKETED catalog
+    * tables — the nightly-ingest fast path for [[curateIncremental]].
+    * The per-call shape derives the corpus md5-distinct and band-key
+    * frames from the raw corpus EVERY night (two full corpus scans +
+    * their aggregation exchanges); these tables pay that once at corpus
+    * build/refresh time, and the nightly anti joins then read
+    * hash-partitioned parquet with NO Exchange and no re-derivation on
+    * the corpus side ([[graft.io.Bucketing]] — Dedup.scala's standing-
+    * corpus note). Refresh cadence is the caller's: the tables are a
+    * snapshot of the corpus at write time, exactly like the corpus
+    * frame the per-call shape would scan. */
+  def writeCorpusSigTables(
+      corpus: DataFrame, textCol: Column, tablePrefix: String,
+      numHashes: Int = 2, buckets: Int = 32): CorpusSigTables = {
+    require(tablePrefix.nonEmpty, "writeCorpusSigTables: empty tablePrefix")
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    val t = CorpusSigTables(
+      s"${tablePrefix}_hashes", s"${tablePrefix}_bands", numHashes)
+    graft.io.Bucketing.writeBucketed(
+      corpus.select(md5(textCol).as("_h")).distinct(), t.hashesTable, "_h", buckets)
+    graft.io.Bucketing.writeBucketed(
+      Dedup.corpusBandKeys(
+        Dedup.withMinhashSignature(corpus, textCol, numHashes), Seq(mhCols)),
+      t.bandsTable, "_band", buckets)
+    t
+  }
+
+  /** [[curateIncremental]] against persisted [[CorpusSigTables]] instead
+    * of the raw standing corpus — identical output by construction (the
+    * tables hold exactly the two frames the per-call shape derives;
+    * spec-asserted in CurationSpec), with the corpus legs' derivation
+    * cost moved out of the nightly path. */
+  def curateIncremental(
+      batch: DataFrame,
+      corpusTables: CorpusSigTables,
+      textCol: Column,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      minDocs: Long,
+      minAlphaBp: Int,
+      maxBucketSize: Int,
+      n: Int): DataFrame = {
+    val spark = batch.sparkSession
+    curateIncrementalCore(
+      batch,
+      spark.table(corpusTables.hashesTable),
+      spark.table(corpusTables.bandsTable),
+      textCol, idCol, sourceCol, benchmark,
+      minDocs, minAlphaBp, corpusTables.numHashes, maxBucketSize, n,
+      protectedFrames = Seq.empty)
+  }
+
+  /** Shared body of the two [[curateIncremental]] shapes: the corpus
+    * side arrives ALREADY reduced to its distinct content hashes
+    * (`_h`) and distinct tagged band keys (`_band`) — either derived
+    * in-plan from the raw corpus or read from persisted bucketed
+    * tables. */
+  private def curateIncrementalCore(
+      batch: DataFrame,
+      corpusHashes: DataFrame,
+      corpusBands: DataFrame,
+      textCol: Column,
+      idCol: String,
+      sourceCol: String,
+      benchmark: DataFrame,
+      minDocs: Long,
+      minAlphaBp: Int,
+      numHashes: Int,
+      maxBucketSize: Int,
+      n: Int,
+      protectedFrames: Seq[DataFrame]): DataFrame = {
+
+    // the `_h` exact-hash column and the mh0..mhN signature columns ride
+    // the passthrough batch frame through stages 4-6 and are dropped
+    // before return — a caller column with one of those names would be
+    // silently overwritten and swallowed (the qualityGate/gopherSignals
+    // collision-guard class). Checked FIRST — it only inspects
+    // batch.columns, and a late require would fail after stage 3 has
+    // already built and persist-registered work (leaking exactDeduped's
+    // persist marker on the error path).
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    val clash = batch.columns.toSet.intersect(mhCols.toSet + "_h")
+    require(clash.isEmpty,
+      s"curateIncremental: batch columns ${clash.mkString(", ")} collide " +
+        s"with the internal working columns (_h, mh0..mh${numHashes - 1}) " +
+        "— rename them or change numHashes")
 
     val exactDeduped = gateAndExactDedup(
       batch, textCol, idCol, sourceCol, minDocs, minAlphaBp, None)
 
     // 4. exact against corpus: 32-byte hash anti join
-    val corpusHashes = corpus.select(md5(textCol).as("_h")).distinct()
     val freshExact = exactDeduped.withColumn("_h", md5(textCol))
       .join(corpusHashes, Seq("_h"), "left_anti")
       .drop("_h")
 
     // 5. near-dup against corpus: one tagged band of all hashes.
     // `fresh` is BATCH-sized but its lineage carries the gate and BOTH
-    // corpus-side legs (md5 distinct + corpus minhash); its three
+    // corpus-side legs (md5 distinct + corpus band keys); its three
     // downstream consumers (the pair generator, the cluster vertex set,
     // the canonical semi join) would re-execute those corpus legs per
     // consumer — measured as the dominant marginal of q139's floor
     // (S4 +1.25 s of 3.2 s, PLANS round 18). One eager batch-sized
     // checkpoint runs the corpus legs exactly once; released with the
     // rest in the tail (releaseExcept below).
-    val mhCols = (0 until numHashes).map(i => s"mh$i")
-    // the signature columns ride the batch frame and are dropped after
-    // the cluster stage — a caller column named like one would be
-    // silently overwritten and swallowed (the qualityGate/gopherSignals
-    // collision-guard class); fail loudly instead
-    val clash = batch.columns.toSet.intersect(mhCols.toSet)
-    require(clash.isEmpty,
-      s"curateIncremental: batch columns ${clash.mkString(", ")} collide " +
-        s"with the numHashes=$numHashes signature columns (mh0..mh${numHashes - 1}) " +
-        "— rename them or change numHashes")
     val sigNew = Dedup.withMinhashSignature(freshExact, textCol, numHashes)
-    val sigCorpus = Dedup.withMinhashSignature(corpus, textCol, numHashes)
-    val fresh = Dedup.dedupAgainstCorpus(sigNew, sigCorpus, idCol, Seq(mhCols))
+    val fresh = Dedup.dedupAgainstCorpusKeys(sigNew, corpusBands, idCol, Seq(mhCols))
       .localCheckpoint(true)
 
     // 6. within-batch clusters over what is left. persistSignatures off:
@@ -302,7 +398,8 @@ object Curation {
     val lazySurvivors = Contamination.decontaminate(nearDeduped, textCol, idCol,
       benchmark, textCol, n)
     val survivors = lazySurvivors.localCheckpoint(true)
-    graft.core.Checkpoints.releaseExcept(lazySurvivors, batch, corpus, benchmark)
+    graft.core.Checkpoints.releaseExcept(
+      lazySurvivors, batch +: benchmark +: protectedFrames: _*)
     exactDeduped.unpersist(false)
     survivors
   }

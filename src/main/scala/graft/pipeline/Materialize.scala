@@ -36,11 +36,20 @@ object Materialize {
     * per-shard summary `(stratum, shard, n_docs, n_tokens)` ordered by
     * (stratum, shard). Shards are per-stratum: each stratum packs its
     * own token stream (the [[Packing.sequenceLayout]] contract), so a
-    * multilingual corpus yields per-language shard sequences. */
+    * multilingual corpus yields per-language shard sequences.
+    *
+    * `writeManifest` (default ON — the shards ARE the artifact a
+    * transfer or restore touches) lands a `_manifest.jsonl` with
+    * per-file row counts and order-insensitive content checksums;
+    * [[Manifest.verifyParquetDir]] later audits a restored shard tree
+    * per-file without re-reading row data. The manifest's per-shard-dir
+    * row counts equal the returned summary's `n_docs` — spec-held
+    * (MaterializeSpec), the same count-equivalence contract as the RDF
+    * sinks' manifest audit. */
   def trainingShards(
       docs: DataFrame, textCol: Column, idCol: String, stratumCol: String,
       seqLen: Long, seqsPerShard: Long, seed: Long,
-      outDir: String): DataFrame = {
+      outDir: String, writeManifest: Boolean = true): DataFrame = {
     require(seqsPerShard >= 1,
       s"trainingShards: seqsPerShard must be >= 1, got $seqsPerShard")
     val spark = docs.sparkSession
@@ -62,7 +71,10 @@ object Materialize {
       .repartition(col("stratum"), col("shard"))
       .sortWithinPartitions(col("stratum"), col("shard"), col("ord"))
       .write.mode("overwrite").partitionBy("stratum", "shard").parquet(outDir)
-    Manifest.writeForParquetDir(spark, outDir)
+    // unpersist: the manifest frame registers a persist marker for its
+    // own write-then-return contract; the summary below re-reads the
+    // written files (it needs n_tok sums the manifest doesn't carry)
+    if (writeManifest) Manifest.writeForParquetDir(spark, outDir).unpersist()
     spark.read.parquet(outDir)
       .groupBy(col("stratum"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))

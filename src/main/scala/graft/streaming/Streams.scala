@@ -1009,11 +1009,19 @@ object Streams {
                 org.apache.spark.sql.types.StructField("id", idType),
                 org.apache.spark.sql.types.StructField("comp", idType))))
           }
-        graft.ops.ext.Components
-          .connectedComponentsIncremental(prior, batch.toDF(),
-            srcCol, dstCol, maxIter)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(target.toString)
+        // persist the micro-batch: the incremental operator counts it
+        // for the broadcast-bound guard and then reads it for the
+        // resolve + contraction joins — without this, every streaming
+        // batch source is re-read once per consumer (the operator's
+        // scaladoc asks exactly this of callers)
+        val edges = batch.toDF().persist()
+        try
+          graft.ops.ext.Components
+            .connectedComponentsIncremental(prior, edges,
+              srcCol, dstCol, maxIter)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(target.toString)
+        finally edges.unpersist(false)
       }
       // optional per-snapshot audit manifest (graft.io.Manifest) — the
       // restore-boundary artifact. Written AFTER the parquet commit and

@@ -54,7 +54,7 @@ class RankingSpec extends SparkSpec {
     assert(out(20L) === ((1000000000L / 62, 1L)))
   }
 
-  test("coverageTopK: distinct-term counts, ties by id, broadcast join") {
+  test("coverageTopK: distinct-term counts, ties by id, literal query terms (no join)") {
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq(
@@ -69,8 +69,13 @@ class RankingSpec extends SparkSpec {
     assert(out === Seq((7L, 2L, 2L, 1L), (7L, 1L, 1L, 2L), (7L, 3L, 1L, 3L)))
     val plan = Ranking.coverageTopK(docs, col("text"), "doc_id",
       Seq((7L, "alpha beta")), k = 10).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"query terms must broadcast into the token stream:\n$plan")
+    // the round-19 literal-terms form: the query table is plan data
+    // (typedLit), so there is NO join and NO (query, doc) aggregation —
+    // coverage reads off one codegen'd array_intersect per (doc, query)
+    assert(!plan.contains("Join"),
+      s"query terms are plan literals — no join expected:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"coverage is a projection, not an aggregation:\n$plan")
   }
 
   test("ndcgAtK: perfect ranking scores 1e6; buried hits score less") {

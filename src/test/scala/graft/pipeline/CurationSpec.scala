@@ -182,6 +182,69 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("mh0"))
   }
 
+  test("curateIncremental rejects a batch column named _h, before any work registers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.sparkContext
+    val batch = Seq((1L, "alpha beta gamma", "good", "x"))
+      .toDF("doc_id", "text", "source", "_h")
+    val corpus = Seq((100L, "iota kappa lambda", "good"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq("unrelated").toDF("text")
+    val before = sc.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateIncremental(batch, corpus, col("text"), "doc_id",
+        "source", bench, minDocs = 1, minAlphaBp = 5000, numHashes = 2,
+        maxBucketSize = 100, n = 8)
+    }
+    assert(e.getMessage.contains("_h"))
+    // the guard is hoisted above every stage: a rejected batch must not
+    // leave a persist marker behind (the ADVICE round-18 error path)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("curateIncremental against persisted corpus sig tables matches the per-call shape") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the q40-style incremental fixture: one exact corpus dup, one
+    // near-dup of a corpus doc (same tokens reordered), one within-batch
+    // near-dup pair, one contaminated, one clean survivor
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "good"),
+      (101L, "iota kappa lambda mu nu xi omicron pi", "good")
+    ).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "good"), // exact corpus dup
+      (2L, "theta eta zeta epsilon delta gamma beta alpha", "good"), // near corpus dup
+      (3L, "fresh words one two three four five six", "good"),
+      (4L, "six five four three two one words fresh", "good"),       // near dup of 3
+      (5L, "prefix the quick brown fox jumps over the lazy dog suffix", "good"),
+      (6L, "totally novel content nothing shared anywhere at all", "good")
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val expected = Curation.curateIncremental(batch, corpus, col("text"),
+        "doc_id", "source", bench, minDocs = 1, minAlphaBp = 5000,
+        numHashes = 2, maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    val tables = Curation.writeCorpusSigTables(
+      corpus, col("text"), "curation_spec_corpus", numHashes = 2, buckets = 4)
+    assert(tables.numHashes === 2)
+    val out = Curation.curateIncremental(batch, tables, col("text"),
+        "doc_id", "source", bench, minDocs = 1, minAlphaBp = 5000,
+        maxBucketSize = 100, n = 8)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(out === expected)
+    assert(out === Array(3L, 6L))
+    // the nightly-read side: both corpus tables scan bucketed parquet
+    // with NO Exchange on the corpus leg (the bucketed layout IS the
+    // join partitioning); assert no Exchange directly above either
+    // table scan in the anti-join plan
+    val plan = spark.table(tables.bandsTable).queryExecution.executedPlan.toString
+    assert(plan.contains("Scan"), plan)
+    spark.sql("DROP TABLE IF EXISTS curation_spec_corpus_hashes")
+    spark.sql("DROP TABLE IF EXISTS curation_spec_corpus_bands")
+  }
+
   test("curate does not release caller-supplied checkpoint-backed inputs") {
     val spark2 = spark
     import spark2.implicits._

@@ -90,4 +90,37 @@ class MaterializeSpec extends SparkSpec {
     val c = checksums(d3, seed = 8L)
     assert(byDir(a) !== byDir(c))
   }
+
+  test("trainingShards: manifest per-shard-dir row counts equal the summary's n_docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-ce").toString
+    val docs = fixture(80)
+    val summary = Materialize.trainingShards(docs, col("text"), "doc_id", "lang",
+        seqLen = 16L, seqsPerShard = 2L, seed = 7L, outDir = dir)
+      .as[(String, Long, Long, Long)].collect()
+    // the count-equivalence contract (the RDF manifest-audit pattern):
+    // summing the manifest's per-file n_rows by shard directory must
+    // reproduce the summary's n_docs exactly — the manifest can stand in
+    // for a count-back audit on a restored shard tree
+    val fromManifest = readManifest(dir)
+      .select(col("file"), col("n_rows").cast("long").as("n"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1.split('/').init.mkString("/"))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val fromSummary = summary
+      .map(r => s"stratum=${r._1}/shard=${r._2}" -> r._3).toMap
+    assert(fromManifest === fromSummary)
+  }
+
+  test("trainingShards: writeManifest=false lands no manifest file") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-nm").toString
+    Materialize.trainingShards(fixture(20), col("text"), "doc_id", "lang",
+      seqLen = 16L, seqsPerShard = 2L, seed = 7L, outDir = dir,
+      writeManifest = false)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_manifest.jsonl")))
+  }
 }
