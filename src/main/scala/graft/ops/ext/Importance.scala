@@ -198,6 +198,7 @@ object Importance {
     * tokens → (0, 0).
     */
   def bigramLogProb(docs: DataFrame, textCol: Column, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = docs
       .select(col(idCol), explode(bigramHashTriples(textCol)).as("t"))
       .select(col(idCol), col("t.fh"), col("t.w1h"))
@@ -206,9 +207,13 @@ object Importance {
         graft.functions.TokenNgramHashExpr.token_ngram_hashes(textCol, 1)).as("w1h"))
       .groupBy(col("w1h")).agg(count(lit(1)).as("cnt1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("cnt2"))
+    // cnt2 as a WINDOW over the pair stream, not a groupBy + self-join:
+    // DataFrame plans share no common subtrees, so `pairs.groupBy(fh)`
+    // as a second consumer re-planned the whole corpus explode (the
+    // bm25 df-as-window pattern; round-19 sweep). The window exchanges
+    // pairs by fh — the exchange the join needed anyway.
     val scored = pairs
-      .join(bi, Seq("fh"))
+      .withColumn("cnt2", count(lit(1)).over(Window.partitionBy(col("fh"))))
       .join(uni, Seq("w1h"))
       .crossJoin(broadcast(vocab)) // one-row scalar, broadcast by design
       .withColumn("lp", flog2Col(col("cnt2") + 1L) - flog2Col(col("cnt1") + col("v")))
@@ -281,9 +286,12 @@ object Importance {
     * convention).
     *
     * Scale shape: the model is computed at bigram-TYPE level — `bi`
-    * (distinct bigrams) joins its context and predecessor tables and the
-    * one-row N_bi scalar, and the per-type `lp` is what the corpus pair
-    * stream joins (ONE shuffle on the bigram key); the per-doc fold is a
+    * (distinct bigrams) carries its context and predecessor statistics
+    * as WINDOW columns (w1h- and w2h-partitioned — the same two
+    * exchanges the former join formulation paid, without re-planning
+    * the corpus explode per derived table) plus the one-row N_bi
+    * scalar, and the per-type `lp` is what the corpus pair stream joins
+    * (ONE shuffle on the bigram key); the per-doc fold is a
     * partial-aggregated groupBy. The corpus stream is never joined more
     * than once.
     *
@@ -301,13 +309,27 @@ object Importance {
     // deterministic rather than first-seen
     val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("c12"),
       max(col("w1h")).as("w1h"), max(col("w2h")).as("w2h"))
-    val ctx = bi.groupBy(col("w1h"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w1"))
-    val pre = bi.groupBy(col("w2h")).agg(count(lit(1)).as("n1w2"))
+    // context totals and the N1+ successor/predecessor counts as WINDOWS
+    // over the type table, not groupBy + self-joins: each of the three
+    // derived tables (ctx, pre — and their joins back) was a separate
+    // consumer of `bi`, re-planning the full corpus explode + type
+    // aggregation per consumer (5 corpus explodes total; round-19
+    // sweep, the bm25 df-as-window pattern). The two window exchanges
+    // (w1h, w2h) are the exchanges the two joins needed anyway. `bi`
+    // stays an aggregation — N1+ counts are DISTINCT-type counts, which
+    // a window over the occurrence stream cannot express (count-distinct
+    // over a window is unsupported; collect_set funnels hot contexts).
+    // The one remaining extra consumer is the N_bi scalar (a one-row
+    // aggregate has no window form over an unbounded type table) —
+    // 3 corpus explodes total: scoring stream, type chain, scalar.
+    import org.apache.spark.sql.expressions.Window
+    val wCtx = Window.partitionBy(col("w1h"))
+    val wPre = Window.partitionBy(col("w2h"))
     val nbi = bi.agg(count(lit(1)).as("nb"))
     val typeLp = bi
-      .join(ctx, Seq("w1h"))
-      .join(pre, Seq("w2h"))
+      .withColumn("c1", sum(col("c12")).over(wCtx))
+      .withColumn("n1w1", count(lit(1)).over(wCtx))
+      .withColumn("n1w2", count(lit(1)).over(wPre))
       .crossJoin(broadcast(nbi)) // one-row scalar, broadcast by design
       .withColumn("t1", expr(s"($scale * (4 * c12 - 3)) div (4 * c1)"))
       .withColumn("t2", expr(s"(3 * $scale * n1w1 * n1w2) div (4 * c1 * nb)"))

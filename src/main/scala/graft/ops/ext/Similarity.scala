@@ -1062,10 +1062,16 @@ object Similarity {
     val topk = cosineTopK(queries, corpus, k)
     val nLab = corpus.select(col("id").as("n_id"), col("label").as("n_label"))
     val qLab = queries.select(col("id").as("q_id"), col("label"))
+    // queries × k rows by construction — eager checkpoint (the round-18
+    // small-by-construction rule): hits feeds BOTH per-query folds
+    // (relevance/DCG and the vote table); un-checkpointed, each re-plans
+    // the whole cosine ranking + the corpus label join (round-19 explain
+    // audit: 8 parquet scans, 4 of them the duplicated ranking lineage)
     val hits = broadcast(topk)
       .join(nLab, Seq("n_id"))
       .join(broadcast(qLab), Seq("q_id"))
       .withColumn("rel", (col("n_label") === col("label")).cast("long"))
+      .localCheckpoint(true)
     val perQuery = hits.groupBy(col("q_id"), col("label"))
       .agg(sum(col("rel")).as("n_rel"),
         sum(col("rel") *

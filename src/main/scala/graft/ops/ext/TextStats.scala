@@ -573,22 +573,30 @@ object TextStats {
       topV: Int): (DataFrame, DataFrame, DataFrame) = {
     val seeds = docs.where(isSeed)
       .select(explode(tokens(textCol)).as("w"), seedLabel.as("_pos"))
-    val model = seeds
+    // ≤ topV rows by construction — eagerly checkpointed (the round-18
+    // small-by-construction rule): the counts feed the weight projection
+    // AND the class totals, and downstream the model is both broadcast-
+    // joined and aggregated. Without the barrier each consumer re-plans
+    // the full seed explode + aggregation (the old shape additionally
+    // re-exploded the seeds a SECOND time for the totals, semi-joining
+    // back against the model — the totals over the restricted vocabulary
+    // are just the sum of the model's own counts, the nbClassifyMulti
+    // formulation; round-19 explain audit, values identical)
+    val counts = seeds
       .groupBy(col("w"))
       .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(!col("_pos"), 1L).otherwise(0L)).as("c_neg"))
       .orderBy((col("c_pos") + col("c_neg")).desc, col("w")).limit(topV)
+      .localCheckpoint(true)
+    val model = counts
       .withColumn("w_tok",
         Importance.flog2Col(col("c_pos") + 1L) -
           Importance.flog2Col(col("c_neg") + 1L))
       .select(col("w"), col("w_tok"))
     // class totals over the RESTRICTED vocabulary (the model the scorer
     // actually uses), not the unbounded seed vocabulary
-    val totals = docs.where(isSeed)
-      .select(explode(tokens(textCol)).as("w"), seedLabel.as("_pos"))
-      .join(broadcast(model.select(col("w"))), Seq("w"), "left_semi")
-      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("t_pos"),
-        sum(when(!col("_pos"), 1L).otherwise(0L)).as("t_neg"))
+    val totals = counts
+      .agg(sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"))
       .select(
         (Importance.flog2Col(col("t_neg") + topV.toLong) -
           Importance.flog2Col(col("t_pos") + topV.toLong)).as("norm"))
@@ -648,10 +656,15 @@ object TextStats {
     val counts = classes.zipWithIndex.map { case (c, i) =>
       sum(when(col("_c") === c, 1L).otherwise(0L)).as(s"c$i")
     }
+    // ≤ topV rows by construction — eager checkpoint (the nbModelFrames
+    // rationale): model feeds BOTH the weight projection (broadcast into
+    // the corpus join) and the class-totals aggregate; un-checkpointed,
+    // each consumer re-plans the full seed explode + aggregation
     val model = seeds.groupBy(col("w"))
       .agg(counts.head, counts.tail: _*)
       .orderBy(ks.map(i => col(s"c$i")).reduce(_ + _).desc, col("w"))
       .limit(topV)
+      .localCheckpoint(true)
     val weighted = ks.foldLeft(model) { (m, i) =>
         m.withColumn(s"w$i", Importance.flog2Col(col(s"c$i") + 1L))
       }
@@ -698,10 +711,15 @@ object TextStats {
       topV: Int = 1000): NbModel = {
     val (model, totals, prior) =
       nbModelFrames(docs, textCol, isSeed, seedLabel, topV)
-    NbModel(
+    val m = NbModel(
       model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
       totals.collect().head.getLong(0),
       prior.collect().head.getLong(0))
+    // the literal model is complete — free nbModelFrames' internal
+    // counts checkpoint (nothing reads it again; release walks the
+    // model frame's lineage to find it)
+    graft.core.Checkpoints.release(model)
+    m
   }
 
   /** Score documents under a trained [[NbModel]] — ONE map-side fold
@@ -739,8 +757,12 @@ object TextStats {
     * groupBy (one shuffle of ≤ #bins rows); the cumulative sweep is a
     * single-partition window over the BIN table only — the bounded-
     * cardinality aggregate-of-aggregates pattern (q91's quantile cut),
-    * NOT a window over rows. Total positives broadcast as a one-row
-    * scalar.
+    * NOT a window over rows. Total positives ride the SAME window
+    * operator as an unbounded frame — NOT a second aggregate of `bins`:
+    * DataFrame plans share no common subtrees, so `bins.agg(...)` as a
+    * second consumer re-planned the caller's ENTIRE scoring lineage
+    * (q134: the full NB apply pass, twice — round-19 explain audit;
+    * the round-18 bm25/q139 lesson).
     *
     * Output per bin, descending-threshold order: `(threshold, n, tp, fp,
     * precision_bp, recall_bp)` — `threshold = bin · binWidth` (the bin's
@@ -757,13 +779,14 @@ object TextStats {
       .withColumn("bin", expr(s"_score div ${binWidth}L"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"))
-    val total = bins.agg(sum(col("pos")).as("_tot"))
     val sweep = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     bins
       .withColumn("tp", sum(col("pos")).over(sweep))
       .withColumn("fp", sum(col("n") - col("pos")).over(sweep))
-      .crossJoin(broadcast(total))
+      .withColumn("_tot", sum(col("pos")).over(whole))
       .select(
         (col("bin") * binWidth).as("threshold"), col("n"), col("tp"), col("fp"),
         expr("(10000L * tp) div (tp + fp)").as("precision_bp"),
@@ -904,22 +927,29 @@ object TextStats {
     *
     * Scale shape: ONE corpus-stream shuffle — the (source, token)
     * partial-aggregated count, restricted map-side to the broadcast
-    * top-V cut first; totals derive from the (≤ sources × topV)-row
-    * count frame, never a second corpus pass.
+    * top-V cut first. The top-V model (≤ topV rows by construction) is
+    * eagerly checkpointed — it feeds the corpus-total scalar AND the
+    * broadcast restriction, and un-checkpointed each consumer re-planned
+    * the full corpus explode + vocabulary aggregation; per-source totals
+    * ride the (≤ sources × topV)-row count frame as a WINDOW, never a
+    * second consumer (round-19 sweep: 5 corpus explodes → the 2-explode
+    * model/score floor).
     * Output: `(source, n_top_tokens, kl_sum, kl_per_token)`. */
   def sourceDivergence(
       docs: DataFrame, textCol: Column, sourceCol: String,
       topV: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(sourceCol).as("source"),
       explode(tokens(textCol)).as("w"))
     val topv = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
       .orderBy(col("c_w").desc, col("w")).limit(topV)
+      .localCheckpoint(true)
     val t = topv.agg(sum(col("c_w")).as("t_all"))
     val sw = tok.join(broadcast(topv), Seq("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"), max(col("c_w")).as("c_w"))
-    val ts = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
-    sw.join(ts, Seq("source"))
+    sw.withColumn("t_s",
+        sum(col("c_sw")).over(Window.partitionBy(col("source"))))
       .crossJoin(broadcast(t))
       .withColumn("term", col("c_sw") * (
         Importance.flog2Col(col("c_sw") + 1L) +

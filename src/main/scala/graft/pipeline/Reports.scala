@@ -21,13 +21,17 @@ object Reports {
     *
     * Scale shape: all per-doc signals (token count, char counts, content
     * hash, n-gram hashes) are map-side; the dup election shuffles 16-byte
-    * content hashes and joins back on the SAME key (exchange reuse); the
+    * content hashes and joins back on the SAME key; the
     * contamination flag is [[Contamination.contaminationHits]]' broadcast-
     * benchmark probe; the final rollup partial-aggregates to one row per
-    * source per task. The shrinkage global is a one-row rollup OF the
-    * per-source table, broadcast-cross-joined back (the [[shrunkRates]]
-    * shape — identical per-source subtrees, so the exchange is reused,
-    * not recomputed). Nothing shuffles document text.
+    * source per task. The per-source table is EAGERLY CHECKPOINTED
+    * (≤ #sources rows by construction) before the shrinkage global reads
+    * it — the [[shrunkRates]] q158 discipline: the round-19 runtime audit
+    * refuted the reuse this scaladoc previously claimed (AQE reuses only
+    * byte-identical exchanges; per-consumer column pruning breaks
+    * identity, so the global rollup re-executed the ENTIRE per-source
+    * pipeline, contamination probe included — 8 parquet scans without
+    * the barrier, reused=0). Nothing shuffles document text.
     *
     * Output, one row per source: `(source, n_docs, n_tokens, dup_bp,
     * contam_bp, contam_shrunk_ppm, alpha_bp)`, all BIGINT. */
@@ -43,7 +47,9 @@ object Reports {
     val base = docs.select(
       col(sourceCol).as("source"),
       col(idCol).as("_id"),
-      size(Dedup.tokens(textCol)).cast("long").as("_ntok"),
+      // token count via the byte-walk kernel (spec'd size(split) parity;
+      // the q62/q106/q76 precedent) — not an interpreted corpus re-split
+      graft.ops.ext.TextStats.tokenCount(textCol).cast("long").as("_ntok"),
       length(textCol).cast("long").as("_nchar"),
       graft.functions.AlphaCountExpr.alpha_count(textCol).cast("long").as("_nalpha"),
       md5(textCol).as("_h"))
@@ -61,6 +67,7 @@ object Reports {
         coalesce(sum(col("_contam")), lit(0L)).as("_ncontam"),
         sum(col("_nchar")).as("_nc"),
         sum(col("_nalpha")).as("_na"))
+      .localCheckpoint(true)
     val global = per.agg(sum(col("n_docs")).as("_gn"), sum(col("_ncontam")).as("_gx"))
     per.crossJoin(broadcast(global))
       .select(col("source"), col("n_docs"), col("n_tokens"),
