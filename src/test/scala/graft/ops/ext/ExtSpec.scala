@@ -2283,3 +2283,65 @@ class ExactSubstrSpec extends SparkSpec {
     assert(out === Array((1L, "x y z"), (2L, ""), (3L, "m n o")))
   }
 }
+
+/** Round-19 lineage-sweep plan guards: the multi-consumer fixes are
+  * pinned by GENERATE counts in the executed plan (the corpus-explode
+  * proxy — a reintroduced groupBy-self-join consumer re-plans the
+  * explode and the count regresses). Fixtures repartition(2) so
+  * ConvertToLocalRelation cannot fold the kernels out (CLAUDE.md). */
+class SweepPlanSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def gens(df: org.apache.spark.sql.DataFrame): Int =
+    "Generate".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("tfIdfTopTerms plans exactly ONE corpus explode (df rides a window)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c d e"))
+      .toDF("doc_id", "text").repartition(2)
+    assert(gens(TextStats.tfIdfTopTerms(docs, col("text"), "doc_id", k = 2)) === 1)
+  }
+
+  test("bigramLogProb plans three explodes (pairs window chain, uni, vocab)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text").repartition(2)
+    assert(gens(Importance.bigramLogProb(docs, col("text"), "doc_id")) === 3)
+  }
+
+  test("kneserNeyLogProb plans three explodes (score stream, type chain, N_bi)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text").repartition(2)
+    assert(gens(Importance.kneserNeyLogProb(docs, col("text"), "doc_id")) === 3)
+  }
+
+  test("nbClassify post-construction plan has ONE explode; prCurve adds no second aggregate pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b", "en"), (2L, "b c", "de"), (3L, "a c", "en"),
+        (4L, "c d", "de"))
+      .toDF("doc_id", "text", "lang").repartition(2)
+    val scored = TextStats.nbClassify(docs, col("text"), "doc_id",
+      isSeed = col("doc_id") <= 2, seedLabel = col("lang") === "en", topV = 10)
+    // the model job ran at construction (checkpoint); the remaining plan
+    // explodes the corpus once for scoring
+    assert(gens(scored) === 1)
+    val curve = TextStats.prCurve(scored, col("score"),
+      (col("doc_id") % 2 === 0).cast("long"), binWidth = 65536L)
+    // total positives ride the sweep window — prCurve must not re-plan
+    // the scoring explode a second time
+    assert(gens(curve) === 1)
+  }
+
+  test("sourceDivergence post-construction plan has ONE explode (topv checkpointed, totals windowed)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a", "s1"), (2L, "b c", "s2"), (3L, "a", "s1"))
+      .toDF("doc_id", "text", "source").repartition(2)
+    assert(gens(TextStats.sourceDivergence(docs, col("text"), "source", topV = 3)) === 1)
+  }
+}
