@@ -1181,7 +1181,7 @@ object SparkEntry {
       // pass cuts against. Rank selection (value at floor(p·(n−1))+1)
       // instead of interpolating percentile: integer-exact, hash-gateable
       graft.ops.Stats.groupQuantiles(t(s, dir, "documents"),
-          col("lang"), size(Dedup.tokens(col("text"))),
+          col("lang"), TextStats.tokenCount(col("text")),
           Seq(0.25, 0.5, 0.75, 0.9))
         .withColumnRenamed("group", "lang")
         .orderBy(col("lang"))
@@ -1194,7 +1194,7 @@ object SparkEntry {
       // exact dyadic weights so floor() is engine-portable
       Sampling.tokenBudgetMix(t(s, dir, "documents"),
           key = col("doc_id"), source = col("source"),
-          tokens = size(Dedup.tokens(col("text"))),
+          tokens = TextStats.tokenCount(col("text")),
           totalBudget = 2000L,
           weights = Map("src0" -> 0.5, "src1" -> 0.25, "src5" -> 0.25))
         .select(col("doc_id"), col("source"), col("mix_tokens"))
@@ -1276,7 +1276,7 @@ object SparkEntry {
       // itself, broadcast back, map-side cut — how production gates set
       // thresholds (fixed cutoffs are wrong for every language at once)
       val docs = t(s, dir, "documents")
-      val ntok = size(Dedup.tokens(col("text"))).cast("long")
+      val ntok = TextStats.tokenCount(col("text")).cast("long")
       val cuts = graft.ops.Stats.groupQuantiles(docs, col("lang"), ntok, Seq(0.25))
         .withColumnRenamed("group", "lang")
       docs.select(col("doc_id"), col("lang"), ntok.as("n_tokens"))
@@ -1309,7 +1309,7 @@ object SparkEntry {
         maxBucketSize = Some(1000))
       val clusters = Components.dedupClusters(docs, pairs)
       val quality = docs.select(col("doc_id"),
-        size(Dedup.tokens(col("text"))).cast("long").as("score"))
+        TextStats.tokenCount(col("text")).cast("long").as("score"))
       Components.representatives(clusters, quality)
         .orderBy(col("doc_id"))
     }),

@@ -1654,7 +1654,7 @@ object TextStats {
     // pass 2: exact confirm over candidates only. N is one scalar
     // aggregate; the semi filter is a broadcast literal set, so the only
     // shuffle carries <= k x tasks distinct token keys.
-    val n = docs.select(sum(size(tokens(textCol))).cast("long")).as[Long].head()
+    val n = docs.select(sum(tokenCount(textCol)).cast("long")).as[Long].head()
     docs.select(explode(tokens(textCol)).as("token"))
       .where(col("token").isInCollection(candidates))
       .groupBy(col("token"))

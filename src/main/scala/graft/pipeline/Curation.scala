@@ -120,7 +120,7 @@ object Curation {
     val canonical =
       if (keepBest) {
         val quality = exactDeduped.select(col(idCol),
-          size(Dedup.tokens(textCol)).cast("long").as("score"))
+          TextStats.tokenCount(textCol).cast("long").as("score"))
         Components.representatives(clusters, quality, idCol)
           .where(col("kept") === 1L)
           .select(col(idCol))

@@ -776,8 +776,10 @@ object Streams {
           "qualityGateStream: maxMeanRarity set but no rarityCorpus given"))
         val spark = docs.sparkSession
         val ct = col(corpusTextCol)
+        // corpus total via the byte-walk kernel (spec'd size(split)
+        // parity; the q76 precedent) — not an interpreted corpus re-split
         val nTotal = corpus
-          .agg(sum(size(TextStats.tokens(ct))).cast("long")).head().getLong(0)
+          .agg(sum(TextStats.tokenCount(ct)).cast("long")).head().getLong(0)
         val maxRar = t.rarityScale * nTotal
         // per-word rarity pre-divided driver-side: (scale*N) div c — the
         // same integer arithmetic as the batch unigramRarity
