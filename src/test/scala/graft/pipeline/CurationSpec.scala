@@ -235,12 +235,26 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     assert(out === expected)
     assert(out === Array(3L, 6L))
-    // the nightly-read side: both corpus tables scan bucketed parquet
-    // with NO Exchange on the corpus leg (the bucketed layout IS the
-    // join partitioning); assert no Exchange directly above either
-    // table scan in the anti-join plan
-    val plan = spark.table(tables.bandsTable).queryExecution.executedPlan.toString
-    assert(plan.contains("Scan"), plan)
+    // the nightly-read side: the bucketed band-key table enters the semi
+    // join ALREADY partitioned on _band, so the table-backed near-dup
+    // leg plans strictly fewer Exchanges than the per-call shape (which
+    // must derive + distinct + shuffle the corpus keys). Comparative
+    // assert with broadcast off so both plan as SMJ.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import graft.ops.ext.Dedup
+      val sigNew = Dedup.withMinhashSignature(batch, col("text"), 2)
+      val sigCorpus = Dedup.withMinhashSignature(corpus, col("text"), 2)
+      val bands = Seq(Seq("mh0", "mh1"))
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val perCall = exchanges(
+        Dedup.dedupAgainstCorpus(sigNew, sigCorpus, "doc_id", bands))
+      val tableBacked = exchanges(Dedup.dedupAgainstCorpusKeys(
+        sigNew, spark.table(tables.bandsTable), "doc_id", bands))
+      assert(tableBacked < perCall,
+        s"bucketed corpus leg should drop Exchanges: table=$tableBacked perCall=$perCall")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.sql("DROP TABLE IF EXISTS curation_spec_corpus_hashes")
     spark.sql("DROP TABLE IF EXISTS curation_spec_corpus_bands")
   }
