@@ -1173,11 +1173,13 @@ object TextStats {
     * `>= scale` always, with `= scale` meaning "w1 is always followed by
     * w2".
     *
-    * Scale shape: two partial-aggregated count tables (unigram, bigram)
-    * and two equi joins on short token keys — the same shuffle family as
-    * tf-idf (q67); nothing broadcasts because the bigram vocabulary is
-    * corpus-sized, and nothing needs to. Docs with < 2 tokens report
-    * (0, 0). */
+    * Scale shape: the bigram count rides the pair stream as a WINDOW on
+    * its 8-byte hash key (one exchange — the one the join needed; a
+    * groupBy-self-join formulation re-planned the corpus explode, the
+    * round-19 sweep class), plus one partial-aggregated unigram table
+    * equi-joined on short token keys; nothing broadcasts because the
+    * bigram vocabulary is corpus-sized, and nothing needs to. Docs with
+    * < 2 tokens report (0, 0). */
   def bigramRarity(
       docs: DataFrame, textCol: Column, idCol: String,
       scale: Long = 1000000L): DataFrame = {
@@ -1192,9 +1194,13 @@ object TextStats {
       .select(explode(
         graft.functions.TokenNgramHashExpr.token_ngram_hashes(textCol, 1)).as("w1h"))
       .groupBy(col("w1h")).agg(count(lit(1)).as("cnt1"))
-    val bi = pairs.groupBy(col("fh")).agg(count(lit(1)).as("cnt2"))
+    // cnt2 as a WINDOW over the pair stream, not a groupBy + self-join
+    // (the bigramLogProb/bm25 pattern — a second consumer of `pairs`
+    // re-planned the whole corpus explode; round-19 sweep). The window
+    // exchanges pairs by fh — the exchange the join needed anyway.
     val scored = pairs
-      .join(bi, Seq("fh"))
+      .withColumn("cnt2", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
       .join(uni, Seq("w1h"))
       .withColumn("rar", expr(s"($scale * cnt1) div cnt2"))
       .groupBy(col(idCol))
