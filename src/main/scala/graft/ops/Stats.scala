@@ -129,7 +129,12 @@ object Stats {
     * Scale shape: two rank-selection passes (each one shuffle on the
     * group key + a spill-safe window sort) and one broadcast join of the
     * per-group medians back onto the rows; the final census is a
-    * partial-aggregated groupBy. Same envelope as [[groupQuantiles]]:
+    * partial-aggregated groupBy. The two per-group median frames
+    * (≤ #groups rows by construction) are EAGERLY CHECKPOINTED — each
+    * feeds two consumers, and un-checkpointed every consumer re-planned
+    * the full corpus pass behind it (round-19 sweep; the algorithm's
+    * floor is exactly three corpus passes: median, MAD, census).
+    * Same envelope as [[groupQuantiles]]:
     * right for per-group thresholds where a group fits a task's sort
     * spill budget — for a single global gate at 100 TB use
     * approx_percentile twice instead.
@@ -144,10 +149,12 @@ object Stats {
     val rows = df.select(group.as("_g"), value.cast("long").as("_v"))
     val med = groupQuantiles(rows, col("_g"), col("_v"), Seq(0.5))
       .select(col("group").as("_g"), col("p50").as("med"))
+      .localCheckpoint(true)
     val dev = rows.join(broadcast(med), "_g")
       .withColumn("_dev", abs(col("_v") - col("med")))
     val mad = groupQuantiles(dev, col("_g"), col("_dev"), Seq(0.5))
       .select(col("group").as("_g"), col("p50").as("mad"))
+      .localCheckpoint(true)
     dev.join(broadcast(mad), "_g")
       .groupBy(col("_g"))
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
