@@ -19,6 +19,34 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Safe only when no live frame still references the checkpointed RDD: a
   * local checkpoint truncates lineage, so its blocks are the ONLY copy of
   * the data and any later action over a released frame fails.
+  *
+  * ==House checkpoint-release policy (the round-19/20 rule)==
+  *
+  * An operator may leave a checkpoint in its RETURNED lineage (where the
+  * caller cannot release it without killing the result) ONLY when the
+  * checkpointed frame is SMALL BY CONSTRUCTION — bounded by a model or
+  * group cardinality, never by corpus size: ≤ `topV` rows (nbClassify /
+  * nbClassifyMulti models), ≤ #sources (sourceReport's per-source
+  * table), ≤ #groups (madOutliers' median frames, groupQuantiles),
+  * queries×k (knnLabelEval's hits, top-k frames), ≤ #shards
+  * (trainingShards' summary), batch-sized in a batch-vs-corpus op
+  * (curateIncremental's `fresh`). Such blocks persist until session end
+  * as HYGIENE, not a leak that scales with data; a caller that is fully
+  * done can still free them via [[release]].
+  *
+  * Checkpoints of UNBOUNDED frames must be INTERNAL: materialize the
+  * (bounded) result, then release them before returning — `trainNb`'s
+  * release of its model-build checkpoint (TextStats) and `curate`'s tail
+  * `releaseExcept` are the models. When the released plan also FEEDS a
+  * caller-visible frame, use [[releaseExcept]] naming every caller-owned
+  * frame (this walks the WHOLE lineage — round 18's MeasureIncCC2
+  * lesson), or leave the release to the single tail call.
+  *
+  * Grep-able inventory of returned-lineage checkpoints (all bounded):
+  * sourceReport, knnLabelEval, madOutliers, nbModelFrames,
+  * nbClassifyMulti, prCurve/sourceDivergence (via their model frames),
+  * trainingShards' summary, curate/curateSoft/curateIncremental
+  * survivors (survivor-sized — the documented return contract).
   */
 object Checkpoints {
 

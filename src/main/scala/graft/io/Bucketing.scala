@@ -29,6 +29,24 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** APPEND to an existing bucketed table with the same spec — the
+    * refresh half of a standing-corpus table (nightly accepted rows fold
+    * in without rewriting the corpus). Spark verifies the existing
+    * table's bucketing spec matches and fails loudly on a mismatch; the
+    * appended files are bucketed by the same hash, so reads stay
+    * Exchange-free. */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key — planned without any
     * Exchange when bucket specs match. */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =

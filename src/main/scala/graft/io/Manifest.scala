@@ -34,6 +34,21 @@ object Manifest {
   def forParquetDir(spark: SparkSession, dir: String): DataFrame =
     forDir(spark, spark.read.parquet(dir), dir)
 
+  /** [[forParquetDir]] with EXTRA per-file aggregate columns appended —
+    * for sinks whose summary statistics can ride the SAME single audit
+    * scan instead of a second pass over the written data (the
+    * trainingShards shape: per-file token sums + the file's partition
+    * values make the per-shard summary a metadata-only rollup of the
+    * manifest). Extras see the written files' rows (data + partition
+    * columns); each must be an aggregate expression. Extra fields land
+    * in the `_manifest.jsonl` too (via [[writeForParquetDirWith]]) —
+    * harmless to [[verifyParquetDir]], which selects its four audit
+    * fields by name. */
+  def forParquetDirWith(
+      spark: SparkSession, dir: String,
+      extras: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    forDir(spark, spark.read.parquet(dir), dir, extras)
+
   /** [[forParquetDir]] for a TEXT output directory (the RDF / schema
     * sinks' format — gzip included; partition dirs like `lang=` become
     * columns and participate in the content hash). Same manifest shape,
@@ -41,7 +56,9 @@ object Manifest {
   def forTextDir(spark: SparkSession, dir: String): DataFrame =
     forDir(spark, spark.read.text(dir), dir)
 
-  private def forDir(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
+  private def forDir(
+      spark: SparkSession, df: DataFrame, dir: String,
+      extras: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty): DataFrame = {
     val rowHash = conv(
       substring(md5(to_json(struct(df.columns.map(col): _*))), 1, 15), 16, 10)
       .cast("long")
@@ -52,11 +69,13 @@ object Manifest {
     // would also turn a literal `+` into a space — URI.getPath does not.)
     // The udf runs on the per-file POST-aggregation frame, never per row.
     val uriPath = udf((s: String) => new java.net.URI(s).getPath)
+    val extraAggs = extras.map { case (name, c) => c.as(name) }
     val stats = df
       .withColumn("_file", input_file_name())
       .withColumn("_rh", rowHash)
       .groupBy(col("_file"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_rh)").as("content_sum"))
+      .agg(count(lit(1)).as("n_rows"),
+        (expr("bit_xor(_rh)").as("content_sum") +: extraAggs): _*)
       .withColumn("_path", uriPath(col("_file")))
     val base = {
       val p = new Path(dir).toUri.getPath
@@ -72,12 +91,13 @@ object Manifest {
     // in zero-row parquet file would be invisible to verifyParquetDir.
     sizes
       .join(stats, Seq("_path"), "left")
-      .select(
+      .select(Seq(
         regexp_replace(col("_path"), "^" + java.util.regex.Pattern.quote(base), "")
           .as("file"),
         col("bytes"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-        coalesce(col("content_sum"), lit(0L)).as("content_sum"))
+        coalesce(col("content_sum"), lit(0L)).as("content_sum")) ++
+        extras.map { case (name, _) => col(name) }: _*)
       .orderBy(col("file"))
   }
 
@@ -167,6 +187,14 @@ object Manifest {
     * the manifest frame that was written. */
   def writeForParquetDir(spark: SparkSession, dir: String): DataFrame =
     writeManifest(spark, dir, forParquetDir)
+
+  /** [[writeForParquetDir]] with [[forParquetDirWith]]'s extra per-file
+    * aggregate columns — one scan yields both the audit artifact and the
+    * sink's summary inputs. */
+  def writeForParquetDirWith(
+      spark: SparkSession, dir: String,
+      extras: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    writeManifest(spark, dir, forParquetDirWith(_, _, extras))
 
   /** [[writeForParquetDir]] for a TEXT output directory. */
   def writeForTextDir(spark: SparkSession, dir: String): DataFrame =

@@ -2738,16 +2738,28 @@ object Multimodal {
         // cross-check the sidecar's bucket count against the catalog's
         // bucketing spec: a sidecar copied alongside a re-bucketed table
         // (or vice versa) is the same silent-mismatch class
+        // an ABSENT row is a legitimate skip (the catalog rendering may
+        // not expose bucketing for every table kind), but a row that is
+        // PRESENT and unparseable must be loud — skipping it would let a
+        // diverged sidecar/table pair pass the cross-check unexamined
         val catBuckets = incoming.sparkSession
           .sql(s"DESCRIBE TABLE EXTENDED $corpusTable")
           .where(col("col_name") === "Num Buckets")
-          .collect().headOption
-          .flatMap(r => scala.util.Try(r.getString(1).trim.toInt).toOption)
-        catBuckets.foreach(nb => require(nb == tBuckets,
-          s"mediaNearDupAgainstTable: $corpusTable's _meta.jsonl records " +
-            s"$tBuckets buckets but the catalog says $nb — the sidecar and " +
-            "the table have diverged; rewrite the corpus with " +
-            "writeMediaFeatureTable"))
+          .collect().headOption.map(_.getString(1).trim)
+        catBuckets.foreach { raw =>
+          val nb = scala.util.Try(raw.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"mediaNearDupAgainstTable: $corpusTable's catalog reports " +
+                s"'Num Buckets' = '$raw', which is unparseable — cannot " +
+                "cross-check the _meta.jsonl bucket count; inspect the " +
+                "catalog entry or rewrite the corpus with " +
+                "writeMediaFeatureTable"))
+          require(nb == tBuckets,
+            s"mediaNearDupAgainstTable: $corpusTable's _meta.jsonl records " +
+              s"$tBuckets buckets but the catalog says $nb — the sidecar and " +
+              "the table have diverged; rewrite the corpus with " +
+              "writeMediaFeatureTable")
+        }
     }
     val inc0 = extractFeatures(incoming, dims, codec).toDF()
       .select(col("media_id"), col("embedding").as("_vec"))

@@ -620,7 +620,22 @@ object Dedup {
     * distinct tagged band keys (a [[corpusBandKeys]] frame or a
     * persisted bucketed table of one). `corpusKeys` must carry the
     * single `_band` column and be distinct — a duplicated key would not
-    * change the semi-join semantics, only its cost. */
+    * change the semi-join semantics, only its cost.
+    *
+    * BAND-STRUCTURE CONTRACT: `corpusKeys` must have been derived with
+    * the SAME `bands` split (same band count, same signature columns per
+    * band) as the `bands` argument here. The tag carries only the band
+    * INDEX plus the md5 of that band's values, so a table persisted
+    * under a different split (say two 1-hash bands vs one 2-hash band)
+    * produces keys that can never equal the batch side's — the semi
+    * join silently matches nothing and every batch row passes as
+    * "novel" (a silent NO-OP dedup, the media `_meta.jsonl` class).
+    * Raw frames derived in the same plan cannot diverge; PERSISTED
+    * tables can — use the guarded path
+    * ([[graft.pipeline.Curation.writeCorpusSigTables]] + the
+    * table-backed `curateIncremental`, which stamps the signature
+    * family into the table's properties and verifies it at read) rather
+    * than hand-persisting a [[corpusBandKeys]] frame. */
   def dedupAgainstCorpusKeys(
       newSigs: DataFrame,
       corpusKeys: DataFrame,

@@ -92,14 +92,28 @@ object Ranking {
     * remain. Documents matching no term are absent.
     *
     * Output: (`query_id`, idCol, `coverage`, `rnk`), all BIGINT. */
+  /** Driver-side replica of the ENGINE tokenizer ([[Dedup.tokens]] =
+    * `split(trim(s), "\\s+")`) — exact for ANY input, not just trimmed
+    * ASCII: Spark `trim` strips ONLY 0x20 space characters (Java
+    * `String.trim` would also strip every char <= U+0020, so a leading
+    * tab/newline/CR changes the term set), and Spark `split` runs with
+    * limit -1 (keeps trailing empty tokens, where one-arg `String.split`
+    * drops them). Both sides run the same Java regex engine, so the body
+    * agrees once the edges do; parity vs the in-plan form is spec-held
+    * on the tab/CR/newline edge fixtures (RankingSpec). */
+  private[ext] def driverTokens(s: String): Seq[String] = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).split("\\s+", -1).toSeq
+  }
+
   def coverageTopK(
       docs: DataFrame, textCol: Column, idCol: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
-    // driver-side tokenization mirrors Dedup.tokens = split(trim(s),
-    // "\s+") exactly: Java and Spark agree on this regex split for any
-    // input (both produce [""] for the empty string)
     val qTerms: Seq[(Long, Seq[String])] = queries.map { case (qid, t) =>
-      (qid, t.trim.split("\\s+").toSeq.distinct)
+      (qid, driverTokens(t).distinct)
     }
     val qlit = typedLit(qTerms.map { case (qid, ts) => (qid, ts) })
     val w = Window.partitionBy(col("query_id"))

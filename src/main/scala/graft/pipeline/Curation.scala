@@ -264,9 +264,15 @@ object Curation {
     * contract: the batch side must derive the SAME signature family the
     * tables were written with (a mismatch would silently match nothing —
     * the media `_meta.jsonl` lesson — so the overload takes it from
-    * here, never as a free parameter). */
+    * here, never as a free parameter; the writer additionally STAMPS
+    * numHashes into the bands table's properties — [[SigFamilyProp]] —
+    * and the overload verifies the stamp, so a hand-built instance
+    * that lies about the family fails loudly). `buckets` rides along
+    * for the refresh path ([[graft.pipeline.NightlyIngest]]'s appends
+    * must match the written bucketing spec). */
   final case class CorpusSigTables(
-      hashesTable: String, bandsTable: String, numHashes: Int)
+      hashesTable: String, bandsTable: String, numHashes: Int,
+      buckets: Int = 32)
 
   /** Persist the standing corpus's signature side as BUCKETED catalog
     * tables — the nightly-ingest fast path for [[curateIncremental]].
@@ -285,15 +291,29 @@ object Curation {
     require(tablePrefix.nonEmpty, "writeCorpusSigTables: empty tablePrefix")
     val mhCols = (0 until numHashes).map(i => s"mh$i")
     val t = CorpusSigTables(
-      s"${tablePrefix}_hashes", s"${tablePrefix}_bands", numHashes)
+      s"${tablePrefix}_hashes", s"${tablePrefix}_bands", numHashes, buckets)
     graft.io.Bucketing.writeBucketed(
       corpus.select(md5(textCol).as("_h")).distinct(), t.hashesTable, "_h", buckets)
     graft.io.Bucketing.writeBucketed(
       Dedup.corpusBandKeys(
         Dedup.withMinhashSignature(corpus, textCol, numHashes), Seq(mhCols)),
       t.bandsTable, "_band", buckets)
+    // stamp the signature family INTO the table (not just the returned
+    // case class): a nightly job restarting from config re-constructs
+    // CorpusSigTables by hand, and a numHashes that disagrees with what
+    // the bands table was actually written with would make the band-key
+    // semi join silently match nothing (Dedup.dedupAgainstCorpusKeys'
+    // band-structure contract). The table-backed curateIncremental
+    // verifies this stamp before running.
+    corpus.sparkSession.sql(
+      s"ALTER TABLE ${t.bandsTable} SET TBLPROPERTIES " +
+        s"('$SigFamilyProp'='$numHashes')")
     t
   }
+
+  /** Table property carrying the `numHashes` a bands table was written
+    * with — the loud half of the [[CorpusSigTables]] contract. */
+  private[graft] val SigFamilyProp = "graft.sig.numHashes"
 
   /** [[curateIncremental]] against persisted [[CorpusSigTables]] instead
     * of the raw standing corpus — identical output by construction (the
@@ -312,6 +332,27 @@ object Curation {
       maxBucketSize: Int,
       n: Int): DataFrame = {
     val spark = batch.sparkSession
+    // verify the caller's claimed signature family against the stamp the
+    // table writer left: a hand-built CorpusSigTables (config restart)
+    // whose numHashes disagrees with the written table would otherwise
+    // silently match nothing. A missing stamp is equally loud — every
+    // sanctioned writer stamps, so absence means the table was not
+    // written by writeCorpusSigTables (or predates the contract).
+    val stamped = spark.sql(s"SHOW TBLPROPERTIES ${corpusTables.bandsTable}")
+      .where(col("key") === SigFamilyProp)
+      .collect().headOption.map(_.getString(1))
+    stamped match {
+      case None => throw new IllegalArgumentException(
+        s"curateIncremental: ${corpusTables.bandsTable} carries no " +
+          s"'$SigFamilyProp' property — not written by " +
+          "writeCorpusSigTables (a bands table without a checkable " +
+          "signature family risks a silent no-op dedup); rewrite it")
+      case Some(v) => require(v == corpusTables.numHashes.toString,
+        s"curateIncremental: ${corpusTables.bandsTable} was written with " +
+          s"numHashes=$v but this CorpusSigTables claims " +
+          s"${corpusTables.numHashes} — the band keys would silently " +
+          "match nothing; use the written value or rebuild the tables")
+    }
     curateIncrementalCore(
       batch,
       spark.table(corpusTables.hashesTable),

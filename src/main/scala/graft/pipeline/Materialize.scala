@@ -23,12 +23,17 @@ import graft.ops.ext.{Packing, TextStats}
   *     form one shard, so a shard is a contiguous slice of the training
   *     stream and epoch ordering is just shard-id ordering;
   *  4. a `partitionBy(shard)` parquet write, rows sorted by position
-  *     within each shard, plus [[Manifest.writeForParquetDir]].
+  *     within each shard, plus the manifest sidecar
+  *     ([[Manifest.writeForParquetDirWith]]).
   *
   * Scale shape: document text crosses exactly two exchanges — the join
   * attaching the shuffle order (id-keyed) and the shard-keyed write
   * repartition. The layout itself runs on narrow `(ord, stratum, n)`
-  * rows; the manifest is one scan of the written output.
+  * rows; ONE scan of the written output yields both the manifest (with
+  * per-file token sums and partition values as extra columns) and the
+  * returned per-shard summary — a metadata-only rollup of the per-file
+  * frame, no second pass over the shard tree (round 20; the old shape
+  * re-read every shard for the n_tok sums the manifest didn't carry).
   */
 object Materialize {
 
@@ -40,12 +45,14 @@ object Materialize {
     *
     * `writeManifest` (default ON — the shards ARE the artifact a
     * transfer or restore touches) lands a `_manifest.jsonl` with
-    * per-file row counts and order-insensitive content checksums;
+    * per-file row counts, order-insensitive content checksums, and
+    * per-file token sums + partition values as extra fields;
     * [[Manifest.verifyParquetDir]] later audits a restored shard tree
     * per-file without re-reading row data. The manifest's per-shard-dir
     * row counts equal the returned summary's `n_docs` — spec-held
     * (MaterializeSpec), the same count-equivalence contract as the RDF
-    * sinks' manifest audit. */
+    * sinks' manifest audit — and the summary itself is rolled up FROM
+    * the manifest scan (metadata-only, spec-held against a recount). */
   def trainingShards(
       docs: DataFrame, textCol: Column, idCol: String, stratumCol: String,
       seqLen: Long, seqsPerShard: Long, seed: Long,
@@ -71,11 +78,30 @@ object Materialize {
       .repartition(col("stratum"), col("shard"))
       .sortWithinPartitions(col("stratum"), col("shard"), col("ord"))
       .write.mode("overwrite").partitionBy("stratum", "shard").parquet(outDir)
-    // unpersist: the manifest frame registers a persist marker for its
-    // own write-then-return contract; the summary below re-reads the
-    // written files (it needs n_tok sums the manifest doesn't carry)
-    if (writeManifest) Manifest.writeForParquetDir(spark, outDir).unpersist()
-    spark.read.parquet(outDir)
+    if (writeManifest) {
+      // ONE scan of the written shards yields both the audit artifact
+      // and the summary: the manifest's extra per-file columns carry the
+      // file's partition values and token sum (a file lives in exactly
+      // one (stratum, shard) dir, so first() is deterministic), and the
+      // returned summary is a metadata-only rollup of the per-file frame
+      // — the old shape paid a SECOND scan of the shard tree for the
+      // n_tok sums the manifest didn't carry. The summary checkpoint is
+      // ≤ #shards rows (the bounded returned-lineage class,
+      // graft.core.Checkpoints policy); the manifest cache is released
+      // once the summary materializes.
+      val m = Manifest.writeForParquetDirWith(spark, outDir, Seq(
+        "stratum" -> first(col("stratum")),
+        "shard" -> first(col("shard")),
+        "n_tok_sum" -> sum(col("n_tok"))))
+      val summary = m
+        .groupBy(col("stratum"), col("shard"))
+        .agg(sum(col("n_rows")).as("n_docs"),
+          coalesce(sum(col("n_tok_sum")), lit(0L)).as("n_tokens"))
+        .orderBy(col("stratum"), col("shard"))
+        .localCheckpoint(true)
+      m.unpersist()
+      summary
+    } else spark.read.parquet(outDir)
       .groupBy(col("stratum"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("stratum"), col("shard"))

@@ -2344,4 +2344,85 @@ class SweepPlanSpec extends graft.SparkSpec {
       .toDF("doc_id", "text", "source").repartition(2)
     assert(gens(TextStats.sourceDivergence(docs, col("text"), "source", topV = 3)) === 1)
   }
+
+  // ---- round-20 guards: the rest of the round-19 swept surface. Each
+  // fixed shape failed its count BEFORE the sweep (PLANS round-19 table);
+  // these asserts keep a refactor from silently reintroducing the
+  // multi-consumer subtree on the operators where it cost the most.
+
+  /** Corpus-fixture scans surviving in the POST-construction plan — 0
+    * for operators whose corpus work ran behind an eager checkpoint
+    * (their remaining leaves are `Scan ExistingRDD`, never the fixture's
+    * LocalTableScan). */
+  private def localScans(df: org.apache.spark.sql.DataFrame): Int =
+    "LocalTableScan".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("sourceReport post-construction plan re-scans NOTHING (was 8 scans incl. a duplicated contamination probe)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, "w x y z a b c d", "s1"), (2L, "w x y z a b c d", "s1"),
+      (3L, "the quick brown fox jumps over the lazy dog", "s1"),
+      (4L, "mm nn oo pp", "s2")
+    ).toDF("doc_id", "text", "source").repartition(2)
+    val bench = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").repartition(2)
+    val out = graft.pipeline.Reports.sourceReport(
+      docs, col("text"), "doc_id", "source", bench, col("text"), n = 8)
+    // the per-source table is ≤ #sources and eagerly checkpointed; the
+    // shrinkage global must read IT, not re-run the corpus pipeline
+    assert(localScans(out) === 0)
+    assert(gens(out) === 0)
+  }
+
+  test("knnLabelEval post-construction plan reads only the checkpointed hits (was 8 scans, 4 duplicated ranking lineage)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (20L, Array(0.0f, 1.0f), 2), (21L, Array(0.1f, 0.9f), 2)
+    ).toDF("id", "vec", "label").repartition(2)
+    val queries = Seq((0L, Array(1.0f, 0.02f), 1), (1L, Array(0.02f, 1.0f), 2))
+      .toDF("id", "vec", "label").repartition(2)
+    val out = Similarity.knnLabelEval(corpus, queries, k = 3)
+    // both per-query folds (relevance/DCG and the vote table) must read
+    // the queries×k hits checkpoint, never the cosine ranking lineage
+    assert(localScans(out) === 0)
+  }
+
+  test("unigramRarity plans exactly TWO explodes with a splitless kernel n_total") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text").repartition(2)
+    val out = TextStats.unigramRarity(docs, col("text"), "doc_id", topV = 3)
+    // the two exploded passes (top-V model, per-token scoring) are the
+    // algorithm's documented floor; a third Generate means a consumer
+    // re-planned the token stream
+    assert(gens(out) === 2)
+    // n_total must ride the byte-walk kernel, not a third corpus split
+    assert(out.queryExecution.executedPlan.toString.contains("graft_token_count"))
+  }
+
+  test("bigramRarity plans exactly TWO explodes (cnt2 is a window, not a pair-stream self-join)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c d"))
+      .toDF("doc_id", "text").repartition(2)
+    // pairs explode + unigram explode; the groupBy-self-join cnt2 form
+    // re-planned the corpus bigram explode as a THIRD Generate
+    assert(gens(TextStats.bigramRarity(docs, col("text"), "doc_id")) === 2)
+  }
+
+  test("madOutliers census is the only remaining corpus pass (median frames checkpointed)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(("g1", 1L), ("g1", 2L), ("g1", 100L), ("g2", 5L), ("g2", 6L))
+      .toDF("g", "v").repartition(2)
+    val out = graft.ops.Stats.madOutliers(rows, col("g"), col("v"))
+    // med and mad (≤ #groups each) are eager checkpoints; the returned
+    // census may scan the fixture exactly ONCE — the documented
+    // three-corpus-pass floor leaves one pass in the returned lineage
+    assert(localScans(out) === 1)
+  }
 }

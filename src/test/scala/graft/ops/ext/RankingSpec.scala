@@ -255,4 +255,24 @@ class RankingSpec extends SparkSpec {
         s"q$q: got ${got(q)} ppm vs real-valued $ref")
     }
   }
+
+  test("driverTokens mirrors the ENGINE tokenizer on whitespace edges (tab/CR/newline, trailing empties)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round-19 ADVICE cases: Java String.trim strips every char
+    // <= U+0020 and one-arg split drops trailing empties — both diverge
+    // from Spark's trim (0x20 only) / split (limit -1) on these inputs
+    val cases = Seq(
+      "a b  c", "  a b ", "\ta b", "a b\n", "\r\na b\t", "a b",
+      "", " ", "\t", "a", " \t a \t ", "x\ty\rz\nw")
+    val engine = cases.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("i", "s")
+      .repartition(2) // keep ConvertToLocalRelation from folding the kernel
+      .select(col("i"), Dedup.tokens(col("s")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      assert(Ranking.driverTokens(s) === engine(i.toLong),
+        s"case ${i}: ${s.map(_.toInt.toHexString).mkString(",")}")
+    }
+  }
 }

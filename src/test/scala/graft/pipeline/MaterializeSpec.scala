@@ -113,6 +113,31 @@ class MaterializeSpec extends SparkSpec {
     assert(fromManifest === fromSummary)
   }
 
+  test("trainingShards summary is metadata-only and token-exact (manifest extras, no second shard scan)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-md").toString
+    val docs = fixture(70)
+    val summaryDf = Materialize.trainingShards(docs, col("text"), "doc_id",
+      "lang", seqLen = 16L, seqsPerShard = 2L, seed = 7L, outDir = dir)
+    // the returned summary rolls up the manifest's per-file extras — it
+    // must NOT pay a second scan of the shard tree (checkpoint-backed,
+    // zero parquet scans in the returned plan)
+    assert(!summaryDf.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    val got = summaryDf.as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // and it must equal the recount the old shape computed
+    val expected = spark.read.parquet(dir)
+      .groupBy(col("stratum"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === expected)
+    // the manifest carries the extras it was rolled up from
+    val man = readManifest(dir)
+    assert(man.columns.toSet.intersect(Set("stratum", "shard", "n_tok_sum")).size === 3)
+  }
+
   test("trainingShards: writeManifest=false lands no manifest file") {
     val spark2 = spark
     import spark2.implicits._
