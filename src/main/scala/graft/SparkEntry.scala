@@ -254,19 +254,32 @@ object SparkEntry {
 
     // ---- W1+J1 composition: the reference's top-k predicate pipeline ---
     "q18_topk_pipeline" -> ((s, dir) => {
-      // cache: the synthesized triples feed both the ranking aggregate and
-      // the semi-join fact side — one synthesis pass instead of two.
-      // Cache ONLY the columns both consumers read: .cache() is an
-      // analysis barrier, so Catalyst's column pruning cannot reach
-      // through it, and the full synthesized (s, p, o, lang) row would
-      // materialize two never-read URI strings per cached row (memory
-      // hygiene; q18's runtime is dominated by the rank/join stages)
-      val triples = t(s, dir, "lineitem").select(
-        concat(lit("<http://p/"), (col("l_suppkey") % 20).cast("string"), lit(">")).as("p"),
-        lower(concat(col("l_returnflag"), col("l_linestatus"))).as("lang")).cache()
-      val top = TopK.topKPredicatesPerLang(triples, 3)
-      TopK.filterToTopK(triples, top)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // round-20 optimization (guide §2.3 "aggregate before you shuffle"):
+      // the final answer is a per-lang count of surviving rows, and
+      // survival is decided PER (p, lang) GROUP — so aggregate the fact
+      // table to (lang, p, cnt) ONCE and run the ranking, the top-k semi
+      // join (filterToTopK unchanged, J1), and the final rollup
+      // (sum(cnt) ≡ count of surviving rows) over that tiny table. The
+      // old shape cached 600k synthesized string rows and streamed them
+      // through the semi join and a second aggregate; this shape's only
+      // corpus-sized work is one partial-aggregated pass off the scan.
+      // Equivalence is group-level (node-lang is a function of lang
+      // alone) and oracle-verified; the cached cnt table is
+      // #langs × #predicates rows.
+      val cnt = t(s, dir, "lineitem").select(
+          concat(lit("<http://p/"), (col("l_suppkey") % 20).cast("string"), lit(">")).as("p"),
+          lower(concat(col("l_returnflag"), col("l_linestatus"))).as("lang"))
+        .groupBy(col("lang"), col("p")).agg(count(lit(1)).as("cnt"))
+        .cache()
+      // the same (count desc, p asc) row_number ranking topKPredicatesPerLang
+      // runs — fed by the pre-aggregated counts instead of re-counting
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("p").asc)
+      val top = cnt.where(!col("lang").contains("-"))
+        .withColumn("k", row_number().over(w)).where(col("k") <= 3)
+        .select(col("p"), col("lang"))
+      TopK.filterToTopK(cnt, top)
+        .groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("lang"))
     }),
 
@@ -458,10 +471,19 @@ object SparkEntry {
 
     // ---- grouping sets: cube over two dims -----------------------------
     "q44_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      // round-20 optimization: pre-aggregate by the full (flag, status)
+      // key BEFORE the cube (guide §2.3) — Expand otherwise multiplies
+      // every fact row by the 4 grouping sets ahead of the partial
+      // aggregate. count/sum are algebraic, so cube-over-subtotals is
+      // row-identical to cube-over-rows (sum of exact decimal partials,
+      // count as sum of counts); Expand now runs over ≤ |flag×status|
+      // rows instead of 4× the table
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("l_quantity"))).as("_s"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_n")).as("n"),
+          sum(col("_s")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -1288,12 +1310,18 @@ object SparkEntry {
 
     // ---- grouping sets (the general form behind cube/rollup) -----------
     "q92_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupingSets(
+      // round-20 optimization: same pre-aggregate-below-Expand rewrite as
+      // q44 (guide §2.3) — the 3 grouping sets expand subtotal rows, not
+      // fact rows; count/sum re-aggregate exactly over the full-key
+      // partials
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("_n"), sum(dec(col("l_quantity"))).as("_s"))
+      base.groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .agg(sum(col("_n")).as("n"),
+          sum(col("_s")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
