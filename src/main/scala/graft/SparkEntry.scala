@@ -710,7 +710,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
-        maxBucketSize = Some(1000))
+        maxBucketSize = Some(1000),
+        persistSignatures = true) // kernel once, not census+2 sides (r20 A/B)
       Components.dedupClusters(docs, pairs)
         .orderBy(col("doc_id"))
     }),
@@ -1334,7 +1335,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
-        maxBucketSize = Some(1000))
+        maxBucketSize = Some(1000),
+        persistSignatures = true) // kernel once, not census+2 sides (r20 A/B)
       val clusters = Components.dedupClusters(docs, pairs)
       val quality = docs.select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("score"))
@@ -1718,7 +1720,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
-        maxBucketSize = Some(1000))
+        maxBucketSize = Some(1000),
+        persistSignatures = true) // kernel once, not census+2 sides (r20 A/B)
       Components.clusterWeights(
           Components.dedupClusters(docs, pairs, "doc_id"), "doc_id")
         .orderBy(col("doc_id"))
@@ -1891,7 +1894,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sig = Dedup.withMinhashSignature(docs, col("text"), 2)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", Seq("mh0", "mh1"),
-        maxBucketSize = Some(1000))
+        maxBucketSize = Some(1000),
+        persistSignatures = true) // kernel once, not census+2 sides (r20 A/B)
       Sampling.clusterSafeSplit(
           Components.dedupClusters(docs, pairs, "doc_id"), "canonical_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

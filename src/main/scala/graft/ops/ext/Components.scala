@@ -574,7 +574,14 @@ object Components {
           .localCheckpoint(true)
       else null
     val nodeCount = if (danglingRedistribute) nodes.count() else 0L
-    var ranks = nodes.select(col("id"), lit(M).as("r")).localCheckpoint(true)
+    // round-0 ranks are a pure projection over the `nodes` checkpoint — a
+    // separate eager checkpoint would materialize the same rows a second
+    // time for one whole job of overhead (round 20). The loop must then
+    // NOT release round-0 (its lineage IS `nodes`, which every round's
+    // left join still reads): releases start once `ranks` is a
+    // loop-owned checkpoint.
+    var ranks = nodes.select(col("id"), lit(M).as("r"))
+    var ranksOwned = false
     for (_ <- 1 to iterations) {
       // per-round dangling mass: a one-row aggregate over the |V|-sized
       // rank table — the only driver-side value in the loop, bounded
@@ -593,8 +600,9 @@ object Components {
             expr(s"($dampingPpm * (coalesce(s, CAST(0 AS BIGINT)) + $share)) div $M"))
             .as("r"))
         .localCheckpoint(true)
-      graft.core.Checkpoints.release(ranks)
+      if (ranksOwned) graft.core.Checkpoints.release(ranks)
       ranks = next
+      ranksOwned = true
     }
     withDeg.unpersist()
     // the final round's checkpoint IS the result — release `nodes`, the
