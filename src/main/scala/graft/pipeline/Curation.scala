@@ -41,13 +41,27 @@ import graft.ops.ext.{Components, Contamination, Dedup, TextStats}
 object Curation {
 
   /** Stages 1-3 (source gate → per-doc gate → exact dedup), shared by
-    * [[curate]] and [[curateSoft]]. Returns the exact-deduped frame
-    * PERSISTED (MEMORY_AND_DISK): this is the reuse point — the signature
-    * kernel, the component vertices, the near-dup semi join, and the
-    * decontamination scan all read it; uncached, the stages re-execute
-    * once per consumer. The CALLER owns the unpersist (both public ops
-    * release it deterministically once their survivors materialize, so
-    * repeated calls in one session cannot accumulate cached corpora). */
+    * [[curate]] and [[curateSoft]]. Returns `(exactDeduped, piiFree)`,
+    * BOTH persisted (MEMORY_AND_DISK):
+    *
+    *  - `exactDeduped` is the reuse point — the signature kernel, the
+    *    component vertices, the near-dup semi join, and the
+    *    decontamination scan all read it; uncached, the stages
+    *    re-execute once per consumer.
+    *  - `piiFree` exists because stage 3 consumes it TWICE (the keeper
+    *    election and the semi join back), and DataFrame plans share no
+    *    common subtrees — uncached, the ENTIRE gate re-executes per
+    *    consumer (round-20 measurement: with the rarity gate on, the
+    *    gate plan itself contains four source-gated corpus passes, so
+    *    the doubled consumer cost q83 ~0.9 s of an ~3.0 s floor). Its
+    *    cache is short-lived by design: the caller unpersists it as
+    *    soon as its first eager materialization has filled
+    *    `exactDeduped`'s cache (the stage-4 signature checkpoint), so
+    *    the two corpus-sized entries never coexist past stage 4.
+    *
+    * The CALLER owns both unpersists (the public ops release them
+    * deterministically, so repeated calls in one session cannot
+    * accumulate cached corpora). */
   private def gateAndExactDedup(
       docs: DataFrame,
       textCol: Column,
@@ -55,12 +69,20 @@ object Curation {
       sourceCol: String,
       minDocs: Long,
       minAlphaBp: Int,
-      gate: Option[TextStats.QualityThresholds]): DataFrame = {
+      gate: Option[TextStats.QualityThresholds]): (DataFrame, DataFrame) = {
 
-    // 1. source gate: survivor sources broadcast into a semi join
-    val gated = docs.join(
-      broadcast(TextStats.goodSources(docs, textCol, sourceCol, minDocs, minAlphaBp)),
-      Seq(sourceCol), "left_semi")
+    // 1. source gate: survivor sources broadcast into a semi join.
+    // With the rarity gate on, the gate plan re-derives the source-gated
+    // frame FOUR times (scan signals + two rarity explodes + the token
+    // total) — checkpoint the ≤#sources survivor list once (the
+    // small-by-construction rule) so those re-plans skip the corpus
+    // aggregation behind it; released by the callers' tail releaseExcept.
+    // Without rarity the gate runs once and the checkpoint job would be
+    // pure overhead (measured-per-shape rule).
+    val gs = TextStats.goodSources(docs, textCol, sourceCol, minDocs, minAlphaBp)
+    val gsSide =
+      if (gate.exists(_.maxMeanRarity.isDefined)) gs.localCheckpoint(true) else gs
+    val gated = docs.join(broadcast(gsSide), Seq(sourceCol), "left_semi")
 
     // 2. per-document gate: PII-only by default; with `gate` set, the
     // composed quality stack ([[TextStats.qualityFilter]] — length,
@@ -78,11 +100,16 @@ object Curation {
           !textCol.rlike(TextStats.PhoneRe))
     }
 
-    // 3. exact dedup: keep the min-id document of each identical-text group
-    val keepers = Dedup.exactDupGroups(piiFree, col(idCol), textCol)
+    // 3. exact dedup: keep the min-id document of each identical-text
+    // group. piiFree persisted — see the Scaladoc (two consumers here,
+    // re-planning the whole gate each otherwise)
+    val piiFreeCached =
+      piiFree.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = Dedup.exactDupGroups(piiFreeCached, col(idCol), textCol)
       .select(col("keeper").as(idCol))
-    piiFree.join(keepers, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (piiFreeCached.join(keepers, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      piiFreeCached)
   }
 
   def curate(
@@ -99,7 +126,7 @@ object Curation {
       gate: Option[TextStats.QualityThresholds] = None,
       keepBest: Boolean = false): DataFrame = {
 
-    val exactDeduped = gateAndExactDedup(
+    val (exactDeduped, piiFree) = gateAndExactDedup(
       docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
 
     // 4. near-dup clusters: guarded band pairs -> components -> keepers.
@@ -115,6 +142,10 @@ object Curation {
     val pairs = Dedup.lshCandidatePairs(sig, idCol,
       (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize),
       persistSignatures = true)
+    // the eager signature checkpoint above filled exactDeduped's cache —
+    // piiFree has no reader left (stage 3 ran during the fill); release
+    // its corpus-sized entry before the cluster stage allocates
+    piiFree.unpersist(false)
     val clusters = Components.dedupClusters(exactDeduped, pairs, idCol)
     graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
     val canonical =
@@ -187,7 +218,7 @@ object Curation {
       n: Int = 8,
       gate: Option[TextStats.QualityThresholds] = None): DataFrame = {
 
-    val exactDeduped = gateAndExactDedup(
+    val (exactDeduped, piiFree) = gateAndExactDedup(
       docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
 
     // 4. near-dup clusters -> weights (no drop): guarded band pairs,
@@ -196,6 +227,7 @@ object Curation {
     val pairs = Dedup.lshCandidatePairs(sig, idCol,
       (0 until numHashes).map(i => s"mh$i"), maxBucketSize = Some(maxBucketSize),
       persistSignatures = true) // released below (the curate() pattern)
+    piiFree.unpersist(false) // filled exactDeduped above; no reader left
     val clusters = Components.dedupClusters(exactDeduped, pairs, idCol)
     graft.core.Checkpoints.release(pairs) // internal sig checkpoint only
     val weights = Components.clusterWeights(clusters, idCol)
@@ -397,7 +429,7 @@ object Curation {
         s"with the internal working columns (_h, mh0..mh${numHashes - 1}) " +
         "— rename them or change numHashes")
 
-    val exactDeduped = gateAndExactDedup(
+    val (exactDeduped, piiFree) = gateAndExactDedup(
       batch, textCol, idCol, sourceCol, minDocs, minAlphaBp, None)
 
     // 4. exact against corpus: 32-byte hash anti join
@@ -417,6 +449,9 @@ object Curation {
     val sigNew = Dedup.withMinhashSignature(freshExact, textCol, numHashes)
     val fresh = Dedup.dedupAgainstCorpusKeys(sigNew, corpusBands, idCol, Seq(mhCols))
       .localCheckpoint(true)
+    // the eager checkpoint above filled exactDeduped's cache — piiFree
+    // (stage-3's double-consumed input) has no reader left
+    piiFree.unpersist(false)
 
     // 6. within-batch clusters over what is left. persistSignatures off:
     // the input is already a materialized checkpoint whose mh columns
