@@ -1666,6 +1666,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val merges = TextStats.bpeTrainMerges(docs, col("text"), k = 3)
         .orderBy(col("merge_rank")).collect().map(_.getString(1)).toSeq
+      // NOTE (round 20): a global orderBy's range exchange samples its
+      // child and recomputes it for the shuffle, so the BPE kernel below
+      // this Sort runs twice. The sort-first alternative (kernel above
+      // the Sort) was measured a wash locally and is scale-WRONG: it
+      // moves full text across the sort exchange where this shape moves
+      // 24-byte computed rows — the same shuffle-bytes trade that
+      // rejected the q90 rewrite. The 2x kernel is the documented cost
+      // of the deterministic ORDER BY contract here.
       TextStats.bpeSegmentCounts(docs, col("text"), "doc_id", merges)
         .orderBy(col("doc_id"))
     }),
