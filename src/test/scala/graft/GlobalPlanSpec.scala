@@ -86,4 +86,43 @@ class GlobalPlanSpec extends SparkSpec {
     assert((unordered -- singleRow).isEmpty,
       s"oracles without ORDER BY: ${unordered -- singleRow}")
   }
+
+  // ---- round-20 optimization guards ----------------------------------
+
+  test("q44/q92 expand SUBTOTALS, not fact rows (pre-aggregate-below-Expand)") {
+    // Expand multiplies its input by the number of grouping sets BEFORE
+    // the partial aggregate — the round-20 rewrite pre-aggregates by the
+    // full key so Expand runs over <=|flag x status| rows (q44 -49%,
+    // q92 -57% on clean A/B). A refactor that drops the base aggregate
+    // re-expands the fact table and fails here.
+    for (q <- Seq("q44_cube", "q92_grouping_sets")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      val expands = plan.collect {
+        case e if e.getClass.getSimpleName == "ExpandExec" => e }
+      assert(expands.nonEmpty, s"$q: Expand vanished — the shape changed")
+      assert(expands.forall(_.collectFirst {
+        case a if a.getClass.getSimpleName.contains("HashAggregate") => a
+      }.nonEmpty), s"$q: Expand runs over fact rows (no aggregate below it)")
+    }
+  }
+
+  test("q18 caches the COUNT table, not fact rows (aggregate-before-semi-join)") {
+    // the round-20 rewrite aggregates the synthesized triples to
+    // (lang, p, cnt) before the ranking/semi-join/rollup — the only
+    // cached relation must therefore hold an aggregate. The old shape
+    // cached the raw 600k-row fact projection (and streamed it through
+    // the semi join and a second aggregate); caching fact rows again
+    // fails here.
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = SparkEntry.queries("q18_topk_pipeline")(
+      spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+    val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheScans.nonEmpty, "q18's cnt cache vanished")
+    // the cached plan is an AdaptiveSparkPlan wrapper (children = Nil, so
+    // a tree collect sees nothing) — match the rendered tree instead
+    assert(cacheScans.forall(
+      _.relation.cachedPlan.toString.contains("HashAggregate")),
+      "q18 caches un-aggregated fact rows again")
+  }
 }
