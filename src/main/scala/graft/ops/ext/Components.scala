@@ -305,14 +305,24 @@ object Components {
     // block storage AND truncates the plan to a leaf. Superseded rounds'
     // blocks are released deterministically below, right after their last
     // reader (the convergence anti probe) runs.
+    val spark = vertices.sparkSession
+    // init count FUSED into the checkpoint's materializing job (round 20 —
+    // the loop's own accumulator pattern applied to round 0): a separate
+    // e.count() was one whole job over the fresh blocks. Over-tick under
+    // task retry is safe here exactly as in the loop: it can only
+    // overstate the count, which at worst skips the driver finish for a
+    // graph that was eligible (slower, never wrong) — and an empty edge
+    // set ticks nothing regardless of retries.
+    val initAcc = spark.sparkContext.longAccumulator("graft.cc.star.init")
+    val initTick = udf((u: Long) => { initAcc.add(1L); true }).asNondeterministic()
     var e = edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
+      .where(initTick(col("u")))
       .localCheckpoint(true)
-    var count = e.count()
-    val spark = vertices.sparkSession
+    var count = initAcc.sum
 
     // DRIVER FINISH — same contract and rationale as the hash-to-min
     // variant's (see [[connectedComponents]]): the init checkpoint above
