@@ -486,7 +486,7 @@ object TokenHash {
     * the byte stream the interpreted `split(trim(text))` path hashes.
     * `isValid` is a single cheap scan; valid input (the normal case) pays
     * no copy. */
-  private[functions] def normalizedBytes(text: UTF8String): Array[Byte] = {
+  private def normalizedBytes(text: UTF8String): Array[Byte] = {
     val t = if (text.isValid()) text else UTF8String.fromString(text.toString)
     t.trim().getBytes
   }
@@ -494,7 +494,7 @@ object TokenHash {
   /** Visits each token as a `(start, end)` byte range of the trimmed text.
     * Token iteration implements Pattern.split(input, -1) over separator
     * runs — see the object doc for the exact quirks mirrored. */
-  private[functions] def forEachToken(bytes: Array[Byte])(f: (Int, Int) => Unit): Unit = {
+  private def forEachToken(bytes: Array[Byte])(f: (Int, Int) => Unit): Unit = {
     val n = bytes.length
     var tokenStart = 0
     var i = 0

@@ -345,169 +345,4 @@ object Importance {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("kn_logprob"), lit(0L)).as("kn_logprob"))
   }
-
-  // ------------------------------------------------------------------
-  // Standing-corpus LM statistics tables (round 21 — the vocab/N_bi
-  // sidecar). The in-plan [[bigramLogProb]]/[[kneserNeyLogProb]] shapes
-  // pay the documented unbounded-scalar floor EVERY call: the one-row
-  // vocabulary-size / distinct-bigram-type rollup is a second consumer
-  // of a vocabulary-sized derived table, and DataFrame plans share no
-  // common subtrees, so each call re-runs the corpus explode for it
-  // (3 corpus explodes per call). For a STANDING corpus that cost
-  // amortizes exactly like the dedup signatures ([[graft.pipeline
-  // .Curation.CorpusSigTables]]): persist the count tables BUCKETED on
-  // their join keys once at corpus build time, stamp the scalars into
-  // the table properties, and the nightly scoring call reads
-  // hash-partitioned parquet with no corpus pass at all — the scalars
-  // become METADATA reads. The benched queries keep the in-plan path
-  // (they score a one-off corpus, the shape the bench contract times).
-  // ------------------------------------------------------------------
-
-  /** Names of the persisted standing-corpus LM statistics tables
-    * [[writeCorpusLmTables]] lands and the table-backed
-    * [[bigramLogProb]]/[[kneserNeyLogProb]] overloads consume. The
-    * scalars ride the tables as properties (the [[graft.pipeline
-    * .Curation.SigFamilyProp]] stamp contract): a table missing its
-    * stamp was not written by [[writeCorpusLmTables]] and fails loudly
-    * — the silent-wrong-scalar class is closed structurally. */
-  final case class CorpusLmTables(
-      unigramsTable: String, bigramsTable: String, buckets: Int = 32)
-
-  /** Table property carrying the corpus vocabulary size (distinct
-    * unigram hashes) on the unigrams table. */
-  private[graft] val VocabSizeProp = "graft.lm.vocabSize"
-
-  /** Table property carrying the distinct-bigram-type count on the
-    * bigrams table. */
-  private[graft] val NBiProp = "graft.lm.nBi"
-
-  /** Persist the standing corpus's LM count tables as BUCKETED catalog
-    * tables and stamp the unbounded scalars into their properties:
-    *
-    *  - `<prefix>_unigrams` (w1h, cnt1) bucketed by `w1h`, stamped with
-    *    [[VocabSizeProp]] = the distinct-unigram count;
-    *  - `<prefix>_bigrams` (fh, c12, c1, n1w1, n1w2) bucketed by `fh` —
-    *    the bigram-TYPE table with its context/continuation statistics
-    *    PRECOMPUTED (the same w1h-/w2h-window derivation the in-plan
-    *    [[kneserNeyLogProb]] runs per call), stamped with [[NBiProp]].
-    *
-    * Scalars are counted from the WRITTEN tables (one bucketed-parquet
-    * count each), never a second corpus pass. Refresh cadence is the
-    * caller's, exactly like [[graft.pipeline.Curation
-    * .writeCorpusSigTables]]: the tables snapshot the corpus at write
-    * time. */
-  def writeCorpusLmTables(
-      corpus: DataFrame, textCol: Column, tablePrefix: String,
-      buckets: Int = 32): CorpusLmTables = {
-    require(tablePrefix.nonEmpty, "writeCorpusLmTables: empty tablePrefix")
-    val spark = corpus.sparkSession
-    val t = CorpusLmTables(
-      s"${tablePrefix}_unigrams", s"${tablePrefix}_bigrams", buckets)
-    val uni = corpus
-      .select(explode(
-        graft.functions.TokenNgramHashExpr.token_ngram_hashes(textCol, 1)).as("w1h"))
-      .groupBy(col("w1h")).agg(count(lit(1)).as("cnt1"))
-    graft.io.Bucketing.writeBucketed(uni, t.unigramsTable, "w1h", buckets)
-    val vocabSize = spark.table(t.unigramsTable).count()
-    spark.sql(s"ALTER TABLE ${t.unigramsTable} SET TBLPROPERTIES " +
-      s"('$VocabSizeProp'='$vocabSize')")
-    import org.apache.spark.sql.expressions.Window
-    val bi = corpus
-      .select(explode(bigramHashTriples(textCol)).as("t"))
-      .select(col("t.fh"), col("t.w1h"), col("t.w2h"))
-      .groupBy(col("fh")).agg(count(lit(1)).as("c12"),
-        max(col("w1h")).as("w1h"), max(col("w2h")).as("w2h"))
-      // the in-plan kneserNeyLogProb window derivation, verbatim — paid
-      // once at build time instead of per call
-      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1h"))))
-      .withColumn("n1w1", count(lit(1)).over(Window.partitionBy(col("w1h"))))
-      .withColumn("n1w2", count(lit(1)).over(Window.partitionBy(col("w2h"))))
-      .select(col("fh"), col("c12"), col("c1"), col("n1w1"), col("n1w2"))
-    graft.io.Bucketing.writeBucketed(bi, t.bigramsTable, "fh", buckets)
-    val nBi = spark.table(t.bigramsTable).count()
-    spark.sql(s"ALTER TABLE ${t.bigramsTable} SET TBLPROPERTIES " +
-      s"('$NBiProp'='$nBi')")
-    t
-  }
-
-  /** Read a stamped scalar off a sidecar table, failing loudly when the
-    * stamp is absent (the table was not written by
-    * [[writeCorpusLmTables]] — an unstamped scalar would silently skew
-    * every smoothed score). */
-  private def stampedScalar(
-      spark: org.apache.spark.sql.SparkSession, table: String,
-      prop: String): Long =
-    spark.sql(s"SHOW TBLPROPERTIES $table")
-      .where(col("key") === prop)
-      .collect().headOption.map(_.getString(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"table $table carries no '$prop' property — not written by " +
-          "writeCorpusLmTables (an unstamped scalar risks silently " +
-          "skewed smoothing); rewrite the tables"))
-
-  /** [[bigramLogProb]] of `docs` against persisted standing-corpus
-    * [[CorpusLmTables]]: the corpus count legs read bucketed parquet
-    * (no Exchange on the corpus side), the vocabulary size is a
-    * METADATA read, and only the batch pair stream is computed per
-    * call — zero corpus passes. Identical output to the in-plan shape
-    * when `docs` is the corpus the tables were written from
-    * (spec-asserted); bigrams whose type the corpus never saw drop
-    * from the sums (the in-plan shape's inner-join contract — every
-    * in-corpus bigram is in its own counts by construction). */
-  def bigramLogProb(
-      docs: DataFrame, textCol: Column, idCol: String,
-      tables: CorpusLmTables): DataFrame = {
-    val spark = docs.sparkSession
-    val v = stampedScalar(spark, tables.unigramsTable, VocabSizeProp)
-    val pairs = docs
-      .select(col(idCol), explode(bigramHashTriples(textCol)).as("t"))
-      .select(col(idCol), col("t.fh"), col("t.w1h"))
-    val scored = pairs
-      .join(spark.table(tables.bigramsTable).select(col("fh"), col("c12")),
-        Seq("fh"))
-      .join(spark.table(tables.unigramsTable), Seq("w1h"))
-      .withColumn("lp", flog2Col(col("c12") + 1L) - flog2Col(col("cnt1") + lit(v)))
-      .groupBy(col(idCol))
-      .agg(sum(col("lp")).as("lm_logprob"), count(lit(1)).as("n_bigrams"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("lm_logprob"), lit(0L)).as("lm_logprob"))
-  }
-
-  /** [[kneserNeyLogProb]] of `docs` against persisted standing-corpus
-    * [[CorpusLmTables]]: the bigram-type statistics (context totals,
-    * continuation counts) were precomputed at write time, N_bi is a
-    * METADATA read, so the per-type `lp` is a pure projection over
-    * bucketed parquet and the call costs ONE batch-stream shuffle on
-    * the bigram key — zero corpus passes (the in-plan shape pays 3
-    * corpus explodes). Identical output to the in-plan shape when
-    * `docs` is the corpus the tables were written from
-    * (spec-asserted); corpus-unseen bigram types drop from the sums
-    * (the in-plan inner-join contract). */
-  def kneserNeyLogProb(
-      docs: DataFrame, textCol: Column, idCol: String,
-      tables: CorpusLmTables, scale: Long): DataFrame = {
-    require(scale >= 1, s"kneserNeyLogProb: scale must be >= 1, got $scale")
-    val spark = docs.sparkSession
-    val nb = stampedScalar(spark, tables.bigramsTable, NBiProp)
-    val pairs = docs
-      .select(col(idCol), explode(bigramHashTriples(textCol)).as("t"))
-      .select(col(idCol), col("t.fh"))
-    val typeLp = spark.table(tables.bigramsTable)
-      .withColumn("t1", expr(s"($scale * (4 * c12 - 3)) div (4 * c1)"))
-      .withColumn("t2", expr(s"(3 * $scale * n1w1 * n1w2) div (4 * c1 * $nb)"))
-      .select(col("fh"),
-        (flog2Col(col("t1") + col("t2") + 1L) - lit(flog2(scale))).as("lp"))
-    val scored = pairs
-      .join(typeLp, Seq("fh"))
-      .groupBy(col(idCol))
-      .agg(sum(col("lp")).as("kn_logprob"), count(lit(1)).as("n_bigrams"))
-    docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("kn_logprob"), lit(0L)).as("kn_logprob"))
-  }
 }

@@ -504,67 +504,37 @@ object TextStats {
     * tokens take the maximum rarity `scale * n_total` (a count-1 token's
     * score at count 1 scaled by its absence from the top-V cut).
     *
-    * Scale shape (round 21): the model side — the top-V counts AND the
-    * corpus token total — is ONE aggregation job, collected: the token
-    * count table rolled up with grouping sets `((w), ())`, so Expand
-    * multiplies the already-aggregated vocab subtotals, never the
-    * exploded token stream (the r20 aggregate-below-Expand rule), and
-    * one TakeOrdered (`gid` desc puts the total row first, then the
-    * top-V order) returns `topV + 1` rows to the driver. The model is
-    * MODEL-BOUNDED (≤ topV rows by construction — the q170 typedLit
-    * rule), so scoring embeds it as a literal: a one-pass byte-walk
-    * kernel ([[graft.functions.TokenRarityExpr]]) computes each
-    * document's `(rarity_sum, n_tok)` in the scan projection. The old
-    * shape's THIRD corpus pass (re-explode + broadcast join + per-doc
-    * aggregation) and its separate `sum(tokenCount)` total pass are
-    * gone; the per-id groupBy stays (partial-aggregated doc-count rows)
-    * so duplicate-id inputs merge exactly as before.
+    * Scale shape: one partial-agged token count whose top-V cut is a
+    * TakeOrdered (bounded by `topV`, never the distinct-token count);
+    * the corpus total is a scan-side sum via the [[tokenCount]] byte-walk
+    * kernel — no split, no array, no interpreted higher-order fold (the
+    * q62/q106 measured precedent; `sum(size(tokens(text)))` re-split the
+    * whole corpus only to take lengths). Both broadcast into the
+    * per-token left join — the exploded corpus stream never shuffles on
+    * the token — and the per-doc fold is a partial-aggregated groupBy on
+    * the id. The two exploded passes (top-V counts, per-token scoring)
+    * are the algorithm's floor: the top-V model must exist before any
+    * token can be scored, and the exploded stream is corpus-sized — too
+    * big to checkpoint by construction.
     * Returns `(idCol, rarity_sum, n_tok)`; mean rarity =
     * rarity_sum / n_tok, left to the caller to keep the output integer.
     *
     * At extreme corpus sizes mind the headroom: `scale * n_total` must
     * stay under 2^63 (defaults hold to ~9×10^12 tokens; shrink `scale`
-    * beyond that — the driver multiply is `multiplyExact`, loud like the
-    * ANSI arithmetic it mirrors). */
+    * beyond that). */
   def unigramRarity(
       docs: DataFrame, textCol: Column, idCol: String,
       topV: Int = 1000, scale: Long = 1000000L): DataFrame = {
-    val (model, oov) = rarityModel(docs, textCol, topV, scale)
-    docs.where(textCol.isNotNull) // null text had no token rows to group
-      .select(col(idCol),
-        graft.functions.TokenRarityExpr.token_rarity(textCol, model, oov).as("_rar"))
+    val tok = docs.select(col(idCol), explode(tokens(textCol)).as("w"))
+    val topv = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topV)
+    val n = docs.agg(sum(tokenCount(textCol)).cast("long").as("n_total"))
+    tok.join(broadcast(topv), Seq("w"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("rar", coalesce(
+        expr(s"($scale * n_total) div c"), expr(s"$scale * n_total")))
       .groupBy(col(idCol))
-      .agg(sum(col("_rar").getField("rsum")).as("rarity_sum"),
-        sum(col("_rar").getField("ntok")).as("n_tok"))
-  }
-
-  /** The collected [[unigramRarity]] model: per-token precomputed rarity
-    * `(scale * n_total) div c` for the corpus's top-`topV` tokens, plus
-    * the out-of-vocabulary maximum `scale * n_total`. ONE corpus pass:
-    * rollup over the aggregated count table rides the total on the same
-    * explode (see [[unigramRarity]]'s scale-shape note). Empty corpus
-    * (no non-null text) returns an empty model — no scoreable rows exist
-    * then by construction. */
-  private[graft] def rarityModel(
-      docs: DataFrame, textCol: Column,
-      topV: Int, scale: Long): (Map[String, Long], Long) = {
-    val counts = docs.select(explode(tokens(textCol)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val rolled = counts.rollup(col("w"))
-      .agg(sum(col("c")).as("ct"), grouping_id().cast("long").as("gid"))
-      .orderBy(col("gid").desc, col("ct").desc, col("w"))
-      .limit(topV + 1)
-      .collect()
-    if (rolled.isEmpty) (Map.empty, 0L)
-    else {
-      require(rolled.head.getLong(2) == 1L,
-        "rarityModel: rollup total row missing from the TakeOrdered head")
-      val nTotal = rolled.head.getLong(1)
-      val oov = Math.multiplyExact(scale, nTotal)
-      val m = rolled.iterator.drop(1)
-        .map(r => r.getString(0) -> oov / r.getLong(1)).toMap
-      (m, oov)
-    }
+      .agg(sum(col("rar")).as("rarity_sum"), count(lit(1)).as("n_tok"))
   }
 
   /** Naive-Bayes text classifier — the fastText-style quality/domain
@@ -1146,18 +1116,12 @@ object TextStats {
     *
     * Scale shape: with `maxMeanRarity = None` the whole gate is one
     * per-row scan-bound projection — no shuffle, no corpus pass, the
-    * cheapest possible 100 TB filter. With rarity enabled it adds ONE
-    * model job ([[rarityModel]] — the top-V counts and the corpus total
-    * on a single explode pass, collected) and scores each document with
-    * the [[graft.functions.TokenRarityExpr]] byte-walk kernel IN the
-    * scan-signals projection: no second explode pass, no per-doc
-    * aggregation exchange, no id-keyed join back (those were the round-20
-    * "four source-gated corpus passes" — now two: model + fused scan).
-    * Values are bit-identical to the joined shape (same integer
-    * arithmetic, same tokenization contract; doc ids assumed unique per
-    * document — the engine-wide contract). Null-text documents score a
-    * null struct, so their `rarity_ok` stays vacuously true (they fail
-    * `len_ok` anyway).
+    * cheapest possible 100 TB filter. With rarity enabled it adds
+    * [[unigramRarity]]'s machinery (top-V TakeOrdered + broadcast joins,
+    * corpus stream never shuffles on the token) plus one id-keyed join of
+    * the per-doc rarity sums back onto the corpus. Documents with no
+    * tokens have no rarity row: their `rarity_ok` is vacuously true (they
+    * fail `len_ok` anyway).
     *
     * All verdicts are integer comparisons ([[QualityThresholds]]), so the
     * gate is exactly reproducible on any engine — no float thresholds. */
@@ -1174,16 +1138,9 @@ object TextStats {
     val base = withScanSignals(docs, textCol, t)
     t.maxMeanRarity match {
       case Some(mx) =>
-        val (model, oov) = rarityModel(docs, textCol, t.rarityTopV, t.rarityScale)
-        val scored = base
-          // kernel in its own column first (the token_stats pattern —
-          // multiple extracts keep CollapseProject from duplicating it)
-          .withColumn("_rar",
-            graft.functions.TokenRarityExpr.token_rarity(textCol, model, oov))
-          .withColumn("_rsum", col("_rar").getField("rsum"))
-          .withColumn("_rtok", col("_rar").getField("ntok"))
-          .drop("_rar")
-        foldSignals(scored,
+        val rar = unigramRarity(docs, textCol, idCol, t.rarityTopV, t.rarityScale)
+          .select(col(idCol), col("rarity_sum").as("_rsum"), col("n_tok").as("_rtok"))
+        foldSignals(base.join(rar, Seq(idCol), "left"),
           coalesce(col("_rsum") <= col("_rtok") * mx, lit(true)))
       case None =>
         foldSignals(

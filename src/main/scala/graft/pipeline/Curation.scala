@@ -41,26 +41,19 @@ import graft.ops.ext.{Components, Contamination, Dedup, TextStats}
 object Curation {
 
   /** Stages 1-3 (source gate → per-doc gate → exact dedup), shared by
-    * [[curate]], [[curateSoft]] and [[curateIncrementalCore]]. Returns
-    * `(exactDeduped, piiFree)`, persisted (MEMORY_AND_DISK) per the
-    * flags below:
+    * [[curate]] and [[curateSoft]]. Returns `(exactDeduped, piiFree)`,
+    * BOTH persisted (MEMORY_AND_DISK):
     *
-    *  - `exactDeduped` is the reuse point in [[curate]]/[[curateSoft]]
-    *    — the signature kernel, the component vertices, the near-dup
-    *    semi join, and the decontamination scan all read it; uncached,
-    *    the stages re-execute once per consumer. The INCREMENTAL path
-    *    consumes it exactly ONCE (the stage-5 `fresh` checkpoint fill),
-    *    so there its persist was a pure corpus-sized cache-fill
-    *    overhead — `persistExact = false` skips it (round-21
-    *    eager-operator construction audit; the r20 Curation lesson
-    *    says audit eager operators by reading their construction).
+    *  - `exactDeduped` is the reuse point — the signature kernel, the
+    *    component vertices, the near-dup semi join, and the
+    *    decontamination scan all read it; uncached, the stages
+    *    re-execute once per consumer.
     *  - `piiFree` exists because stage 3 consumes it TWICE (the keeper
     *    election and the semi join back), and DataFrame plans share no
     *    common subtrees — uncached, the ENTIRE gate re-executes per
     *    consumer (round-20 measurement: with the rarity gate on, the
-    *    gate plan then contained four source-gated corpus passes — two
-    *    since round 21's collected-model fusion — so the doubled
-    *    consumer cost q83 ~0.9 s of an ~3.0 s floor). Its
+    *    gate plan itself contains four source-gated corpus passes, so
+    *    the doubled consumer cost q83 ~0.9 s of an ~3.0 s floor). Its
     *    cache is short-lived by design: the caller unpersists it as
     *    soon as its first eager materialization has filled
     *    `exactDeduped`'s cache (the stage-4 signature checkpoint), so
@@ -76,15 +69,13 @@ object Curation {
       sourceCol: String,
       minDocs: Long,
       minAlphaBp: Int,
-      gate: Option[TextStats.QualityThresholds],
-      persistExact: Boolean = true): (DataFrame, DataFrame) = {
+      gate: Option[TextStats.QualityThresholds]): (DataFrame, DataFrame) = {
 
     // 1. source gate: survivor sources broadcast into a semi join.
-    // With the rarity gate on, the gate derives the source-gated frame
-    // TWICE (the collected rarity-model job + the fused signals/scoring
-    // scan — round 21; the round-20 shape re-derived it FOUR times) —
-    // checkpoint the ≤#sources survivor list once (the
-    // small-by-construction rule) so the re-plan skips the corpus
+    // With the rarity gate on, the gate plan re-derives the source-gated
+    // frame FOUR times (scan signals + two rarity explodes + the token
+    // total) — checkpoint the ≤#sources survivor list once (the
+    // small-by-construction rule) so those re-plans skip the corpus
     // aggregation behind it; released by the callers' tail releaseExcept.
     // Without rarity the gate runs once and the checkpoint job would be
     // pure overhead (measured-per-shape rule).
@@ -116,10 +107,8 @@ object Curation {
       piiFree.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = Dedup.exactDupGroups(piiFreeCached, col(idCol), textCol)
       .select(col("keeper").as(idCol))
-    val exactDeduped = piiFreeCached.join(keepers, Seq(idCol), "left_semi")
-    (if (persistExact)
-      exactDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else exactDeduped,
+    (piiFreeCached.join(keepers, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       piiFreeCached)
   }
 
@@ -139,12 +128,6 @@ object Curation {
 
     val (exactDeduped, piiFree) = gateAndExactDedup(
       docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
-    // try/finally: an exception between the persists above and the
-    // normal-path unpersists below would otherwise leak up to two
-    // corpus-sized cache entries per failed call in a long-lived
-    // session (round-20 ADVICE). unpersist is idempotent, so the
-    // normal path's deterministic early releases stand unchanged.
-    try {
 
     // 4. near-dup clusters: guarded band pairs -> components -> keepers.
     // Default keeps each cluster's min-id canonical; `keepBest` instead
@@ -199,11 +182,8 @@ object Curation {
     // backed (e.g. a previous curate's output), and those blocks are the
     // caller's only copy.
     graft.core.Checkpoints.releaseExcept(lazySurvivors, docs, benchmark)
+    exactDeduped.unpersist(false)
     survivors
-    } finally {
-      piiFree.unpersist(false)
-      exactDeduped.unpersist(false)
-    }
   }
 
   /** SOFT curation — [[curate]]'s stages with the near-dup DROP swapped
@@ -240,7 +220,6 @@ object Curation {
 
     val (exactDeduped, piiFree) = gateAndExactDedup(
       docs, textCol, idCol, sourceCol, minDocs, minAlphaBp, gate)
-    try { // exception-path cache release — the curate() pattern
 
     // 4. near-dup clusters -> weights (no drop): guarded band pairs,
     // components, partial-aggregated size counts
@@ -260,11 +239,8 @@ object Curation {
       .join(weights, Seq(idCol))
     val survivors = lazySurvivors.localCheckpoint(true)
     graft.core.Checkpoints.releaseExcept(lazySurvivors, docs, benchmark)
+    exactDeduped.unpersist(false)
     survivors
-    } finally {
-      piiFree.unpersist(false)
-      exactDeduped.unpersist(false)
-    }
   }
 
   /** INCREMENTAL curation — the daily-ingest shape: curate a NEW BATCH
@@ -453,12 +429,8 @@ object Curation {
         s"with the internal working columns (_h, mh0..mh${numHashes - 1}) " +
         "— rename them or change numHashes")
 
-    // persistExact = false: this path consumes exactDeduped exactly once
-    // (the `fresh` checkpoint below) — see gateAndExactDedup's contract
     val (exactDeduped, piiFree) = gateAndExactDedup(
-      batch, textCol, idCol, sourceCol, minDocs, minAlphaBp, None,
-      persistExact = false)
-    try { // exception-path cache release — the curate() pattern
+      batch, textCol, idCol, sourceCol, minDocs, minAlphaBp, None)
 
     // 4. exact against corpus: 32-byte hash anti join
     val freshExact = exactDeduped.withColumn("_h", md5(textCol))
@@ -504,8 +476,7 @@ object Curation {
     val survivors = lazySurvivors.localCheckpoint(true)
     graft.core.Checkpoints.releaseExcept(
       lazySurvivors, batch +: benchmark +: protectedFrames: _*)
+    exactDeduped.unpersist(false)
     survivors
-    // no exactDeduped release: this path never persisted it
-    } finally piiFree.unpersist(false)
   }
 }

@@ -55,40 +55,6 @@ class TokenHashExprsSpec extends SparkSpec {
     assert(kernel.toSeq === interp.toSeq)
   }
 
-  test("token_rarity kernel matches the interpreted model fold, nulls included") {
-    val spark2 = spark
-    import spark2.implicits._
-    // model keys exercise the edge tokens: the empty token (the [""]
-    // quirk), multi-byte, emoji; values are arbitrary distinct longs
-    val model = Map("a" -> 10L, "" -> 7L, "héllo" -> 3L, "日本語" -> 5L,
-      "dup" -> 2L, "😀" -> 1L, "mixed" -> 4L)
-    val oov = 1234L
-    val df = inputs.toDF("text")
-    val toks = Dedup.tokens(col("text"))
-    val interp = df.select(
-        aggregate(toks, lit(0L),
-          (acc, w) => acc + coalesce(try_element_at(typedLit(model), w), lit(oov)))
-          .as("rsum"),
-        size(toks).cast("long").as("ntok"))
-      .as[(Option[Long], Option[Long])].collect()
-    val k = TokenRarityExpr.token_rarity(col("text"), model, oov)
-    val kernel = df.select(
-        k.getField("rsum").as("rsum"), k.getField("ntok").as("ntok"))
-      .as[(Option[Long], Option[Long])].collect()
-    assert(kernel.toSeq === interp.toSeq)
-  }
-
-  test("token_rarity: empty model scores every token OOV; null text scores null") {
-    val spark2 = spark
-    import spark2.implicits._
-    val df = Seq(("a b", 1), (null: String, 2)).toDF("text", "n")
-    val k = TokenRarityExpr.token_rarity(col("text"), Map.empty[String, Long], 9L)
-    val out = df.orderBy(col("n"))
-      .select(k.getField("rsum"), k.getField("ntok"))
-      .as[(Option[Long], Option[Long])].collect()
-    assert(out.toSeq === Seq((Some(18L), Some(2L)), (None, None)))
-  }
-
   test("withMinhashSignature (kernel-backed) matches per-seed interpreted minhash") {
     val spark2 = spark
     import spark2.implicits._

@@ -140,55 +140,6 @@ class ImportanceSpec extends SparkSpec {
     assert(lp(2) > lp(1) && lp(1) < 0)
   }
 
-  test("CorpusLmTables: table-backed LM scoring is identical to in-plan; stamps fail loudly") {
-    val spark2 = spark
-    import spark2.implicits._
-    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "q"),
-        (5L, "a b a c a b"))
-      .toDF("doc_id", "text")
-    val expectedBi = Importance.bigramLogProb(docs, col("text"), "doc_id")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
-    val expectedKn = Importance.kneserNeyLogProb(docs, col("text"), "doc_id")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
-    val tables = Importance.writeCorpusLmTables(
-      docs, col("text"), "importance_spec_lm", buckets = 4)
-    try {
-      // parity: scored against its own corpus's tables, both overloads
-      // reproduce the in-plan scores bit for bit
-      val outBi = Importance.bigramLogProb(docs, col("text"), "doc_id", tables)
-        .as[(Long, Long, Long)].collect().sortBy(_._1)
-      assert(outBi.toSeq === expectedBi.toSeq)
-      val outKn = Importance.kneserNeyLogProb(docs, col("text"), "doc_id",
-          tables, scale = 1L << 20)
-        .as[(Long, Long, Long)].collect().sortBy(_._1)
-      assert(outKn.toSeq === expectedKn.toSeq)
-      // corpus-unseen bigrams drop from the sums (the inner-join
-      // contract); unseen-only docs read (0, 0)
-      val batch = Seq((10L, "a b x y"), (11L, "x y")).toDF("doc_id", "text")
-      val batchOut = Importance.bigramLogProb(batch, col("text"), "doc_id", tables)
-        .as[(Long, Long, Long)].collect().sortBy(_._1)
-      assert(batchOut.map(r => (r._1, r._2)).toSeq === Seq((10L, 1L), (11L, 0L)))
-      // an unstamped table (wrong table name) must fail LOUDLY
-      val unstamped = intercept[IllegalArgumentException] {
-        Importance.kneserNeyLogProb(docs, col("text"), "doc_id",
-          tables.copy(bigramsTable = tables.unigramsTable), scale = 1L << 20)
-      }
-      assert(unstamped.getMessage.contains(Importance.NBiProp))
-      // the corpus legs enter the joins bucketed: the table-backed plans
-      // contain no corpus explode at all (only the batch pair stream)
-      def gens(df: org.apache.spark.sql.DataFrame): Int =
-        "Generate explode".r
-          .findAllIn(df.queryExecution.executedPlan.toString).length
-      assert(gens(Importance.kneserNeyLogProb(
-        docs.repartition(2), col("text"), "doc_id", tables, 1L << 20)) === 1)
-      assert(gens(Importance.bigramLogProb(
-        docs.repartition(2), col("text"), "doc_id", tables)) === 1)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS importance_spec_lm_unigrams")
-      spark.sql("DROP TABLE IF EXISTS importance_spec_lm_bigrams")
-    }
-  }
-
   test("editConfirmedPairs recalls band candidates and confirms by bounded distance") {
     val spark2 = spark
     import spark2.implicits._
